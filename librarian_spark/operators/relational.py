@@ -1,0 +1,1081 @@
+"""Relational operator surface (SURVEY.md §2B, Q1–Q28).
+
+The reference delegates its entire relational capability to the source database — the
+user's SQL string in config executes verbatim on Postgres
+(`/root/reference/internal/config/config.go:29`, `internal/sql/source.go:59`). This
+module supplies that surface *natively*: each declared query shape is expressed
+Spark-first (DataFrame API, or ``spark.sql`` where SQL is clearer), with an ANSI-SQL
+oracle string for the DuckDB correctness gate.
+
+Determinism rules applied throughout (so hash-comparison against another engine is
+meaningful):
+- double aggregations go through exact decimal sums (:mod:`librarian_spark.functions.numeric`)
+- LIMIT / row_number always carry a unique tie-break key
+- window ordering uses unique integer keys (``event_id``), never raw ns timestamps
+  (Spark truncates parquet ns-timestamps to µs; DuckDB keeps ns)
+- output columns are scalar bigint/double/string/date/timestamp/bool/array —
+  never bare decimals (engines disagree on result precision/scale inference)
+
+Scale notes are attached per-query where the plan shape matters (broadcast vs
+shuffle, pushdown, partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from librarian_spark.functions.numeric import davg, dec, dsum, o_davg, o_dec, o_dsum
+from librarian_spark.operators.registry import query
+from librarian_spark.sources.batch import load_table as _t
+from librarian_spark.sources.batch import register_views
+
+# --------------------------------------------------------------------------
+# Q1 projection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_projection",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    doc="Column pruning: scan reads only 3 of 11 lineitem columns (check ReadSchema).",
+)
+def q01_projection(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 column arithmetic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q02_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue_taxed
+    FROM lineitem
+    """,
+    doc="Per-row double arithmetic is IEEE-deterministic — no decimal guard needed.",
+)
+def q02_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    rev = li.l_extendedprice * (1 - li.l_discount)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (1 + li.l_tax)).alias("revenue_taxed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 filter with pushdown
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q03_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Predicates reach the parquet scan (PushedFilters) — verified in plan tests.",
+)
+def q03_filter(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (li.l_shipdate >= F.lit("1996-01-01").cast("timestamp"))
+        & (li.l_shipdate < F.lit("1997-01-01").cast("timestamp"))
+        & (li.l_discount.between(0.05, 0.07))
+        & (li.l_quantity < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# --------------------------------------------------------------------------
+# Q4 sort
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q04_sort",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+    """,
+    doc="Global sort = range-partitioned exchange (TakeOrdered avoided: full sort).",
+)
+def q04_sort(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    return c.select("c_custkey", "c_name", "c_acctbal").orderBy(
+        c.c_acctbal.desc_nulls_last(), c.c_custkey
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q05_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="ORDER BY + LIMIT compiles to TakeOrderedAndProject: per-partition heap, "
+    "no full sort/shuffle — the right plan at 100 TB. Unique tie-break (o_orderkey) "
+    "keeps the boundary deterministic.",
+)
+def q05_topk(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(o.o_totalprice.desc(), o.o_orderkey)
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 hash aggregate (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q06_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1: partial+final HashAggregate (map-side combine) — the shuffle moves "
+    "only |groups|×|partitions| rows regardless of input size.",
+)
+def q06_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = li.l_extendedprice * (1 - li.l_discount)
+    charge = disc_price * (1 + li.l_tax)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(dec(disc_price, 6)).cast("double").alias("sum_disc_price"),
+        F.sum(dec(charge, 6)).cast("double").alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 distinct / count-distinct
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q07_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+    doc="Exact distinct = expand+two-phase aggregate. (approx_count_distinct is the "
+    "100 TB fast path but has no cross-engine oracle — exposed separately.)",
+)
+def q07_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "orders").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_custs"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 rollup / cube (grouping sets)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q08_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {o_dsum('c_acctbal')} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q08_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+@query(
+    "q08_cube",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def q08_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9–Q14 joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q09_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Equi-join; AQE picks broadcast vs sort-merge from runtime stats. At 100 TB "
+    "both sides large → sort-merge on the shuffled key is correct.",
+)
+def q09_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q10_join_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    doc="Explicit broadcast of the 5-row dim: zero shuffle regardless of fact size.",
+)
+def q10_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "q11_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q11_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q11_join_full",
+    oracle="""
+    SELECT n_nationkey, c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+    FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    JOIN nation ON n_nationkey = COALESCE(c.c_nationkey, s.s_nationkey)
+    """,
+)
+def q11_join_full(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    n = _t(spark, sf, "nation")
+    full = c.join(s, c.c_nationkey == s.s_nationkey, "full")
+    return full.join(
+        n, n.n_nationkey == F.coalesce(full.c_nationkey, full.s_nationkey)
+    ).select("n_nationkey", "n_cust", "n_supp")
+
+
+@query(
+    "q12_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="EXISTS ≡ left_semi: probe side streams, no row multiplication.",
+)
+def q12_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q12_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q12_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q13_join_theta",
+    oracle="""
+    SELECT s_suppkey, s_name, COUNT(*) AS n_poorer
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="Equi key + theta residual: hash/sort-merge on the equi part, residual as "
+    "post-join filter — never a nested-loop over the full cross product.",
+)
+def q13_join_theta(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_poorer"))
+    )
+
+
+@query(
+    "q14_star_join",
+    oracle=f"""
+    SELECT n_name,
+           {o_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: fact-to-fact joins shuffle on keys; nation/region broadcast. "
+    "Dynamic partition pruning would kick in on a partitioned fact table.",
+)
+def q14_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = joined.l_extendedprice * (1 - joined.l_discount)
+    return joined.groupBy("n_name").agg(
+        F.sum(dec(rev, 6)).cast("double").alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 subqueries
+# --------------------------------------------------------------------------
+
+_Q15_SCALAR = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(o_totalprice)
+  FROM orders)
+"""
+
+
+@query(
+    "q15_subquery_scalar",
+    oracle=_Q15_SCALAR,
+    doc="Uncorrelated scalar subquery: computed once, broadcast into the filter.",
+)
+def q15_subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_Q15_SCALAR)
+
+
+_Q15_CORR = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(c2.c_acctbal)
+  FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@query(
+    "q15_subquery_correlated",
+    oracle=_Q15_CORR,
+    doc="Correlated aggregate subquery — Catalyst decorrelates to an aggregate+join, "
+    "so the nation-level averages are computed once, not per outer row.",
+)
+def q15_subquery_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_Q15_CORR)
+
+
+# --------------------------------------------------------------------------
+# Q16 set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q16_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def q16_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "q16_union_distinct",
+    oracle="""
+    SELECT c_mktsegment AS seg FROM customer
+    UNION
+    SELECT o_orderpriority FROM orders
+    """,
+)
+def q16_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_mktsegment").alias("seg"))
+    o = _t(spark, sf, "orders").select(F.col("o_orderpriority").alias("seg"))
+    return c.union(o).distinct()
+
+
+@query(
+    "q16_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q16_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q16_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q16_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # subtract = EXCEPT (set semantics); exceptAll = bag
+
+
+# --------------------------------------------------------------------------
+# Q17–Q18 window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+    FROM customer
+    """,
+    doc="row_number carries a unique tie-break; rank/dense_rank are tie-stable so "
+    "they may order by the value alone.",
+)
+def q17_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    w_unique = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_val = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+    )
+
+
+@query(
+    "q18_window_frame",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           CAST(SUM({o_dec('value')}) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+           CAST(SUM({o_dec('value')}) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+    FROM events
+    """,
+    doc="Analytic frames over the event stream; decimal-cast sums because engines "
+    "evaluate sliding frames in different orders (segment trees vs rescans).",
+)
+def q18_window_frame(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(dec("value")).over(w.rowsBetween(-3, 0)).cast("double").alias("roll_sum"),
+        F.sum(dec("value"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("run_sum"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 conditional logic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19_case",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS bucket,
+           o_orderstatus,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q19_case(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    bucket = (
+        F.when(o.o_totalprice >= 300000, "large")
+        .when(o.o_totalprice >= 100000, "medium")
+        .otherwise("small")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket, "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Q20 string functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q20_strings",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(c_name) AS lname,
+           UPPER(c_mktsegment) AS useg,
+           SUBSTR(c_name, 1, 8) AS prefix,
+           LENGTH(c_name) AS name_len,
+           CONCAT(c_name, ':', c_mktsegment) AS tagged,
+           REPLACE(c_name, 'Customer#', '') AS numpart,
+           REGEXP_REPLACE(c_name, '0+', '0', 'g') AS squeezed,
+           (c_name LIKE 'Customer#%') AS is_cust,
+           TRIM('  x  ') AS trimmed
+    FROM customer
+    WHERE c_name LIKE 'Customer#%'
+    """,
+)
+def q20_strings(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").filter(F.col("c_name").like("Customer#%"))
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("tagged"),
+        F.regexp_replace(F.col("c_name"), "Customer#", "").alias("numpart"),
+        F.regexp_replace(F.col("c_name"), "0+", "0").alias("squeezed"),
+        F.col("c_name").like("Customer#%").alias("is_cust"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+@query(
+    "q20_split",
+    oracle="""
+    SELECT doc_id, STR_SPLIT(TRIM(text), ' ') AS words,
+           LENGTH(TRIM(text)) AS n_chars_trim
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q20_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("words"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars_trim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 date/time functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q21_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+           CAST(DAY(o_orderdate) AS BIGINT) AS d,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS q
+    FROM orders
+    """,
+)
+def q21_dates(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+    )
+
+
+@query(
+    "q21_datediff",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT)
+             AS ship_delay_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q21_datediff(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("ship_delay_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 math functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q22_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_d,
+           ROUND(l_extendedprice, 1) AS rounded,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceiled,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floored,
+           SQRT(l_quantity) AS sqrt_qty,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_linenumber % 3 AS BIGINT) AS mod3,
+           ROUND(LN(l_extendedprice), 4) AS ln_price
+    FROM lineitem
+    """,
+)
+def q22_math(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(li.l_discount - 0.05).alias("abs_d"),
+        F.round(li.l_extendedprice, 1).alias("rounded"),
+        F.ceil(li.l_extendedprice).cast("long").alias("ceiled"),
+        F.floor(li.l_extendedprice).cast("long").alias("floored"),
+        F.sqrt(li.l_quantity).alias("sqrt_qty"),
+        (li.l_quantity * li.l_quantity).alias("qty_sq"),
+        (li.l_linenumber % 3).cast("long").alias("mod3"),
+        F.round(F.log(li.l_extendedprice), 4).alias("ln_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q23 casts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q23_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(STRFTIME(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS date_str,
+           CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS narrowed
+    FROM orders
+    """,
+    doc="Cast semantics parity incl. the reference's int widening "
+    "(`internal/parquet/sql.go:16-21`); double→bigint uses explicit TRUNC in the "
+    "oracle because DuckDB rounds on cast while Spark truncates.",
+)
+def q23_casts(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        o.o_totalprice.cast("decimal(12,2)").cast("string").alias("price_str"),
+        o.o_totalprice.cast("long").alias("price_int"),
+        o.o_orderkey.cast("string").alias("key_str"),
+        o.o_orderdate.cast("date").alias("odate"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        o.o_orderkey.cast("int").cast("long").alias("narrowed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q24 null handling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q24_nulls",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(o_orderkey, -1) AS okey_or_default,
+           (o_orderkey IS NULL) AS no_order,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_nullable,
+           (o_orderstatus IS NOT DISTINCT FROM 'F') AS is_final
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q24_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(o.o_orderkey, F.lit(-1)).alias("okey_or_default"),
+        o.o_orderkey.isNull().alias("no_order"),
+        F.nullif(c.c_mktsegment, F.lit("BUILDING")).alias("seg_nullable"),
+        o.o_orderstatus.eqNullSafe(F.lit("F")).alias("is_final"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q25 arrays
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q25_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[4] AS DOUBLE) AS fourth_val,
+           [CAST(x AS DOUBLE) FOR x IN embedding[1:4]] AS head4,
+           label
+    FROM embeddings
+    """,
+)
+def q25_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 4).cast("double").alias("fourth_val"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias(
+            "head4"
+        ),
+        "label",
+    )
+
+
+@query(
+    "q25_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS BIGINT) AS pos,
+           CAST(UNNEST(embedding) AS DOUBLE) AS val
+    FROM embeddings WHERE vec_id < 32
+    """,
+    doc="explode/posexplode ≡ UNNEST: generator op, one output row per element.",
+)
+def q25_explode(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 32)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q26 struct/map access
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q26_struct_map",
+    oracle="""
+    SELECT n_nationkey,
+           STRUCT_PACK(name := n_name, region := r_name).name AS nm,
+           STRUCT_PACK(name := n_name, region := r_name).region AS reg,
+           MAP([n_name], [n_regionkey])[n_name][1] AS reg_lookup
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q26_struct_map(spark: SparkSession, sf: str) -> DataFrame:
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    st = F.struct(F.col("n_name").alias("name"), F.col("r_name").alias("region"))
+    mp = F.create_map(F.col("n_name"), F.col("n_regionkey"))
+    return j.select(
+        "n_nationkey",
+        st.getField("name").alias("nm"),
+        st.getField("region").alias("reg"),
+        F.element_at(mp, F.col("n_name")).alias("reg_lookup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q27 JSON
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q27_json",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q27_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q28 CTEs
+# --------------------------------------------------------------------------
+
+_Q28 = """
+WITH cust_orders AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total_spent
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(total_spent AS DECIMAL(25,4))) AS DOUBLE) AS segment_spend
+FROM cust_orders
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query(
+    "q28_cte",
+    oracle=_Q28,
+    doc="CTE pipeline; same text runs in both engines (dialect-neutral SQL).",
+)
+def q28_cte(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_Q28)
+
+
+# --------------------------------------------------------------------------
+# Time-series shapes on the events table (batch forms of the streaming ops)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q29_time_window",
+    oracle=f"""
+    SELECT CAST(TIME_BUCKET(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+           event_type,
+           COUNT(*) AS n,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window (batch form of streaming S12); ns→µs timestamp "
+    "truncation is safe because bucketing to whole hours.",
+)
+def q29_time_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "q30_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization: lag + cumulative flag sum — the batch analogue of "
+    "session_window (S12). One shuffle on user_id serves both windows and the final agg.",
+)
+def q30_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        1,
+    ).otherwise(0)
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "q31_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group: rank-and-filter — one shuffle on the group key; at scale "
+    "prefer this over sort+collect per group.",
+)
+def q31_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

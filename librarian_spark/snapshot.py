@@ -1,0 +1,131 @@
+"""Batch snapshot pipeline ("archiver snapshot").
+
+Reference lifecycle (`/root/reference/internal/archiver/archiver.go:57-130`):
+catalog init → COUNT pre-scan → run user query → pull rows one at a time →
+buffer → flush a ``<uuid>.parquet`` every ``batch_size_num_records`` rows →
+final flush → write ``catalog.json``.
+
+Spark-first re-expression: the entire single-threaded pull loop becomes ONE
+distributed job — ``source DataFrame → spark.sql(query) → df.write.parquet`` with
+``maxRecordsPerFile`` standing in for the reference's row-batched file splitting
+(`internal/parquet/preserver.go:79-83`). The count pre-scan and processed-count
+parity check are preserved because they're the catalog contract, but the processed
+count is read from the committed files' parquet footers (metadata-only) rather than
+re-scanning data.
+
+Scale notes:
+- The query runs through Catalyst: projection pruning + predicate pushdown reach
+  the parquet/JDBC scan, unlike the reference where optimization only happens if
+  the *source database* does it.
+- ``repartition(n)`` before write controls output file count/parallelism at
+  cluster scale; ``partition_by`` adds hive-style partitioning the reference lacks.
+- For JDBC sources, partitioned reads (`sources/batch.py`) replace the reference's
+  single cursor.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from librarian_spark.catalog import CatalogRecord, write_catalog
+from librarian_spark.config import ArchiverConfig, LibrarianConfig
+from librarian_spark.schema import fields_to_struct_type
+from librarian_spark.sources.batch import read_jdbc_query
+
+__all__ = ["Snapshotter", "snapshot", "run_snapshot_config"]
+
+
+class Snapshotter:
+    """Orchestrates one snapshot: source → query → parquet + catalog."""
+
+    def __init__(self, spark: SparkSession, cfg: ArchiverConfig):
+        self.spark = spark
+        self.cfg = cfg
+
+    # -- source -----------------------------------------------------------
+    def read_source(self) -> DataFrame:
+        src = self.cfg.source
+        if src.format == "jdbc":
+            return read_jdbc_query(
+                self.spark, src.connection_string, src.effective_query()
+            )
+        if src.format in ("parquet", "csv", "json"):
+            if not src.path:
+                raise ValueError(f"{src.format} source requires a path")
+            reader = self.spark.read
+            if src.format == "csv":
+                df = reader.option("header", "true").csv(src.path)
+            elif src.format == "json":
+                df = reader.json(src.path)
+            else:
+                df = reader.parquet(src.path)
+            # file sources register the table then run the configured query
+            # natively (the capability the reference outsources to Postgres).
+            view = src.table or "source"
+            df.createOrReplaceTempView(view)
+            if src.query.strip():
+                return self.spark.sql(src.query)
+            return df
+        raise ValueError(f"unknown source format: {src.format!r}")
+
+    # -- sink -------------------------------------------------------------
+    def write(self, df: DataFrame, out_path: str) -> int:
+        """Distributed parquet write; returns the number of rows committed.
+
+        ``maxRecordsPerFile`` ≡ reference ``batch_size_num_records``
+        (`internal/parquet/preserver.go:79-83`); 0 means "no per-file cap"
+        (`internal/config/config.go:60-62`).
+        """
+        pres = self.cfg.preserver
+        repo = self.cfg.repository
+        for k, v in repo.hadoop_conf().items():
+            self.spark.conf.set(k, v)
+
+        if pres.fields:
+            # schema enforcement ≡ RecordToParquetRow arity/type check
+            # (`internal/parquet/schema.go:52-73`) — cast to the declared types.
+            declared = fields_to_struct_type(pres.fields)
+            cols = [df[f.name].cast(f.dataType).alias(f.name) for f in declared.fields]
+            df = df.select(cols)
+
+        writer = df.write.mode("overwrite")
+        if pres.batch_size_num_records > 0:
+            writer = writer.option("maxRecordsPerFile", pres.batch_size_num_records)
+        if repo.partition_by:
+            writer = writer.partitionBy(*repo.partition_by)
+        writer.parquet(out_path)
+
+        # processed count from committed parquet footers (metadata-only scan —
+        # no data re-read), standing in for the reference's per-row counter.
+        return self.spark.read.parquet(out_path).count()
+
+    # -- orchestration ----------------------------------------------------
+    def run(self, snapshot_id: str | None = None) -> CatalogRecord:
+        src = self.cfg.source
+        record = CatalogRecord(
+            id=snapshot_id or str(_uuid.uuid4()),
+            source={
+                "schema": src.schema,
+                "table": src.table,
+                "query": src.effective_query() if (src.query or src.table) else "",
+            },
+        )
+        df = self.read_source()
+        # count pre-scan (`internal/sql/source.go:43-49`)
+        record.num_source_records = df.count()
+        out_path = self.cfg.repository.spark_path()
+        processed = self.write(df, out_path)
+        record.finish(processed)
+        if self.cfg.repository.type == "local":
+            write_catalog(record, out_path)
+        return record
+
+
+def snapshot(spark: SparkSession, cfg: ArchiverConfig, snapshot_id: str | None = None) -> CatalogRecord:
+    return Snapshotter(spark, cfg).run(snapshot_id)
+
+
+def run_snapshot_config(spark: SparkSession, cfg: LibrarianConfig) -> CatalogRecord:
+    return snapshot(spark, cfg.archiver)
