@@ -1,0 +1,97 @@
+"""Text-analysis column functions (pure Spark expressions — JVM-side, codegen'd).
+
+Building blocks for the LLM-data-pipeline operators (dedup, language ID, quality
+scoring). Everything here is a deterministic function of the input text so results
+are reproducible across engines — each helper documents its DuckDB-SQL twin, used
+by the oracles in :mod:`librarian_spark.operators.text` / ``dedup``.
+
+No UDFs: at 100 TB the tokenizer runs inside whole-stage codegen over billions of
+rows; a Python UDF here would dominate job cost.
+
+All helpers take the *column name* (not a Column) so they can inline the expression
+into a single codegen'd tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["tokens", "shingles", "fingerprint", "STOPWORDS", "FP_MOD"]
+
+# Small per-language stopword lists for the stopword-vote language-ID heuristic.
+# Disjoint across languages so votes don't cancel.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "los", "las", "es", "una", "por", "como"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "pour", "que"],
+}
+
+FP_MOD = 1_000_000_007
+
+
+def tokens(col_name: str) -> Column:
+    """Whitespace tokens of trimmed, lowercased text.
+
+    DuckDB twin: ``STR_SPLIT(TRIM(LOWER(col)), ' ')``. Single-space split (the
+    corpus is single-space separated) so both engines agree exactly; a ``\\s+``
+    regex split is the general form but regex dialects differ subtly.
+    """
+    return F.split(F.trim(F.lower(F.col(col_name))), " ")
+
+
+def tokens_sql(col_name: str) -> str:
+    """Spark-SQL text form of :func:`tokens` (for expression inlining)."""
+    return f"split(trim(lower({col_name})), ' ')"
+
+
+def shingles(col_name: str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of a text column; ``distinct=True`` gives set
+    semantics (what Jaccard/MinHash want).
+
+    Expression shape: ``transform(sequence(1, size(w)-n+1), i ->
+    concat_ws(' ', w[i-1], ..., w[i+n-2]))`` — one shingle per window position,
+    entirely inside codegen.
+
+    DuckDB twin: ``LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)-(n-2)),
+    i -> w[i] || ' ' || w[i+1] || ...))`` (DuckDB lists are 1-indexed, RANGE is
+    end-exclusive).
+    """
+    w = tokens_sql(col_name)
+    parts = ", ".join(f"{w}[i - 1 + {j}]" for j in range(n))
+    e = F.expr(
+        f"transform(sequence(1, greatest(size({w}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+    return F.array_distinct(e) if distinct else e
+
+
+def o_shingles(col_expr: str, n: int = 3, distinct: bool = True) -> str:
+    """DuckDB-SQL twin of :func:`shingles` over a token-list SQL expression ``w``
+    (caller binds ``w`` via a lateral/subquery alias)."""
+    parts = " || ' ' || ".join(f"w[i + {j}]" if j else "w[i]" for j in range(n))
+    inner = f"LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - {n - 2}, 1)), i -> {parts})"
+    return f"LIST_DISTINCT({inner})" if distinct else inner
+
+
+def fingerprint(col_name: str, mod: int = FP_MOD) -> Column:
+    """Polynomial rolling-hash document fingerprint: fold ``h = (h*31 + code) % mod``
+    over the characters. Stays in bigint range (h < 1e9; h*31 + 127 << 2^63).
+
+    DuckDB twin: ``LIST_REDUCE(LIST_PREPEND(0, LIST_TRANSFORM(STR_SPLIT(col, ''),
+    c -> ASCII(c))), (a, b) -> (a*31 + b) % mod)``.
+    """
+    return F.aggregate(
+        F.split(F.col(col_name), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
+    )
+
+
+def o_fingerprint(col_expr: str, mod: int = FP_MOD) -> str:
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+        f"LIST_TRANSFORM(STR_SPLIT({col_expr}, ''), c -> CAST(ASCII(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {mod})"
+    )

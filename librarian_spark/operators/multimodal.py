@@ -1,0 +1,178 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: the media itself is an opaque ``binary``
+column (or an object-store URI for >~100 MB blobs) riding next to a typed
+metadata struct; all per-item compute happens in Arrow-batched Pandas functions
+via ``mapInPandas`` so bytes never round-trip through the driver and partitions
+stream batch-by-batch (bounded memory regardless of corpus size).
+
+The actual codec step (image decode / resize, audio resample, video frame
+sampling) needs libraries not present in this container — it is STUBBED behind
+``decode_stub`` (deterministic fake: byte-level stats standing in for pixel
+stats). The Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — is real and tested; swapping the stub for PIL/libav is a one-function
+change inside the pandas iterator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from librarian_spark.operators.registry import query
+from librarian_spark.sources.batch import load_table as _t
+
+__all__ = ["ingest_binary", "extract_features", "decode_stub"]
+
+# metadata struct carried with every payload
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("source_uri", T.StringType(), True),
+    ]
+)
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("byte_hist", T.ArrayType(T.LongType()), True),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Deterministic fake decoder (stands in for PIL.Image.open / librosa.load).
+
+    Real implementation would raise on codec errors; the stub computes byte-level
+    statistics so tests exercise real data flow through the same signature.
+    Swap body with e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))   # requires pillow
+        ...
+        raise NotImplementedError("image decode requires pillow")  # if absent
+    """
+    if payload is None:
+        return {"n_bytes": 0, "byte_mean": None, "byte_hist": [0] * 16}
+    n = len(payload)
+    hist = [0] * 16
+    total = 0
+    for b in payload:
+        hist[b >> 4] += 1
+        total += b
+    return {
+        "n_bytes": n,
+        "byte_mean": (total / n) if n else None,
+        "byte_hist": hist,
+    }
+
+
+def ingest_binary(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct).
+
+    Uses the documents' utf-8 bytes as a stand-in corpus of binary payloads;
+    for real media this is ``spark.read.format("binaryFile")`` (path, length,
+    content) or URIs resolved inside mapInPandas.
+    """
+    d = _t(spark, sf, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text-bytes").alias("modality"),
+            F.lit("text/plain; charset=utf-8").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.concat(F.lit("testdata://documents/"), F.col("doc_id")).alias(
+                "source_uri"
+            ),
+        ).alias("meta"),
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload) via mapInPandas.
+
+    Each worker receives pandas batches (so per-item python cost is amortized
+    over the Arrow transfer, not paid per row via pickle), computes features
+    through ``decode_stub``, and yields batches of the declared schema —
+    map-only, partition-parallel, no shuffle.
+    """
+
+    # NOTE: the worker function must be fully self-contained (no references to
+    # module-level names): cloudpickle serializes nested functions by value, but
+    # module globals by import path — and `librarian_spark` is not importable on
+    # executor Python workers unless the package is shipped. Keeping the decode
+    # inline makes the operator deployable on any cluster as-is. The module-level
+    # ``decode_stub`` stays the reference implementation tests compare against.
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(payload):
+            if payload is None:
+                return {"n_bytes": 0, "byte_mean": None, "byte_hist": [0] * 16}
+            n = len(payload)
+            hist = [0] * 16
+            total = 0
+            for b in payload:
+                hist[b >> 4] += 1
+                total += b
+            return {
+                "n_bytes": n,
+                "byte_mean": (total / n) if n else None,
+                "byte_hist": hist,
+            }
+
+        for pdf in batches:
+            feats = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "byte_mean": [f["byte_mean"] for f in feats],
+                    "byte_hist": [f["byte_hist"] for f in feats],
+                    "decoder": "stub-v1",
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, schema=_FEATURE_SCHEMA)
+
+
+@query(
+    "mm_ingest",
+    oracle="""
+    SELECT doc_id,
+           'text-bytes' AS modality,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           'testdata://documents/' || doc_id AS source_uri
+    FROM documents
+    """,
+    doc="Binary-column ingest: payload + typed metadata struct (flattened here "
+    "because the oracle compares scalar columns).",
+)
+def mm_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    df = ingest_binary(spark, sf)
+    return df.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source_uri").alias("source_uri"),
+    )
+
+
+@query(
+    "mm_feature_extract",
+    oracle=None,  # byte-histogram decode is the stubbed non-SQL path (mapInPandas)
+    doc="mapInPandas feature extraction through the stubbed decoder: real Arrow "
+    "batch flow, fake codec. Rows-only check; byte-stat correctness asserted in "
+    "unit tests against python-computed values.",
+)
+def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    return extract_features(ingest_binary(spark, sf))

@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run; return the registry."""
     from librarian_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         text,

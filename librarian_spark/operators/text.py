@@ -1,1 +1,180 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators over the ``documents`` table.
+
+These are the training-data-pipeline text ops (no reference analogue — librarian
+moves bytes, it never inspects text): token counting, quality scoring, language
+ID, and document fingerprinting. All pure DataFrame expressions (whole-stage
+codegen; no shuffle except stated) so they scale linearly with the corpus: at
+100 TB each is a single map-only pass over the documents, partition-parallel,
+with no driver involvement.
+
+Every operator has an exact DuckDB oracle — the scoring formulas use only
+integer arithmetic and single IEEE divisions, which are bit-reproducible across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from librarian_spark.functions.textfns import (
+    FP_MOD,
+    STOPWORDS,
+    fingerprint,
+    o_fingerprint,
+    tokens,
+)
+from librarian_spark.operators.registry import query
+from librarian_spark.sources.batch import load_table as _t
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(w) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(w)) AS BIGINT) AS n_uniq_tokens,
+           LENGTH(TRIM(text)) * 1.0 / LEN(w) AS avg_token_len
+    FROM (SELECT doc_id, text, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents)
+    """,
+    doc="Whitespace token counts + type/token stats; map-only, no shuffle.",
+)
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    w = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq_tokens"),
+        (F.length(F.trim(F.col("text"))) * F.lit(1.0) / F.size(w)).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+_EN_STOP_SQL = "['" + "','".join(STOPWORDS["en"]) + "']"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(w) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_FILTER(w, t -> LIST_CONTAINS({_EN_STOP_SQL}, t))) AS BIGINT)
+             AS n_stopwords,
+           LEN(LIST_FILTER(w, t -> LIST_CONTAINS({_EN_STOP_SQL}, t))) * 1.0
+             / GREATEST(LEN(w), 1) AS stopword_ratio,
+           LEN(LIST_DISTINCT(w)) * 1.0 / GREATEST(LEN(w), 1) AS uniq_ratio,
+           (LEN(w) BETWEEN 5 AND 1000
+            AND LEN(LIST_DISTINCT(w)) * 1.0 / GREATEST(LEN(w), 1) > 0.2) AS keep
+    FROM (SELECT doc_id, text, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents)
+    """,
+    doc="Heuristic quality gate (length band + lexical diversity + stopword "
+    "density) — the standard pre-training corpus filter shape; map-only.",
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    w = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_tok = F.size(w)
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+    uniq_ratio = F.size(F.array_distinct(w)) * F.lit(1.0) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_stop * F.lit(1.0) / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        (n_tok.between(5, 1000) & (uniq_ratio > 0.2)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (stopword-vote heuristic)
+# --------------------------------------------------------------------------
+
+
+def _votes_sql(lang: str) -> str:
+    lst = "['" + "','".join(STOPWORDS[lang]) + "']"
+    return f"LEN(LIST_FILTER(w, t -> LIST_CONTAINS({lst}, t)))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN {_votes_sql('en')} >= GREATEST({_votes_sql('de')}, {_votes_sql('es')}, {_votes_sql('fr')}, 1) THEN 'en'
+             WHEN {_votes_sql('de')} >= GREATEST({_votes_sql('es')}, {_votes_sql('fr')}, 1) THEN 'de'
+             WHEN {_votes_sql('es')} >= GREATEST({_votes_sql('fr')}, 1) THEN 'es'
+             WHEN {_votes_sql('fr')} >= 1 THEN 'fr'
+             ELSE 'und'
+           END AS lang_pred,
+           CAST({_votes_sql('en')} AS BIGINT) AS votes_en
+    FROM (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents)
+    """,
+    doc="Stopword-vote language ID with a deterministic precedence order "
+    "(en>de>es>fr on ties). A production lang-ID swaps in a fastText-style "
+    "model via pandas_udf; the plumbing (map-only pass, per-doc label) is identical.",
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    w = tokens("text")
+
+    def votes(lang: str):
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        return F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+
+    en, de, es, fr = votes("en"), votes("de"), votes("es"), votes("fr")
+    pred = (
+        F.when(en >= F.greatest(de, es, fr, F.lit(1)), "en")
+        .when(de >= F.greatest(es, fr, F.lit(1)), "de")
+        .when(es >= F.greatest(fr, F.lit(1)), "es")
+        .when(fr >= F.lit(1), "fr")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id", pred.alias("lang_pred"), en.cast("long").alias("votes_en")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {o_fingerprint('text')} AS fp,
+           {o_fingerprint("TRIM(LOWER(text))")} AS fp_normalized
+    FROM documents
+    """,
+    doc=f"Polynomial rolling-hash fingerprint (base 31 mod {FP_MOD}) on raw and "
+    "normalized text — cheap identity for exact-dup detection and incremental "
+    "re-crawl diffing; map-only.",
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.aggregate(
+            F.split(F.trim(F.lower(F.col("text"))), ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % FP_MOD,
+        ).alias("fp_normalized"),
+    )

@@ -1,0 +1,128 @@
+"""Unit tests for the LLM-pipeline operators beyond the oracle harness:
+recall/precision of the approximate methods vs the exact ones, and the
+multimodal stub's byte-stat correctness."""
+
+from __future__ import annotations
+
+from librarian_spark.operators.dedup import (
+    dedup_simhash,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from librarian_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    ingest_binary,
+)
+from librarian_spark.operators.similarity import sim_ann_lsh, sim_cosine_topk
+
+
+def test_minhash_lsh_recall(spark, sf_dir):
+    """LSH candidates must cover every exact near-dup pair (j >= 0.5) — at these
+    similarities the banded miss probability is negligible, so full recall is a
+    deterministic property of the fixed hash family on this corpus."""
+    exact = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in ngram_jaccard_pairs(spark, sf_dir, 0.5).collect()
+    }
+    cands = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in minhash_lsh_candidates(spark, sf_dir).collect()
+    }
+    assert exact, "corpus should contain planted near-dup pairs"
+    missed = exact - cands
+    assert not missed, f"LSH missed near-dup pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_finds_near_dups(spark, sf_dir):
+    """Hamming-close simhash pairs should overlap heavily with exact near-dups."""
+    exact = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in ngram_jaccard_pairs(spark, sf_dir, 0.8).collect()
+    }
+    sh = {
+        (r.doc_id_1, r.doc_id_2) for r in dedup_simhash(spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(exact & sh) / len(exact)
+    assert recall >= 0.8, f"simhash recall too low: {recall:.2f}"
+
+
+def test_ann_lsh_structural_contract(spark, sf_dir):
+    """ANN results must be a subset of brute-force scores (the re-rank is exact
+    cosine, so every (query, neighbor, score) it emits must appear in the full
+    scored set), and it must actually prune. Recall on this corpus is expectedly
+    modest — the embeddings are uniform random, below the LSH noise floor."""
+    from pyspark.sql import functions as F
+
+    from librarian_spark.functions.vector import as_double, cosine
+
+    ann = sim_ann_lsh(spark, sf_dir).collect()
+    assert ann, "ANN returned nothing"
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    qs = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    full = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in e.join(qs, e.vec_id != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+        .collect()
+    }
+    for r in ann:
+        assert full[(r.query_id, r.neighbor_id)] == r.score
+    # pruning: per query, ANN considered far fewer than all candidates — so some
+    # true top-5 neighbors are missed on uniform data; the operator still returns
+    # exactly TOPK rows per query it scored.
+    per_query = {}
+    for r in ann:
+        per_query.setdefault(r.query_id, []).append(r.rn)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_query.values())
+
+
+def test_ann_lsh_buckets_collide_for_near_duplicates(spark):
+    """Property test of the bucketing itself: near-identical vectors must land in
+    probe-adjacent buckets almost always. Uses planted vectors (the corpus has no
+    high-cosine pairs, so this is the only way to exercise the near-dup regime)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.similarity import _N_PLANES, lsh_bucket
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(100):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        jitter = [x + rng.gauss(0, 0.02) for x in base]  # cosine ≈ 0.9998
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, jitter))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    b = df.withColumn("bucket", lsh_bucket(F.col("v"))).collect()
+    buckets = {r.vec_id: r.bucket for r in b}
+    hits = 0
+    for i in range(100):
+        h = bin(buckets[2 * i] ^ buckets[2 * i + 1]).count("1")
+        hits += h <= 1  # same bucket or reachable via one probe flip
+    assert hits >= 95, f"near-identical vectors separated by LSH: {hits}/100"
+
+
+def test_multimodal_feature_extract_matches_python(spark, sf_dir):
+    """The mapInPandas pipeline must produce exactly what the stub computes
+    driver-side — validates Arrow batch flow, schema, and null handling."""
+    feats = {r.doc_id: r for r in extract_features(ingest_binary(spark, sf_dir)).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    for row in docs.limit(20).collect():
+        expected = decode_stub(row.text.encode("utf-8"))
+        got = feats[row.doc_id]
+        assert got.n_bytes == expected["n_bytes"]
+        assert abs(got.byte_mean - expected["byte_mean"]) < 1e-12
+        assert list(got.byte_hist) == expected["byte_hist"]
+        assert got.decoder == "stub-v1"
