@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's query registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Execution is forced with a noop-format write (full plan evaluation, no driver
+transfer) so timings measure the engine, not result serialization. One tiny
+warm-up query first so JVM/codegen startup isn't billed to the first query.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   data dir            (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local parallelism   (default 32)
+  BENCH_QUERIES        comma-separated subset (default: all registered)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from librarian_spark.operators.registry import load_all  # noqa: E402
+from librarian_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="librarian-spark-bench")
+
+    specs = load_all()
+    subset = os.environ.get("BENCH_QUERIES")
+    names = (
+        [n.strip() for n in subset.split(",") if n.strip()] if subset else sorted(specs)
+    )
+
+    # warm-up: JVM + parquet footer caches + codegen paths
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = specs[name].spark_fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "registry_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

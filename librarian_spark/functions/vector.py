@@ -43,3 +43,17 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double-array columns (sequential fold)."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def unit_vectors(df, vec_col: str = "embedding", out: str = "u"):
+    """Add a unit-normalized double-array column.
+
+    Two chained projections so the norm is materialized once per row and then
+    referenced by the per-element division — cosine over pre-normalized vectors
+    is a single dot fold per pair instead of three (norms computed O(N) once,
+    not O(N²) per pair). The pairwise operators all start from this.
+    """
+    with_norm = df.withColumn("_nrm", norm(as_double(vec_col)))
+    return with_norm.withColumn(
+        out, F.transform(as_double(vec_col), lambda x: x / F.col("_nrm"))
+    ).drop("_nrm")

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from librarian_spark.operators.registry import query
+from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
 
 __all__ = ["ingest_binary", "extract_features", "decode_stub"]
@@ -83,7 +84,7 @@ def ingest_binary(spark: SparkSession, sf: str) -> DataFrame:
     for real media this is ``spark.read.format("binaryFile")`` (path, length,
     content) or URIs resolved inside mapInPandas.
     """
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"))
     payload = F.encode(F.col("text"), "utf-8")
     return d.select(
         "doc_id",

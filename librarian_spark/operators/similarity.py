@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from librarian_spark.functions.vector import as_double, cosine
+from librarian_spark.functions.vector import dot, unit_vectors
 from librarian_spark.operators.registry import query
+from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
 
 _TOPK = 5
@@ -34,10 +35,11 @@ _DIM = 64
 # near-dup threshold sits below that; with real clustered embeddings this is 0.9+
 _PAIR_THRESHOLD = 0.35
 
-# DuckDB twin of functions.vector.dot/cosine: same sequential left-fold order.
+# DuckDB twins of functions.vector.dot/norm: same sequential left-fold order, so
+# double results are bit-identical to the Spark expressions.
 _O_DOT = (
     "LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
-    "LIST_TRANSFORM(RANGE(1, {n}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "LIST_TRANSFORM(RANGE(1, {n}), i -> {a}[i] * {b}[i])), "
     "(acc, x) -> acc + x)"
 )
 
@@ -46,10 +48,12 @@ def _o_dot(a: str, b: str, dim: int = _DIM) -> str:
     return _O_DOT.format(a=a, b=b, n=dim + 1)
 
 
-def _o_cosine(a: str, b: str, dim: int = _DIM) -> str:
+def _o_normalize(v: str, dim: int = _DIM) -> str:
+    """Unit-normalize a float[] to DOUBLE[] — cosine then reduces to one dot per
+    pair instead of three folds; both engines normalize identically."""
+    dv = f"LIST_TRANSFORM({v}, x -> CAST(x AS DOUBLE))"
     return (
-        f"({_o_dot(a, b, dim)} / "
-        f"(SQRT({_o_dot(a, a, dim)}) * SQRT({_o_dot(b, b, dim)})))"
+        f"LIST_TRANSFORM({dv}, x -> x / SQRT({_O_DOT.format(a=dv, b=dv, n=dim + 1)}))"
     )
 
 
@@ -58,10 +62,13 @@ def _o_cosine(a: str, b: str, dim: int = _DIM) -> str:
 # --------------------------------------------------------------------------
 
 _TOPK_ORACLE = f"""
-WITH scored AS (
+WITH unit AS (
+  SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+),
+scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND({_o_cosine('q.embedding', 'c.embedding')}, 6) AS score
-  FROM embeddings q JOIN embeddings c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+         ROUND({_o_dot('q.u', 'c.u')}, 6) AS score
+  FROM unit q JOIN unit c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, score,
@@ -82,15 +89,15 @@ FROM ranked WHERE rn <= {_TOPK}
     "via per-partition top-k if |N| is huge).",
 )
 def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "embeddings")
+    e = unit_vectors(fan_out(_t(spark, sf, "embeddings")))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qv")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cv"))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -105,10 +112,13 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PAIRS_ORACLE = f"""
-SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-       ROUND({_o_cosine('a.embedding', 'b.embedding')}, 6) AS score
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_o_cosine('a.embedding', 'b.embedding')} >= {_PAIR_THRESHOLD}
+WITH unit AS (
+  SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+)
+SELECT vec_id_1, vec_id_2, ROUND(raw, 6) AS score FROM (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, {_o_dot('a.u', 'b.u')} AS raw
+  FROM unit a JOIN unit b ON a.vec_id < b.vec_id)
+WHERE raw >= {_PAIR_THRESHOLD}
 """
 
 
@@ -120,14 +130,17 @@ WHERE {_o_cosine('a.embedding', 'b.embedding')} >= {_PAIR_THRESHOLD}
     "contract at scale.",
 )
 def sim_pairs_threshold(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_id_1"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_id_2"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
-    return (
+    e = unit_vectors(fan_out(_t(spark, sf, "embeddings"))).select("vec_id", "u")
+    a = e.select(F.col("vec_id").alias("vec_id_1"), F.col("u").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_id_2"), F.col("u").alias("vb"))
+    raw = (
         a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
-        .filter(cos >= _PAIR_THRESHOLD)
-        .select("vec_id_1", "vec_id_2", F.round(cos, 6).alias("score"))
+        # materialize the dot once (projection boundary) so the threshold filter
+        # and the rounded output don't each re-fold 64 elements per pair
+        .select("vec_id_1", "vec_id_2", dot(F.col("va"), F.col("vb")).alias("raw"))
+    )
+    return raw.filter(F.col("raw") >= _PAIR_THRESHOLD).select(
+        "vec_id_1", "vec_id_2", F.round("raw", 6).alias("score")
     )
 
 
@@ -174,8 +187,8 @@ def lsh_bucket(col) -> F.Column:
     "pruning only helps when neighbors beat the noise floor.",
 )
 def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    e = unit_vectors(fan_out(_t(spark, sf, "embeddings"))).select(
+        "vec_id", F.col("u").alias("v")
     )
     bucketed = e.withColumn("bucket", lsh_bucket(F.col("v")))
     # multi-probe: exact bucket + each single-bit flip
@@ -204,7 +217,7 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("score"),
         )
         .distinct()  # a neighbor can surface via multiple probes
     )

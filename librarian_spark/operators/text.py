@@ -25,6 +25,7 @@ from librarian_spark.functions.textfns import (
     tokens,
 )
 from librarian_spark.operators.registry import query
+from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
 
 # --------------------------------------------------------------------------
@@ -168,7 +169,7 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     "re-crawl diffing; map-only.",
 )
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         fingerprint("text").alias("fp"),

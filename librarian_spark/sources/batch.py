@@ -54,6 +54,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before a CPU-heavy map stage.
+
+    The testdata parquet files are single-row-group, so their scans cannot split —
+    without this, per-row-expensive operators (minhash folds, vector dots, Pandas
+    UDFs) run on one core regardless of cluster size. On a real cluster the same
+    pattern applies whenever input file layout under-parallelizes a compute-bound
+    stage: the shuffle moves each row once, the compute then scales with cores.
+    Scan-bound relational queries should NOT use this (measured: repartition adds
+    cost there; parquet decode dominates).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view for ``spark.sql`` queries."""
     dfs = load_tables(spark, sf_dir)
