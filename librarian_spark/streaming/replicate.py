@@ -1,0 +1,155 @@
+"""Streaming replicate pipeline ("archiver replicate").
+
+Reference semantics (`/root/reference/pkg/replicator/replicator.go:154-285`): pull
+CDC events from a source, write each to the target, checkpoint after write, flush
+on a timer, resume from checkpoint on restart. The whole loop maps onto ONE
+Structured Streaming query:
+
+    readStream (kafka/file) → parse/normalize envelope → transform
+    → writeStream (kafka/parquet/memory) + checkpointLocation + trigger
+
+Parity mapping:
+
+- per-event checkpoint + atomic temp-file rename (`checkpoint.go:103-117`) →
+  Spark's offset/commit WAL under ``checkpointLocation`` (same at-least-once to
+  Kafka — write then commit, `replicator.go:267-275` — exactly-once to files);
+- ``FlushTimeout`` ticker (`replicator.go:206-212`) → ``trigger(processingTime)``;
+- ``EmptyPollInterval`` backoff (`replicator.go:256-259`) → micro-batch scheduler;
+- pause/resume/stop/restart FSM (`fsm.go:50-94`) → ``query.stop()`` + restart
+  from checkpoint (pause ≡ stop-with-checkpoint; Spark has no suspended state);
+- stats structs + HTTP API (`server.go:57-165`) → :mod:`.stats` listener.
+
+At scale: one replicate query per topic-set; Kafka source parallelism follows
+topic partitions; a ``repartition`` before heavyweight transforms decouples
+compute from partition count; state-backed ops use RocksDB (see windows.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from librarian_spark.streaming.envelope import kafka_key, parse_envelope
+
+__all__ = ["ReplicateConfig", "Replicator"]
+
+
+@dataclass
+class ReplicateConfig:
+    """Mirrors the reference CLI surface (`internal/cmd/archiver/replicate.go:24-31`):
+    source url, target url, replicator id, checkpoint dir, flush interval."""
+
+    replicator_id: str
+    checkpoint_dir: str
+    # source: kafka | files
+    source_format: str = "kafka"
+    source_options: dict[str, str] = field(default_factory=dict)
+    source_path: str = ""  # for file sources
+    source_schema: str | None = None  # DDL string for file sources
+    # target: kafka | parquet | memory
+    target_format: str = "kafka"
+    target_options: dict[str, str] = field(default_factory=dict)
+    target_path: str = ""
+    trigger_processing_time: str = "5 seconds"  # ≈ FlushTimeout
+    parse_debezium: bool = True
+
+
+class Replicator:
+    """Builds and controls one streaming replicate query."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: ReplicateConfig,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.transform = transform
+        self.query: StreamingQuery | None = None
+
+    # -- source ------------------------------------------------------------
+    def read_source(self) -> DataFrame:
+        cfg = self.cfg
+        if cfg.source_format == "kafka":
+            reader = self.spark.readStream.format("kafka")
+            for k, v in cfg.source_options.items():
+                reader = reader.option(k, v)
+            df = reader.load()  # key, value, topic, partition, offset, timestamp
+        elif cfg.source_format == "files":
+            # each line of the files is one envelope JSON document (exactly what
+            # the Kafka message value carries) — read as text, line = value
+            reader = self.spark.readStream
+            for k, v in cfg.source_options.items():
+                reader = reader.option(k, v)
+            df = reader.format("text").load(cfg.source_path)
+            df = df.select(F.col("value").cast("string").alias("value"))
+        else:
+            raise ValueError(f"unknown source format: {cfg.source_format!r}")
+        if cfg.parse_debezium:
+            df = parse_envelope(df, "value")
+        return df
+
+    # -- sink --------------------------------------------------------------
+    def start(self) -> StreamingQuery:
+        cfg = self.cfg
+        df = self.read_source()
+        if self.transform is not None:
+            df = self.transform(df)
+
+        if cfg.target_format == "kafka":
+            if "key" not in df.columns:
+                df = df.withColumn(
+                    "key", kafka_key(F.col("db"), F.col("schema_name"), F.col("table"))
+                )
+            out = df.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+            writer = out.writeStream.format("kafka")
+            # reference producer tuning (acks=1, snappy, linger 5ms, batch 16384 —
+            # `internal/integrations/kafka/repository.go:45-60`) passes through as
+            # kafka.* options supplied by the caller in target_options.
+            for k, v in cfg.target_options.items():
+                writer = writer.option(k, v)
+        elif cfg.target_format == "parquet":
+            writer = df.writeStream.format("parquet").option("path", cfg.target_path)
+            for k, v in cfg.target_options.items():
+                writer = writer.option(k, v)
+        elif cfg.target_format == "memory":
+            writer = df.writeStream.format("memory").queryName(cfg.replicator_id)
+        else:
+            raise ValueError(f"unknown target format: {cfg.target_format!r}")
+
+        self.query = (
+            writer.option("checkpointLocation", self.cfg.checkpoint_dir)
+            .trigger(processingTime=cfg.trigger_processing_time)
+            .start()
+        )
+        return self.query
+
+    # -- lifecycle (FSM parity: created→streaming→stopped; pause ≡ stop) ----
+    @property
+    def state(self) -> str:
+        """created | streaming | stopped — the subset of the reference FSM
+        (`fsm.go:14-26`) Spark exposes; reconnecting/error surface as query
+        exceptions, pause is stop-with-checkpoint."""
+        if self.query is None:
+            return "created"
+        return "streaming" if self.query.isActive else "stopped"
+
+    def stop(self) -> None:
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+
+    def restart(self) -> StreamingQuery:
+        """Stop and resume from the checkpoint — offsets continue where the last
+        commit left off (source resume ≡ `pkg/postgres/source.go:597-621`)."""
+        self.stop()
+        return self.start()
+
+    def process_available(self) -> None:
+        """Drain everything currently available (test/batch-drain helper)."""
+        if self.query is not None:
+            self.query.processAllAvailable()

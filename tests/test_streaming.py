@@ -1,0 +1,361 @@
+"""Streaming tests: envelope byte-parity, windowed/stateful operators driven by
+real file-source streaming queries, checkpoint resume, and the stats listener.
+
+File-stream pattern: events parquet (ts normalized to µs) split into two batch
+files so the watermark actually advances between micro-batches — append-mode
+windows only finalize once the watermark passes their end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from librarian_spark.sources.batch import load_table
+from librarian_spark.streaming.envelope import (
+    OP_READ,
+    build_envelope_json,
+    kafka_key,
+    parse_envelope,
+    snapshot_as_events,
+)
+from librarian_spark.streaming.replicate import ReplicateConfig, Replicator
+from librarian_spark.streaming.stats import StatsListener
+from librarian_spark.streaming.windows import (
+    dedup_within_watermark,
+    running_totals_stateful,
+    session_windows,
+    tumbling_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Two-batch file layout of the events table, ordered by ts."""
+    base = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    n = ev.count()
+    cut = int(n * 0.9)
+    rows = ev.collect()
+    first = spark.createDataFrame(rows[:cut], schema=ev.schema)
+    second = spark.createDataFrame(rows[cut:], schema=ev.schema)
+    first.coalesce(1).write.parquet(os.path.join(base, "batch1"))
+    second.coalesce(1).write.parquet(os.path.join(base, "batch2"))
+    return base
+
+
+def _stream_events(spark, events_stream_dir, subdirs):
+    """One micro-batch per file (maxFilesPerTrigger=1) so the watermark advances
+    between batches — append-mode windows need that to finalize."""
+    if len(subdirs) == 1:
+        path = os.path.join(events_stream_dir, subdirs[0])
+    else:
+        path = os.path.join(events_stream_dir, "batch*")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _run_to_memory(df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+# --------------------------------------------------------------------------
+# Envelope
+# --------------------------------------------------------------------------
+
+
+def test_envelope_byte_parity(spark):
+    """The built JSON must match Go's json.Marshal of the reference structs
+    byte-for-byte: field order, nulls for non-omitempty fields, omitted keys for
+    zero-valued omitempty fields (`pkg/replicator/event.go:14-56`)."""
+    df = spark.range(1).select(
+        build_envelope_json(
+            before_json=None,
+            after_json=F.lit('{"age":30,"email":"john@example.com","name":"John Doe"}'),
+            version=F.lit("1.0.0"),
+            connector=F.lit("mongodb"),
+            name=F.lit("replicator-1"),
+            source_ts_ms=F.lit(1234567890).cast("long"),
+            snapshot=F.lit("false"),
+            db=F.lit("testdb"),
+            schema=F.lit("public"),
+            table=F.lit("users"),
+            op=F.lit("c"),
+            ts_ms=F.lit(1234567890).cast("long"),
+            tx_id=F.lit(678).cast("long"),
+            lsn=F.lit(12345).cast("long"),
+        ).alias("value")
+    )
+    got = df.collect()[0].value
+    expected = (
+        '{"payload":{"before":null,'
+        '"after":{"age":30,"email":"john@example.com","name":"John Doe"},'
+        '"source":{"version":"1.0.0","connector":"mongodb","name":"replicator-1",'
+        '"ts_ms":1234567890,"snapshot":"false","db":"testdb","schema":"public",'
+        '"table":"users","txId":678,"lsn":12345,"xmin":null},'
+        '"op":"c","ts_ms":1234567890,"transaction":null}}'
+    )
+    assert got == expected
+    # and it parses as the exact reference shape
+    env = json.loads(got)
+    assert env["payload"]["source"]["xmin"] is None
+    assert "sequence" not in env["payload"]["source"]
+
+
+def test_envelope_omitempty_fields(spark):
+    """Zero-valued txId/lsn must drop their keys (Go omitempty semantics)."""
+    df = spark.range(1).select(
+        build_envelope_json(
+            before_json=F.lit('{"id":1}'),
+            after_json=None,
+            version=F.lit("1.0.0"),
+            connector=F.lit("postgres"),
+            name=F.lit("r"),
+            source_ts_ms=F.lit(1).cast("long"),
+            snapshot=F.lit("false"),
+            db=F.lit("d"),
+            schema=F.lit("s"),
+            table=F.lit("t"),
+            op=F.lit("d"),
+            ts_ms=F.lit(1).cast("long"),
+            tx_id=F.lit(0).cast("long"),
+            lsn=F.lit(0).cast("long"),
+        ).alias("value")
+    )
+    env = json.loads(df.collect()[0].value)
+    src = env["payload"]["source"]
+    assert "txId" not in src and "lsn" not in src
+    assert env["payload"]["after"] is None
+    assert env["payload"]["before"] == {"id": 1}
+
+
+def test_envelope_parse_roundtrip(spark):
+    df = spark.range(3).select(
+        build_envelope_json(
+            before_json=None,
+            after_json=F.concat(F.lit('{"id":'), F.col("id").cast("string"), F.lit("}")),
+            version=F.lit("1.0.0"),
+            connector=F.lit("librarian-spark"),
+            name=F.lit("rt"),
+            source_ts_ms=F.lit(7).cast("long"),
+            snapshot=F.lit("false"),
+            db=F.lit("db1"),
+            schema=F.lit("public"),
+            table=F.lit("users"),
+            op=F.lit("u"),
+            ts_ms=F.lit(7).cast("long"),
+            lsn=F.lit(42).cast("long"),
+        ).alias("value")
+    )
+    parsed = parse_envelope(df, "value")
+    rows = parsed.collect()
+    assert len(rows) == 3
+    r = rows[0]
+    assert (r.op, r.db, r.schema_name, r.table, r.lsn) == ("u", "db1", "public", "users", 42)
+    assert r.after["id"] in {"0", "1", "2"}
+    assert r.before is None and r.before_json is None
+
+
+def test_kafka_key_shape(spark):
+    df = spark.range(1).select(
+        kafka_key(F.lit("db"), F.lit("public"), F.lit("users")).alias("key")
+    )
+    assert df.collect()[0].key == "db.public.users"
+
+
+def test_snapshot_as_events(spark, sf_dir):
+    """S8: batch rows → op='r' envelope stream prefix."""
+    orders = load_table(spark, sf_dir, "orders").limit(50)
+    ev = snapshot_as_events(orders, db="testdb", schema="public", table="orders")
+    rows = ev.collect()
+    assert len(rows) == 50
+    env = json.loads(rows[0].value)
+    assert env["payload"]["op"] == OP_READ
+    assert env["payload"]["source"]["snapshot"] == "true"
+    assert rows[0].key == "testdb.public.orders"
+    after = env["payload"]["after"]
+    assert list(after.keys()) == sorted(after.keys())  # Go map-marshal ordering
+    assert "o_orderkey" in after
+
+
+# --------------------------------------------------------------------------
+# Windows / stateful (S11–S14)
+# --------------------------------------------------------------------------
+
+
+def test_tumbling_counts_match_batch(spark, events_stream_dir, tmp_path, sf_dir):
+    stream = _stream_events(spark, events_stream_dir, ["batch1", "batch2"])
+    _run_to_memory(tumbling_counts(stream), "tumbling", tmp_path)
+    got = spark.sql("SELECT * FROM tumbling")
+    batch = load_table(spark, sf_dir, "events")
+    expected = (
+        batch.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+    # append mode emits only windows finalized by the watermark — every emitted
+    # row must match the batch result exactly
+    got_map = {(r.wstart, r.event_type): r.n for r in got.collect()}
+    assert got_map, "no windows finalized — watermark never advanced"
+    exp_map = {(r.wstart, r.event_type): r.n for r in expected.collect()}
+    for k, n in got_map.items():
+        assert exp_map[k] == n, f"window {k}: stream={n} batch={exp_map[k]}"
+
+
+def test_session_windows_stream(spark, events_stream_dir, tmp_path):
+    stream = _stream_events(spark, events_stream_dir, ["batch1", "batch2"])
+    _run_to_memory(session_windows(stream), "sessions", tmp_path)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows, "no sessions closed"
+    for r in rows:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1
+
+
+def test_dedup_within_watermark(spark, events_stream_dir, tmp_path):
+    """Duplicated input rows collapse to one output row per event_id."""
+    dup_dir = os.path.join(events_stream_dir, "dups")
+    if not os.path.exists(dup_dir):
+        src = spark.read.schema(EVENTS_SCHEMA).parquet(
+            os.path.join(events_stream_dir, "batch1")
+        )
+        src.limit(200).union(src.limit(200)).coalesce(1).write.parquet(dup_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(dup_dir)
+    _run_to_memory(dedup_within_watermark(stream), "deduped", tmp_path)
+    n = spark.sql("SELECT COUNT(*) AS n FROM deduped").collect()[0].n
+    assert n == 200
+
+
+def test_running_totals_stateful(spark, events_stream_dir, tmp_path, sf_dir):
+    """Custom per-key state accumulates across micro-batches."""
+    stream = _stream_events(spark, events_stream_dir, ["batch1", "batch2"])
+    _run_to_memory(running_totals_stateful(stream), "totals", tmp_path, mode="update")
+    # update mode re-emits a user's row per batch; the latest (max n) must equal
+    # the batch-side totals
+    got = (
+        spark.sql("SELECT * FROM totals")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = {r.user_id: r.n for r in batch.collect()}
+    assert got
+    for r in got:
+        assert exp[r.user_id] == r.n
+
+
+# --------------------------------------------------------------------------
+# Replicate pipeline + stats + resume
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def envelope_json_dir(spark, sf_dir, tmp_path):
+    """A directory of librarian-format envelope JSON lines (the Kafka topic's
+    content, as files — the test stand-in for a broker)."""
+    d = str(tmp_path / "cdc_in")
+    ev = snapshot_as_events(
+        load_table(spark, sf_dir, "orders").limit(100),
+        db="testdb",
+        schema="public",
+        table="orders",
+    )
+    ev.select("value").coalesce(1).write.mode("overwrite").text(d + "/batch1")
+    return d
+
+
+def test_replicator_file_to_memory(spark, envelope_json_dir, tmp_path):
+    listener = StatsListener()
+    spark.streams.addListener(listener)
+    try:
+        cfg = ReplicateConfig(
+            replicator_id="rep1",
+            checkpoint_dir=str(tmp_path / "ckpt_rep1"),
+            source_format="files",
+            source_path=envelope_json_dir + "/batch1",
+            source_schema="value string",
+            target_format="memory",
+        )
+        rep = Replicator(spark, cfg)
+        assert rep.state == "created"
+        q = rep.start()
+        assert rep.state == "streaming"
+        rep.process_available()
+        rows = spark.sql("SELECT * FROM rep1").collect()
+        assert len(rows) == 100
+        ops = {r.op for r in rows}
+        assert ops == {"r"}
+        assert {r.table for r in rows} == {"orders"}
+        rep.stop()
+        assert rep.state == "stopped"
+        stats = listener.stats(q.id)
+        assert stats is not None
+        assert stats["source"]["total_events"] == 100
+        assert stats["replicator"]["checkpoint_count"] >= 1
+        assert stats["replicator"]["state"] in ("streaming", "stopped")
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_replicator_checkpoint_resume(spark, envelope_json_dir, tmp_path, sf_dir):
+    """Stop → add data → restart from checkpoint: no reprocessing, no loss
+    (reference parity: resume from persisted position, checkpoint.go:57-126)."""
+    out = str(tmp_path / "cdc_out")
+    cfg = ReplicateConfig(
+        replicator_id="rep2",
+        checkpoint_dir=str(tmp_path / "ckpt_rep2"),
+        source_format="files",
+        source_path=envelope_json_dir + "/batch*",
+        source_schema="value string",
+        target_format="parquet",
+        target_path=out,
+    )
+    rep = Replicator(
+        spark, cfg, transform=lambda df: df.select("op", "table", "after_json")
+    )
+    rep.start()
+    rep.process_available()
+    rep.stop()
+    assert spark.read.parquet(out).count() == 100
+
+    # second batch lands while stopped
+    more = snapshot_as_events(
+        load_table(spark, sf_dir, "orders").limit(130),
+        db="testdb",
+        schema="public",
+        table="orders",
+    )
+    more.select("value").coalesce(1).write.mode("overwrite").text(
+        envelope_json_dir + "/batch2"
+    )
+    rep.restart()
+    rep.process_available()
+    rep.stop()
+    # 100 from batch1 (not reprocessed) + 130 from batch2
+    assert spark.read.parquet(out).count() == 230
