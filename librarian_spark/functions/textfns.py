@@ -46,18 +46,35 @@ def tokens_sql(col_name: str) -> str:
     return f"split(trim(lower({col_name})), ' ')"
 
 
-def shingles(col_name: str, n: int = 3, distinct: bool = True) -> Column:
-    """Word n-gram shingles of a text column; ``distinct=True`` gives set
-    semantics (what Jaccard/MinHash want).
+def shingles_of_tokens(tok_col: str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles over an ALREADY-MATERIALIZED token-array column;
+    ``distinct=True`` gives set semantics (what Jaccard/MinHash want).
 
     Expression shape: ``transform(sequence(1, size(w)-n+1), i ->
     concat_ws(' ', w[i-1], ..., w[i+n-2]))`` — one shingle per window position,
-    entirely inside codegen.
+    entirely inside codegen. ``tok_col`` must be a plain column reference (give
+    the tokenizer its own projection), NOT an inlined split expression: an
+    expression inside the lambda is re-evaluated per window position × n
+    accesses, turning shingling O(tokens²) with GC-bound 6-26s/query variance
+    at sf0.1 (measured) versus a flat ~1s when bound to a column.
 
     DuckDB twin: ``LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)-(n-2)),
     i -> w[i] || ' ' || w[i+1] || ...))`` (DuckDB lists are 1-indexed, RANGE is
     end-exclusive).
     """
+    parts = ", ".join(f"{tok_col}[i - 1 + {j}]" for j in range(n))
+    e = F.expr(
+        f"transform(sequence(1, greatest(size({tok_col}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+    return F.array_distinct(e) if distinct else e
+
+
+def shingles(col_name: str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of a TEXT column — convenience form for small
+    inputs/tests. Hot paths must tokenize into a separate projection and use
+    :func:`shingles_of_tokens` (see its docstring for the measured O(tokens²)
+    trap this form carries)."""
     w = tokens_sql(col_name)
     parts = ", ".join(f"{w}[i - 1 + {j}]" for j in range(n))
     e = F.expr(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from librarian_spark.functions.textfns import shingles
+from librarian_spark.functions.textfns import shingles_of_tokens, tokens
 from librarian_spark.operators.registry import query
 from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
@@ -102,8 +102,7 @@ def ngram_jaccard_pairs(
     shingle is ubiquitous; at 100 TB drop stop-shingles (document frequency cap)
     first, or use the MinHash path below.
     """
-    d = fan_out(_t(spark, sf, "documents"))
-    sh = d.select("doc_id", shingles("text").alias("shingles")).cache()
+    sh = shingle_sets(spark, sf)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -168,6 +167,20 @@ def _hash_family(k: int = _MINHASH_K) -> list[tuple[int, int]]:
     return pairs
 
 
+def shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Cached doc_id → distinct word-3-gram set. Shared by the signature build
+    and the candidate-verify joins so the corpus text is shingled exactly once.
+
+    Tokenizes in its own projection, then shingles from the materialized token
+    array — see :func:`shingles_of_tokens` for why the two-step shape matters.
+    """
+    d = fan_out(_t(spark, sf, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("w"))
+    return toks.select(
+        "doc_id", shingles_of_tokens("w").alias("shingles")
+    ).cache()
+
+
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """doc_id → array of K minhashes.
 
@@ -176,14 +189,15 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
     Formulation: explode shingles → K ``min`` aggregates grouped by doc_id. The
     K mins combine map-side (partial aggregation), so the shuffle carries only
-    |docs|×K longs regardless of corpus size. Measured against two map-only
-    alternatives (K array_min transforms; one indexed-transform fold): all are
-    sub-second on data once parallel, but this one's narrow per-agg expressions
-    JIT-compile ~3× faster than the 64-wide fold — codegen compile time is the
-    real cold-start cost of wide signature expressions.
+    |docs|×K longs regardless of corpus size — and every expression (explode,
+    xxhash64, the affine maps, the hash-agg mins) stays inside whole-stage
+    codegen. MEASURED dead end (do not redo): the shuffle-free
+    ``array_min(transform(...))`` form runs the K maps as interpreted HOFs and
+    is 3-5× slower with wild run-to-run variance (4.7s-21.8s at sf0.1
+    depending on JVM warmth) despite doing no shuffle.
     """
-    d = fan_out(_t(spark, sf, "documents"))
-    ex = d.select("doc_id", F.explode(shingles("text")).alias("s")).withColumn(
+    sh = shingle_sets(spark, sf)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).withColumn(
         "h", F.abs(F.xxhash64("s")) % _MERSENNE31
     )
     mins = [
@@ -235,19 +249,37 @@ def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh",
     oracle=_NGRAM_ORACLE,
-    doc="MinHash(64)+LSH(16×4) candidates, verified with exact Jaccard ≥ 0.5. "
-    "Same output contract as dedup_ngram_jaccard (the exact oracle); with these "
-    "parameters the per-pair miss probability at j=0.5 is (1-0.5⁴)¹⁶ ≈ 0.35 in "
-    "theory, but the planted near-dups sit at j≥0.9 where it is < 1e-7 — and the "
-    "exact-verify step removes all false positives, so LSH recall is the only "
-    "approximation. At 100 TB this replaces the all-pairs shingle join with a "
-    "|docs|×bands join.",
+    doc="MinHash(64)+LSH(16×4) candidates, verified with exact Jaccard ≥ 0.5 "
+    "computed ONLY on candidate pairs (array_intersect of the two shingle sets) — "
+    "never the all-pairs shingle join. Same output contract as "
+    "dedup_ngram_jaccard (the exact oracle); with these parameters the per-pair "
+    "miss probability at j=0.5 is (1-0.5⁴)¹⁶ ≈ 0.35 in theory, but the planted "
+    "near-dups sit at j≥0.9 where it is < 1e-7 — and the exact-verify step "
+    "removes all false positives, so LSH recall is the only approximation. At "
+    "100 TB total join traffic is |docs|×bands for candidates plus "
+    "|candidate pairs| for verification.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingle_sets(spark, sf)
     cands = minhash_lsh_candidates(spark, sf)
-    exact = ngram_jaccard_pairs(spark, sf, _JACCARD_THRESHOLD)
-    # verify candidates exactly: semi-join the exact pairs onto the candidate set
-    return exact.join(cands, ["doc_id_1", "doc_id_2"], "left_semi")
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
+    # verify candidates exactly: fetch both shingle sets per candidate pair and
+    # intersect — O(|candidates|), not O(pairs sharing a shingle)
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jac = n_common * F.lit(1.0) / (F.size("sh1") + F.size("sh2") - n_common)
+    return (
+        cands.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .withColumn("raw_jac", jac)  # filter on the unrounded value (oracle parity)
+        .filter(F.col("raw_jac") >= _JACCARD_THRESHOLD)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            n_common.cast("long").alias("n_common"),
+            F.round("raw_jac", 6).alias("jaccard"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

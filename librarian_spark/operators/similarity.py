@@ -162,7 +162,8 @@ def _plane_signs(plane: int, dim: int = _DIM) -> list[int]:
 
 
 def lsh_bucket(col) -> F.Column:
-    """Bucket id: bit p = sign(embedding · plane_p)."""
+    """Bucket id: bit p = sign(embedding · plane_p). (Fold form — see the
+    vector.py module docstring for why unrolled chains lose here.)"""
     acc = F.lit(0)
     for p in range(_N_PLANES):
         signs = F.array(*[F.lit(float(s)) for s in _plane_signs(p)])
