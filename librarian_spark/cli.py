@@ -1,0 +1,178 @@
+"""Command-line interface mirroring the reference CLI surface.
+
+Reference (`/root/reference/cmd/librarian/main.go`, `internal/cmd/root.go:13-31`):
+
+    librarian archiver snapshot  -c config.yml
+    librarian archiver replicate -s <source-url> -t <target-url> --id <id>
+    librarian schema generate --db postgres -q "CREATE TABLE ..."
+    librarian fixtures generate -r N -t property_sales
+
+Same verbs here (``python -m librarian_spark.cli ...``), executed on Spark:
+
+    snapshot   → config-driven batch job (read → query → parquet + _catalog.json)
+    replicate  → one Structured Streaming query with checkpoint/trigger
+    schema     → DDL string → librarian YAML schema (stdout)
+    fixtures   → deterministic synthetic table → parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+__all__ = ["main", "build_parser"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="librarian-spark", description="PySpark-native librarian engine"
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    snap = sub.add_parser("snapshot", help="run a batch snapshot from a YAML config")
+    snap.add_argument("-c", "--config", required=True, help="librarian YAML config")
+    snap.add_argument("--id", default=None, help="snapshot id (default: new UUID)")
+
+    rep = sub.add_parser("replicate", help="run a streaming replicate pipeline")
+    rep.add_argument("--id", required=True, help="replicator id")
+    rep.add_argument("-s", "--source", required=True, help="source path/format: kafka:<bootstrap>/<topic> or files:<glob>")
+    rep.add_argument("-t", "--target", required=True, help="target: kafka:<bootstrap>/<topic> | parquet:<path> | memory")
+    rep.add_argument("--checkpoint-dir", required=True)
+    rep.add_argument("--flush-interval", default="5 seconds", help="trigger processing time (reference FlushTimeout)")
+    rep.add_argument("--serve", type=int, default=None, metavar="PORT", help="start the stats/control HTTP server")
+    rep.add_argument("--once", action="store_true", help="drain available input then stop (batch-drain)")
+
+    sch = sub.add_parser("schema", help="schema utilities")
+    sch_sub = sch.add_subparsers(dest="schema_cmd", required=True)
+    gen = sch_sub.add_parser("generate", help="CREATE TABLE DDL → librarian YAML schema")
+    gen.add_argument("-q", "--query", required=True, help="CREATE TABLE statement")
+    gen.add_argument("--db", default="postgres", help="source dialect (postgres)")
+
+    fix = sub.add_parser("fixtures", help="generate synthetic test fixtures")
+    fix_sub = fix.add_subparsers(dest="fixtures_cmd", required=True)
+    fgen = fix_sub.add_parser("generate")
+    fgen.add_argument("-r", "--records", type=int, required=True)
+    fgen.add_argument("-t", "--table", required=True)
+    fgen.add_argument("-o", "--out", required=True, help="output parquet path")
+    fgen.add_argument("--seed", type=int, default=42)
+
+    return p
+
+
+def _cmd_snapshot(args) -> int:
+    from librarian_spark.config import load_config
+    from librarian_spark.session import get_spark
+    from librarian_spark.snapshot import snapshot
+
+    cfg = load_config(args.config)
+    spark = get_spark(app_name=f"librarian-snapshot-{cfg.archiver.name or 'job'}")
+    record = snapshot(spark, cfg.archiver, snapshot_id=args.id)
+    print(record.to_json())
+    return 0 if record.success else 1
+
+
+def _parse_endpoint(spec: str) -> tuple[str, str]:
+    kind, _, rest = spec.partition(":")
+    return kind, rest
+
+
+def _cmd_replicate(args) -> int:
+    from librarian_spark.session import get_spark
+    from librarian_spark.streaming.replicate import ReplicateConfig, Replicator
+    from librarian_spark.streaming.server import ReplicatorServer
+
+    src_kind, src_rest = _parse_endpoint(args.source)
+    tgt_kind, tgt_rest = _parse_endpoint(args.target)
+
+    cfg = ReplicateConfig(
+        replicator_id=args.id,
+        checkpoint_dir=args.checkpoint_dir,
+        trigger_processing_time=args.flush_interval,
+    )
+    if src_kind == "kafka":
+        bootstrap, _, topic = src_rest.partition("/")
+        cfg.source_format = "kafka"
+        cfg.source_options = {
+            "kafka.bootstrap.servers": bootstrap,
+            "subscribe": topic,
+            "startingOffsets": "earliest",
+        }
+    elif src_kind == "files":
+        cfg.source_format = "files"
+        cfg.source_path = src_rest
+    else:
+        print(f"unknown source kind: {src_kind}", file=sys.stderr)
+        return 2
+
+    if tgt_kind == "kafka":
+        bootstrap, _, topic = tgt_rest.partition("/")
+        cfg.target_format = "kafka"
+        cfg.target_options = {"kafka.bootstrap.servers": bootstrap, "topic": topic}
+    elif tgt_kind == "parquet":
+        cfg.target_format = "parquet"
+        cfg.target_path = tgt_rest
+    elif tgt_kind == "memory":
+        cfg.target_format = "memory"
+    else:
+        print(f"unknown target kind: {tgt_kind}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name=f"librarian-replicate-{args.id}")
+    rep = Replicator(spark, cfg)
+
+    server = None
+    if args.serve is not None:
+        server = ReplicatorServer()
+        server.add(rep)
+        port = server.start(port=args.serve)
+        print(json.dumps({"serving": f"http://127.0.0.1:{port}/api/v1/replicators"}))
+
+    q = rep.start()
+    try:
+        if args.once:
+            rep.process_available()
+            rep.stop()
+        else:
+            q.awaitTermination()
+    finally:
+        if server is not None:
+            server.stop()
+    return 0
+
+
+def _cmd_schema_generate(args) -> int:
+    import yaml
+
+    from librarian_spark.schema import ddl_to_fields, fields_to_yaml_dict
+
+    fields = ddl_to_fields(args.query)
+    print(yaml.safe_dump({"schema": fields_to_yaml_dict(fields)}, sort_keys=False))
+    return 0
+
+
+def _cmd_fixtures_generate(args) -> int:
+    from librarian_spark.session import get_spark
+    from librarian_spark.sources.fixtures import generate
+
+    spark = get_spark(app_name="librarian-fixtures")
+    df = generate(spark, args.table, args.records, out_path=args.out, seed=args.seed)
+    print(json.dumps({"table": args.table, "records": df.count(), "out": args.out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "snapshot":
+        return _cmd_snapshot(args)
+    if args.cmd == "replicate":
+        return _cmd_replicate(args)
+    if args.cmd == "schema":
+        return _cmd_schema_generate(args)
+    if args.cmd == "fixtures":
+        return _cmd_fixtures_generate(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

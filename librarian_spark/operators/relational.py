@@ -213,6 +213,20 @@ def q07_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q07_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — no cross-engine hash
+    doc="approx_count_distinct (HyperLogLog++, rsd=0.01) — the 100 TB distinct "
+    "path: map-side sketch merge, shuffle carries one sketch per partition "
+    "instead of the expanded key stream. Unit test asserts <2% error vs exact.",
+)
+def q07_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "orders").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_custs_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Q8 rollup / cube (grouping sets)
 # --------------------------------------------------------------------------
@@ -258,6 +272,27 @@ def q08_cube(spark: SparkSession, sf: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .cube("c_mktsegment", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q08_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (neither rollup nor cube shape) via Spark SQL — "
+    "one Expand + single aggregate, not a union of three scans.",
+)
+def q08_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
     )
 
 

@@ -1,0 +1,81 @@
+"""Physical-plan introspection helpers.
+
+The reference has no optimizer to inspect (its "plan" is a SQL string executed
+by Postgres — `/root/reference/internal/config/config.go:29`,
+`internal/sql/source.go:59`). On Spark the plan IS the product: these helpers
+make scan pushdown, join strategy, and shuffle count assertable in tests, so
+every operator's 100 TB story ("the filter reaches the parquet scan", "the dim
+table broadcasts", "the agg combines map-side") is checked by CI rather than
+claimed in a docstring.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema_columns",
+    "has_broadcast_join",
+    "shuffle_count",
+    "has_partial_aggregate",
+    "wholestage_codegen_spans",
+]
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan (what ``df.explain('formatted')`` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter expressions that reached a scan (``PushedFilters: [...]``)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names in every scan's ``ReadSchema`` — the pruning check: a
+    2-column projection must not scan 16 columns."""
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        for fieldspec in m.group(1).split(","):
+            name = fieldspec.split(":")[0].strip()
+            if name:
+                cols.append(name)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchange operators in the plan — the scale currency. AQE may
+    remove some at runtime; this counts the static plan (upper bound)."""
+    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True when aggregation combines map-side before the shuffle
+    (HashAggregate with a partial mode below the exchange)."""
+    plan = formatted_plan(df)
+    return bool(
+        re.search(r"Functions(?:.*)\bpartial_", plan)
+        or re.search(r"HashAggregate.*\n(?:.|\n)*Exchange", plan)
+    )
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Count of WholeStageCodegen regions — wider is better (fewer interpreted
+    boundaries). Formatted mode annotates operators with ``[codegen id : N]``."""
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))))

@@ -125,10 +125,17 @@ def struct_type_to_fields(schema: T.StructType) -> list[FieldConfig]:
 
 # --- DDL → schema (the reference's `schema generate`) -------------------------
 
+# The type may be multi-word (DOUBLE PRECISION, TIMESTAMP WITH TIME ZONE); the
+# non-greedy extension stops growing once the remainder starts with a
+# constraint keyword — without that anchor the non-greedy match eats only the
+# type's first letter and every column degrades to the string fallback.
 _COL_RE = re.compile(
-    r"^\s*\"?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\"?\s+(?P<type>[A-Za-z][A-Za-z0-9_ ]*?)"
+    r"^\s*\"?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\"?\s+"
+    r"(?P<type>[A-Za-z][A-Za-z0-9_]*(?:\s+[A-Za-z]+)*?)"
     r"(?:\s*\(\s*(?P<p>\d+)\s*(?:,\s*(?P<s>\d+))?\s*\))?"
-    r"(?P<rest>.*)$"
+    r"(?P<rest>\s+(?:NOT|NULL|DEFAULT|PRIMARY|UNIQUE|CHECK|REFERENCES|"
+    r"GENERATED|CONSTRAINT)\b.*)?\s*$",
+    re.IGNORECASE,
 )
 
 _SQL_TO_SPARK = {

@@ -1,0 +1,142 @@
+"""Stats/control HTTP server for replicators.
+
+Reference surface (`/root/reference/pkg/replicator/server.go:57-165`):
+
+    GET  /api/v1/replicators            → {"replicators": [...], "count": N}
+    GET  /api/v1/replicators/{id}       → {"id", "state", "stats"}
+    POST /api/v1/replicators/{id}/pause|resume|restart|stop
+                                        → {"status": "<sig> signal sent", "replicator_id": id}
+
+Same routes and JSON shapes here, over :class:`~librarian_spark.streaming.replicate.Replicator`
+objects. Signal semantics on Spark (`fsm.go:14-26` parity, documented deltas):
+
+- ``stop``    → ``query.stop()`` (checkpoint retained)
+- ``pause``   → stop-with-checkpoint (Spark has no suspended state; the
+  reference FSM's ``paused`` maps to a stopped query whose checkpoint makes
+  ``resume`` lossless)
+- ``resume``  → restart from checkpoint
+- ``restart`` → stop + start from checkpoint
+
+Stdlib ``http.server`` on a daemon thread — the control plane is driver-side
+and tiny; the data plane is unaffected.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from librarian_spark.streaming.replicate import Replicator
+
+__all__ = ["ReplicatorServer"]
+
+_ROUTE = re.compile(r"^/api/v1/replicators(?:/([^/]+))?(?:/(pause|resume|restart|stop))?$")
+
+
+class ReplicatorServer:
+    """Registry of replicators + HTTP control plane."""
+
+    def __init__(self) -> None:
+        self._replicators: dict[str, Replicator] = {}
+        self._lock = threading.RLock()
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # -- registry ------------------------------------------------------------
+    def add(self, rep: Replicator) -> None:
+        with self._lock:
+            self._replicators[rep.cfg.replicator_id] = rep
+
+    def get(self, rep_id: str) -> Replicator | None:
+        with self._lock:
+            return self._replicators.get(rep_id)
+
+    def info(self, rep: Replicator) -> dict:
+        q = rep.query
+        progress = None
+        if q is not None:
+            try:
+                progress = q.lastProgress
+            except Exception:
+                progress = None
+        return {
+            "id": rep.cfg.replicator_id,
+            "state": rep.state,
+            "stats": {
+                "replicator": {"state": rep.state},
+                "progress": progress,
+            },
+        }
+
+    # -- signals (reference: signalHandler, `server.go:81-107`) --------------
+    def signal(self, rep: Replicator, sig: str) -> None:
+        if sig == "stop":
+            rep.stop()
+        elif sig == "pause":
+            rep.stop()  # pause ≡ stop-with-checkpoint
+        elif sig in ("resume", "restart"):
+            rep.restart()
+        else:
+            raise ValueError(f"unknown signal: {sig}")
+
+    # -- http ----------------------------------------------------------------
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _json(self, code: int, payload) -> None:
+                # default=str: StreamingQueryProgress carries timestamps/Java
+                # wrappers that aren't natively JSON-serializable
+                body = json.dumps(payload, default=str).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                m = _ROUTE.match(self.path)
+                if not m or m.group(2):
+                    return self._json(404, {"error": "not found"})
+                rep_id = m.group(1)
+                if rep_id is None:
+                    with server._lock:
+                        reps = [server.info(r) for r in server._replicators.values()]
+                    return self._json(200, {"replicators": reps, "count": len(reps)})
+                rep = server.get(rep_id)
+                if rep is None:
+                    return self._json(404, {"error": "replicator not found"})
+                return self._json(200, server.info(rep))
+
+            def do_POST(self):
+                m = _ROUTE.match(self.path)
+                if not m or not m.group(1) or not m.group(2):
+                    return self._json(404, {"error": "not found"})
+                rep_id, sig = m.group(1), m.group(2)
+                rep = server.get(rep_id)
+                if rep is None:
+                    return self._json(404, {"error": "replicator not found"})
+                server.signal(rep, sig)
+                return self._json(
+                    200, {"status": f"{sig} signal sent", "replicator_id": rep_id}
+                )
+
+        return Handler
+
+    def start(self, host: str = "127.0.0.1", port: int = 8080) -> int:
+        """Start serving on a daemon thread; returns the bound port (pass
+        port=0 for an ephemeral one)."""
+        self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

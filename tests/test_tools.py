@@ -1,0 +1,250 @@
+"""Tests for the tooling surface: fixtures generator, CLI, plan introspection,
+and the stats/control HTTP server (reference parity: `internal/cmd/fixtures/gen.go`,
+`internal/cmd/root.go`, `pkg/replicator/server.go`)."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+import pytest
+import yaml
+
+from pyspark.sql import functions as F
+
+from librarian_spark.cli import main as cli_main
+from librarian_spark.plans.introspect import (
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    wholestage_codegen_spans,
+)
+from librarian_spark.operators.registry import load_all
+from librarian_spark.sources.batch import load_table
+from librarian_spark.sources.fixtures import generate, property_sales
+from librarian_spark.streaming.envelope import snapshot_as_events
+from librarian_spark.streaming.replicate import ReplicateConfig, Replicator
+from librarian_spark.streaming.server import ReplicatorServer
+
+
+# --------------------------------------------------------------------------
+# Fixtures generator (#29)
+# --------------------------------------------------------------------------
+
+
+def test_property_sales_shape_and_determinism(spark):
+    df = property_sales(spark, 100, seed=7)
+    rows = df.orderBy("serial_number").collect()
+    assert len(rows) == 100
+    assert rows[0].serial_number == 1
+    assert rows[0].town == "1 Town"
+    assert rows[41].address == "42 Address"
+    assert 0 <= rows[0].list_year < 2023
+    assert float(rows[0].sales_ratio) < 100
+    # regeneration at different parallelism is byte-identical
+    again = property_sales(spark, 100, seed=7).repartition(7).orderBy("serial_number")
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again.collect()]
+
+
+def test_generate_writes_parquet(spark, tmp_path):
+    out = str(tmp_path / "ps")
+    generate(spark, "property_sales", 250, out_path=out)
+    back = spark.read.parquet(out)
+    assert back.count() == 250
+    assert "assessed_value" in back.columns
+    with pytest.raises(ValueError, match="unsupported table"):
+        generate(spark, "nope", 1)
+
+
+# --------------------------------------------------------------------------
+# CLI
+# --------------------------------------------------------------------------
+
+
+def test_cli_schema_generate(capsys):
+    rc = cli_main(
+        [
+            "schema",
+            "generate",
+            "-q",
+            "CREATE TABLE users (id BIGINT NOT NULL, name VARCHAR, "
+            "created TIMESTAMP, balance DECIMAL(12,2))",
+        ]
+    )
+    assert rc == 0
+    out = yaml.safe_load(capsys.readouterr().out)
+    byname = {f["name"]: f for f in out["schema"]}
+    assert byname["id"]["type"] == "INT64"
+    assert byname["id"]["repetition_type"] == "REQUIRED"
+    assert byname["name"]["converted_type"] == "UTF8"
+    assert byname["balance"]["converted_type"] == "DECIMAL"
+
+
+def test_cli_snapshot_and_fixtures(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "snap_out")
+    cfg = tmp_path / "snap.yml"
+    cfg.write_text(
+        f"""
+archiver:
+  name: cli-test
+  source:
+    format: parquet
+    path: /root/testdata/sf0.001/orders.parquet
+    table: orders
+    query: "SELECT o_orderkey, o_totalprice FROM orders LIMIT 100"
+  preserver:
+    batch_size_num_records: 40
+  repository:
+    type: local
+    local:
+      path: {out_dir}
+"""
+    )
+    assert cli_main(["snapshot", "-c", str(cfg)]) == 0
+    record = json.loads(capsys.readouterr().out)
+    assert record["success"] is True
+    assert record["num_records_processed"] == 100
+    assert os.path.exists(os.path.join(out_dir, "_catalog.json"))
+
+    fx_out = str(tmp_path / "fx")
+    assert cli_main(["fixtures", "generate", "-r", "50", "-t", "property_sales", "-o", fx_out]) == 0
+    assert spark.read.parquet(fx_out).count() == 50
+
+
+def test_cli_replicate_once(spark, tmp_path, capsys):
+    src = str(tmp_path / "cdc_src")
+    ev = snapshot_as_events(
+        load_table(spark, "/root/testdata/sf0.001", "orders").limit(30),
+        db="d", schema="s", table="orders",
+    )
+    ev.select("value").coalesce(1).write.text(src + "/b1")
+    out = str(tmp_path / "cdc_out")
+    rc = cli_main(
+        [
+            "replicate", "--id", "cli-rep",
+            "-s", f"files:{src}/b*",
+            "-t", f"parquet:{out}",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--once",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 30
+
+
+# --------------------------------------------------------------------------
+# Plan introspection — the 100 TB hygiene checks
+# --------------------------------------------------------------------------
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    specs = load_all()
+    df = specs["q03_filter"].spark_fn(spark, sf_dir)
+    assert pushed_filters(df), "q03's WHERE must push into the parquet scan"
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    specs = load_all()
+    df = specs["q01_projection"].spark_fn(spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    # lineitem has 16 columns; the scan must read only the projected ones
+    assert cols == set(df.columns), f"scan reads more than the projection: {cols}"
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    specs = load_all()
+    df = specs["q10_join_broadcast"].spark_fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_aggregate_combines_map_side(spark, sf_dir):
+    specs = load_all()
+    df = specs["q06_tpch_q1"].spark_fn(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert shuffle_count(df) <= 2  # one for the groupBy (+1 AQE final coalesce)
+
+
+def test_projection_is_codegen(spark, sf_dir):
+    # non-AQE plan (no exchange) annotates codegen ids statically
+    specs = load_all()
+    df = specs["q01_projection"].spark_fn(spark, sf_dir)
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    specs = load_all()
+    approx = specs["q07_approx_distinct"].spark_fn(spark, sf_dir).collect()[0]
+    exact = specs["q07_count_distinct"].spark_fn(spark, sf_dir).collect()[0]
+    assert abs(approx.n_custs_approx - exact.n_custs) / exact.n_custs < 0.02
+
+
+# --------------------------------------------------------------------------
+# HTTP stats/control server (#27)
+# --------------------------------------------------------------------------
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _post(url):
+    req = urllib.request.Request(url, method="POST", data=b"")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_replicator_http_server(spark, tmp_path):
+    src = str(tmp_path / "http_src")
+    ev = snapshot_as_events(
+        load_table(spark, "/root/testdata/sf0.001", "orders").limit(20),
+        db="d", schema="s", table="orders",
+    )
+    ev.select("value").coalesce(1).write.text(src + "/b1")
+    # parquet target: memory sinks can't recover from a checkpoint, and
+    # resume/restart (≡ reference pause→resume) is exactly what we exercise
+    cfg = ReplicateConfig(
+        replicator_id="http_rep",
+        checkpoint_dir=str(tmp_path / "ckpt_http"),
+        source_format="files",
+        source_path=src + "/b*",
+        source_schema="value string",
+        target_format="parquet",
+        target_path=str(tmp_path / "http_out"),
+    )
+    rep = Replicator(spark, cfg)
+    server = ReplicatorServer()
+    server.add(rep)
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}/api/v1/replicators"
+    try:
+        listing = _get(base)
+        assert listing["count"] == 1
+        assert listing["replicators"][0]["id"] == "http_rep"
+        assert listing["replicators"][0]["state"] == "created"
+
+        rep.start()
+        rep.process_available()
+        one = _get(f"{base}/http_rep")
+        assert one["state"] == "streaming"
+
+        resp = _post(f"{base}/http_rep/pause")
+        assert resp["status"] == "pause signal sent"
+        assert _get(f"{base}/http_rep")["state"] == "stopped"
+
+        _post(f"{base}/http_rep/resume")
+        assert _get(f"{base}/http_rep")["state"] == "streaming"
+
+        _post(f"{base}/http_rep/stop")
+        assert _get(f"{base}/http_rep")["state"] == "stopped"
+
+        # 404 contract
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(f"{base}/nonexistent")
+        assert exc.value.code == 404
+    finally:
+        rep.stop()
+        server.stop()
