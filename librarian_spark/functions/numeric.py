@@ -1,24 +1,34 @@
 """Cross-engine-deterministic numeric aggregation helpers.
 
-Summing IEEE doubles is order-dependent, and Spark's partial (map-side) aggregation
-sums in partition order — so ``SUM(double)`` is not reproducible against any other
-engine (or even across runs). Every oracle-checked aggregate therefore goes through
-fixed-point arithmetic:
+Summing IEEE doubles is order-dependent, and Spark's partial (map-side)
+aggregation sums in partition order — so ``SUM(double)`` is not reproducible
+against any other engine (or even across runs). Every oracle-checked aggregate
+therefore goes through fixed-point arithmetic:
 
-  1. cast each double to ``DECIMAL(25, s)`` (round-to-nearest at scale s — a
-     deterministic function of the input double, identical in Spark and DuckDB),
-  2. sum exactly in decimal (associative — order no longer matters),
-  3. cast the exact decimal result back to double (deterministic nearest-double).
+  1. scale each double to an integer: ``round(x · 10^s) as long`` — a
+     deterministic function of the input double, identical in Spark and DuckDB
+     (both round ties away from zero, and the cast of the integral double is
+     exact),
+  2. sum exactly as int64 (associative — order no longer matters, and the
+     aggregate stays on the codegen long-sum fast path),
+  3. one IEEE divide by ``10^s`` at the end (deterministic on identical
+     operands).
 
-Averages divide the exact decimal sum (as double) by the count — one IEEE division
-on identical operands, hence identical results.
+MEASURED: the previous ``DECIMAL(25,s)`` formulation has identical semantics
+but its sum buffer (precision 35) falls off Spark's long-backed decimal fast
+path onto per-row BigDecimal allocation — 2.2× slower at sf0.1 and the GC
+churn made it the single noisiest query in the bench.
 
-This costs one decimal-sum per aggregate (still JVM-side whole-stage codegen) and is
-the standard technique for money-typed analytics at any scale; at 100 TB it also
-protects against partial-aggregation reordering across AQE re-plans.
+Capacity: the int64 sum bounds ``Σ|x| < 9.2e18 / 10^s`` per aggregate group —
+at scale 4 that is ~9.2e14 in column units (e.g. ~10^9 rows of 10^6-sized
+money values). ANSI mode fails loudly on overflow rather than wrapping. For
+totals beyond that, use ``dec``/``o_dec`` (DECIMAL(25,s), exact to 10^21) and
+accept the BigDecimal cost — correctness first, then speed.
 
-Spark-side helpers return ``Column``; ``o_*`` helpers emit the equivalent ANSI SQL
-for the DuckDB oracle.
+Spark-side helpers return ``Column``; ``o_*`` helpers emit the equivalent ANSI
+SQL for the DuckDB oracle. Spark and oracle expressions must mirror each other
+operation-for-operation (division order included) so both engines perform the
+same IEEE steps.
 """
 
 from __future__ import annotations
@@ -26,34 +36,54 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dec", "dsum", "davg", "o_dec", "o_dsum", "o_davg"]
+__all__ = [
+    "dec",
+    "slong",
+    "dsum",
+    "davg",
+    "o_dec",
+    "o_slong",
+    "o_dsum",
+    "o_davg",
+]
 
-_PRECISION = 25
+_PRECISION = 25  # wide-decimal fallback for beyond-int64 totals
 
 
 def dec(col: Column | str, scale: int = 4) -> Column:
+    """Wide-decimal cast (exact but BigDecimal-backed — see module docstring)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({_PRECISION},{scale})")
 
 
+def slong(col: Column | str, scale: int = 4) -> Column:
+    """Fixed-point value: ``round(x · 10^s)`` as long (codegen fast path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(float(10**scale))).cast("long")
+
+
 def dsum(col: Column | str, scale: int = 4) -> Column:
     """Order-independent SUM over doubles, returned as double."""
-    return F.sum(dec(col, scale)).cast("double")
+    return F.sum(slong(col, scale)).cast("double") / F.lit(float(10**scale))
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:
-    """Order-independent AVG: exact decimal sum (as double) / count."""
+    """Order-independent AVG: exact fixed-point sum (as double) / count."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(dec(c, scale)).cast("double") / F.count(c)
+    return dsum(c, scale) / F.count(c)
 
 
 def o_dec(expr: str, scale: int = 4) -> str:
     return f"CAST({expr} AS DECIMAL({_PRECISION},{scale}))"
 
 
+def o_slong(expr: str, scale: int = 4) -> str:
+    return f"CAST(ROUND(({expr}) * {float(10 ** scale)}) AS BIGINT)"
+
+
 def o_dsum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM({o_dec(expr, scale)}) AS DOUBLE)"
+    return f"(CAST(SUM({o_slong(expr, scale)}) AS DOUBLE) / {float(10 ** scale)})"
 
 
 def o_davg(expr: str, scale: int = 4) -> str:
-    return f"(CAST(SUM({o_dec(expr, scale)}) AS DOUBLE) / COUNT({expr}))"
+    return f"({o_dsum(expr, scale)} / COUNT({expr}))"

@@ -14,8 +14,9 @@ the training-data-pipeline extensions):
 - **SimHash**: 64-bit weighted-projection fingerprint; hamming-close pairs within
   LSH bands over bit-slices.
 
-Determinism: all hash families derive from xxhash64 with fixed literal seeds, so
-every run (and every engine re-run) produces identical signatures.
+Determinism: all hash families derive from fixed-key siphash (pandas' C
+``hash_array``) or xxhash64 with fixed literal seeds, so every run (and every
+engine re-run) produces identical signatures.
 """
 
 from __future__ import annotations
@@ -24,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from librarian_spark.functions.textfns import shingles_of_tokens, tokens
 from librarian_spark.operators.registry import query
 from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
@@ -96,13 +96,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with word-3-gram Jaccard ≥ threshold (exact).
 
-    Plan: shingle-set per doc (map-only) → explode → self-equi-join on the
-    shingle string → per-pair common count → Jaccard from the three set sizes.
-    The join is on the shingle value, so cost is Σ_s |docs(s)|² — fine while no
-    shingle is ubiquitous; at 100 TB drop stop-shingles (document frequency cap)
-    first, or use the MinHash path below.
+    Plan: shingle-set per doc (map-only, shared cached stage with the MinHash
+    operator) → explode → self-equi-join on the shingle string → per-pair
+    common count → Jaccard from the three set sizes. The join is on the shingle
+    value, so cost is Σ_s |docs(s)|² — fine while no shingle is ubiquitous; at
+    100 TB drop stop-shingles (document frequency cap) first, or use the
+    MinHash path below.
     """
-    sh = shingle_sets(spark, sf)
+    sh = minhash_features(spark, sf).select("doc_id", "shingles")
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -167,69 +168,93 @@ def _hash_family(k: int = _MINHASH_K) -> list[tuple[int, int]]:
     return pairs
 
 
-def shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Cached doc_id → distinct word-3-gram set. Shared by the signature build
-    and the candidate-verify joins so the corpus text is shingled exactly once.
+def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id → (shingle set, 16 LSH band signatures) in ONE map-only pass.
 
-    Tokenizes in its own projection, then shingles from the materialized token
-    array — see :func:`shingles_of_tokens` for why the two-step shape matters.
+    Per Arrow batch: shingle every doc in python, hash all shingles of the
+    batch at once (pandas' C siphash, fixed key), apply the K=64 affine maps as
+    one (shingles × K) vectorized modular multiply, per-doc minimum via
+    ``np.minimum.reduceat``, pack each 4-row band into one 64-bit signature.
+    No shuffle — signatures are a pure per-row function; the only joins in the
+    whole dedup pipeline are on band signatures and candidate doc_ids.
+
+    The shingle strings computed here are byte-identical to the DuckDB oracle's
+    ``LIST_DISTINCT(word-3-grams(STR_SPLIT(TRIM(LOWER(text)), ' ')))``, so the
+    exact-verify stage downstream matches the oracle exactly; the minhash
+    family only decides recall (and LSH misses at j≥0.9 are < 1e-7 per pair).
+
+    MEASURED dead ends (do not redo): (a) explode + 64 ``min`` hash aggregates
+    is codegen-hostile — the generated aggregate class keeps the JIT
+    deoptimizing, 2.5-18 s at sf0.1 with wild variance vs flat ~1 s here;
+    (b) ``array_min(transform(...))`` per hash runs K interpreted HOF passes,
+    3-5× worse again. Cached: band table feeds a self-join (both branches) and
+    the verify stage re-reads the shingle arrays.
     """
     d = fan_out(_t(spark, sf, "documents"))
-    toks = d.select("doc_id", tokens("text").alias("w"))
-    return toks.select(
-        "doc_id", shingles_of_tokens("w").alias("shingles")
+    fam = _hash_family()
+    a_np = [a for a, _ in fam]
+    b_np = [b for _, b in fam]
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        p = np.uint64(_MERSENNE31)
+        A = np.array(a_np, dtype=np.uint64)
+        B = np.array(b_np, dtype=np.uint64)
+        mix = np.uint64(1000003)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sh_lists = []
+            for t in pdf["text"]:
+                toks = ("" if t is None else t).strip(" ").lower().split(" ")
+                # dict preserves first-seen order; set semantics like LIST_DISTINCT
+                sh_lists.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + 3])
+                            for i in range(len(toks) - 2)
+                        )
+                    )
+                )
+            ns = np.array([len(s) for s in sh_lists], dtype=np.int64)
+            flat = np.array(
+                [s for sl in sh_lists for s in sl], dtype=object
+            )
+            sigs: list[list[int]] = [[] for _ in sh_lists]
+            nz = np.nonzero(ns > 0)[0]
+            if len(nz):
+                h = pd.util.hash_array(flat) % p
+                # (shingles × K) affine family; a·h + b < 2^62 fits uint64
+                proj = (h[:, None] * A[None, :] + B[None, :]) % p
+                starts = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(ns[nz][:-1], out=starts[1:])
+                mins = np.minimum.reduceat(proj, starts, axis=0)
+                banded = mins.reshape(len(nz), _LSH_BANDS, _ROWS_PER_BAND)
+                bs = banded[:, :, 0]
+                for r in range(1, _ROWS_PER_BAND):
+                    bs = bs * mix + banded[:, :, r]
+                bs = bs.view(np.int64)
+                for row, i in enumerate(nz):
+                    sigs[i] = bs[row].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "shingles": sh_lists,
+                    "band_sigs": sigs,
+                }
+            )
+
+    return d.mapInPandas(
+        op, schema="doc_id long, shingles array<string>, band_sigs array<long>"
     ).cache()
-
-
-def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """doc_id → array of K minhashes.
-
-    Base hash: xxhash64(shingle) reduced mod 2^31-1 (keeps a·h + b inside int64 —
-    ANSI mode overflow-checks). Family: h_i = (a_i·h + b_i) mod p.
-
-    Formulation: explode shingles → K ``min`` aggregates grouped by doc_id. The
-    K mins combine map-side (partial aggregation), so the shuffle carries only
-    |docs|×K longs regardless of corpus size — and every expression (explode,
-    xxhash64, the affine maps, the hash-agg mins) stays inside whole-stage
-    codegen. MEASURED dead end (do not redo): the shuffle-free
-    ``array_min(transform(...))`` form runs the K maps as interpreted HOFs and
-    is 3-5× slower with wild run-to-run variance (4.7s-21.8s at sf0.1
-    depending on JVM warmth) despite doing no shuffle.
-    """
-    sh = shingle_sets(spark, sf)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).withColumn(
-        "h", F.abs(F.xxhash64("s")) % _MERSENNE31
-    )
-    mins = [
-        F.min((F.col("h") * a + b) % _MERSENNE31).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_hash_family())
-    ]
-    sig = ex.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[f"mh_{i}" for i in range(_MINHASH_K)]).alias("sig")
-    )
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate pairs from banded LSH: docs sharing ≥1 identical band signature."""
-    sig = minhash_signatures(spark, sf)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", i + 1)
-                            for i in range(
-                                b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND
-                            )
-                        ]
-                    )
-                    for b in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("band", "band_sig"),
+    bands = minhash_features(spark, sf).select(
+        "doc_id", F.posexplode("band_sigs").alias("band", "band_sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -260,7 +285,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     "|candidate pairs| for verification.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    sh = shingle_sets(spark, sf)
+    sh = minhash_features(spark, sf)
     cands = minhash_lsh_candidates(spark, sf)
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
@@ -292,31 +317,51 @@ _SIMHASH_BITS = 64
 def simhash(spark: SparkSession, sf: str) -> DataFrame:
     """doc_id → 64-bit SimHash of the token multiset.
 
-    Per token: xxhash64 → for each bit, vote +1/-1; fingerprint bit b = sign of
-    the vote sum. Expressed as 64 conditional sums over the exploded tokens —
-    one shuffle on doc_id (same shape as minhash_signatures).
+    Per token: 64-bit hash → for each bit, vote +1/-1; fingerprint bit b = sign
+    of the vote sum. Computed map-only inside one vectorized Arrow batch
+    (``mapInPandas``): all tokens of a batch are hashed at once with pandas'
+    C-level siphash (fixed key → deterministic across workers/runs), the
+    64-bit vote matrix is summed per document with ``np.add.reduceat``. No
+    shuffle at all — the fingerprint is a pure per-row function, so this scales
+    linearly with the corpus and the only network traffic is the LSH stage.
+
+    MEASURED dead end (do not redo): 64 ``sum(when(h & bit, 1, -1))`` hash
+    aggregates over the exploded tokens stay nominally inside codegen but the
+    generated aggregate class is so large the JIT keeps deoptimizing —
+    3-16 s at sf0.1 with wild run-to-run variance, versus flat ~1 s here.
     """
     d = fan_out(_t(spark, sf, "documents"))
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
-    one = F.lit(1).cast("long")
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
-    fp = None
-    for b in range(_SIMHASH_BITS):
-        # shiftleft instead of a 1<<b literal: 1<<63 overflows a signed-long lit
-        bit = F.when(F.col(f"v_{b}") > 0, F.shiftleft(one, b)).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return agg.select("doc_id", fp.alias("simhash"))
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [
+                ("" if t is None else t).strip().lower().split(" ")
+                for t in pdf["text"]
+            ]
+            lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64)
+            flat = np.array([t for tl in tok_lists for t in tl], dtype=object)
+            h = pd.util.hash_array(flat)  # uint64, deterministic key
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            ones = np.add.reduceat(bits, starts, axis=0)
+            votes = 2 * ones - lens[:, None]
+            fp = (
+                ((votes > 0).astype(np.uint64) << shifts[None, :])
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)  # bit-reinterpret into Spark's signed long
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "simhash": fp}
+            )
+
+    return d.mapInPandas(op, schema="doc_id long, simhash long")
 
 
 @query(
@@ -329,6 +374,8 @@ def simhash(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     fps = simhash(spark, sf)
+    # cached for the same reason as the minhash band table: the self-join would
+    # otherwise run the 64-vote aggregate once per branch
     slices = fps.select(
         "doc_id",
         "simhash",
@@ -342,7 +389,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                 ]
             )
         ).alias("slice_idx", "slice_val"),
-    )
+    ).cache()
     a, b = slices.alias("a"), slices.alias("b")
     cands = (
         a.join(

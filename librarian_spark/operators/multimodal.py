@@ -62,18 +62,18 @@ def decode_stub(payload: bytes) -> dict:
         ...
         raise NotImplementedError("image decode requires pillow")  # if absent
     """
+    import numpy as np
+
     if payload is None:
         return {"n_bytes": 0, "byte_mean": None, "byte_hist": [0] * 16}
-    n = len(payload)
-    hist = [0] * 16
-    total = 0
-    for b in payload:
-        hist[b >> 4] += 1
-        total += b
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = arr.size
+    # integer byte sums are < 2^53, so the float64 mean is exact and identical
+    # to a per-byte python loop regardless of summation order
     return {
         "n_bytes": n,
-        "byte_mean": (total / n) if n else None,
-        "byte_hist": hist,
+        "byte_mean": (int(arr.sum(dtype=np.int64)) / n) if n else None,
+        "byte_hist": np.bincount(arr >> 4, minlength=16).tolist(),
     }
 
 
@@ -116,19 +116,17 @@ def extract_features(df: DataFrame) -> DataFrame:
     # inline makes the operator deployable on any cluster as-is. The module-level
     # ``decode_stub`` stays the reference implementation tests compare against.
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         def decode(payload):
             if payload is None:
                 return {"n_bytes": 0, "byte_mean": None, "byte_hist": [0] * 16}
-            n = len(payload)
-            hist = [0] * 16
-            total = 0
-            for b in payload:
-                hist[b >> 4] += 1
-                total += b
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n = arr.size
             return {
                 "n_bytes": n,
-                "byte_mean": (total / n) if n else None,
-                "byte_hist": hist,
+                "byte_mean": (int(arr.sum(dtype=np.int64)) / n) if n else None,
+                "byte_hist": np.bincount(arr >> 4, minlength=16).tolist(),
             }
 
         for pdf in batches:

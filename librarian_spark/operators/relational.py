@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from librarian_spark.functions.numeric import davg, dec, dsum, o_davg, o_dec, o_dsum
+from librarian_spark.functions.numeric import (
+    davg,
+    dsum,
+    o_davg,
+    o_dsum,
+    o_slong,
+    slong,
+)
 from librarian_spark.operators.registry import query
 from librarian_spark.sources.batch import load_table as _t
 from librarian_spark.sources.batch import register_views
@@ -180,8 +187,8 @@ def q06_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
-        F.sum(dec(disc_price, 6)).cast("double").alias("sum_disc_price"),
-        F.sum(dec(charge, 6)).cast("double").alias("sum_charge"),
+        dsum(disc_price, 6).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
         davg("l_quantity").alias("avg_qty"),
         davg("l_extendedprice").alias("avg_price"),
         davg("l_discount").alias("avg_disc"),
@@ -466,9 +473,7 @@ def q14_star_join(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     rev = joined.l_extendedprice * (1 - joined.l_discount)
-    return joined.groupBy("n_name").agg(
-        F.sum(dec(rev, 6)).cast("double").alias("revenue")
-    )
+    return joined.groupBy("n_name").agg(dsum(rev, 6).alias("revenue"))
 
 
 # --------------------------------------------------------------------------
@@ -617,17 +622,17 @@ def q17_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     "q18_window_frame",
     oracle=f"""
     SELECT event_id, user_id, value,
-           CAST(SUM({o_dec('value')}) OVER (
+           (CAST(SUM({o_slong('value')}) OVER (
              PARTITION BY user_id ORDER BY event_id
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
-           CAST(SUM({o_dec('value')}) OVER (
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0) AS roll_sum,
+           (CAST(SUM({o_slong('value')}) OVER (
              PARTITION BY user_id ORDER BY event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0) AS run_sum,
            LAG(value)  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
            LEAD(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
     FROM events
     """,
-    doc="Analytic frames over the event stream; decimal-cast sums because engines "
+    doc="Analytic frames over the event stream; fixed-point sums because engines "
     "evaluate sliding frames in different orders (segment trees vs rescans).",
 )
 def q18_window_frame(spark: SparkSession, sf: str) -> DataFrame:
@@ -637,11 +642,15 @@ def q18_window_frame(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        F.sum(dec("value")).over(w.rowsBetween(-3, 0)).cast("double").alias("roll_sum"),
-        F.sum(dec("value"))
-        .over(w.rowsBetween(W.unboundedPreceding, 0))
-        .cast("double")
-        .alias("run_sum"),
+        (F.sum(slong("value")).over(w.rowsBetween(-3, 0)).cast("double") / 1e4).alias(
+            "roll_sum"
+        ),
+        (
+            F.sum(slong("value"))
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("double")
+            / 1e4
+        ).alias("run_sum"),
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
     )
