@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from librarian_spark.operators.registry import query
+from librarian_spark.operators.similarity import _o_dot, _o_normalize
 from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
 
@@ -97,15 +98,17 @@ def ngram_jaccard_pairs(
     """All document pairs with word-3-gram Jaccard ≥ threshold (exact).
 
     Plan: shingle-set per doc (map-only, shared cached stage with the MinHash
-    operator) → explode → self-equi-join on the shingle string → per-pair
+    operator) → explode → self-equi-join on the 64-bit shingle hash → per-pair
     common count → Jaccard from the three set sizes. The join is on the shingle
     value, so cost is Σ_s |docs(s)|² — fine while no shingle is ubiquitous; at
     100 TB drop stop-shingles (document frequency cap) first, or use the
-    MinHash path below.
+    MinHash path below. Joining on the 8-byte hash instead of the shingle
+    string shrinks the exploded shuffle ~3×; a cross-doc hash collision
+    perturbs a count with odds ~pairs·|s|²/2^64 ≈ 1e-13.
     """
-    sh = minhash_features(spark, sf).select("doc_id", "shingles")
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sh = minhash_features(spark, sf).select("doc_id", "shingle_hashes")
+    sizes = sh.select("doc_id", F.size("shingle_hashes").alias("n_shingles"))
+    ex = sh.select("doc_id", F.explode("shingle_hashes").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(
@@ -223,9 +226,20 @@ def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
                 [s for sl in sh_lists for s in sl], dtype=object
             )
             sigs: list[list[int]] = [[] for _ in sh_lists]
+            hash_lists: list[list[int]] = [[] for _ in sh_lists]
             nz = np.nonzero(ns > 0)[0]
             if len(nz):
-                h = pd.util.hash_array(flat) % p
+                h64 = pd.util.hash_array(flat)  # uint64, deterministic key
+                # full-width hashes ride along for the downstream equi-joins:
+                # joining/intersecting on 8-byte longs instead of ~20-byte
+                # shingle strings halves the exploded shuffle, and a 64-bit
+                # within-pair collision (~|s1|·|s2|/2^64) is odds ~1e-13 —
+                # far below the LSH miss floor.
+                for doci, part in enumerate(
+                    np.split(h64.view(np.int64), np.cumsum(ns)[:-1])
+                ):
+                    hash_lists[doci] = part.tolist()
+                h = h64 % p
                 # (shingles × K) affine family; a·h + b < 2^62 fits uint64
                 proj = (h[:, None] * A[None, :] + B[None, :]) % p
                 starts = np.zeros(len(nz), dtype=np.int64)
@@ -242,12 +256,17 @@ def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "shingles": sh_lists,
+                    "shingle_hashes": hash_lists,
                     "band_sigs": sigs,
                 }
             )
 
     return d.mapInPandas(
-        op, schema="doc_id long, shingles array<string>, band_sigs array<long>"
+        op,
+        schema=(
+            "doc_id long, shingles array<string>, "
+            "shingle_hashes array<long>, band_sigs array<long>"
+        ),
     ).cache()
 
 
@@ -287,8 +306,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sh = minhash_features(spark, sf)
     cands = minhash_lsh_candidates(spark, sf)
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
+    s1 = sh.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shingle_hashes").alias("sh1")
+    )
+    s2 = sh.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shingle_hashes").alias("sh2")
+    )
     # verify candidates exactly: fetch both shingle sets per candidate pair and
     # intersect — O(|candidates|), not O(pairs sharing a shingle)
     n_common = F.size(F.array_intersect("sh1", "sh2"))
@@ -410,3 +433,60 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return cands.select(
         "doc_id_1", "doc_id_2", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= 8)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (semantic dedup)
+# --------------------------------------------------------------------------
+
+_EMB_THRESHOLD = 0.35  # uniform-random corpus: noise floor ~0.5 (see similarity.py)
+
+_EMB_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+),
+edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM unit a JOIN unit b ON a.vec_id != b.vec_id
+  WHERE ROUND({_o_dot('a.u', 'b.u')}, 6) >= {_EMB_THRESHOLD}
+)
+SELECT d.doc_id,
+       CAST(COALESCE(LEAST(d.doc_id, MIN(e.dst)), d.doc_id) AS BIGINT)
+         AS canonical_id,
+       (COALESCE(LEAST(d.doc_id, MIN(e.dst)), d.doc_id) != d.doc_id)
+         AS is_duplicate
+FROM documents d LEFT JOIN edges e ON d.doc_id = e.src
+GROUP BY d.doc_id
+"""
+
+
+@query(
+    "dedup_embedding",
+    oracle=_EMB_ORACLE,
+    doc=f"Semantic (embedding-cosine ≥ {_EMB_THRESHOLD}) near-dup dedup of the "
+    "documents table (vec_id ≡ doc_id in the testdata): pair edges from the "
+    "shared BLAS block-matmul kernel, then each doc canonicalized to the "
+    "smallest doc_id among itself and its direct neighbors — one union-find "
+    "hop, the standard single-pass semantic-dedup policy. Full transitive "
+    "closure is iterative label propagation (out of scope for one pass; the "
+    "edge set this emits is its input). Shuffle cost: |near-dup edges| for "
+    "the group-by — never O(N²).",
+)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.operators.similarity import cosine_pairs
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    pairs = cosine_pairs(e, _EMB_THRESHOLD)
+    edges = pairs.select(
+        F.col("vec_id_1").alias("doc_id"), F.col("vec_id_2").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("vec_id_2").alias("doc_id"), F.col("vec_id_1").alias("nbr"))
+    )
+    nbr_min = edges.groupBy("doc_id").agg(F.min("nbr").alias("min_nbr"))
+    d = _t(spark, sf, "documents").select("doc_id")
+    canonical = F.coalesce(F.least(F.col("doc_id"), F.col("min_nbr")), F.col("doc_id"))
+    return d.join(nbr_min, "doc_id", "left").select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (canonical != F.col("doc_id")).alias("is_duplicate"),
+    )

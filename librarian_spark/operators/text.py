@@ -57,6 +57,44 @@ def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# BPE-ish subword segmentation: the GPT-2-style pre-tokenizer pattern reduced
+# to ASCII classes that Java regex (Spark) and RE2 (DuckDB) interpret
+# identically — runs of letters, runs of digits, runs of other non-space
+# symbols, each optionally absorbing one leading space.
+_BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(pieces) AS BIGINT) AS n_pieces,
+           CAST(LEN(LIST_DISTINCT(pieces)) AS BIGINT) AS n_uniq_pieces,
+           CAST(LEN(LIST_FILTER(pieces, p -> LENGTH(p) >= 4)) AS BIGINT) AS n_long_pieces
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '{_BPE_PATTERN}') AS pieces
+          FROM documents)
+    """,
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex (letter / "
+    "digit / symbol runs with leading-space absorption) as a cheap stand-in "
+    "for a learned BPE vocab — the count is the standard per-document budget "
+    "signal for LLM training pipelines. Map-only, regex inside codegen, no "
+    "shuffle; at 100 TB this is a pure scan-rate-bound pass.",
+)
+def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    d = d.select("doc_id", pieces.alias("p"))
+    return d.select(
+        "doc_id",
+        F.size("p").cast("long").alias("n_pieces"),
+        F.size(F.array_distinct("p")).cast("long").alias("n_uniq_pieces"),
+        F.size(F.filter("p", lambda x: F.length(x) >= 4))
+        .cast("long")
+        .alias("n_long_pieces"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Quality scoring
 # --------------------------------------------------------------------------

