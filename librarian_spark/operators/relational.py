@@ -1123,3 +1123,68 @@ def q31_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Q32 as-of join (temporal point-in-time join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q32_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.value,
+           r.event_id AS last_click_id, r.value AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="Backward as-of join (each 'view' enriched with the user's most recent "
+    "at-or-before 'click') — an operator Spark lacks natively, composed scalably "
+    "from built-ins: tag both sides, union, one window pass per key with "
+    "last(ignorenulls) over rows-unbounded-preceding, keep left rows. ONE "
+    "shuffle on the by-key, state is a single row per partition-ordered scan — "
+    "never the per-key range-join blowup (O(|L|·|R|) worst case) a naive "
+    "l.ts >= r.ts theta join produces. The tag orders right before left at "
+    "equal ts, giving at-or-before semantics identical to DuckDB's ASOF JOIN.",
+)
+def q32_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    left = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("tag"),
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("tag"),
+    )
+    # (ts, tag, click_id): right rows sort before left at equal ts (at-or-before),
+    # click_id makes same-ts right rows deterministic
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "click_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        right.unionByName(left)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "tag",
+            F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+            F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+        )
+        .filter(F.col("tag") == 1)
+        .drop("tag")
+    )
