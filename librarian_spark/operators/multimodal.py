@@ -175,3 +175,65 @@ def mm_ingest(spark: SparkSession, sf: str) -> DataFrame:
 )
 def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(ingest_binary(spark, sf))
+
+
+# --------------------------------------------------------------------------
+# Frame sampling (video stand-in)
+# --------------------------------------------------------------------------
+
+_FRAME_BYTES = 32  # "frame" size in the byte-stream stand-in
+_FRAME_EVERY = 2  # keep every 2nd frame
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(LENGTH(SUBSTRING(text, CAST(i * {_FRAME_BYTES} + 1 AS BIGINT),
+                                 {_FRAME_BYTES})) AS BIGINT) AS frame_len,
+           SUBSTRING(text, CAST(i * {_FRAME_BYTES} + 1 AS BIGINT), 4) AS frame_head
+    FROM (SELECT doc_id, text,
+                 UNNEST(RANGE(0, CAST(CEIL(LENGTH(text) / {_FRAME_BYTES}.0)
+                                      AS BIGINT))) AS i
+          FROM documents)
+    WHERE i % {_FRAME_EVERY} = 0
+    """,
+    doc=f"Frame sampling over a binary payload (every {_FRAME_EVERY}nd "
+    f"{_FRAME_BYTES}-byte frame — the video-frame-sampling access pattern with "
+    "the codec stubbed to byte-slicing): Arrow-batched mapInPandas, map-only, "
+    "output rows ≈ |frames|/k with bounded per-batch memory. The oracle "
+    "slices the same payload as characters (the corpus is ASCII, so byte "
+    "offsets ≡ char offsets), proving the distributed slicing against SQL. "
+    "A real decoder replaces the slice with PIL/libav frame extraction — "
+    "identical schema and batch flow.",
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    df = ingest_binary(spark, sf)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb, fe = _FRAME_BYTES, _FRAME_EVERY
+        for pdf in batches:
+            ids, idxs, lens, heads = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n = len(payload)
+                for i in range(0, (n + fb - 1) // fb, fe):
+                    chunk = payload[i * fb : i * fb + fb]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    heads.append(chunk[:4].decode("utf-8", errors="replace"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_head": pd.Series(heads, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        op, schema="doc_id long, frame_idx long, frame_len long, frame_head string"
+    )

@@ -1188,3 +1188,96 @@ def q32_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("tag") == 1)
         .drop("tag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q33 percentiles / quantiles
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q33_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB "
+    "`quantile_cont`: same sorted-multiset definition, so doubles match "
+    "bit-for-bit). Exact percentile buffers each group's values — fine for "
+    "bounded groups; at 100 TB swap `percentile_approx` (t-digest sketch, "
+    "mergeable map-side, no buffering) for unbounded ones.",
+)
+def q33_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q34 pivot
+# --------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "q34_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in _PIVOT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (long→wide): event counts per user by type, with the pivot "
+    "values declared explicitly — at scale an undeclared pivot triggers an "
+    "extra distinct-scan job to discover the columns; declaring them keeps it "
+    "one hash-aggregate shuffle (equivalent to manual CASE aggregation).",
+)
+def q34_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    p = e.groupBy("user_id").pivot("event_type", _PIVOT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    # pivot yields NULL for empty (user, type) cells; COUNT(CASE...) yields 0
+    return p.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES]
+    )
+
+
+# --------------------------------------------------------------------------
+# Q35 deterministic hash sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q35_hash_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE CAST(('0x' || SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 4))::UBIGINT
+               AS BIGINT) % 100 < 10
+    """,
+    doc="Deterministic 10% sample by key hash (md5 prefix mod 100): unlike "
+    "TABLESAMPLE/rand(), the same rows are selected on every run, every "
+    "engine, and every partitioning — the reproducible-experiment sampling "
+    "idiom for training-data pipelines. Map-only, pure codegen expressions; "
+    "composable (hash on a stable business key ⇒ the sample is stable under "
+    "re-ingestion too).",
+)
+def q35_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return e.filter(bucket < 10).select("event_id", "user_id", "event_type", "value")
