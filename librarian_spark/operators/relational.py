@@ -1281,3 +1281,74 @@ def q35_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
         % 100
     )
     return e.filter(bucket < 10).select("event_id", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Q36 ordered string aggregation (listagg)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q36_string_agg",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS cust_names
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Ordered string aggregation (LISTAGG / string_agg with ORDER BY): "
+    "collect_list + array_sort + array_join makes the concatenation "
+    "deterministic regardless of partitioning — collect_list alone is "
+    "arrival-ordered and non-reproducible on a cluster. One hash-aggregate "
+    "shuffle on the group key; per-group state is the member list, so at "
+    "100 TB this is for bounded-cardinality groups (cap with slice() "
+    "when unbounded).",
+)
+def q36_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "cust_names"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q37 distribution window functions (ntile / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q37_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution window functions — quartile bucketing (NTILE), relative "
+    "rank, cumulative distribution per market segment, the standard "
+    "feature-binning step. Ordering includes the unique key as tiebreak so "
+    "NTILE assignment is deterministic across engines and partitionings. One "
+    "shuffle on the partition key; skewed segments are where AQE skew "
+    "handling or pre-salting would kick in at scale.",
+)
+def q37_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

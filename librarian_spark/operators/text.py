@@ -217,3 +217,104 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, ch: (acc * 31 + F.ascii(ch)) % FP_MOD,
         ).alias("fp_normalized"),
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking (context-window splitting)
+# --------------------------------------------------------------------------
+
+_CHUNK_CHARS = 200  # chunk width
+_CHUNK_OVERLAP = 50  # chars shared between consecutive chunks
+_CHUNK_STRIDE = _CHUNK_CHARS - _CHUNK_OVERLAP
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           SUBSTRING(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_CHARS})
+             AS chunk_text,
+           CAST(LENGTH(SUBSTRING(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                                 {_CHUNK_CHARS})) AS BIGINT) AS chunk_len
+    FROM (SELECT doc_id, text,
+                 UNNEST(RANGE(0, GREATEST(CAST(CEIL((LENGTH(text) - {_CHUNK_OVERLAP})
+                       * 1.0 / {_CHUNK_STRIDE}) AS BIGINT), 1))) AS i
+          FROM documents)
+    """,
+    doc=f"Sliding-window document chunking ({_CHUNK_CHARS}-char windows, "
+    f"{_CHUNK_OVERLAP}-char overlap) — the context-window splitting step every "
+    "RAG / pre-training pipeline runs before tokenization. Pure generator "
+    "expression (`posexplode(sequence)` + substring, all codegen): map-only, "
+    "no shuffle, output is ~len/stride rows per doc produced executor-side — "
+    "at 100 TB the fan-out never touches the driver and chunk boundaries are "
+    "independent per row, so it scales with the scan.",
+)
+def text_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.length("text") - F.lit(_CHUNK_OVERLAP)) * F.lit(1.0) / _CHUNK_STRIDE
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    d = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "_pos", "chunk_idx"
+        ),
+    )
+    chunk = F.col("text").substr(
+        (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"), F.lit(_CHUNK_CHARS)
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB) read
+# identically: character classes, +, bounded repetition — no backrefs.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_LONGNUM_RE = r"[0-9][0-9][0-9][0-9][0-9][0-9]+"  # 6+ digit runs (phone/SSN/CC-ish)
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g') AS redacted,
+           CAST(LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(regexp_extract_all(text, '{_LONGNUM_RE}')) AS BIGINT) AS n_longnums
+    FROM documents
+    """,
+    doc="PII scrubbing: emails and 6+-digit number runs replaced with typed "
+    "placeholder tokens, with per-document match counts for audit. Map-only "
+    "regexp_replace/regexp_count inside codegen (patterns kept to the "
+    "Java-regex ∩ RE2 common subset so the oracle is exact); at 100 TB this "
+    "is scan-rate bound with zero shuffle — the canonical pre-release "
+    "compliance pass over a training corpus.",
+)
+def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_LONGNUM_RE))
+        .cast("long")
+        .alias("n_longnums"),
+    )
