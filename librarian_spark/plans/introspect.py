@@ -60,9 +60,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange operators in the plan — the scale currency. AQE may
-    remove some at runtime; this counts the static plan (upper bound)."""
-    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+    """Number of shuffle exchanges in the plan — the scale currency. Counts
+    each operator's detail header once (``(N) Exchange``), so tree + detail
+    double-printing doesn't double-count, and BroadcastExchange (a replication,
+    not a shuffle) is excluded. AQE may remove some at runtime; this counts
+    the static plan (upper bound)."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.M))
 
 
 def has_partial_aggregate(df: DataFrame) -> bool:
@@ -77,5 +80,10 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Count of WholeStageCodegen regions — wider is better (fewer interpreted
-    boundaries). Formatted mode annotates operators with ``[codegen id : N]``."""
-    return len(set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))))
+    boundaries). Uses ``explain("codegen")`` because formatted mode omits
+    codegen ids while an AdaptiveSparkPlan is non-final."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0

@@ -1,0 +1,128 @@
+"""Physical-plan assertions — the 100 TB contract, checked by CI.
+
+Correctness tests prove each operator's VALUES; these prove its PLAN stays
+the one that survives a 1000-executor / 100 TB scale-up: filters reach the
+parquet scan, projections prune the read schema, dimension joins broadcast,
+aggregates combine map-side before shuffling, top-k never global-sorts, and
+map-only operators genuinely never shuffle. A regression here is a scale
+regression even when every value still matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from librarian_spark.operators.registry import load_all
+from librarian_spark.plans.introspect import (
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    wholestage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def _df(specs, spark, name):
+    return specs[name].spark_fn(spark, SF)
+
+
+def test_filter_pushed_to_scan(spark, specs):
+    """q03's WHERE must reach the parquet reader, not run post-scan."""
+    df = _df(specs, spark, "q03_filter")
+    pf = pushed_filters(df)
+    assert any("l_discount" in f or "l_shipdate" in f for f in pf), pf
+
+
+def test_projection_prunes_read_schema(spark, specs):
+    """A 3-column projection must scan 3 columns, not all 11."""
+    df = _df(specs, spark, "q01_projection")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_extendedprice"}, cols
+
+
+def test_small_dim_join_broadcasts(spark, specs):
+    df = _df(specs, spark, "q10_join_broadcast")
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_star_join_broadcasts_dims(spark, specs):
+    """TPC-H Q5 shape: nation/region/customer sides must broadcast — a
+    shuffle join against a 5-row dim table is the classic scale bug."""
+    df = _df(specs, spark, "q14_star_join")
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_group_agg_combines_map_side(spark, specs):
+    """TPC-H Q1: partial HashAggregate below the exchange, so the shuffle
+    carries one row per (group × partition), not per input row."""
+    df = _df(specs, spark, "q06_tpch_q1")
+    assert has_partial_aggregate(df), formatted_plan(df)
+    assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_topk_never_global_sorts(spark, specs):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heap + single reduce), not a full range-partitioned sort."""
+    plan = formatted_plan(_df(specs, spark, "q05_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_projection",
+        "q02_arithmetic",
+        "q03_filter",
+        "q20_strings",
+        "q22_math",
+        "q24_nulls",
+        "q35_hash_sample",
+        "text_token_count",
+        "text_quality_score",
+        "text_lang_id",
+        "text_chunk",
+        "text_pii_redact",
+    ],
+)
+def test_map_only_operators_never_shuffle(spark, specs, name):
+    df = _df(specs, spark, name)
+    assert shuffle_count(df) == 0, f"{name}: " + formatted_plan(df)
+
+
+@pytest.mark.parametrize(
+    "name", ["q01_projection", "q03_filter", "q06_tpch_q1", "q19_case"]
+)
+def test_relational_hot_path_stays_in_codegen(spark, specs, name):
+    """The scan→filter→project→agg pipeline must run inside WholeStageCodegen
+    (no interpreted expression boundaries in the hot path). AQE hides codegen
+    regions while the adaptive plan is non-final, so plan with it off."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _df(specs, spark, name)
+        assert wholestage_codegen_spans(df) >= 1, f"{name}: " + formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_anti_plan_as_joins_not_subquery_loops(spark, specs):
+    """EXISTS/NOT IN shapes must decorrelate to semi/anti hash joins."""
+    for name in ["q12_join_semi", "q12_join_anti"]:
+        plan = formatted_plan(_df(specs, spark, name))
+        assert "SemiJoin" in plan.replace("LeftSemi", "SemiJoin") or "LeftSemi" in plan or "LeftAnti" in plan, plan
+
+
+def test_ordered_listagg_single_shuffle(spark, specs):
+    """q36: broadcast dim join + one hash-aggregate exchange — the collect_list
+    shuffle is the only one."""
+    df = _df(specs, spark, "q36_string_agg")
+    assert has_broadcast_join(df), formatted_plan(df)
+    assert shuffle_count(df) <= 1, formatted_plan(df)
