@@ -88,6 +88,18 @@ class Replicator:
                 reader = reader.option(k, v)
             df = reader.format("text").load(cfg.source_path)
             df = df.select(F.col("value").cast("string").alias("value"))
+        elif cfg.source_format == "cdc_jsonl":
+            # direct-CDC custom Python DataSource (no Kafka hop): rows arrive
+            # already typed per CDC_ROW_SCHEMA — no envelope parse needed
+            from librarian_spark.sources.cdc_datasource import register
+
+            register(self.spark)
+            reader = self.spark.readStream.format("cdc_jsonl").option(
+                "path", cfg.source_path
+            )
+            for k, v in cfg.source_options.items():
+                reader = reader.option(k, v)
+            return reader.load()
         else:
             raise ValueError(f"unknown source format: {cfg.source_format!r}")
         if cfg.parse_debezium:
