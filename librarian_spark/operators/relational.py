@@ -1352,3 +1352,41 @@ def q37_ntile(spark: SparkSession, sf: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q38 salted join (skew handling with identical semantics)
+# --------------------------------------------------------------------------
+
+_SALT = 8
+
+
+@query(
+    "q38_salted_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc=f"Skew-handling equi-join by salting: the (potentially skewed) fact side "
+    f"gets a deterministic salt in [0,{_SALT}), the dim side is exploded "
+    f"{_SALT}x, and the join key becomes (custkey, salt) — a hot key's rows "
+    f"now spread over {_SALT} reducers instead of one. Result is provably "
+    "identical to the plain join (the oracle IS the unsalted join). This is "
+    "the manual fallback when AQE skew-join can't kick in (e.g. skew appears "
+    "after a transform); at 100 TB prefer AQE first, salt the survivors.",
+)
+def q38_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    salted_o = o.withColumn("_salt", F.pmod(F.hash("o_orderkey"), F.lit(_SALT)))
+    exploded_c = c.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT)]))
+    )
+    return (
+        salted_o.join(
+            exploded_c,
+            (salted_o.o_custkey == exploded_c.c_custkey)
+            & (salted_o._salt == exploded_c._salt),
+        )
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )

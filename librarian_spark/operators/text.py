@@ -318,3 +318,43 @@ def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_longnums"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram vocabulary (token/bigram frequency tables)
+# --------------------------------------------------------------------------
+
+_VOCAB_MIN_COUNT = 5
+
+
+@query(
+    "text_ngram_freq",
+    oracle=f"""
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS gram
+          FROM (SELECT STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents))
+    GROUP BY gram HAVING COUNT(*) >= {_VOCAB_MIN_COUNT}
+    """,
+    doc=f"Corpus bigram frequency table (count >= {_VOCAB_MIN_COUNT}) — the "
+    "vocabulary-building pass of a tokenizer-training / phrase-mining "
+    "pipeline. Explode is executor-side; the count is one hash aggregate "
+    "with map-side combine, so the shuffle carries (distinct gram, partial "
+    "count) pairs, not the token stream. At 100 TB the same plan holds; "
+    "add a two-level count (pre-aggregate on (gram, partition-salt)) only "
+    "if a single gram dominates the corpus.",
+)
+def text_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    w = tokens("text")
+    bigrams = F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+    )
+    return (
+        d.select(w.alias("_w"))
+        .select(F.explode(bigrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= _VOCAB_MIN_COUNT)
+    )
