@@ -48,6 +48,7 @@ def query(name: str, oracle: str | None, doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run; return the registry."""
     from librarian_spark.operators import (  # noqa: F401
+        cdc,
         dedup,
         multimodal,
         relational,
