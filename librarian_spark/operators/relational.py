@@ -1390,3 +1390,66 @@ def q38_salted_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Q39 pure range (interval) join via binning
+# --------------------------------------------------------------------------
+
+_IVAL_HOURS = 36  # interval width; spans ≤ 2 day-bins
+
+
+@query(
+    "q39_range_bin_join",
+    oracle=f"""
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped
+    FROM (SELECT o_orderkey, o_orderdate AS start_ts,
+                 o_orderdate + INTERVAL {_IVAL_HOURS} HOUR AS end_ts
+          FROM orders WHERE o_orderkey % 100 = 0) o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.start_ts AND l.l_shipdate < o.end_ts
+    GROUP BY o.o_orderkey
+    """,
+    doc=f"PURE range join (no equi key): count lineitems shipped inside each "
+    f"sampled order's {_IVAL_HOURS}h window. Without help Spark plans this as "
+    "BroadcastNestedLoopJoin — O(|intervals|·|rows|), the canonical 100 TB "
+    "bottleneck. Implemented instead by binning: each interval explodes to the "
+    "day-bins it covers (≤2 here), the probe side computes its bin, and the "
+    "join becomes an EQUI join on bin + residual range filter — shuffle "
+    "partitioned by bin, nested loop eliminated. Same rewrite DuckDB/Trino "
+    "apply internally (IEJoin); bin width should match interval width so each "
+    "interval lands in O(1) bins.",
+)
+def q39_range_bin_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    ivals = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr(f"INTERVAL {_IVAL_HOURS} HOURS")).alias(
+            "end_ts"
+        ),
+    )
+    # explode each interval to the day-bins it overlaps (inclusive of the bin
+    # containing end_ts - the residual filter trims the overreach)
+    ivals = ivals.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "start_ts"),
+                F.date_trunc("day", F.col("end_ts") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_shipdate", F.date_trunc("day", "l_shipdate").alias("bin")
+    )
+    return (
+        li.join(ivals, "bin")
+        .filter(
+            (F.col("l_shipdate") >= F.col("start_ts"))
+            & (F.col("l_shipdate") < F.col("end_ts"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )

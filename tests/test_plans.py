@@ -120,6 +120,16 @@ def test_semi_anti_plan_as_joins_not_subquery_loops(spark, specs):
         assert "SemiJoin" in plan.replace("LeftSemi", "SemiJoin") or "LeftSemi" in plan or "LeftAnti" in plan, plan
 
 
+def test_range_join_binned_not_nested_loop(spark, specs):
+    """q39: the pure range join must compile to an equi join on the bin key —
+    BroadcastNestedLoopJoin is the O(N·M) plan that dies at scale."""
+    plan = formatted_plan(_df(specs, spark, "q39_range_bin_join"))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+
+
 def test_ordered_listagg_single_shuffle(spark, specs):
     """q36: broadcast dim join + one hash-aggregate exchange — the collect_list
     shuffle is the only one."""
