@@ -490,3 +490,94 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
         canonical.alias("canonical_id"),
         (canonical != F.col("doc_id")).alias("is_duplicate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Transitive dedup clusters (connected components)
+# --------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 15
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           AS shingles
+  FROM (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT d1, d2 FROM pairs p
+  JOIN sh s1 ON p.d1 = s1.doc_id JOIN sh s2 ON p.d2 = s2.doc_id
+  WHERE p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common)
+        >= {_JACCARD_THRESHOLD}
+),
+sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+        UNION ALL SELECT d2, d1 FROM edges),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lab FROM sym e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id,
+       CAST(MIN(lab) AS BIGINT) AS cluster_id,
+       MIN(lab) != node AS is_duplicate
+FROM reach GROUP BY node
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Transitive near-dup clustering (connected components over the exact "
+    "Jaccard edge set): pairwise edges alone can't dedup a corpus — A~B and "
+    "B~C must collapse into one group even when A!~C. Iterative min-label "
+    "propagation: each round every doc takes the min cluster id among itself "
+    "and its neighbors; converges in O(component diameter) rounds (near-dup "
+    "components are shallow), each round one distributed join + aggregate "
+    "with localCheckpoint() truncating the plan lineage. The oracle is the "
+    "same closure as a DuckDB recursive CTE. At web scale swap in the "
+    "large-star/small-star formulation (alternating min-propagation that "
+    "contracts paths in O(log n) rounds); the per-round dataflow is identical.",
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf).select("doc_id_1", "doc_id_2")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_id_2").alias("doc_id_1"), F.col("doc_id_1").alias("doc_id_2")
+        )
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(_CC_MAX_ITERS):
+        nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "doc_id_2"), "doc_id_2"
+        ).select(F.col("doc_id_1").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()  # truncate lineage; iterative joins otherwise
+            # stack an unbounded plan
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_id")
+            .join(labels, "doc_id")
+            .filter(F.col("new_id") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") != F.col("cluster_id")).alias("is_duplicate"),
+    )
