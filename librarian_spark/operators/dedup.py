@@ -543,7 +543,12 @@ FROM reach GROUP BY node
     "and its neighbors; converges in O(component diameter) rounds (near-dup "
     "components are shallow), each round one distributed join + aggregate "
     "with localCheckpoint() truncating the plan lineage. The oracle is the "
-    "same closure as a DuckDB recursive CTE. At web scale swap in the "
+    "same closure as a DuckDB recursive CTE. Two scale properties: (1) the "
+    "iteration runs ONLY on the edge-subgraph — docs with no near-dup edge "
+    "are singletons by construction and join back in one final left join, so "
+    "per-round cost tracks |near-dup docs|, not |corpus|; (2) convergence is "
+    "detected inside the same per-round aggregate (own-label rides along as "
+    "a tagged row), no extra join+scan per round. At web scale swap in the "
     "large-star/small-star formulation (alternating min-propagation that "
     "contracts paths in O(log n) rounds); the per-round dataflow is identical.",
 )
@@ -555,29 +560,56 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id_2").alias("doc_id_1"), F.col("doc_id_1").alias("doc_id_2")
         )
     ).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # size the iteration's parallelism to the edge set, not the cluster: the
+    # near-dup subgraph is usually orders of magnitude smaller than the corpus,
+    # and fixed-width shuffles on a tiny frame pay ~30 task launches per round
+    # for nothing. ~1M edges per partition keeps each task comfortably in memory.
+    n_part = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        edges.count() // 1_000_000 + 1))
+    edges = edges.repartition(n_part, "doc_id_2").localCheckpoint()
+    # only edge-touched nodes can ever change label; everything else is a
+    # singleton cluster and skips the iteration entirely
+    labels = (
+        edges.select("doc_id_1")
+        .distinct()
+        .select(F.col("doc_id_1").alias("doc_id"))
+        .withColumn("cluster_id", F.col("doc_id"))
+        .repartition(n_part, "doc_id")
+        .localCheckpoint()
+    )
     for _ in range(_CC_MAX_ITERS):
-        nbr = edges.join(
-            labels.withColumnRenamed("doc_id", "doc_id_2"), "doc_id_2"
-        ).select(F.col("doc_id_1").alias("doc_id"), "cluster_id")
-        new_labels = (
-            labels.union(nbr)
+        own = labels.select("doc_id", "cluster_id", F.lit(True).alias("is_own"))
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "doc_id_2"), "doc_id_2")
+            .select(
+                F.col("doc_id_1").alias("doc_id"),
+                "cluster_id",
+                F.lit(False).alias("is_own"),
+            )
+        )
+        merged = (
+            own.union(nbr)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("is_own"), F.col("cluster_id"))).alias("old_id"),
+            )
             .localCheckpoint()  # truncate lineage; iterative joins otherwise
             # stack an unbounded plan
         )
-        changed = (
-            new_labels.withColumnRenamed("cluster_id", "new_id")
-            .join(labels, "doc_id")
-            .filter(F.col("new_id") != F.col("cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("cluster_id") != F.col("old_id")).count()
+        labels = merged.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") != F.col("cluster_id")).alias("is_duplicate"),
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") != F.col("cluster_id")).alias("is_duplicate"),
+        )
     )
