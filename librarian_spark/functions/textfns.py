@@ -61,11 +61,18 @@ def shingles_of_tokens(tok_col: str, n: int = 3, distinct: bool = True) -> Colum
     DuckDB twin: ``LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)-(n-2)),
     i -> w[i] || ' ' || w[i+1] || ...))`` (DuckDB lists are 1-indexed, RANGE is
     end-exclusive).
+
+    Docs shorter than ``n`` tokens yield an EMPTY array: a bare
+    ``sequence(1, size-n+1)`` would flip to a DESCENDING ``[1, 0]`` when the
+    stop is below the start (Spark infers step -1), emitting phantom shingles
+    — hence the explicit size guard.
     """
     parts = ", ".join(f"{tok_col}[i - 1 + {j}]" for j in range(n))
     e = F.expr(
-        f"transform(sequence(1, greatest(size({tok_col}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tok_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     return F.array_distinct(e) if distinct else e
 
@@ -78,8 +85,10 @@ def shingles(col_name: str, n: int = 3, distinct: bool = True) -> Column:
     w = tokens_sql(col_name)
     parts = ", ".join(f"{w}[i - 1 + {j}]" for j in range(n))
     e = F.expr(
-        f"transform(sequence(1, greatest(size({w}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     return F.array_distinct(e) if distinct else e
 

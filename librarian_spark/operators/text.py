@@ -358,3 +358,201 @@ def text_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= _VOCAB_MIN_COUNT)
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# --------------------------------------------------------------------------
+
+# every 50th doc plays the role of a held-out benchmark/eval document; in a
+# real pipeline this is a separate (small) table of benchmark prompts/answers
+_EVAL_MOD = 50
+_DECON_N = 5  # word n-gram width used for the overlap test
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w
+                FROM documents),
+    g AS (SELECT doc_id,
+                 LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(1, GREATEST(LEN(w) - {_DECON_N - 2}, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                        || ' ' || w[i+4])) AS grams
+          FROM tk),
+    ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
+           WHERE doc_id % {_EVAL_MOD} = 0),
+    corpus AS (SELECT doc_id, UNNEST(grams) AS gram FROM g
+               WHERE doc_id % {_EVAL_MOD} != 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n FROM corpus JOIN ev USING (gram)
+             GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_eval_grams,
+           COALESCE(h.n, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {_EVAL_MOD} != 0
+    """,
+    doc=f"Benchmark decontamination: flag training documents sharing any word "
+    f"{_DECON_N}-gram with the held-out eval set (here: every {_EVAL_MOD}th "
+    "doc stands in for the benchmark table). The eval side is tiny by "
+    "construction, so its distinct-gram table is BROADCAST — the corpus side "
+    "stays a map-only explode + broadcast-hash-join + per-doc count, no "
+    "all-to-all shuffle of corpus grams. At 100 TB this is the standard "
+    "pre-training decontamination pass: cost is one scan of the corpus plus "
+    "|eval grams| bytes to every executor.",
+)
+def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.functions.textfns import shingles_of_tokens
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", tokens("text").alias("_w"))
+    grams = toks.select(
+        "doc_id", F.explode(shingles_of_tokens("_w", _DECON_N)).alias("gram")
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    hits = (
+        corpus.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_eval_grams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition filtering (Gopher-style intra-document repetition signals)
+# --------------------------------------------------------------------------
+
+_REP_TOP_TOKEN_MAX = 0.2  # keep docs whose most frequent token is <= 20%
+_REP_DUP_BIGRAM_MAX = 0.5  # and whose duplicate-bigram share is <= 50%
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w
+                FROM documents),
+    bi AS (SELECT doc_id,
+                  LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w), 1)),
+                                 i -> w[i] || ' ' || w[i+1]) AS b
+           FROM tk),
+    top AS (SELECT doc_id, MAX(c) AS top_cnt
+            FROM (SELECT doc_id, t, COUNT(*) AS c
+                  FROM (SELECT doc_id, UNNEST(w) AS t FROM tk)
+                  GROUP BY doc_id, t)
+            GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(LEN(w) AS BIGINT) AS n_tokens,
+           top_cnt * 1.0 / GREATEST(LEN(w), 1) AS top_token_ratio,
+           1.0 - LEN(LIST_DISTINCT(b)) * 1.0 / GREATEST(LEN(b), 1)
+             AS dup_bigram_ratio,
+           (top_cnt * 1.0 / GREATEST(LEN(w), 1) <= {_REP_TOP_TOKEN_MAX}
+            AND 1.0 - LEN(LIST_DISTINCT(b)) * 1.0 / GREATEST(LEN(b), 1)
+                <= {_REP_DUP_BIGRAM_MAX}) AS keep
+    FROM tk JOIN bi USING (doc_id) JOIN top USING (doc_id)
+    """,
+    doc="Intra-document repetition signals (the Gopher/MassiveText filter "
+    "family): most-frequent-token share and duplicate-bigram share, plus the "
+    "combined keep gate. The bigram ratio is map-only (array expressions in "
+    "codegen); the top-token share is a two-level hash aggregate "
+    "((doc, token) counts with map-side combine, then a per-doc max) — both "
+    "shuffles carry only (key, count) pairs and partition by doc_id, so at "
+    "100 TB cost tracks distinct (doc, token) pairs, never the token stream.",
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.functions.textfns import shingles_of_tokens
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", tokens("text").alias("_w"))
+    bi = shingles_of_tokens("_w", 2, distinct=False)
+    map_stats = toks.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bi))
+            * F.lit(1.0)
+            / F.greatest(F.size(bi), F.lit(1))
+        ).alias("dup_bigram_ratio"),
+    )
+    top = (
+        toks.select("doc_id", F.explode("_w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    j = map_stats.join(top, "doc_id")
+    top_ratio = F.col("top_cnt") * F.lit(1.0) / F.greatest(
+        F.col("n_tokens"), F.lit(1).cast("long")
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        top_ratio.alias("top_token_ratio"),
+        "dup_bigram_ratio",
+        (
+            (top_ratio <= _REP_TOP_TOKEN_MAX)
+            & (F.col("dup_bigram_ratio") <= _REP_DUP_BIGRAM_MAX)
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified domain sampling (training-mixture reweighting)
+# --------------------------------------------------------------------------
+
+# percent of each source domain to keep; unlisted domains default to 10%.
+# In a real pipeline these are the mixture weights of the training recipe.
+_MIX_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+_MIX_DEFAULT = 10
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE {_MIX_DEFAULT} END"
+
+
+@query(
+    "text_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+               AS BIGINT) % 100 < {_mix_rate_sql()}
+    """,
+    doc="Stratified per-domain sampling by deterministic key hash — the "
+    "training-mixture reweighting step (e.g. keep 100% of curated sources, "
+    "10% of crawl). Same md5-bucket idiom as q35_hash_sample so the selected "
+    "set is stable across runs, engines, partitionings, and re-ingestions; "
+    "per-row rate comes from a CASE on the domain column. Map-only filter in "
+    "codegen: no shuffle, no per-group pre-pass, works identically at 100 TB.",
+)
+def text_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "source", "lang")
