@@ -120,3 +120,58 @@ def cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         .alias("o_totalprice"),
     )
     return snapshot_diff(old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+
+
+# --------------------------------------------------------------------------
+# CDC apply / log compaction (materialize current state from a change stream)
+# --------------------------------------------------------------------------
+
+_APPLY_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+cnt AS (SELECT user_id, COUNT(*) AS n_changes FROM events GROUP BY user_id)
+SELECT r.user_id,
+       r.event_id AS last_event_id,
+       r.ts AS last_ts,
+       r.value AS last_value,
+       CAST(c.n_changes AS BIGINT) AS n_changes
+FROM ranked r JOIN cnt c USING (user_id)
+WHERE r.rn = 1 AND r.event_type != 'error'
+"""
+
+
+@query(
+    "cdc_apply",
+    oracle=_APPLY_ORACLE,
+    doc="CDC apply / log compaction — the consumer side of the reference's "
+    "replication stream (pkg/replicator/replicator.go:215-284 produces the "
+    "stream; this materializes it): keep each key's latest change by "
+    "(ts, event_id) and drop keys whose final op is a delete (here: "
+    "event_type='error' plays the Debezium op='d' role). Implemented as ONE "
+    "hash aggregate with max_by over an ordering struct — partial aggregation "
+    "combines map-side, so the shuffle carries one candidate row per "
+    "(partition, key) instead of the full history that a window-sort "
+    "formulation (ROW_NUMBER + rn=1) would move and sort. At 100 TB of "
+    "change log with hot keys this is the difference between a bounded "
+    "shuffle and a skewed sort.",
+)
+def cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    last = e.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("last"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return last.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.value").alias("last_value"),
+        "n_changes",
+    )

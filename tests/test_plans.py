@@ -136,3 +136,35 @@ def test_ordered_listagg_single_shuffle(spark, specs):
     df = _df(specs, spark, "q36_string_agg")
     assert has_broadcast_join(df), formatted_plan(df)
     assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_bucketed_join_has_no_shuffle(spark, specs, tmp_path_factory):
+    """Pre-bucketing both sides of a pk equi-join on the join key removes the
+    exchange entirely — the co-located-join design the CDC snapshot-diff and
+    dedup docstrings promise for 100 TB (SURVEY.md §2A #11 scale note). Pins
+    that a bucketed `spark.table` join plans with ZERO shuffles."""
+    sf = SF
+    import uuid
+
+    from librarian_spark.sources.batch import load_table
+
+    suffix = uuid.uuid4().hex[:8]
+    t_old, t_new = f"orders_bkt_old_{suffix}", f"orders_bkt_new_{suffix}"
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    try:
+        for name, pred in ((t_old, 7), (t_new, 5)):
+            (
+                orders.filter(orders.o_orderkey % pred != 0)
+                .write.bucketBy(8, "o_orderkey")
+                .sortBy("o_orderkey")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        j = spark.table(t_old).join(spark.table(t_new), "o_orderkey")
+        assert shuffle_count(j) == 0, formatted_plan(j)
+        assert j.count() > 0
+    finally:
+        for name in (t_old, t_new):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
