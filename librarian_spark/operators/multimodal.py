@@ -237,3 +237,129 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         op, schema="doc_id long, frame_idx long, frame_len long, frame_head string"
     )
+
+
+# --------------------------------------------------------------------------
+# Resize / decimation (image stand-in)
+# --------------------------------------------------------------------------
+
+_RESIZE_STRIDE = 4  # keep every 4th byte ("pixel decimation")
+
+
+@query(
+    "mm_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CEIL(LENGTH(text) * 1.0 / {_RESIZE_STRIDE}) AS BIGINT)
+             AS n_out_bytes,
+           ARRAY_TO_STRING(LIST_TRANSFORM(
+               RANGE(1, LENGTH(text) + 1, {_RESIZE_STRIDE}),
+               i -> SUBSTRING(text, i, 1)), '') AS resized_head
+    FROM documents
+    """,
+    doc=f"Resize/decimation over a binary payload (every {_RESIZE_STRIDE}th "
+    "byte — the image-downsample access pattern with the codec stubbed to a "
+    "numpy stride slice): Arrow-batched mapInPandas, map-only, no shuffle, "
+    "output bounded at |payload|/stride per row. The oracle rebuilds the same "
+    "decimation character-wise in SQL (ASCII corpus ⇒ byte offsets ≡ char "
+    "offsets). A real decoder swaps the slice for PIL thumbnail/resize with "
+    "identical schema and batch flow; at 100 TB the bytes stream executor-side "
+    "batch-by-batch and never visit the driver.",
+)
+def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    df = ingest_binary(spark, sf)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stride = _RESIZE_STRIDE
+        for pdf in batches:
+            outs = [
+                (b"" if p is None else p[::stride]) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_out_bytes": pd.Series(
+                        [len(o) for o in outs], dtype="int64"
+                    ),
+                    "resized_head": [
+                        o.decode("utf-8", errors="replace") for o in outs
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        op, schema="doc_id long, n_out_bytes long, resized_head string"
+    )
+
+
+# --------------------------------------------------------------------------
+# Frame RMS (audio stand-in)
+# --------------------------------------------------------------------------
+
+_AUDIO_FRAME = 64  # bytes per "audio frame"
+
+
+@query(
+    "mm_audio_rms",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, text,
+             UNNEST(RANGE(0, CAST(CEIL(LENGTH(text) / {_AUDIO_FRAME}.0)
+                                  AS BIGINT))) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(LENGTH(SUBSTRING(text, CAST(frame_idx * {_AUDIO_FRAME} + 1
+                                            AS BIGINT),
+                                 {_AUDIO_FRAME})) AS BIGINT) AS n_samples,
+           SQRT(LIST_SUM(LIST_TRANSFORM(
+                  STR_SPLIT(SUBSTRING(text, CAST(frame_idx * {_AUDIO_FRAME} + 1
+                                                 AS BIGINT), {_AUDIO_FRAME}), ''),
+                  ch -> ASCII(ch) * ASCII(ch)))
+                * 1.0
+                / LENGTH(SUBSTRING(text, CAST(frame_idx * {_AUDIO_FRAME} + 1
+                                              AS BIGINT), {_AUDIO_FRAME})))
+             AS rms
+    FROM frames
+    """,
+    doc=f"Per-frame RMS energy over a binary payload ({_AUDIO_FRAME}-byte "
+    "frames — the audio feature-extraction access pattern; bytes stand in for "
+    "PCM samples, the codec stub for librosa/soundfile). The sum of squared "
+    "byte values is computed in exact int64 (no float accumulation), so one "
+    "final divide + sqrt is bit-identical in Spark, numpy, and the SQL "
+    "oracle regardless of summation order. Arrow-batched mapInPandas: "
+    "map-only, output ≈ |payload|/frame rows produced executor-side.",
+)
+def mm_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
+    df = ingest_binary(spark, sf)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        fb = _AUDIO_FRAME
+        for pdf in batches:
+            ids, idxs, ns, rms = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n = len(payload)
+                for i in range((n + fb - 1) // fb):
+                    chunk = payload[i * fb : i * fb + fb]
+                    sq = sum(b * b for b in chunk)  # exact int64
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ns.append(len(chunk))
+                    rms.append(math.sqrt(sq * 1.0 / len(chunk)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        op, schema="doc_id long, frame_idx long, n_samples long, rms double"
+    )
