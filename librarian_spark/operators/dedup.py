@@ -172,7 +172,7 @@ def _hash_family(k: int = _MINHASH_K) -> list[tuple[int, int]]:
 
 
 def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
-    """doc_id → (shingle set, 16 LSH band signatures) in ONE map-only pass.
+    """doc_id → (shingle hash set, 16 LSH band signatures) in ONE map-only pass.
 
     Per Arrow batch: shingle every doc in python, hash all shingles of the
     batch at once (pandas' C siphash, fixed key), apply the K=64 affine maps as
@@ -181,10 +181,14 @@ def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
     No shuffle — signatures are a pure per-row function; the only joins in the
     whole dedup pipeline are on band signatures and candidate doc_ids.
 
-    The shingle strings computed here are byte-identical to the DuckDB oracle's
-    ``LIST_DISTINCT(word-3-grams(STR_SPLIT(TRIM(LOWER(text)), ' ')))``, so the
-    exact-verify stage downstream matches the oracle exactly; the minhash
+    The shingle strings computed in-batch are byte-identical to the DuckDB
+    oracle's ``LIST_DISTINCT(word-3-grams(STR_SPLIT(TRIM(LOWER(text)), ' ')))``,
+    so the exact-verify stage downstream matches the oracle exactly; the minhash
     family only decides recall (and LSH misses at j≥0.9 are < 1e-7 per pair).
+    Only their 64-bit hashes LEAVE the batch: the string sets themselves are
+    consumed by nothing downstream (joins, verification, and set sizes all run
+    on ``shingle_hashes``), and shipping/caching ~20-byte strings that an
+    8-byte hash already represents would triple the cached footprint.
 
     MEASURED dead ends (do not redo): (a) explode + 64 ``min`` hash aggregates
     is codegen-hostile — the generated aggregate class keeps the JIT
@@ -255,7 +259,6 @@ def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "shingles": sh_lists,
                     "shingle_hashes": hash_lists,
                     "band_sigs": sigs,
                 }
@@ -263,10 +266,7 @@ def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
 
     return d.mapInPandas(
         op,
-        schema=(
-            "doc_id long, shingles array<string>, "
-            "shingle_hashes array<long>, band_sigs array<long>"
-        ),
+        schema="doc_id long, shingle_hashes array<long>, band_sigs array<long>",
     ).cache()
 
 
@@ -477,11 +477,20 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     pairs = cosine_pairs(e, _EMB_THRESHOLD)
+    # explode-symmetrize: one evaluation of the BLAS scoring pass instead of
+    # two (a unionAll of pairs with its swap runs the matmul per branch)
     edges = pairs.select(
-        F.col("vec_id_1").alias("doc_id"), F.col("vec_id_2").alias("nbr")
-    ).unionAll(
-        pairs.select(F.col("vec_id_2").alias("doc_id"), F.col("vec_id_1").alias("nbr"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id_1").alias("doc_id"), F.col("vec_id_2").alias("nbr")
+                ),
+                F.struct(
+                    F.col("vec_id_2").alias("doc_id"), F.col("vec_id_1").alias("nbr")
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.nbr")
     nbr_min = edges.groupBy("doc_id").agg(F.min("nbr").alias("min_nbr"))
     d = _t(spark, sf, "documents").select("doc_id")
     canonical = F.coalesce(F.least(F.col("doc_id"), F.col("min_nbr")), F.col("doc_id"))
@@ -555,11 +564,27 @@ FROM reach GROUP BY node
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents").select("doc_id")
     pairs = ngram_jaccard_pairs(spark, sf).select("doc_id_1", "doc_id_2")
-    edges = pairs.union(
+    # symmetrize by exploding each pair into both directions — a union with a
+    # swapped self would EVALUATE the whole pairs pipeline (shingle join +
+    # aggregate) twice, once per branch; the explode is map-only on one pass
+    edges = (
         pairs.select(
-            F.col("doc_id_2").alias("doc_id_1"), F.col("doc_id_1").alias("doc_id_2")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id_1").alias("doc_id_1"),
+                        F.col("doc_id_2").alias("doc_id_2"),
+                    ),
+                    F.struct(
+                        F.col("doc_id_2").alias("doc_id_1"),
+                        F.col("doc_id_1").alias("doc_id_2"),
+                    ),
+                )
+            ).alias("e")
         )
-    ).localCheckpoint()
+        .select("e.doc_id_1", "e.doc_id_2")
+        .localCheckpoint()
+    )
     # size the iteration's parallelism to the edge set, not the cluster: the
     # near-dup subgraph is usually orders of magnitude smaller than the corpus,
     # and fixed-width shuffles on a tiny frame pay ~30 task launches per round

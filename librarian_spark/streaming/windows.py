@@ -36,6 +36,8 @@ __all__ = [
     "session_windows",
     "dedup_within_watermark",
     "running_totals_stateful",
+    "stream_static_enrich",
+    "stream_stream_join",
 ]
 
 
@@ -155,4 +157,47 @@ def running_totals_stateful(events: DataFrame, watermark: str = "10 minutes") ->
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a dimension table.
+
+    The static side is re-read per micro-batch (so slowly-changing dims pick up
+    updates) and BROADCAST — the stream side never shuffles, which is the only
+    sane plan when the stream is 100 TB/day and the dim is megabytes. No
+    watermark needed: stream-static inner/left joins are stateless.
+    """
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    watermark: str = "10 minutes",
+    within_minutes: int = 5,
+) -> DataFrame:
+    """Stream-stream time-bounded join: pair each click with errors by the same
+    user within ``within_minutes`` AFTER the click.
+
+    Both sides carry a watermark and the join condition bounds event time in
+    both directions, so the engine can size state exactly: each side buffers
+    only rows inside watermark + interval, and evicts as the watermark
+    advances. Without the time bound the state grows without limit — the
+    classic unbounded-state bug; with it, state is O(rate × horizon)
+    regardless of stream length (S11 applied to joins).
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    e = errors.withWatermark("ts", watermark).alias("e")
+    cond = (
+        (F.col("c.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") >= F.col("c.ts"))
+        & (F.col("e.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return c.join(e, cond, "inner").select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("e.event_id").alias("error_id"),
+        F.col("e.ts").alias("error_ts"),
     )

@@ -359,3 +359,70 @@ def test_replicator_checkpoint_resume(spark, envelope_json_dir, tmp_path, sf_dir
     rep.stop()
     # 100 from batch1 (not reprocessed) + 130 from batch2
     assert spark.read.parquet(out).count() == 230
+
+
+def test_stream_static_enrich(spark, events_stream_dir, tmp_path, sf_dir):
+    """Stream-static broadcast join: every streamed event is enriched with its
+    user's nation (derived dim), result matches the batch join exactly."""
+    from librarian_spark.streaming.windows import stream_static_enrich
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % 100).alias("user_id"), "c_nationkey")
+        .groupBy("user_id")
+        .agg(F.min("c_nationkey").alias("nationkey"))
+    )
+    stream = _stream_events(spark, events_stream_dir, ["batch1", "batch2"])
+    _run_to_memory(
+        stream_static_enrich(stream, dim).select("event_id", "user_id", "nationkey"),
+        "enriched",
+        tmp_path,
+    )
+    got = {
+        (r.event_id, r.user_id, r.nationkey)
+        for r in spark.table("enriched").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_id, r.user_id, r.nationkey)
+        for r in batch.join(dim, "user_id", "left")
+        .select("event_id", "user_id", "nationkey")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_stream_time_bounded_join(spark, events_stream_dir, tmp_path, sf_dir):
+    """Stream-stream interval join (clicks ⋈ errors within 5 min per user)
+    produces exactly the batch join's pairs once all input is processed."""
+    from librarian_spark.streaming.windows import stream_stream_join
+
+    stream = _stream_events(spark, events_stream_dir, ["batch1", "batch2"])
+    clicks = stream.filter(F.col("event_type") == "click")
+    errors = stream.filter(F.col("event_type") == "error")
+    _run_to_memory(
+        stream_stream_join(clicks, errors), "ss_join", tmp_path
+    )
+    got = {
+        (r.user_id, r.click_id, r.error_id)
+        for r in spark.table("ss_join").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").alias("c")
+    be = ev.filter(F.col("event_type") == "error").alias("e")
+    cond = (
+        (F.col("c.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") >= F.col("c.ts"))
+        & (F.col("e.ts") <= F.col("c.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    want = {
+        (r.user_id, r.click_id, r.error_id)
+        for r in bc.join(be, cond)
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("e.event_id").alias("error_id"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
