@@ -1453,3 +1453,142 @@ def q39_range_bin_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n_shipped"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q40/Q41: classic TPC-H multi-join aggregate shapes (Q3, Q10)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q40_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           o_orderdate,
+           o_orderpriority,
+           {o_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 (shipping-priority) shape: selective dim filter → 3-way "
+    "join → hash aggregate → top-10. Scale plan: the filtered customer side "
+    "broadcasts (AQE decides from post-filter stats), lineitem⋈orders is the "
+    "one real shuffle, aggregation combines map-side, and the top-10 is "
+    "TakeOrdered (per-partition heads, never a global sort). Revenue is "
+    "fixed-point-summed so the ORDER BY key is bit-identical across engines "
+    "and the LIMIT cut is deterministic (orderkey tie-break).",
+)
+def q40_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = li.l_extendedprice * (1 - li.l_discount)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q41_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey,
+           c_name,
+           {o_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting) shape: time-sliced fact joins + "
+    "tiny-dim broadcast (nation) + grouped revenue + top-20. The o_orderdate "
+    "range predicate pushes to the parquet scan (partition pruning on a "
+    "date-partitioned 100 TB layout); nation always broadcasts; the revenue "
+    "aggregate is fixed-point for a deterministic cross-engine LIMIT cut.",
+)
+def q41_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = li.l_extendedprice * (1 - li.l_discount)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, 6).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q42: mergeable HLL sketches (re-aggregable distinct counts)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q42_hll_sketch",
+    oracle=None,  # Datasketches HLL internals have no ANSI-SQL twin; the exact
+    # counterpart is pinned by q07_count_distinct and the unit test below
+    doc="Mergeable distinct-count sketches (Datasketches HLL, Spark 4 "
+    "hll_sketch_agg/hll_union_agg): per-priority customer sketches plus "
+    "their UNION-merged global estimate in one pass. The point at 100 TB is "
+    "re-aggregability — per-partition/per-day sketches are tiny (~KB), "
+    "persistable, and merge associatively, so rollups over arbitrary "
+    "dimensions never rescan the fact data, while exact count-distinct "
+    "must re-shuffle the full key set every time. Rows-only driver check; "
+    "estimate-vs-exact error is asserted in tests/test_llm_ops.py.",
+)
+def q42_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sketch"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.lit("ALL").alias("o_orderpriority"),
+    )
+    return (
+        per_group.select(
+            "o_orderpriority",
+            F.hll_sketch_estimate("sketch").alias("estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .unionByName(
+            merged.select(
+                "o_orderpriority",
+                F.col("est").alias("estimate"),
+                F.lit(None).cast("long").alias("exact_distinct"),
+            )
+        )
+    )

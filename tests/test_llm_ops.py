@@ -163,3 +163,27 @@ def test_ivf_structural_contract(spark, sf_dir):
     }
     for r in ivf:
         assert abs(full[(r.query_id, r.neighbor_id)] - r.score) <= 1e-6
+
+
+def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
+    """q42: each per-group HLL estimate must sit within the Datasketches error
+    envelope of the exact distinct count, and the union-merged estimate within
+    the same envelope of the global exact count."""
+    from librarian_spark.operators.registry import load_all
+
+    rows = load_all()["q42_hll_sketch"].spark_fn(spark, sf_dir).collect()
+    per_group = [r for r in rows if r.o_orderpriority != "ALL"]
+    assert per_group
+    for r in per_group:
+        assert abs(r.estimate - r.exact_distinct) <= max(
+            3, 0.05 * r.exact_distinct
+        ), r
+    merged = [r for r in rows if r.o_orderpriority == "ALL"]
+    assert len(merged) == 1
+    exact_all = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(merged[0].estimate - exact_all) <= max(3, 0.05 * exact_all)
