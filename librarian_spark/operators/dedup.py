@@ -585,21 +585,15 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .select("e.doc_id_1", "e.doc_id_2")
         .localCheckpoint()
     )
-    # size the iteration's parallelism to the edge set, not the cluster: the
-    # near-dup subgraph is usually orders of magnitude smaller than the corpus,
-    # and fixed-width shuffles on a tiny frame pay ~30 task launches per round
-    # for nothing. ~1M edges per partition keeps each task comfortably in memory.
-    n_part = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                        edges.count() // 1_000_000 + 1))
-    edges = edges.repartition(n_part, "doc_id_2").localCheckpoint()
     # only edge-touched nodes can ever change label; everything else is a
-    # singleton cluster and skips the iteration entirely
+    # singleton cluster and skips the iteration entirely. Per-round shuffles
+    # on this (usually tiny) subgraph are right-sized by AQE partition
+    # coalescing — no explicit repartition pass, no extra sizing job.
     labels = (
         edges.select("doc_id_1")
         .distinct()
         .select(F.col("doc_id_1").alias("doc_id"))
         .withColumn("cluster_id", F.col("doc_id"))
-        .repartition(n_part, "doc_id")
         .localCheckpoint()
     )
     for _ in range(_CC_MAX_ITERS):
