@@ -632,3 +632,55 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") != F.col("cluster_id")).alias("is_duplicate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Keep-best dedup (canonical-selection policy)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             MD5(text) AS text_md5,
+             ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY MD5(text)) AS group_size
+      FROM documents
+    )
+    SELECT doc_id, source, text_md5,
+           CAST(group_size AS BIGINT) AS group_size,
+           (rn != 1) AS is_dropped
+    FROM ranked
+    """,
+    doc="Keep-best dedup: exact-duplicate groups keep the highest-quality "
+    "member (longest text, doc_id tie-break) instead of the arbitrary "
+    "first-seen — the canonical-selection policy real corpus dedup uses "
+    "(prefer the canonical URL / least-truncated copy). One hash aggregate "
+    "on md5(text) with max_by over the (n_chars, -doc_id) ordering struct "
+    "computes each group's winner with map-side partial aggregation; the "
+    "per-doc verdict is a broadcast-joinable lookup of winners back onto "
+    "the corpus when groups are small, or the window formulation (the "
+    "oracle) when they aren't. Shuffle carries (hash, winner-candidate) "
+    "partials — at 100 TB this is the cheapest dedup pass there is.",
+)
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    d = d.select("doc_id", "source", "n_chars", h.alias("text_md5"))
+    winners = d.groupBy("text_md5").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return d.join(winners, "text_md5").select(
+        "doc_id",
+        "source",
+        "text_md5",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("doc_id") != F.col("keep_id")).alias("is_dropped"),
+    )

@@ -1,0 +1,124 @@
+"""Streaming CDC materialization — apply a change stream to a keyed table.
+
+The reference moves change events (produce to Kafka and stop,
+`/root/reference/pkg/replicator/replicator.go:215-284`); the missing consumer
+half of "replace Kafka Connect" is applying those events to a queryable table.
+This module is that half: a ``foreachBatch`` sink that merges each micro-batch
+of Debezium-envelope events into a versioned parquet state directory.
+
+Semantics per micro-batch:
+
+1. within the batch, reduce to the LAST change per key (``max_by`` over the
+   (ts_ms, lsn) change order — same partial-aggregate shape as the batch
+   ``cdc_apply`` operator),
+2. anti-join the previous state against the batch's keys (drop superseded
+   rows), union the surviving upserts (final op != 'd'),
+3. write the merged state to ``state_dir/v=<batch_id>`` and atomically advance
+   the ``_LATEST`` pointer.
+
+Exactly-once on top of at-least-once delivery: the output location is a pure
+function of the micro-batch id, so a replayed batch rewrites the same version
+from the same predecessor — idempotent by construction (the foreachBatch
+idempotent-sink contract). Deletes take their key from the ``before`` image
+(``after`` is null on op='d', `pkg/postgres/source.go:327-377`).
+
+Scale: steps 1–2 are one shuffle each on the primary key; the state rewrite is
+the simple-and-correct formulation for a filesystem. On a 100 TB table swap
+step 3 for a transactional table format's MERGE (Delta/Iceberg) or partition
+the state dir and rewrite only partitions containing batch keys — steps 1–2
+and the idempotency contract stay identical.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+__all__ = ["MaterializeConfig", "materialize", "read_state"]
+
+_LATEST = "_LATEST"
+
+
+@dataclass
+class MaterializeConfig:
+    state_dir: str
+    checkpoint_dir: str
+    key_cols: list[str]
+    row_ddl: str  # DDL of the row payload, e.g. "o_orderkey long, o_totalprice double"
+    delete_op: str = "d"
+    order_cols: tuple[str, str] = ("ts_ms", "lsn")
+    trigger: dict = field(default_factory=dict)
+
+
+def _latest_version(state_dir: str) -> int | None:
+    p = os.path.join(state_dir, _LATEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _advance_pointer(state_dir: str, version: int) -> None:
+    tmp = os.path.join(state_dir, _LATEST + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(state_dir, _LATEST))  # atomic, like the
+    # reference's checkpoint temp-file+rename (checkpoint.go:103-117)
+
+
+def read_state(spark: SparkSession, cfg: MaterializeConfig) -> DataFrame:
+    """Current materialized table (empty with the declared schema if none)."""
+    v = _latest_version(cfg.state_dir)
+    if v is None:
+        return spark.createDataFrame([], cfg.row_ddl)
+    return spark.read.parquet(os.path.join(cfg.state_dir, f"v={v}"))
+
+
+def _apply_batch(
+    spark: SparkSession, cfg: MaterializeConfig, batch_df: DataFrame, batch_id: int
+) -> None:
+    ts, ordc = cfg.order_cols
+    after = F.from_json("after_json", cfg.row_ddl).alias("after_row")
+    before = F.from_json("before_json", cfg.row_ddl).alias("before_row")
+    typed = batch_df.select("op", ts, ordc, after, before)
+    # key comes from after (c/u/r) or before (d)
+    keys = [
+        F.coalesce(F.col(f"after_row.{k}"), F.col(f"before_row.{k}")).alias(k)
+        for k in cfg.key_cols
+    ]
+    keyed = typed.select("op", ts, ordc, F.col("after_row"), *keys)
+    last = keyed.groupBy(*cfg.key_cols).agg(
+        F.max_by(F.struct("op", "after_row"), F.struct(ts, ordc)).alias("fin")
+    )
+    upserts = last.filter(F.col("fin.op") != cfg.delete_op).select("fin.after_row.*")
+    prev = read_state(spark, cfg)
+    merged = prev.join(
+        last.select(*cfg.key_cols), cfg.key_cols, "left_anti"
+    ).unionByName(upserts)
+    out = os.path.join(cfg.state_dir, f"v={batch_id}")
+    merged.write.mode("overwrite").parquet(out)
+    _advance_pointer(cfg.state_dir, batch_id)
+
+
+def materialize(
+    spark: SparkSession, envelope_stream: DataFrame, cfg: MaterializeConfig
+) -> StreamingQuery:
+    """Start the materialization query over a PARSED envelope stream (the
+    output of :func:`librarian_spark.streaming.envelope.parse_envelope`)."""
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    writer = (
+        envelope_stream.writeStream.foreachBatch(
+            lambda bdf, bid: _apply_batch(spark, cfg, bdf, bid)
+        )
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .outputMode("update")
+    )
+    if cfg.trigger:
+        writer = writer.trigger(**cfg.trigger)
+    return writer.start()

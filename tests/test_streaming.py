@@ -426,3 +426,93 @@ def test_stream_stream_time_bounded_join(spark, events_stream_dir, tmp_path, sf_
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cdc_materialize_foreachbatch(spark, tmp_path, sf_dir):
+    """CDC apply sink: snapshot events then update/delete events, materialized
+    through foreachBatch into a versioned keyed parquet table; final state must
+    equal snapshot ∖ deletes with updates applied."""
+    from librarian_spark.streaming.envelope import build_envelope_json
+    from librarian_spark.streaming.materialize import (
+        MaterializeConfig,
+        materialize,
+        read_state,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") < 50)
+    )
+    # batch 1: op='r' snapshot of 50 keys
+    snap = snapshot_as_events(orders, db="db", schema="s", table="orders")
+    snap.select("value").coalesce(1).write.mode("overwrite").text(src + "/b1")
+
+    # batch 2: update keys %3==0 (price → 1.0), delete keys %7==0
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        build_envelope_json(
+            before_json=None,
+            after_json=F.to_json(
+                F.struct(
+                    F.col("o_orderkey"), F.lit(1.0).alias("o_totalprice")
+                )
+            ),
+            version=F.lit("1.0.0"),
+            connector=F.lit("t"),
+            name=F.lit("t"),
+            source_ts_ms=F.lit(2_000_000).cast("long"),
+            snapshot=F.lit("false"),
+            db=F.lit("db"),
+            schema=F.lit("s"),
+            table=F.lit("orders"),
+            op=F.lit("u"),
+            ts_ms=F.lit(2_000_000).cast("long"),
+            lsn=F.lit(2).cast("long"),
+        ).alias("value")
+    )
+    dele = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        build_envelope_json(
+            before_json=F.to_json(F.struct(F.col("o_orderkey"))),
+            after_json=None,
+            version=F.lit("1.0.0"),
+            connector=F.lit("t"),
+            name=F.lit("t"),
+            source_ts_ms=F.lit(3_000_000).cast("long"),
+            snapshot=F.lit("false"),
+            db=F.lit("db"),
+            schema=F.lit("s"),
+            table=F.lit("orders"),
+            op=F.lit("d"),
+            ts_ms=F.lit(3_000_000).cast("long"),
+            lsn=F.lit(3).cast("long"),
+        ).alias("value")
+    )
+    upd.unionAll(dele).select("value").coalesce(1).write.mode(
+        "overwrite"
+    ).text(src + "/b2")
+
+    cfg = MaterializeConfig(
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt_mat"),
+        key_cols=["o_orderkey"],
+        row_ddl="o_orderkey long, o_totalprice double",
+    )
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(src + "/b*")
+    )
+    q = materialize(spark, parse_envelope(stream, "value"), cfg)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.o_orderkey, r.o_totalprice) for r in read_state(spark, cfg).collect()
+    }
+    want = {
+        (r.o_orderkey, 1.0 if r.o_orderkey % 3 == 0 else r.o_totalprice)
+        for r in orders.collect()
+        if r.o_orderkey % 7 != 0
+    }
+    assert got == want and len(got) > 0
