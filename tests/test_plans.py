@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from librarian_spark.operators.registry import load_all
 from librarian_spark.plans.introspect import (
     formatted_plan,
@@ -168,3 +170,49 @@ def test_bucketed_join_has_no_shuffle(spark, specs, tmp_path_factory):
     finally:
         for name in (t_old, t_new):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, specs, tmp_path_factory):
+    """On a date/key-partitioned 100 TB fact table, a filtered dim join must
+    prune fact partitions at RUNTIME (dynamic partition pruning) — scanning
+    all partitions to then hash-filter is the classic star-schema scale bug.
+    Pins that the fact scan carries a dynamicpruning subquery expression."""
+    import uuid
+
+    from librarian_spark.sources.batch import load_table
+
+    base = str(tmp_path_factory.mktemp(f"dpp_{uuid.uuid4().hex[:6]}"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(base)
+    fact = spark.read.parquet(base)
+    # DPP preconditions (all verified empirically): the dim comes from a
+    # relation with size stats (a file scan); its filter sits on a NON-join
+    # column (a literal equality on the join key itself constant-propagates
+    # into a STATIC partition filter — a different mechanism); and the filter
+    # is a comparison predicate (a bare boolean attribute fails Catalyst's
+    # isLikelySelective test and DPP declines to insert the subquery).
+    dim_path = base + "_dim"
+    (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("o_orderpriority") == "1-URGENT", "hot").otherwise("cold"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path).filter(F.col("tier") == "hot")
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        j = fact.join(dim, "o_orderpriority")
+        plan = formatted_plan(j)
+        assert "dynamicpruning" in plan.lower(), plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
