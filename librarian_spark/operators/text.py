@@ -556,3 +556,69 @@ def text_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     for s, r in reversed(_MIX_RATES.items()):
         rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
     return d.filter(bucket < rate).select("doc_id", "source", "lang")
+
+
+# --------------------------------------------------------------------------
+# Corpus-LM quality scoring (token-frequency signals)
+# --------------------------------------------------------------------------
+
+_RARE_FREQ = 3  # tokens seen fewer than this many times corpus-wide are "rare"
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w
+                FROM documents),
+    tok AS (SELECT doc_id, UNNEST(w) AS t FROM tk),
+    vocab AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY t),
+    scored AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(v.freq) AS freq_sum,
+             SUM(CASE WHEN v.freq < {_RARE_FREQ} THEN 1 ELSE 0 END) AS n_rare
+      FROM tok JOIN vocab v USING (t)
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           freq_sum * 1.0 / n_tokens AS mean_token_freq,
+           n_rare * 1.0 / n_tokens AS rare_ratio
+    FROM scored
+    """,
+    doc="Corpus-LM quality scoring: each document scored by how 'ordinary' its "
+    "tokens are corpus-wide — mean token frequency and rare-token ratio, the "
+    "integer-exact core of a CCNet-style LM/perplexity filter (a real LM "
+    "swaps the frequency table for n-gram log-probs; the dataflow is "
+    "identical). Plan: vocabulary = one hash aggregate with map-side combine "
+    "(shuffle carries distinct tokens, not the token stream); scoring = "
+    "exploded tokens ⋈ vocab on the token (broadcast when the vocab fits, "
+    "shuffle-join otherwise) + one per-doc aggregate. All counts stay int64 "
+    "until two final IEEE divides, so the score is bit-reproducible across "
+    "engines, runs, and partitionings.",
+)
+def text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", tokens("text").alias("_w")).select(
+        "doc_id", F.explode("_w").alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("freq"))
+    scored = (
+        tok.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("freq_sum"),
+            F.sum(F.when(F.col("freq") < _RARE_FREQ, 1).otherwise(0)).alias(
+                "n_rare"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("freq_sum") * F.lit(1.0) / F.col("n_tokens")).alias(
+            "mean_token_freq"
+        ),
+        (F.col("n_rare") * F.lit(1.0) / F.col("n_tokens")).alias("rare_ratio"),
+    )
