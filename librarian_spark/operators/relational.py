@@ -1592,3 +1592,47 @@ def q42_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q43: salted two-level aggregation (skewed-key aggregate)
+# --------------------------------------------------------------------------
+
+_AGG_SALT = 8
+
+
+@query(
+    "q43_salted_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {o_dsum("value", 2)} AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=f"Skew-handling aggregation by two-level salting: first aggregate on "
+    f"(key, salt) with salt = hash(event_id) mod {_AGG_SALT}, then combine the "
+    f"{_AGG_SALT} partials per key — a key owning half the table now spreads "
+    f"over {_AGG_SALT} reducers in the wide first stage, and the second stage "
+    "moves only |keys|×salt partial rows. Every aggregate must be "
+    "re-aggregable (count→sum, sum→sum, max→max — the same algebra partial "
+    "aggregation uses). Provably identical to the plain aggregate (the "
+    "oracle IS the unsalted GROUP BY). Spark's map-side partial aggregation "
+    "makes this redundant for simple cases — it matters when the partial "
+    "state itself is heavy (collect_list/distinct-sketches) or after AQE "
+    "has no skew handle on an aggregate exchange.",
+)
+def q43_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    salted = e.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(_AGG_SALT)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(slong("value", 2)).alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("psum").cast("double") / 100).alias("total_value"),
+        F.max("pmax").alias("max_value"),
+    )
