@@ -187,3 +187,43 @@ def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
         .count()
     )
     assert abs(merged[0].estimate - exact_all) <= max(3, 0.05 * exact_all)
+
+
+def test_ivf_persisted_index_matches_inflight_and_prunes(spark, sf_dir, tmp_path):
+    """sim_ivf_index_topk: same results as the in-flight IVF operator (same
+    centroid rule, same probing), and the probe scan must actually prune
+    unprobed list partitions from the file listing."""
+    from librarian_spark.operators.similarity import (
+        _IVF_NLISTS,
+        build_ivf_index,
+        ivf_index_topk,
+        sim_ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(spark, sf_dir, idx)
+    got = {
+        (r.query_id, r.neighbor_id, r.score, r.rn)
+        for r in ivf_index_topk(spark, idx).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.score, r.rn)
+        for r in sim_ivf_topk(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # partition pruning at rest: the list filter must plan as a PARTITION
+    # filter on the layout (pruned before file listing), not a data filter
+    from librarian_spark.plans.introspect import formatted_plan
+
+    lists = spark.read.parquet(idx + "/lists")
+    plan = formatted_plan(lists.filter(F.col("list_id") == 0))
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # and the layout really is multi-partition (so the filter prunes)
+    dirs = {
+        f.split("list_id=")[1].split("/")[0] for f in lists.inputFiles()
+    }
+    assert len(dirs) == _IVF_NLISTS
