@@ -615,7 +615,11 @@ def sim_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
     import os
 
-    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    # tag includes the source file's mtime so a regenerated corpus under the
+    # same path can never serve a stale index
+    src = os.path.join(sf, "embeddings.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_ivf_{tag}"
     if not os.path.exists(index_dir + "/centroids"):
         build_ivf_index(spark, sf, index_dir)
