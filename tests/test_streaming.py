@@ -307,6 +307,15 @@ def test_replicator_file_to_memory(spark, envelope_json_dir, tmp_path):
         q = rep.start()
         assert rep.state == "streaming"
         rep.process_available()
+        # under heavy host load the first processAllAvailable has been seen
+        # to return before the file source lists its input — retry bounded
+        for _ in range(3):
+            if spark.sql("SELECT count(*) FROM rep1").collect()[0][0] > 0:
+                break
+            import time as _time
+
+            _time.sleep(1.0)
+            rep.process_available()
         rows = spark.sql("SELECT * FROM rep1").collect()
         assert len(rows) == 100
         ops = {r.op for r in rows}
