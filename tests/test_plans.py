@@ -216,3 +216,19 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, specs, tmp_path_fa
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_no_registry_query_plans_a_nested_loop(spark, specs):
+    """Global scale gate: NO registry query may plan BroadcastNestedLoopJoin or
+    CartesianProduct — the two O(N·M) shapes that die at 100 TB. Any future
+    operator that slips into one fails here, not in production."""
+    offenders = {}
+    for name, spec in specs.items():
+        plan = formatted_plan(spec.spark_fn(spark, SF))
+        if "BroadcastNestedLoop" in plan or "CartesianProduct" in plan:
+            offenders[name] = [
+                ln.strip()
+                for ln in plan.splitlines()
+                if "NestedLoop" in ln or "Cartesian" in ln
+            ]
+    assert not offenders, offenders
