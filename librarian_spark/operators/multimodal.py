@@ -168,10 +168,24 @@ def mm_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "mm_feature_extract",
-    oracle=None,  # byte-histogram decode is the stubbed non-SQL path (mapInPandas)
+    oracle="""
+    WITH ch AS (SELECT doc_id, STR_SPLIT(text, '') AS cs FROM documents)
+    SELECT doc_id,
+           CAST(LEN(cs) AS BIGINT) AS n_bytes,
+           CASE WHEN LEN(cs) > 0
+                THEN LIST_SUM(LIST_TRANSFORM(cs, c -> ASCII(c))) * 1.0 / LEN(cs)
+           END AS byte_mean,
+           LIST_TRANSFORM(RANGE(0, 16),
+                          i -> CAST(LEN(LIST_FILTER(cs, c -> ASCII(c) // 16 = i))
+                                    AS BIGINT)) AS byte_hist,
+           'stub-v1' AS decoder
+    FROM ch
+    """,
     doc="mapInPandas feature extraction through the stubbed decoder: real Arrow "
-    "batch flow, fake codec. Rows-only check; byte-stat correctness asserted in "
-    "unit tests against python-computed values.",
+    "batch flow, fake codec. The corpus is pure ASCII (verified), so the "
+    "byte-level stats the stub computes are exactly re-derivable character-wise "
+    "in SQL — integer-exact sums, one final IEEE divide — giving the "
+    "distributed Arrow path a full value oracle, not just a rows check.",
 )
 def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(ingest_binary(spark, sf))
