@@ -1636,3 +1636,41 @@ def q43_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         (F.sum("psum").cast("double") / 100).alias("total_value"),
         F.max("pmax").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q44: unpivot (wide → long)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q44_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    """,
+    doc="Unpivot/melt (wide → long), the inverse of q34_pivot: three measure "
+    "columns rotated into (measure, val) rows with stack() — a generator "
+    "expression inside codegen producing k rows per input row executor-side. "
+    "Map-only, no shuffle, scales with the scan; the UNION ALL oracle is the "
+    "portable spelling but scans the table k times where stack() scans once.",
+)
+def q44_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (measure, val)"
+        ),
+    )
