@@ -622,3 +622,61 @@ def text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (F.col("n_rare") * F.lit(1.0) / F.col("n_tokens")).alias("rare_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (training-batch assembly)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      LEN(STR_SPLIT(TRIM(LOWER(text)), ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens
+                - ((cum - n_tokens) // {_PACK_BUDGET}) * {_PACK_BUDGET}
+                AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    doc=f"Sequence packing: assign each document a (pack_id, pack_offset) "
+    f"inside {_PACK_BUDGET}-token training sequences, per source domain, in "
+    "deterministic doc_id order — the batch-assembly step between tokenization "
+    "and the trainer (docs spanning a boundary are split downstream at "
+    "pack_offset). One window cumulative sum per domain partition — a single "
+    "shuffle on the domain key, integer-exact, stable under re-partitioning. "
+    "At 100 TB pack within finer deterministic shards (e.g. (source, "
+    "hash-bucket)) so no single window partition grows unbounded; the "
+    "assignment stays reproducible because the shard key is content-derived.",
+)
+def text_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(tokens("text"))
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pre = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("pre")
+    t = t.select("doc_id", "source", "n_tokens", pre)
+    pack_id = F.expr(f"pre div {_PACK_BUDGET}")
+    return t.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pack_id.cast("long").alias("pack_id"),
+        (F.col("pre") - pack_id * _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
