@@ -60,6 +60,11 @@ class SourceConfig:
     # extensions (not in the reference):
     format: str = "jdbc"
     path: str = ""
+    # incremental snapshots: pull only rows where this monotone column exceeds
+    # the high watermark persisted by the previous run (the reference re-reads
+    # the full query every snapshot — delta pulls are what make periodic
+    # snapshots viable on a 100 TB source)
+    incremental_column: str = ""
 
     def effective_query(self) -> str:
         """Default projection (`internal/sql/source.go:163-177`):
@@ -170,6 +175,7 @@ def load_config_str(text: str) -> LibrarianConfig:
                 query=src.get("query", ""),
                 format=src.get("format", "jdbc"),
                 path=src.get("path", ""),
+                incremental_column=src.get("incremental_column", ""),
             ),
             repository=RepositoryConfig(
                 type=repo.get("type", "local"),

@@ -25,9 +25,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
+import os
 import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from librarian_spark.catalog import CatalogRecord, write_catalog
 from librarian_spark.config import ArchiverConfig, LibrarianConfig
@@ -35,6 +38,8 @@ from librarian_spark.schema import fields_to_struct_type
 from librarian_spark.sources.batch import read_jdbc_query
 
 __all__ = ["Snapshotter", "snapshot", "run_snapshot_config"]
+
+_WATERMARK_FILE = "_watermark.json"
 
 
 class Snapshotter:
@@ -71,8 +76,9 @@ class Snapshotter:
         raise ValueError(f"unknown source format: {src.format!r}")
 
     # -- sink -------------------------------------------------------------
-    def write(self, df: DataFrame, out_path: str) -> int:
-        """Distributed parquet write; returns the number of rows committed.
+    def write(self, df: DataFrame, out_path: str, append: bool = False) -> int:
+        """Distributed parquet write; returns the number of rows committed
+        BY THIS RUN (delta-aware for incremental appends).
 
         ``maxRecordsPerFile`` ≡ reference ``batch_size_num_records``
         (`internal/parquet/preserver.go:79-83`); 0 means "no per-file cap"
@@ -90,7 +96,14 @@ class Snapshotter:
             cols = [df[f.name].cast(f.dataType).alias(f.name) for f in declared.fields]
             df = df.select(cols)
 
-        writer = df.write.mode("overwrite")
+        before = 0
+        if append:
+            try:
+                before = self.spark.read.parquet(out_path).count()
+            except Exception:
+                before = 0
+
+        writer = df.write.mode("append" if append else "overwrite")
         if pres.batch_size_num_records > 0:
             writer = writer.option("maxRecordsPerFile", pres.batch_size_num_records)
         if repo.partition_by:
@@ -99,7 +112,26 @@ class Snapshotter:
 
         # processed count from committed parquet footers (metadata-only scan —
         # no data re-read), standing in for the reference's per-row counter.
-        return self.spark.read.parquet(out_path).count()
+        return self.spark.read.parquet(out_path).count() - before
+
+    # -- incremental high-watermark state ---------------------------------
+    def _load_watermark(self, out_path: str) -> dict | None:
+        p = os.path.join(out_path, _WATERMARK_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _save_watermark(self, out_path: str, column: str, value, dtype: str) -> None:
+        # atomic temp+rename, same contract as the reference's checkpoint
+        # writer (`pkg/replicator/checkpoint.go:103-117`)
+        p = os.path.join(out_path, _WATERMARK_FILE)
+        tmp = p + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"column": column, "value": str(value), "type": dtype}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, p)
 
     # -- orchestration ----------------------------------------------------
     def run(self, snapshot_id: str | None = None) -> CatalogRecord:
@@ -113,11 +145,34 @@ class Snapshotter:
             },
         )
         df = self.read_source()
+        out_path = self.cfg.repository.spark_path()
+
+        append = False
+        if src.incremental_column:
+            # delta pull: only rows past the persisted high watermark. The
+            # filter is a plain comparison on the monotone column, so it
+            # pushes down to the parquet/JDBC scan — the source never
+            # re-reads history (the point of incremental snapshots at scale).
+            col = src.incremental_column
+            dtype = dict(df.dtypes).get(col)
+            if dtype is None:
+                raise ValueError(f"incremental column {col!r} not in source output")
+            wm = self._load_watermark(out_path)
+            if wm is not None:
+                df = df.filter(F.col(col) > F.lit(wm["value"]).cast(dtype))
+                append = True
+
         # count pre-scan (`internal/sql/source.go:43-49`)
         record.num_source_records = df.count()
-        out_path = self.cfg.repository.spark_path()
-        processed = self.write(df, out_path)
+
+        if src.incremental_column:
+            new_max = df.agg(F.max(src.incremental_column).alias("m")).collect()[0].m
+        processed = self.write(df, out_path, append=append)
         record.finish(processed)
+        if src.incremental_column and new_max is not None:
+            self._save_watermark(
+                out_path, src.incremental_column, new_max, dict(df.dtypes).get(src.incremental_column, "string")
+            )
         if self.cfg.repository.type == "local":
             write_catalog(record, out_path)
         return record

@@ -248,3 +248,48 @@ def test_replicator_http_server(spark, tmp_path):
     finally:
         rep.stop()
         server.stop()
+
+
+def test_incremental_snapshot_high_watermark(spark, tmp_path, sf_dir):
+    """Incremental snapshots: run 1 full-loads and persists the high
+    watermark; run 2 (source grew) appends ONLY rows past it; run 3 (no new
+    rows) appends nothing. Catalog counts are per-run deltas."""
+    from librarian_spark.config import load_config_str
+    from librarian_spark.snapshot import run_snapshot_config
+
+    src_dir = str(tmp_path / "events_src")
+    out_dir = str(tmp_path / "inc_out")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    n = ev.count()
+    cut_ts = ev.orderBy("ts").limit(int(n * 0.6)).agg(F.max("ts")).collect()[0][0]
+
+    cfg_yaml = f"""
+name: inc
+archiver:
+  source:
+    format: parquet
+    path: {src_dir}
+    incremental_column: ts
+    query: "SELECT event_id, ts, value FROM source"
+  repository:
+    local:
+      path: {out_dir}
+"""
+    # run 1: only the first 60% exists
+    ev.filter(F.col("ts") <= cut_ts).write.mode("overwrite").parquet(src_dir)
+    r1 = run_snapshot_config(spark, load_config_str(cfg_yaml))
+    n1 = spark.read.parquet(out_dir).count()
+    assert r1.success and r1.num_records_processed == n1
+
+    # run 2: the source grew to 100% — only the delta is appended
+    ev.write.mode("overwrite").parquet(src_dir)
+    r2 = run_snapshot_config(spark, load_config_str(cfg_yaml))
+    assert r2.success
+    assert r2.num_records_processed == n - n1
+    assert spark.read.parquet(out_dir).count() == n
+    assert os.path.exists(os.path.join(out_dir, "_watermark.json"))
+
+    # run 3: nothing new
+    r3 = run_snapshot_config(spark, load_config_str(cfg_yaml))
+    assert r3.success and r3.num_records_processed == 0
+    assert spark.read.parquet(out_dir).count() == n
