@@ -1674,3 +1674,105 @@ def q44_unpivot(spark: SparkSession, sf: str) -> DataFrame:
             "'discount', l_discount) AS (measure, val)"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q45/Q46: event analytics — funnel and cohort retention
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q45_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           (t_view IS NOT NULL) AS did_view,
+           (t_view IS NOT NULL AND t_click > t_view) AS did_click_after_view,
+           (t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click)
+             AS did_purchase_after_click,
+           CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click THEN 3
+                WHEN t_view IS NOT NULL AND t_click > t_view THEN 2
+                WHEN t_view IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM firsts
+    """,
+    doc="Ordered funnel analysis (view → click → purchase): per user, the "
+    "first timestamp of each stage via conditional MIN aggregation, then "
+    "stage predicates require strict temporal order. ONE hash aggregate over "
+    "the events — conditional aggregates combine map-side, so the shuffle "
+    "carries 3 timestamps per (user, partition) regardless of event volume; "
+    "the window/self-join funnel formulations shuffle the event stream "
+    "itself. NULL comparisons resolve to false in both engines (t_click > "
+    "t_view is NULL ⇒ filtered the same way).",
+)
+def q45_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & (F.col("t_click") > F.col("t_view"))
+    did_purchase = did_click & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.select(
+        "user_id",
+        did_view.alias("did_view"),
+        F.coalesce(did_click, F.lit(False)).alias("did_click_after_view"),
+        F.coalesce(did_purchase, F.lit(False)).alias("did_purchase_after_click"),
+        F.when(did_purchase, 3)
+        .when(did_click, 2)
+        .when(did_view, 1)
+        .otherwise(0)
+        .alias("funnel_stage"),
+    )
+
+
+@query(
+    "q46_retention",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week
+                 FROM events)
+    SELECT b.cohort_week,
+           CAST(DATEDIFF('week', b.cohort_week, a.week) AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM base b JOIN activity a USING (user_id)
+    GROUP BY b.cohort_week, DATEDIFF('week', b.cohort_week, a.week)
+    """,
+    doc="Cohort retention: users grouped by first-activity week, counted "
+    "active per week offset — the standard engagement/retention rollup. Two "
+    "hash aggregates (cohort assignment, then the (cohort, offset) distinct "
+    "count) plus one equi-join on user_id; all shuffles carry per-user or "
+    "per-(cohort, week) rows, never raw events. DATE_TRUNC('week') is "
+    "ISO-Monday in both engines, and the offset arithmetic is exact integer "
+    "week subtraction on the truncated dates.",
+)
+def q46_retention(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    base = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = e.distinct()
+    offset = (
+        F.datediff(F.col("week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        base.join(activity, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
