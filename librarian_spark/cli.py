@@ -57,6 +57,19 @@ def build_parser() -> argparse.ArgumentParser:
     fgen.add_argument("-o", "--out", required=True, help="output parquet path")
     fgen.add_argument("--seed", type=int, default=42)
 
+    val = sub.add_parser(
+        "validate",
+        help="run every registry query against its DuckDB oracle (the "
+        "driver's correctness gate, locally)",
+    )
+    val.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01", help="testdata directory"
+    )
+    val.add_argument(
+        "-q", "--queries", default=None,
+        help="comma-separated subset (default: all registered)",
+    )
+
     return p
 
 
@@ -161,6 +174,50 @@ def _cmd_fixtures_generate(args) -> int:
     return 0
 
 
+def _cmd_validate(args) -> int:
+    """Every registry query vs its DuckDB oracle — the driver's t2 gate, run
+    locally. Prints one JSON line per query plus a summary; exit 1 on any
+    mismatch."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from oracle import compare, run_oracle  # tests harness
+
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.session import get_spark
+
+    spark = get_spark(app_name="librarian-validate")
+    specs = load_all()
+    names = (
+        [n.strip() for n in args.queries.split(",") if n.strip()]
+        if args.queries
+        else sorted(specs)
+    )
+    failed = []
+    for name in names:
+        spec = specs[name]
+        df = spec.spark_fn(spark, args.sf_dir)
+        if spec.oracle is None:
+            n = df.count()
+            print(json.dumps({"query": name, "status": "rows-only", "rows": n}))
+            continue
+        spark_rows = [tuple(r) for r in df.collect()]
+        ora_cols, ora_rows = run_oracle(spec.oracle, args.sf_dir)
+        problems = compare(df.columns, spark_rows, ora_cols, ora_rows)
+        status = "ok" if not problems else "MISMATCH"
+        if problems:
+            failed.append(name)
+        print(
+            json.dumps(
+                {"query": name, "status": status, "rows": len(spark_rows),
+                 **({"problems": problems[:3]} if problems else {})}
+            )
+        )
+    print(json.dumps({"total": len(names), "failed": failed}))
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "snapshot":
@@ -171,6 +228,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_schema_generate(args)
     if args.cmd == "fixtures":
         return _cmd_fixtures_generate(args)
+    if args.cmd == "validate":
+        return _cmd_validate(args)
     return 2
 
 

@@ -293,3 +293,22 @@ archiver:
     r3 = run_snapshot_config(spark, load_config_str(cfg_yaml))
     assert r3.success and r3.num_records_processed == 0
     assert spark.read.parquet(out_dir).count() == n
+
+
+def test_cli_validate(tmp_path, capsys):
+    """`validate` runs the oracle gate and exits 0 on match."""
+    rc = cli_main(
+        [
+            "validate",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "-q",
+            "q01_projection,q42_hll_sketch",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    summary = json.loads(out[-1])
+    assert summary == {"total": 2, "failed": []}
+    statuses = {json.loads(l)["query"]: json.loads(l)["status"] for l in out[:-1]}
+    assert statuses == {"q01_projection": "ok", "q42_hll_sketch": "rows-only"}
