@@ -232,3 +232,35 @@ def test_no_registry_query_plans_a_nested_loop(spark, specs):
                 if "NestedLoop" in ln or "Cartesian" in ln
             ]
     assert not offenders, offenders
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, specs):
+    """text_decontaminate: the eval-gram side must broadcast — shuffling the
+    corpus gram stream against it is the plan that dies at 100 TB."""
+    df = _df(specs, spark, "text_decontaminate")
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("cdc_apply", 1),          # one key-partitioned max_by aggregate
+        ("dedup_keep_best", 1),    # winners agg; verdict join broadcasts
+        ("q45_funnel", 1),         # conditional-MIN aggregate
+        ("text_pack_sequences", 1),  # one per-domain window
+    ],
+)
+def test_single_shuffle_aggregation_operators(spark, specs, name, max_shuffles):
+    df = _df(specs, spark, name)
+    assert shuffle_count(df) <= max_shuffles, f"{name}: " + formatted_plan(df)
+    assert has_partial_aggregate(df) or name == "text_pack_sequences", (
+        f"{name}: " + formatted_plan(df)
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["text_stratified_sample", "sim_quantize_int8", "q44_unpivot"]
+)
+def test_new_map_only_operators_never_shuffle(spark, specs, name):
+    df = _df(specs, spark, name)
+    assert shuffle_count(df) == 0, f"{name}: " + formatted_plan(df)
