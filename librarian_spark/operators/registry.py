@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         cdc,
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
