@@ -58,3 +58,69 @@ archiver:
     if not rec.success or rec.num_source_records != rec.num_records_processed:
         raise RuntimeError(f"snapshot count parity failed: {rec}")
     return spark.read.parquet(out)
+
+
+@query(
+    "pipeline_replicate",
+    oracle="SELECT 'r' AS op, 'orders' AS tbl, o_orderkey, o_totalprice FROM orders",
+    doc="The full replicate pipeline E2E (Debezium-envelope event stream → "
+    "Structured Streaming micro-batches → checkpointed parquet sink → "
+    "read-back): envelope JSON lines for the orders snapshot (op='r', the "
+    "reference's snapshot-read code, event.go:10) are drained through a "
+    "fresh Replicator each run, and the returned DataFrame re-parses the "
+    "sink's payloads — the oracle match proves values survive "
+    "envelope-encode → stream → sink → decode untouched, and the bench "
+    "timing is streaming drain throughput (the replicate loop's number, "
+    "replicator.go:215-284). Each run uses a fresh checkpoint dir so the "
+    "full drain is measured, not a no-op resume.",
+)
+def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+    from librarian_spark.streaming.envelope import snapshot_as_events
+    from librarian_spark.streaming.replicate import ReplicateConfig, Replicator
+
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    in_dir = f"/tmp/librarian_bench_cdc_{tag}/in"
+    if not os.path.exists(in_dir):
+        ev = snapshot_as_events(
+            load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+            db="db",
+            schema="s",
+            table="orders",
+        )
+        ev.select("value").write.mode("overwrite").text(in_dir)
+
+    run_id = uuid.uuid4().hex[:8]
+    out = f"/tmp/librarian_bench_cdc_{tag}/out_{run_id}"
+    rep = Replicator(
+        spark,
+        ReplicateConfig(
+            replicator_id=f"bench_{run_id}",
+            checkpoint_dir=f"/tmp/librarian_bench_cdc_{tag}/ckpt_{run_id}",
+            source_format="files",
+            source_path=in_dir,
+            source_schema="value string",
+            target_format="parquet",
+            target_path=out,
+        ),
+    )
+    rep.start()
+    rep.process_available()
+    rep.stop()
+    t = spark.read.parquet(out)
+    return t.select(
+        "op",
+        F.col("table").alias("tbl"),
+        F.get_json_object("after_json", "$.o_orderkey").cast("long").alias(
+            "o_orderkey"
+        ),
+        F.get_json_object("after_json", "$.o_totalprice").cast("double").alias(
+            "o_totalprice"
+        ),
+    )
