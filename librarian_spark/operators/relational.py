@@ -1776,3 +1776,61 @@ def q46_retention(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q47: z-score anomaly detection (deterministic second moments)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q47_zscore_anomaly",
+    oracle="""
+    WITH x AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS xi
+               FROM events),
+    m AS (SELECT event_type, COUNT(*) AS n,
+                 SUM(xi) AS s1, SUM(xi * xi) AS s2
+          FROM x GROUP BY event_type)
+    SELECT x.event_id, x.event_type,
+           ROUND(CAST(x.xi * m.n - m.s1 AS DOUBLE)
+                 / SQRT(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                        / (m.n - 1.0) * m.n), 6) AS zscore,
+           (ABS(CAST(x.xi * m.n - m.s1 AS DOUBLE)
+                / SQRT(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                       / (m.n - 1.0) * m.n)) > 3.0) AS is_anomaly
+    FROM x JOIN m USING (event_type)
+    """,
+    doc="Per-group z-score anomaly flagging with DETERMINISTIC variance: "
+    "naive STDDEV over doubles is partial-sum-order-dependent and never "
+    "hash-matches across engines; here both moments are exact int64 sums of "
+    "the fixed-point values (Σx, Σx²), variance comes from the closed form "
+    "n·Σx²−(Σx)² with one final double conversion, so every engine performs "
+    "identical IEEE steps. Plan: one map-side-combining aggregate for the "
+    "per-type moments (|types| rows) broadcast back onto the events — no "
+    "second scan shuffle. Int64 capacity bounds Σx² < 9.2e18: at 100 TB "
+    "switch the moment sums to DECIMAL(38) or per-partition partial moments "
+    "(the algebra is identical).",
+)
+def q47_zscore_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    x = e.select("event_id", "event_type", slong("value", 2).alias("xi"))
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s1"),
+        F.sum(F.col("xi") * F.col("xi")).alias("s2"),
+    )
+    j = x.join(F.broadcast(m), "event_type")
+    num = (F.col("xi") * F.col("n") - F.col("s1")).cast("double")
+    denom = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") - F.lit(1.0))
+        * F.col("n")
+    )
+    z = num / denom
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
