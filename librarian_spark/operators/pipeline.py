@@ -86,8 +86,11 @@ def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "orders.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    in_dir = f"/tmp/librarian_bench_cdc_{tag}/in"
-    if not os.path.exists(in_dir):
+    base = f"/tmp/librarian_bench_cdc_{tag}"
+    in_dir = f"{base}/in"
+    # completion marker, not bare existence: an interrupted first write
+    # would otherwise poison every later run with partial input
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         ev = snapshot_as_events(
             load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
             db="db",
@@ -96,13 +99,21 @@ def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
         )
         ev.select("value").write.mode("overwrite").text(in_dir)
 
+    # best-effort cleanup of previous runs' out/ckpt dirs (bounded /tmp use)
+    import shutil
+
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith(("out_", "ckpt_")):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
     run_id = uuid.uuid4().hex[:8]
-    out = f"/tmp/librarian_bench_cdc_{tag}/out_{run_id}"
+    out = f"{base}/out_{run_id}"
     rep = Replicator(
         spark,
         ReplicateConfig(
             replicator_id=f"bench_{run_id}",
-            checkpoint_dir=f"/tmp/librarian_bench_cdc_{tag}/ckpt_{run_id}",
+            checkpoint_dir=f"{base}/ckpt_{run_id}",
             source_format="files",
             source_path=in_dir,
             source_schema="value string",

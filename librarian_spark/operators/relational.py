@@ -1573,7 +1573,9 @@ def q42_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
     per_group = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sketch"),
         F.count_distinct("o_custkey").alias("exact_distinct"),
-    )
+    ).localCheckpoint()  # both the per-group branch and the union-merge read
+    # this |groups|-row result; without the checkpoint the orders scan +
+    # sketch aggregate would execute once per union branch
     merged = per_group.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
         F.lit("ALL").alias("o_orderpriority"),
@@ -1693,8 +1695,10 @@ def q44_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT user_id,
            (t_view IS NOT NULL) AS did_view,
-           (t_view IS NOT NULL AND t_click > t_view) AS did_click_after_view,
-           (t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click)
+           COALESCE(t_view IS NOT NULL AND t_click > t_view, FALSE)
+             AS did_click_after_view,
+           COALESCE(t_view IS NOT NULL AND t_click > t_view
+                    AND t_purchase > t_click, FALSE)
              AS did_purchase_after_click,
            CASE WHEN t_view IS NOT NULL AND t_click > t_view
                      AND t_purchase > t_click THEN 3
@@ -1793,12 +1797,16 @@ def q46_retention(spark: SparkSession, sf: str) -> DataFrame:
                  SUM(xi) AS s1, SUM(xi * xi) AS s2
           FROM x GROUP BY event_type)
     SELECT x.event_id, x.event_type,
-           ROUND(CAST(x.xi * m.n - m.s1 AS DOUBLE)
-                 / SQRT(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
-                        / (m.n - 1.0) * m.n), 6) AS zscore,
-           (ABS(CAST(x.xi * m.n - m.s1 AS DOUBLE)
-                / SQRT(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
-                       / (m.n - 1.0) * m.n)) > 3.0) AS is_anomaly
+           CASE WHEN m.n > 1 AND m.n * m.s2 - m.s1 * m.s1 > 0
+                THEN ROUND(CAST(x.xi * m.n - m.s1 AS DOUBLE)
+                           / SQRT(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                                  / (m.n - 1.0) * m.n), 6)
+           END AS zscore,
+           COALESCE(CASE WHEN m.n > 1 AND m.n * m.s2 - m.s1 * m.s1 > 0
+                         THEN ABS(CAST(x.xi * m.n - m.s1 AS DOUBLE)
+                                  / SQRT(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                                         / (m.n - 1.0) * m.n)) > 3.0
+                    END, FALSE) AS is_anomaly
     FROM x JOIN m USING (event_type)
     """,
     doc="Per-group z-score anomaly flagging with DETERMINISTIC variance: "
@@ -1806,9 +1814,12 @@ def q46_retention(spark: SparkSession, sf: str) -> DataFrame:
     "hash-matches across engines; here both moments are exact int64 sums of "
     "the fixed-point values (Σx, Σx²), variance comes from the closed form "
     "n·Σx²−(Σx)² with one final double conversion, so every engine performs "
-    "identical IEEE steps. Plan: one map-side-combining aggregate for the "
-    "per-type moments (|types| rows) broadcast back onto the events — no "
-    "second scan shuffle. Int64 capacity bounds Σx² < 9.2e18: at 100 TB "
+    "identical IEEE steps. Singleton groups (n=1) and zero-variance groups "
+    "guard to NULL zscore / FALSE anomaly on BOTH sides — under ANSI mode "
+    "(Spark 4 default) an unguarded divide raises DIVIDE_BY_ZERO instead of "
+    "returning NULL like the oracle. Plan: one map-side-combining aggregate "
+    "for the per-type moments (|types| rows) broadcast back onto the events "
+    "— no second scan shuffle. Int64 capacity bounds Σx² < 9.2e18: at 100 TB "
     "switch the moment sums to DECIMAL(38) or per-partition partial moments "
     "(the algebra is identical).",
 )
@@ -1822,15 +1833,17 @@ def q47_zscore_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
     j = x.join(F.broadcast(m), "event_type")
     num = (F.col("xi") * F.col("n") - F.col("s1")).cast("double")
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     denom = F.sqrt(
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
-        / (F.col("n") - F.lit(1.0))
-        * F.col("n")
+        var_num.cast("double") / (F.col("n") - F.lit(1.0)) * F.col("n")
     )
-    z = num / denom
+    ok = (F.col("n") > 1) & (var_num > 0)
+    z = F.when(ok, num / denom)
     return j.select(
         "event_id",
         "event_type",
         F.round(z, 6).alias("zscore"),
-        (F.abs(z) > 3.0).alias("is_anomaly"),
+        F.coalesce(F.when(ok, F.abs(num / denom) > 3.0), F.lit(False)).alias(
+            "is_anomaly"
+        ),
     )

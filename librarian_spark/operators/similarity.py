@@ -621,6 +621,8 @@ def sim_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_ivf_{tag}"
-    if not os.path.exists(index_dir + "/centroids"):
+    # completion = the writer's _SUCCESS commit marker, not bare existence —
+    # a crash mid-build leaves a partial dir that must trigger a rebuild
+    if not os.path.exists(index_dir + "/centroids/_SUCCESS"):
         build_ivf_index(spark, sf, index_dir)
     return ivf_index_topk(spark, index_dir)

@@ -407,9 +407,13 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id", tokens("text").alias("_w"))
+    # cached: the eval branch and the corpus branch both read this exploded
+    # gram stream — uncached, every document would tokenize+shingle twice.
+    # (MEMORY_AND_DISK, so at 100 TB the hot partitions spill rather than
+    # OOM; checkpoint to a table if the plan needs full durability.)
     grams = toks.select(
         "doc_id", F.explode(shingles_of_tokens("_w", _DECON_N)).alias("gram")
-    )
+    ).cache()
     ev = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("gram").distinct()
     )
@@ -599,9 +603,10 @@ _RARE_FREQ = 3  # tokens seen fewer than this many times corpus-wide are "rare"
 )
 def text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
+    # cached: vocab build and scoring both consume the exploded token stream
     tok = d.select("doc_id", tokens("text").alias("_w")).select(
         "doc_id", F.explode("_w").alias("t")
-    )
+    ).cache()
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("freq"))
     scored = (
         tok.join(vocab, "t")

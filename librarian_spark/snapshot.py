@@ -148,6 +148,7 @@ class Snapshotter:
         out_path = self.cfg.repository.spark_path()
 
         append = False
+        wm = None
         if src.incremental_column:
             # delta pull: only rows past the persisted high watermark. The
             # filter is a plain comparison on the monotone column, so it
@@ -162,20 +163,79 @@ class Snapshotter:
                 df = df.filter(F.col(col) > F.lit(wm["value"]).cast(dtype))
                 append = True
 
-        # count pre-scan (`internal/sql/source.go:43-49`)
-        record.num_source_records = df.count()
-
         if src.incremental_column:
-            new_max = df.agg(F.max(src.incremental_column).alias("m")).collect()[0].m
-        processed = self.write(df, out_path, append=append)
-        record.finish(processed)
-        if src.incremental_column and new_max is not None:
-            self._save_watermark(
-                out_path, src.incremental_column, new_max, dict(df.dtypes).get(src.incremental_column, "string")
+            # one aggregate covers both the catalog count pre-scan
+            # (`internal/sql/source.go:43-49`) AND the new high watermark —
+            # a separate count + max would scan the (live) source twice and
+            # could disagree with what gets written
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(src.incremental_column).alias("m"),
+            ).collect()[0]
+            record.num_source_records, new_max = agg.n, agg.m
+            processed = self._write_delta_idempotent(
+                df, out_path, wm, append=append
             )
+            record.finish(processed)
+            if new_max is not None:
+                self._save_watermark(
+                    out_path,
+                    src.incremental_column,
+                    new_max,
+                    dict(df.dtypes).get(src.incremental_column, "string"),
+                )
+        else:
+            # count pre-scan (`internal/sql/source.go:43-49`)
+            record.num_source_records = df.count()
+            processed = self.write(df, out_path)
+            record.finish(processed)
         if self.cfg.repository.type == "local":
             write_catalog(record, out_path)
         return record
+
+    def _write_delta_idempotent(
+        self, df: DataFrame, out_path: str, wm: dict | None, append: bool
+    ) -> int:
+        """Append the delta with file names DERIVED FROM THE WATERMARK so a
+        crash between append and watermark-save cannot duplicate data: the
+        retry recomputes the identical delta and its files REPLACE the
+        partial ones instead of adding to them (idempotence instead of an
+        unattainable multi-file atomic commit — the same trick foreachBatch
+        sinks use with the batch id). First run (no watermark) is a plain
+        overwrite, already atomic per Spark's commit protocol."""
+        import hashlib
+        import shutil
+
+        if not append:
+            return self.write(df, out_path)
+        tag = hashlib.md5(str((wm or {}).get("value")).encode()).hexdigest()[:12]
+        staging = os.path.join(out_path, f".delta_staging_{tag}")
+        pres = self.cfg.preserver
+        writer = df.write.mode("overwrite")
+        if pres.batch_size_num_records > 0:
+            writer = writer.option("maxRecordsPerFile", pres.batch_size_num_records)
+        writer.parquet(staging)
+        moved = 0
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(staging, f),
+                    os.path.join(out_path, f"delta-{tag}-{moved:05d}.parquet"),
+                )
+                moved += 1
+        # drop any leftover higher-numbered files from a previous, larger
+        # partial attempt at this same watermark
+        for f in os.listdir(out_path):
+            if f.startswith(f"delta-{tag}-") and int(f.split("-")[2].split(".")[0]) >= moved:
+                os.remove(os.path.join(out_path, f))
+        shutil.rmtree(staging, ignore_errors=True)
+        # per-run delta count = rows in this watermark's files
+        import glob as _glob
+
+        delta_files = _glob.glob(os.path.join(out_path, f"delta-{tag}-*.parquet"))
+        if delta_files:
+            return self.spark.read.parquet(*delta_files).count()
+        return 0
 
 
 def snapshot(spark: SparkSession, cfg: ArchiverConfig, snapshot_id: str | None = None) -> CatalogRecord:

@@ -52,6 +52,10 @@ class MaterializeConfig:
     delete_op: str = "d"
     order_cols: tuple[str, str] = ("ts_ms", "lsn")
     trigger: dict = field(default_factory=dict)
+    # versions RETAINED behind the _LATEST pointer (replay/debug window);
+    # older v=* dirs are pruned after each commit — without this, state_dir
+    # grows O(batches × state size)
+    keep_versions: int = 2
 
 
 def _latest_version(state_dir: str) -> int | None:
@@ -70,6 +74,20 @@ def _advance_pointer(state_dir: str, version: int) -> None:
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(state_dir, _LATEST))  # atomic, like the
     # reference's checkpoint temp-file+rename (checkpoint.go:103-117)
+
+
+def _prune_versions(state_dir: str, latest: int, keep: int) -> None:
+    """Drop v=* dirs older than the ``keep`` most recent behind ``latest``."""
+    import shutil
+
+    versions = sorted(
+        int(d[2:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v=") and d[2:].isdigit()
+    )
+    for v in versions:
+        if v < latest and v not in versions[-(keep + 1) :]:
+            shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
 
 
 def read_state(spark: SparkSession, cfg: MaterializeConfig) -> DataFrame:
@@ -104,6 +122,7 @@ def _apply_batch(
     out = os.path.join(cfg.state_dir, f"v={batch_id}")
     merged.write.mode("overwrite").parquet(out)
     _advance_pointer(cfg.state_dir, batch_id)
+    _prune_versions(cfg.state_dir, batch_id, cfg.keep_versions)
 
 
 def materialize(

@@ -22,3 +22,40 @@ def test_query_matches_oracle(spark, oracle_sf_dir, name):
         assert df.count() >= 0  # rows-only check, mirroring the driver
         return
     assert_query_matches(spark, spec.spark_fn, spec.oracle, oracle_sf_dir, name)
+
+
+def test_degenerate_groups_match_oracle(spark, tmp_path):
+    """Adversarial regression data for NULL/degenerate-group semantics: a
+    singleton event_type (n=1 ⇒ unguarded ANSI divide raises DIVE_BY_ZERO in
+    q47) and a view-only user (projected TRUE AND NULL is NULL, not false —
+    q45's oracle diverged). Both queries must still hash-match their oracles."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    tmp = str(tmp_path / "degenerate")
+    import os
+
+    os.makedirs(tmp)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    extra = spark.createDataFrame(
+        [
+            (999901, "2024-02-01 00:00:00", 7777, "solo_type", 5.0, "{}"),
+            (999902, "2024-02-02 00:00:00", 8888, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    staging = f"{tmp}/_staging"
+    ev.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(glob.glob(f"{staging}/part-*.parquet")[0], f"{tmp}/events.parquet")
+    shutil.rmtree(staging)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
+    for name in ["q47_zscore_anomaly", "q45_funnel", "cdc_apply", "q30_sessionization"]:
+        spec = SPECS[name]
+        assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
