@@ -51,12 +51,14 @@ def main() -> None:
     # a self-join) still apply — that's part of the operator's real plan.
     # best-of-3 by default: the box shares its host, and transient load spikes
     # otherwise get recorded as engine regressions (measured: identical code
-    # swinging 0.6s ↔ 2.1s between runs minutes apart)
+    # swinging 0.6s ↔ 2.1s between runs minutes apart). Rounds are
+    # INTERLEAVED (full pass over the list per round, min per query) so a
+    # multi-second spike degrades one round of a few queries instead of
+    # every attempt of whichever query it lands on.
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(n_runs):
+    best: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(n_runs):
+        for name in names:
             spark.catalog.clearCache()
             # time construction + execution: operators that collect a broadcast
             # block or run an iterative convergence loop do real work while the
@@ -64,8 +66,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df = specs[name].spark_fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(best[name], 4) for name in names}
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
