@@ -1847,3 +1847,63 @@ def q47_zscore_anomaly(spark: SparkSession, sf: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q48: median-absolute-deviation robust outliers
+# --------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # normal-consistency constant
+_MAD_THRESH = 3.0
+
+
+@query(
+    "q48_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             ANY_VALUE(m.med) AS med,
+             quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           m.med, m.mad,
+           COALESCE(ABS(e.value - m.med) > {_MAD_THRESH} * {_MAD_K} * m.mad,
+                    FALSE) AS is_outlier
+    FROM events e JOIN mad m USING (event_type)
+    """,
+    doc="Robust outlier detection via median absolute deviation — the "
+    "companion to q47's z-scores when the data has heavy tails (median/MAD "
+    "don't move when the outliers themselves do). Exact interpolated medians "
+    "are a deterministic function of the value multiset (order-independent, "
+    "unlike any sum of doubles), so the flags hash-match across engines with "
+    "no fixed-point machinery. Plan: two grouped exact percentiles (second "
+    "one over |x − median| via a broadcast join of the |groups|-row medians) "
+    "+ one broadcast join back onto events. Exact percentile buffers each "
+    "group; at 100 TB swap percentile_approx per the q33 note.",
+)
+def q48_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    j = e.join(F.broadcast(mad), "event_type")
+    flag = F.abs(F.col("value") - F.col("med")) > _MAD_THRESH * _MAD_K * F.col("mad")
+    return j.select(
+        "event_id",
+        "event_type",
+        "med",
+        "mad",
+        F.coalesce(flag, F.lit(False)).alias("is_outlier"),
+    )
