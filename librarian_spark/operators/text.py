@@ -685,3 +685,50 @@ def text_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         pack_id.cast("long").alias("pack_id"),
         (F.col("pre") - pack_id * _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val/test split assignment
+# --------------------------------------------------------------------------
+
+_SPLITS = (("train", 80), ("val", 10), ("test", 10))  # percent, in order
+
+
+@query(
+    "text_split_assign",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE
+             WHEN b < {_SPLITS[0][1]} THEN 'train'
+             WHEN b < {_SPLITS[0][1] + _SPLITS[1][1]} THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM (SELECT doc_id, source,
+                 CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                      AS BIGINT) % 100 AS b
+          FROM documents)
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by key hash: every "
+    "engine, run, partitioning, and re-ingestion gives each document the "
+    "same split — the property that makes eval sets trustworthy (a rand() "
+    "split silently reshuffles docs between train and test on every rerun). "
+    "Same md5-bucket idiom as the samplers; map-only CASE in codegen, no "
+    "shuffle. Hashing the stable business key (not a row number) also keeps "
+    "assignments fixed when upstream filtering changes the row set.",
+)
+def text_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < _SPLITS[0][1], "train")
+        .when(b < _SPLITS[0][1] + _SPLITS[1][1], "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "source", split.alias("split"))
