@@ -201,3 +201,26 @@ def stream_stream_join(
         F.col("e.event_id").alias("error_id"),
         F.col("e.ts").alias("error_ts"),
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(changelog_checkpointing: bool = True) -> dict[str, str]:
+    """Session conf for RocksDB-backed streaming state — REQUIRED once state
+    outgrows executor heap (the default HDFS-backed provider keeps every key
+    in JVM memory; RocksDB spills to local SSD and snapshots to the
+    checkpoint). Changelog checkpointing uploads per-batch deltas instead of
+    full snapshots — the difference between O(delta) and O(state) checkpoint
+    traffic on a multi-TB dedup/session store. Apply with
+    ``for k, v in rocksdb_state_conf().items(): spark.conf.set(k, v)``
+    before starting the query (per-query, not cluster-wide).
+    """
+    conf = {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+    if changelog_checkpointing:
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    return conf

@@ -525,3 +525,39 @@ def test_cdc_materialize_foreachbatch(spark, tmp_path, sf_dir):
         if r.o_orderkey % 7 != 0
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, events_stream_dir, tmp_path):
+    """The RocksDB state-store provider (the multi-TB state path the windows
+    module documents) must actually run in this build: same dedup results as
+    the default provider."""
+    from librarian_spark.streaming.windows import (
+        dedup_within_watermark,
+        rocksdb_state_conf,
+    )
+
+    prev = {
+        k: spark.conf.get(k, None) for k in rocksdb_state_conf()
+    }
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = _stream_events(spark, events_stream_dir, ["batch1", "batch2"])
+        doubled = stream.unionByName(stream)  # guaranteed duplicates
+        _run_to_memory(
+            dedup_within_watermark(doubled), "rocksdb_dedup", tmp_path
+        )
+        got = {r.event_id for r in spark.table("rocksdb_dedup").collect()}
+        want = {
+            r.event_id
+            for r in spark.read.parquet(
+                os.path.join(events_stream_dir, "batch*")
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
