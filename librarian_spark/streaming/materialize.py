@@ -16,11 +16,14 @@ Semantics per micro-batch:
 3. write the merged state to ``state_dir/v=<batch_id>`` and atomically advance
    the ``_LATEST`` pointer.
 
-Exactly-once on top of at-least-once delivery: the output location is a pure
-function of the micro-batch id, so a replayed batch rewrites the same version
-from the same predecessor — idempotent by construction (the foreachBatch
-idempotent-sink contract). Deletes take their key from the ``before`` image
-(``after`` is null on op='d', `pkg/postgres/source.go:327-377`).
+Exactly-once on top of at-least-once delivery (the foreachBatch
+idempotent-sink contract): the ``_LATEST`` pointer advances only after a
+complete version write, so a replayed batch either re-runs against the same
+predecessor (crash mid-write — the partial ``v=<id>`` is overwritten) or is
+skipped as already-applied (crash after pointer-advance — re-merging would
+read ``v=<id>`` while overwriting it). Both paths are pinned by replay tests.
+Deletes take their key from the ``before`` image (``after`` is null on
+op='d', `pkg/postgres/source.go:327-377`).
 
 Scale: steps 1–2 are one shuffle each on the primary key; the state rewrite is
 the simple-and-correct formulation for a filesystem. On a 100 TB table swap
@@ -101,6 +104,13 @@ def read_state(spark: SparkSession, cfg: MaterializeConfig) -> DataFrame:
 def _apply_batch(
     spark: SparkSession, cfg: MaterializeConfig, batch_df: DataFrame, batch_id: int
 ) -> None:
+    # replay guard: the pointer only advances after a COMPLETE v=<id> write,
+    # so pointer ≥ batch_id means this batch is fully applied — re-merging
+    # would read v=<id> while overwriting it (a read-under-overwrite crash),
+    # and skipping is exactly the foreachBatch idempotent-sink contract
+    latest = _latest_version(cfg.state_dir)
+    if latest is not None and latest >= batch_id:
+        return
     ts, ordc = cfg.order_cols
     after = F.from_json("after_json", cfg.row_ddl).alias("after_row")
     before = F.from_json("before_json", cfg.row_ddl).alias("before_row")

@@ -561,3 +561,37 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, events_stream_dir, tmp_pat
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cdc_materialize_batch_replay_is_idempotent(spark, tmp_path, sf_dir):
+    """The foreachBatch contract the materializer claims: re-applying the SAME
+    micro-batch (crash-replay after the pointer advanced but before the
+    streaming commit) leaves the state byte-identical."""
+    from librarian_spark.streaming.envelope import parse_envelope
+    from librarian_spark.streaming.materialize import (
+        MaterializeConfig,
+        _apply_batch,
+        read_state,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") < 30)
+    )
+    ev = snapshot_as_events(orders, db="db", schema="s", table="orders")
+    batch = parse_envelope(ev.select("value"), "value")
+    cfg = MaterializeConfig(
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key_cols=["o_orderkey"],
+        row_ddl="o_orderkey long, o_totalprice double",
+    )
+    import os as _os
+
+    _os.makedirs(cfg.state_dir, exist_ok=True)
+    _apply_batch(spark, cfg, batch, 0)
+    first = {(r.o_orderkey, r.o_totalprice) for r in read_state(spark, cfg).collect()}
+    _apply_batch(spark, cfg, batch, 0)  # replay of the same batch id
+    second = {(r.o_orderkey, r.o_totalprice) for r in read_state(spark, cfg).collect()}
+    assert first == second and len(first) == orders.count()
