@@ -312,3 +312,45 @@ def test_cli_validate(tmp_path, capsys):
     assert summary == {"total": 2, "failed": []}
     statuses = {json.loads(l)["query"]: json.loads(l)["status"] for l in out[:-1]}
     assert statuses == {"q01_projection": "ok", "q42_hll_sketch": "rows-only"}
+
+
+def test_incremental_snapshot_crash_replay_no_duplicates(spark, tmp_path, sf_dir):
+    """Crash window between delta-append and watermark-save: rerunning with
+    the stale watermark must REPLACE the delta files (names derived from the
+    watermark), not append a second copy."""
+    from librarian_spark.config import load_config_str
+    from librarian_spark.snapshot import run_snapshot_config
+
+    src_dir = str(tmp_path / "ev_src")
+    out_dir = str(tmp_path / "inc_out")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    n = ev.count()
+    cut_ts = ev.orderBy("ts").limit(int(n * 0.5)).agg(F.max("ts")).collect()[0][0]
+    cfg_yaml = f"""
+name: inc
+archiver:
+  source:
+    format: parquet
+    path: {src_dir}
+    incremental_column: ts
+    query: "SELECT event_id, ts, value FROM source"
+  repository:
+    local:
+      path: {out_dir}
+"""
+    ev.filter(F.col("ts") <= cut_ts).write.mode("overwrite").parquet(src_dir)
+    run_snapshot_config(spark, load_config_str(cfg_yaml))
+    wm_path = os.path.join(out_dir, "_watermark.json")
+    wm_before = open(wm_path).read()
+
+    ev.write.mode("overwrite").parquet(src_dir)  # source grows
+    run_snapshot_config(spark, load_config_str(cfg_yaml))
+    assert spark.read.parquet(out_dir).count() == n
+
+    # simulate the crash: watermark file reverts to the pre-append value
+    with open(wm_path, "w") as fh:
+        fh.write(wm_before)
+    r = run_snapshot_config(spark, load_config_str(cfg_yaml))
+    assert r.success
+    # the replayed delta REPLACED the previous files — still exactly n rows
+    assert spark.read.parquet(out_dir).count() == n
