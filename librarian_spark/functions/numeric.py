@@ -45,6 +45,8 @@ __all__ = [
     "o_slong",
     "o_dsum",
     "o_davg",
+    "hash_bucket",
+    "o_hash_bucket",
 ]
 
 _PRECISION = 25  # wide-decimal fallback for beyond-int64 totals
@@ -87,3 +89,25 @@ def o_dsum(expr: str, scale: int = 4) -> str:
 
 def o_davg(expr: str, scale: int = 4) -> str:
     return f"({o_dsum(expr, scale)} / COUNT({expr}))"
+
+
+def hash_bucket(col: Column | str, n: int = 100) -> Column:
+    """Deterministic bucket in [0, n) from a stable key: first 4 hex chars of
+    md5(key-as-string) mod n. The cross-engine-reproducible sampling idiom
+    every sampler/splitter shares (same rows selected on every run, engine,
+    partitioning, and re-ingestion); ``o_hash_bucket`` is its DuckDB twin —
+    change them TOGETHER or every hash-based sample silently reshuffles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        % n
+    )
+
+
+def o_hash_bucket(col_sql: str, n: int = 100) -> str:
+    """DuckDB twin of :func:`hash_bucket`."""
+    return (
+        f"CAST(('0x' || SUBSTRING(MD5(CAST({col_sql} AS VARCHAR)), 1, 4))::UBIGINT"
+        f" AS BIGINT) % {n}"
+    )

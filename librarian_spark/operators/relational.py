@@ -29,8 +29,10 @@ from pyspark.sql.window import Window as W
 from librarian_spark.functions.numeric import (
     davg,
     dsum,
+    hash_bucket,
     o_davg,
     o_dsum,
+    o_hash_bucket,
     o_slong,
     slong,
 )
@@ -1260,9 +1262,8 @@ def q34_pivot(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, event_type, value
     FROM events
-    WHERE CAST(('0x' || SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 4))::UBIGINT
-               AS BIGINT) % 100 < 10
-    """,
+    WHERE {bucket} < 10
+    """.format(bucket=o_hash_bucket("event_id")),
     doc="Deterministic 10% sample by key hash (md5 prefix mod 100): unlike "
     "TABLESAMPLE/rand(), the same rows are selected on every run, every "
     "engine, and every partitioning — the reproducible-experiment sampling "
@@ -1272,15 +1273,9 @@ def q34_pivot(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q35_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 4),
-            16,
-            10,
-        ).cast("long")
-        % 100
+    return e.filter(hash_bucket("event_id") < 10).select(
+        "event_id", "user_id", "event_type", "value"
     )
-    return e.filter(bucket < 10).select("event_id", "user_id", "event_type", "value")
 
 
 # --------------------------------------------------------------------------

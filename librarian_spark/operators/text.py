@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from librarian_spark.functions.numeric import hash_bucket, o_hash_bucket
 from librarian_spark.functions.textfns import (
     FP_MOD,
     STOPWORDS,
@@ -536,8 +537,7 @@ def _mix_rate_sql() -> str:
     oracle=f"""
     SELECT doc_id, source, lang
     FROM documents
-    WHERE CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
-               AS BIGINT) % 100 < {_mix_rate_sql()}
+    WHERE {o_hash_bucket("doc_id")} < {_mix_rate_sql()}
     """,
     doc="Stratified per-domain sampling by deterministic key hash — the "
     "training-mixture reweighting step (e.g. keep 100% of curated sources, "
@@ -548,14 +548,7 @@ def _mix_rate_sql() -> str:
 )
 def text_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = hash_bucket("doc_id")
     rate = F.lit(_MIX_DEFAULT)
     for s, r in reversed(_MIX_RATES.items()):
         rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
@@ -703,9 +696,7 @@ _SPLITS = (("train", 80), ("val", 10), ("test", 10))  # percent, in order
              WHEN b < {_SPLITS[0][1] + _SPLITS[1][1]} THEN 'val'
              ELSE 'test'
            END AS split
-    FROM (SELECT doc_id, source,
-                 CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
-                      AS BIGINT) % 100 AS b
+    FROM (SELECT doc_id, source, {o_hash_bucket("doc_id")} AS b
           FROM documents)
     """,
     doc="Deterministic 80/10/10 train/val/test assignment by key hash: every "
@@ -718,14 +709,7 @@ _SPLITS = (("train", 80), ("val", 10), ("test", 10))  # percent, in order
 )
 def text_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
-    b = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    b = hash_bucket("doc_id")
     split = (
         F.when(b < _SPLITS[0][1], "train")
         .when(b < _SPLITS[0][1] + _SPLITS[1][1], "val")

@@ -105,12 +105,24 @@ def _apply_batch(
     spark: SparkSession, cfg: MaterializeConfig, batch_df: DataFrame, batch_id: int
 ) -> None:
     # replay guard: the pointer only advances after a COMPLETE v=<id> write,
-    # so pointer ≥ batch_id means this batch is fully applied — re-merging
-    # would read v=<id> while overwriting it (a read-under-overwrite crash),
-    # and skipping is exactly the foreachBatch idempotent-sink contract
+    # so pointer == batch_id means this exact batch is fully applied —
+    # re-merging would read v=<id> while overwriting it (a
+    # read-under-overwrite crash); skipping is the foreachBatch
+    # idempotent-sink contract. A pointer AHEAD of the batch id is not a
+    # replay — it means the stream's checkpoint and this state dir belong to
+    # different runs (reset/relocated checkpoint), and silently skipping
+    # would discard every batch until ids catch up: fail loudly instead.
     latest = _latest_version(cfg.state_dir)
-    if latest is not None and latest >= batch_id:
-        return
+    if latest is not None:
+        if latest == batch_id:
+            return
+        if latest > batch_id:
+            raise ValueError(
+                f"state dir {cfg.state_dir!r} is at version {latest} but the "
+                f"stream replayed batch {batch_id}: checkpoint and state dir "
+                "are from different runs — point the query at a fresh "
+                "state_dir or restore the matching checkpoint"
+            )
     ts, ordc = cfg.order_cols
     after = F.from_json("after_json", cfg.row_ddl).alias("after_row")
     before = F.from_json("before_json", cfg.row_ddl).alias("before_row")

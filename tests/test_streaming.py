@@ -547,14 +547,17 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, events_stream_dir, tmp_pat
         _run_to_memory(
             dedup_within_watermark(doubled), "rocksdb_dedup", tmp_path
         )
-        got = {r.event_id for r in spark.table("rocksdb_dedup").collect()}
+        rows = [r.event_id for r in spark.table("rocksdb_dedup").collect()]
         want = {
             r.event_id
             for r in spark.read.parquet(
                 os.path.join(events_stream_dir, "batch*")
             ).collect()
         }
-        assert got == want and len(got) > 0
+        # exact row count, not set equality: a provider that failed to dedup
+        # would emit every event twice and a set would hide it
+        assert len(rows) == len(want) > 0
+        assert set(rows) == want
     finally:
         for k, v in prev.items():
             if v is None:
