@@ -1,0 +1,97 @@
+"""Table maintenance: small-file compaction for parquet directories.
+
+The reference writes one file per ``batch_size_num_records`` rows
+(`/root/reference/internal/parquet/preserver.go:79-83`) and the incremental
+snapshot/materialize paths append per run — over time any long-lived dataset
+accretes small files, and at 100 TB the "small files problem" is the top
+operational cost of a parquet lake: every query pays per-file open/footer
+overhead, and the driver pays per-file listing/planning memory.
+
+``compact`` rewrites a directory into ~``target_file_mb`` files:
+
+1. size the target file count from the directory's actual bytes (not row
+   counts — compression ratio varies per dataset),
+2. one distributed read → ``repartition(n)`` → write to a staging dir
+   (repartition, not coalesce: coalesce collapses upstream parallelism and
+   can OOM single tasks; the extra shuffle is the price of even files),
+3. atomically swap staging into place (rename the old dir away, rename
+   staging in, delete the old) and verify row-count parity before the swap.
+
+On object stores swap step 3 for a transactional table format (Delta/Iceberg
+``OPTIMIZE``/rewrite) — steps 1–2 and the parity check are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+__all__ = ["compact", "dir_stats"]
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_parquet_files, total_bytes) under ``path`` (recursive)."""
+    n, size = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                size += os.path.getsize(os.path.join(root, f))
+    return n, size
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    min_files: int = 2,
+) -> dict:
+    """Rewrite ``path`` into ~``target_file_mb``-sized parquet files.
+
+    Returns a report dict; no-op (report only) when the directory already has
+    fewer than ``min_files`` files. Preserves sidecar files (``_catalog.json``,
+    ``_watermark.json`` — anything starting with ``_`` except write markers).
+    """
+    n_before, bytes_before = dir_stats(path)
+    report = {
+        "path": path,
+        "files_before": n_before,
+        "bytes": bytes_before,
+        "compacted": False,
+    }
+    if n_before < min_files:
+        return report
+
+    df = spark.read.parquet(path)
+    rows_before = df.count()
+    n_target = max(1, -(-bytes_before // (target_file_mb * 1024 * 1024)))
+
+    staging = path.rstrip("/") + f".compact_{int(time.time())}"
+    df.repartition(n_target).write.mode("overwrite").parquet(staging)
+
+    rows_after = spark.read.parquet(staging).count()
+    if rows_after != rows_before:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch ({rows_before} -> {rows_after}); "
+            f"original left untouched at {path}"
+        )
+
+    # carry sidecars (audit/watermark state) into the new layout
+    for f in os.listdir(path):
+        if f.startswith("_") and not f.startswith(("_SUCCESS", "_temporary")):
+            shutil.copy2(os.path.join(path, f), os.path.join(staging, f))
+
+    old = path.rstrip("/") + f".old_{int(time.time())}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+    n_after, _ = dir_stats(path)
+    report.update(
+        {"compacted": True, "files_after": n_after, "rows": rows_before}
+    )
+    return report

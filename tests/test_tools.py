@@ -354,3 +354,26 @@ archiver:
     assert r.success
     # the replayed delta REPLACED the previous files — still exactly n rows
     assert spark.read.parquet(out_dir).count() == n
+
+
+def test_compact_small_files(spark, tmp_path, sf_dir):
+    """Small-file compaction: many tiny files → few, identical content,
+    sidecars preserved, and a verified row-count parity gate."""
+    from librarian_spark.maintenance import compact, dir_stats
+
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartition(40).write.mode("overwrite").parquet(out)
+    with open(os.path.join(out, "_watermark.json"), "w") as fh:
+        fh.write('{"column": "ts", "value": "x", "type": "timestamp"}')
+    n_before, _ = dir_stats(out)
+    assert n_before >= 30
+    want = {(r.event_id, r.value) for r in spark.read.parquet(out).collect()}
+
+    report = compact(spark, out, target_file_mb=128)
+    assert report["compacted"]
+    assert report["files_after"] < n_before
+    assert report["files_after"] <= 2
+    got = {(r.event_id, r.value) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert os.path.exists(os.path.join(out, "_watermark.json"))
