@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     fgen.add_argument("-o", "--out", required=True, help="output parquet path")
     fgen.add_argument("--seed", type=int, default=42)
 
+    cp = sub.add_parser(
+        "compact", help="rewrite a parquet dir into ~target-MB files"
+    )
+    cp.add_argument("-p", "--path", required=True)
+    cp.add_argument("--target-file-mb", type=int, default=128)
+
     val = sub.add_parser(
         "validate",
         help="run every registry query against its DuckDB oracle (the "
@@ -230,6 +236,13 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_fixtures_generate(args)
     if args.cmd == "validate":
         return _cmd_validate(args)
+    if args.cmd == "compact":
+        from librarian_spark.maintenance import compact
+        from librarian_spark.session import get_spark
+
+        print(json.dumps(compact(get_spark("librarian-compact"), args.path,
+                                 target_file_mb=args.target_file_mb)))
+        return 0
     return 2
 
 

@@ -95,3 +95,25 @@ def compact(
         {"compacted": True, "files_after": n_after, "rows": rows_before}
     )
     return report
+
+
+def cluster_write(
+    df, path: str, cluster_cols: list[str], n_files: int | None = None
+) -> None:
+    """Write ``df`` range-clustered on ``cluster_cols``: rows are range-
+    partitioned then sorted within each file, so every parquet file covers a
+    narrow, non-overlapping slice of the cluster key.
+
+    This is what makes min/max row-group skipping WORK: on a randomly-ordered
+    100 TB table every file's [min, max] spans the whole key domain and a
+    selective range filter still opens every file; after clustering, the same
+    filter prunes to the handful of files whose stats overlap (verified
+    against parquet footer stats in tests). The poor man's Z-order — for one
+    clustering dimension it is exactly optimal; for multi-dimension tradeoffs
+    interleave the key bits before calling this.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cluster_cols]
+    out = df.repartitionByRange(*( [n_files] if n_files else [] ), *cols)
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

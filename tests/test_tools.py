@@ -377,3 +377,57 @@ def test_compact_small_files(spark, tmp_path, sf_dir):
     got = {(r.event_id, r.value) for r in spark.read.parquet(out).collect()}
     assert got == want
     assert os.path.exists(os.path.join(out, "_watermark.json"))
+
+
+def test_cluster_write_enables_file_skipping(spark, tmp_path, sf_dir):
+    """Range-clustered layout: each parquet file's footer [min, max] on the
+    cluster key must be near-disjoint (non-overlapping slices), so a range
+    filter can skip files — on the unclustered layout every file spans the
+    whole domain."""
+    import pyarrow.parquet as pq
+
+    from librarian_spark.maintenance import cluster_write
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def spans(path):
+        out = []
+        for root, _d, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    col = next(
+                        md.row_group(rg).column(i)
+                        for i in range(md.num_columns)
+                        if md.row_group(rg).column(i).path_in_schema == "event_id"
+                    )
+                    los.append(col.statistics.min)
+                    his.append(col.statistics.max)
+                if los:
+                    out.append((min(los), max(his)))
+        return sorted(out)
+
+    rand_dir = str(tmp_path / "random")
+    ev.repartition(8).write.mode("overwrite").parquet(rand_dir)
+    clustered_dir = str(tmp_path / "clustered")
+    cluster_write(ev, clustered_dir, ["event_id"], n_files=8)
+
+    rand_spans, clus_spans = spans(rand_dir), spans(clustered_dir)
+    assert len(clus_spans) >= 4
+
+    def overlap_pairs(sp):
+        return sum(
+            1
+            for i in range(len(sp))
+            for j in range(i + 1, len(sp))
+            if sp[i][1] >= sp[j][0] and sp[j][1] >= sp[i][0]
+        )
+
+    # random layout: everything overlaps everything; clustered: ~none
+    assert overlap_pairs(rand_spans) >= len(rand_spans)
+    assert overlap_pairs(clus_spans) <= len(clus_spans) // 4
+    # content parity
+    assert spark.read.parquet(clustered_dir).count() == ev.count()
