@@ -264,3 +264,41 @@ def test_single_shuffle_aggregation_operators(spark, specs, name, max_shuffles):
 def test_new_map_only_operators_never_shuffle(spark, specs, name):
     df = _df(specs, spark, name)
     assert shuffle_count(df) == 0, f"{name}: " + formatted_plan(df)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, specs):
+    """Runtime row-level bloom filters (the shuffle-join twin of DPP): a
+    selectively-filtered build side must inject a bloom filter into the big
+    side's scan so non-matching rows drop BEFORE the shuffle. Fires by
+    default only when the probe side scans > 10GB
+    (applicationSideScanSizeThreshold) — exactly the 100 TB regime this
+    repo targets — so the test lowers it to demonstrate on test-scale data."""
+    from librarian_spark.sources.batch import load_table
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+        assert j.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
