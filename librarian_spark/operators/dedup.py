@@ -684,3 +684,59 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
         F.col("group_size").cast("long").alias("group_size"),
         (F.col("doc_id") != F.col("keep_id")).alias("is_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus near-dup (doc-level train/eval contamination)
+# --------------------------------------------------------------------------
+
+_XC_MOD = 50  # doc_id % 50 == 0 plays the eval corpus (as in text_decontaminate)
+
+_XC_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           AS shingles
+  FROM (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_id_1, p.doc_id_2,
+       ROUND(p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common), 6)
+         AS jaccard
+FROM pairs p
+JOIN sh s1 ON p.doc_id_1 = s1.doc_id
+JOIN sh s2 ON p.doc_id_2 = s2.doc_id
+WHERE p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common)
+      >= {_JACCARD_THRESHOLD}
+  AND (p.doc_id_1 % {_XC_MOD} = 0) != (p.doc_id_2 % {_XC_MOD} = 0)
+"""
+
+
+@query(
+    "dedup_cross_corpus",
+    oracle=_XC_ORACLE,
+    doc="Doc-level train/eval contamination: near-dup pairs that CROSS the "
+    "corpus boundary (one side in the held-out eval set, one in training) — "
+    "the whole-document complement of text_decontaminate's n-gram overlap "
+    "(a paraphrased eval doc shares most shingles without sharing a "
+    "verbatim 5-gram run). Built on the exact shingle-hash join (shared "
+    "cached feature stage with the other dedup operators) with the "
+    "cross-corpus predicate applied to the pair stream; at 100 TB swap the "
+    "pair source for dedup_minhash_lsh's banded-LSH candidates and push "
+    "the corpus-membership filter below the band join so only crossing "
+    "candidates are verified. Oracle = the exact shingle-join restricted "
+    "to crossing pairs.",
+)
+def dedup_cross_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(spark, sf)
+    is_eval_1 = F.col("doc_id_1") % _XC_MOD == 0
+    is_eval_2 = F.col("doc_id_2") % _XC_MOD == 0
+    return pairs.filter(is_eval_1 != is_eval_2).select(
+        "doc_id_1", "doc_id_2", "jaccard"
+    )
