@@ -626,3 +626,56 @@ def sim_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
     if not os.path.exists(index_dir + "/centroids/_SUCCESS"):
         build_ivf_index(spark, sf, index_dir)
     return ivf_index_topk(spark, index_dir)
+
+
+# --------------------------------------------------------------------------
+# Semantic clustering (Spark ML k-means for domain discovery)
+# --------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_SEED = 42
+
+
+@query(
+    "sim_kmeans_clusters",
+    oracle=None,  # learned clustering has no SQL twin; determinism + shape
+    # are pinned in tests/test_llm_ops.py
+    doc=f"Semantic clustering of the embedding corpus with Spark ML KMeans "
+    f"(k={_KMEANS_K}, fixed seed {_KMEANS_SEED}) — the domain-discovery / "
+    "data-mixing step of corpus curation (cluster → inspect → reweight, "
+    "SemDeDup-style pruning starts here too). Training is MLlib's "
+    "distributed Lloyd's over the DataFrame (k-means|| init, no driver "
+    "collection of the corpus); assignment is one map-only transform. "
+    "Output: vec_id, cluster id, and round(distance-to-centroid, 6) for "
+    "per-cluster quality cuts. Rows-only driver check; k, coverage, and "
+    "run-to-run determinism pinned in unit tests.",
+)
+def sim_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=_KMEANS_K, seed=_KMEANS_SEED, maxIter=20).fit(e)
+    pred = model.transform(e)
+    # distance to own centroid, computed as an expression over the centroid
+    # matrix (broadcast literal — k×d doubles)
+    centers = model.clusterCenters()
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    feat = vector_to_array(F.col("features"))
+    own = F.element_at(cent_arr, F.col("prediction") + 1)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(feat, own, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return pred.select(
+        "vec_id",
+        F.col("prediction").cast("long").alias("cluster"),
+        F.round(dist, 6).alias("dist_to_centroid"),
+    )

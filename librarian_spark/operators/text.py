@@ -716,3 +716,43 @@ def text_split_assign(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("test")
     )
     return d.select("doc_id", "source", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics rollup (dataset card)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_corpus_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STR_SPLIT(TRIM(LOWER(text)), ' '))) AS BIGINT)
+             AS total_tokens,
+           SUM(LEN(STR_SPLIT(TRIM(LOWER(text)), ' '))) * 1.0 / COUNT(*)
+             AS mean_doc_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Per-language corpus statistics — the dataset-card numbers every "
+    "release ships (doc counts, token totals, length envelope, source "
+    "diversity) in ONE pass: a single hash aggregate with map-side combine "
+    "plus one distinct-count expansion, all counts integer-exact. At 100 TB "
+    "this replaces the accidental 'run five summary queries over the whole "
+    "corpus' pattern with one scan.",
+)
+def text_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(tokens("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        (F.sum(n_tok) * F.lit(1.0) / F.count(F.lit(1))).alias("mean_doc_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+    )

@@ -227,3 +227,20 @@ def test_ivf_persisted_index_matches_inflight_and_prunes(spark, sf_dir, tmp_path
         f.split("list_id=")[1].split("/")[0] for f in lists.inputFiles()
     }
     assert len(dirs) == _IVF_NLISTS
+
+
+def test_kmeans_clusters_deterministic_and_complete(spark, sf_dir):
+    """sim_kmeans_clusters: fixed seed ⇒ identical assignment across runs;
+    every vector assigned; k clusters used; distances non-negative."""
+    from librarian_spark.operators.registry import load_all
+
+    spec = load_all()["sim_kmeans_clusters"]
+    a = {(r.vec_id, r.cluster, r.dist_to_centroid)
+         for r in spec.spark_fn(spark, sf_dir).collect()}
+    b = {(r.vec_id, r.cluster, r.dist_to_centroid)
+         for r in spec.spark_fn(spark, sf_dir).collect()}
+    assert a == b
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len({v for v, _, _ in a}) == n
+    assert len({c for _, c, _ in a}) == 8
+    assert all(d >= 0 for _, _, d in a)
