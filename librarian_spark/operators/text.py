@@ -756,3 +756,68 @@ def text_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.count_distinct("source").cast("long").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty (memorization / uniqueness signal)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tk AS (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w
+                FROM documents),
+    bi AS (SELECT doc_id,
+                  LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w), 1)),
+                                               i -> w[i] || ' ' || w[i+1])) AS b
+           FROM tk),
+    ex AS (SELECT doc_id, UNNEST(b) AS gram FROM bi),
+    df AS (SELECT gram, COUNT(*) AS docfreq FROM ex GROUP BY gram),
+    per_doc AS (
+      SELECT ex.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN df.docfreq = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM ex JOIN df USING (gram)
+      GROUP BY ex.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           n_unique * 1.0 / n_grams AS novelty
+    FROM per_doc
+    """,
+    doc="Per-document bigram novelty: the fraction of a doc's distinct "
+    "bigrams that occur in NO other document — high novelty marks fresh "
+    "content, near-zero novelty marks templated/boilerplate/memorized text "
+    "(the inverse signal of the dedup family, useful as a curation score "
+    "when a doc isn't a dup of any single other doc but is assembled from "
+    "corpus-common fragments). Plan: document-frequency table = one hash "
+    "aggregate over distinct (doc, gram) pairs with map-side combine; "
+    "per-doc rollup = one join on the gram + one aggregate; all counts "
+    "integer-exact until the final divide. Same scaling shape as "
+    "text_lm_score — shuffles carry (gram, count) pairs, never raw text.",
+)
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.functions.textfns import shingles_of_tokens
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", tokens("text").alias("_w"))
+    ex = toks.select(
+        "doc_id", F.explode(shingles_of_tokens("_w", 2)).alias("gram")
+    ).cache()  # document-frequency build and per-doc rollup share this stream
+    docfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("docfreq"))
+    per_doc = (
+        ex.join(docfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        (F.col("n_unique") * F.lit(1.0) / F.col("n_grams")).alias("novelty"),
+    )
