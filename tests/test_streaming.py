@@ -598,3 +598,46 @@ def test_cdc_materialize_batch_replay_is_idempotent(spark, tmp_path, sf_dir):
     _apply_batch(spark, cfg, batch, 0)  # replay of the same batch id
     second = {(r.o_orderkey, r.o_totalprice) for r in read_state(spark, cfg).collect()}
     assert first == second and len(first) == orders.count()
+
+
+def test_text_operators_run_on_streams(spark, tmp_path, sf_dir):
+    """Batch/streaming unification: the map-only text-curation expressions
+    (quality gate + PII redaction) run UNCHANGED on a document stream —
+    same engine, same operator code, both execution modes. Results must
+    equal the batch run exactly."""
+    from pyspark.sql import functions as F2
+
+    from librarian_spark.functions.textfns import STOPWORDS, tokens
+
+    docs_dir = str(tmp_path / "docs_stream")
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    d.coalesce(1).write.mode("overwrite").parquet(docs_dir)
+
+    def curate(df):
+        w = tokens("text")
+        stop_arr = F2.array(*[F2.lit(s) for s in STOPWORDS["en"]])
+        n_tok = F2.size(w)
+        uniq_ratio = F2.size(F2.array_distinct(w)) * F2.lit(1.0) / F2.greatest(
+            n_tok, F2.lit(1)
+        )
+        return df.select(
+            "doc_id",
+            (n_tok.between(5, 1000) & (uniq_ratio > 0.2)).alias("keep"),
+            F2.regexp_replace(
+                F2.col("text"), r"[0-9][0-9][0-9][0-9][0-9][0-9]+", "<NUM>"
+            ).alias("redacted"),
+        )
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(docs_dir)
+    _run_to_memory(curate(stream), "curated_stream", tmp_path)
+    got = {
+        (r.doc_id, r.keep, r.redacted)
+        for r in spark.table("curated_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.keep, r.redacted)
+        for r in curate(spark.read.parquet(docs_dir)).collect()
+    }
+    assert got == want and len(got) == 200
