@@ -43,6 +43,31 @@ def dir_stats(path: str) -> tuple[int, int]:
     return n, size
 
 
+def _partition_subdirs(path: str) -> list[str]:
+    """Immediate ``key=value`` partition directories under ``path``."""
+    return sorted(
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    )
+
+
+def _pending_delta_prefix(path: str) -> str | None:
+    """Incremental-snapshot protection: delta files tagged with the CURRENT
+    watermark value belong to a possibly-uncommitted append (the crash window
+    between append and watermark-save); a retry relies on overwriting those
+    exact names, so compaction must leave them untouched."""
+    import hashlib
+    import json as _json
+
+    wm_path = os.path.join(path, "_watermark.json")
+    if not os.path.exists(wm_path):
+        return None
+    with open(wm_path, encoding="utf-8") as fh:
+        wm = _json.load(fh)
+    return "delta-" + hashlib.md5(str(wm["value"]).encode()).hexdigest()[:12]
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -51,10 +76,52 @@ def compact(
 ) -> dict:
     """Rewrite ``path`` into ~``target_file_mb``-sized parquet files.
 
-    Returns a report dict; no-op (report only) when the directory already has
-    fewer than ``min_files`` files. Preserves sidecar files (``_catalog.json``,
-    ``_watermark.json`` — anything starting with ``_`` except write markers).
+    Layout-preserving and state-aware:
+
+    - **Hive-partitioned datasets** (``key=value`` subdirs) are compacted
+      per leaf partition — the directory layout, partition pruning, and the
+      exact partition-value strings survive (a whole-tree rewrite would
+      flatten the layout and round-trip values through partition-type
+      inference).
+    - **Incremental-snapshot dirs**: delta files tagged with the current
+      watermark (a possibly-uncommitted append) are left byte-identical so
+      a crash retry still overwrites its own names idempotently.
+    - Sidecars (``_catalog.json``, ``_watermark.json``) are carried over.
+
+    Requires a QUIESCENT table: a concurrent writer's append between read
+    and swap would be lost. A best-effort listing re-check narrows that
+    window to milliseconds and aborts (original untouched) when it trips;
+    for truly concurrent writers use a transactional table format's rewrite.
+    Returns a report dict; no-op when fewer than ``min_files`` files.
     """
+    parts = _partition_subdirs(path)
+    if parts:
+        reports = [
+            compact(
+                spark, os.path.join(path, p), target_file_mb, min_files
+            )
+            for p in parts
+        ]
+        n_after, bytes_total = dir_stats(path)
+        return {
+            "path": path,
+            "partitions": len(parts),
+            "files_after": n_after,
+            "bytes": bytes_total,
+            "compacted": any(r["compacted"] for r in reports),
+        }
+
+    def _data_files() -> set[str]:
+        return {
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    protect = _pending_delta_prefix(path)
+    all_files = _data_files()
+    protected = {f for f in all_files if protect and f.startswith(protect)}
+    candidates = sorted(all_files - protected)
     n_before, bytes_before = dir_stats(path)
     report = {
         "path": path,
@@ -62,12 +129,13 @@ def compact(
         "bytes": bytes_before,
         "compacted": False,
     }
-    if n_before < min_files:
+    if len(candidates) < min_files:
         return report
 
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(*[os.path.join(path, f) for f in candidates])
     rows_before = df.count()
-    n_target = max(1, -(-bytes_before // (target_file_mb * 1024 * 1024)))
+    cand_bytes = sum(os.path.getsize(os.path.join(path, f)) for f in candidates)
+    n_target = max(1, -(-cand_bytes // (target_file_mb * 1024 * 1024)))
 
     staging = path.rstrip("/") + f".compact_{int(time.time())}"
     df.repartition(n_target).write.mode("overwrite").parquet(staging)
@@ -80,10 +148,20 @@ def compact(
             f"original left untouched at {path}"
         )
 
-    # carry sidecars (audit/watermark state) into the new layout
+    # carry protected delta files + sidecars into the new layout
+    for f in protected:
+        shutil.copy2(os.path.join(path, f), os.path.join(staging, f))
     for f in os.listdir(path):
         if f.startswith("_") and not f.startswith(("_SUCCESS", "_temporary")):
             shutil.copy2(os.path.join(path, f), os.path.join(staging, f))
+
+    # quiescence guard: abort if the data-file set changed while we rewrote
+    if _data_files() != all_files:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"directory {path!r} changed during compaction (concurrent "
+            "writer?); original left untouched — quiesce writers and retry"
+        )
 
     old = path.rstrip("/") + f".old_{int(time.time())}"
     os.rename(path, old)

@@ -693,28 +693,8 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
 _XC_MOD = 50  # doc_id % 50 == 0 plays the eval corpus (as in text_decontaminate)
 
 _XC_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id,
-         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
-                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-           AS shingles
-  FROM (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents)
-),
-ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-pairs AS (
-  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT p.doc_id_1, p.doc_id_2,
-       ROUND(p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common), 6)
-         AS jaccard
-FROM pairs p
-JOIN sh s1 ON p.doc_id_1 = s1.doc_id
-JOIN sh s2 ON p.doc_id_2 = s2.doc_id
-WHERE p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common)
-      >= {_JACCARD_THRESHOLD}
-  AND (p.doc_id_1 % {_XC_MOD} = 0) != (p.doc_id_2 % {_XC_MOD} = 0)
+SELECT doc_id_1, doc_id_2, jaccard FROM ({_NGRAM_ORACLE})
+WHERE (doc_id_1 % {_XC_MOD} = 0) != (doc_id_2 % {_XC_MOD} = 0)
 """
 
 

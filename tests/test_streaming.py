@@ -607,7 +607,7 @@ def test_text_operators_run_on_streams(spark, tmp_path, sf_dir):
     equal the batch run exactly."""
     from pyspark.sql import functions as F2
 
-    from librarian_spark.functions.textfns import STOPWORDS, tokens
+    from librarian_spark.functions.textfns import tokens
 
     docs_dir = str(tmp_path / "docs_stream")
     d = load_table(spark, sf_dir, "documents").limit(200)
@@ -615,7 +615,6 @@ def test_text_operators_run_on_streams(spark, tmp_path, sf_dir):
 
     def curate(df):
         w = tokens("text")
-        stop_arr = F2.array(*[F2.lit(s) for s in STOPWORDS["en"]])
         n_tok = F2.size(w)
         uniq_ratio = F2.size(F2.array_distinct(w)) * F2.lit(1.0) / F2.greatest(
             n_tok, F2.lit(1)

@@ -431,3 +431,28 @@ def test_cluster_write_enables_file_skipping(spark, tmp_path, sf_dir):
     assert overlap_pairs(clus_spans) <= len(clus_spans) // 4
     # content parity
     assert spark.read.parquet(clustered_dir).count() == ev.count()
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path, sf_dir):
+    """Compacting a partitioned dataset must compact per leaf and keep the
+    key=value layout (and partition-value strings) intact."""
+    from librarian_spark.maintenance import compact
+
+    out = str(tmp_path / "part_frag")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(10).write.partitionBy("event_type").mode("overwrite").parquet(out)
+    want = {
+        (r.event_id, r.event_type, r.value)
+        for r in spark.read.parquet(out).collect()
+    }
+    dirs_before = sorted(d for d in os.listdir(out) if d.startswith("event_type="))
+
+    report = compact(spark, out, target_file_mb=128)
+    assert report["compacted"] and report["partitions"] == len(dirs_before)
+    dirs_after = sorted(d for d in os.listdir(out) if d.startswith("event_type="))
+    assert dirs_after == dirs_before
+    got = {
+        (r.event_id, r.event_type, r.value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
