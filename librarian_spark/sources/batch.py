@@ -41,8 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
     long which we normalize to a µs timestamp here (integer ``div`` — no precision
-    loss from double math on >2^53 nanos).
+    loss from double math on >2^53 nanos). The conf is set defensively on the
+    CALLER's session (it is runtime-settable and idempotent): sessions built by
+    ``get_spark`` already carry it, but an external harness handing us its own
+    bare session would otherwise throw PARQUET_TYPE_ILLEGAL on every
+    events-table query.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, LongType):
