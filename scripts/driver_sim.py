@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Simulate the grading driver's correctness gate exactly: a BARE
+SparkSession (none of get_spark's configs — catches hidden conf
+dependencies), every `queries()` entry run at sf0.01 and compared against
+its `oracle_sql()` through the same canonicalization the parity tests use.
+
+Run from anywhere: `python /root/repo/scripts/driver_sim.py [sf_dir]`.
+Exit 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as ent
+    from oracle import compare, run_oracle
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[16]").appName("driver-sim").getOrCreate()
+    )
+    print("entry rows:", ent.entry(spark).count())
+    q, o = ent.queries(), ent.oracle_sql()
+    failed, rows_only = [], 0
+    for name in sorted(q):
+        try:
+            df = q[name](spark, sf)
+            if name not in o:
+                assert df.count() >= 0
+                rows_only += 1
+                continue
+            srows = [tuple(r) for r in df.collect()]
+            cols, orows = run_oracle(o[name], sf)
+            problems = compare(df.columns, srows, cols, orows)
+            if problems:
+                failed.append((name, problems[:1]))
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            failed.append((name, [f"EXCEPTION {type(e).__name__}: {str(e)[:100]}"]))
+    print(
+        f"driver sim @ {sf}: {len(q)} queries, {rows_only} rows-only, "
+        f"{len(failed)} failed"
+    )
+    for name, p in failed:
+        print(" FAIL", name, p)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
