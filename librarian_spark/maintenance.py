@@ -11,11 +11,14 @@ overhead, and the driver pays per-file listing/planning memory.
 
 1. size the target file count from the directory's actual bytes (not row
    counts — compression ratio varies per dataset),
-2. one distributed read → ``repartition(n)`` → write to a staging dir
-   (repartition, not coalesce: coalesce collapses upstream parallelism and
-   can OOM single tasks; the extra shuffle is the price of even files),
-3. atomically swap staging into place (rename the old dir away, rename
-   staging in, delete the old) and verify row-count parity before the swap.
+2. one distributed read → ``repartition(n)`` → write to a hidden staging dir
+   inside the leaf (repartition, not coalesce: coalesce collapses upstream
+   parallelism and can OOM single tasks; the extra shuffle is the price of
+   even files),
+3. verify row-count parity, then swap file-by-file under a fsync'd commit
+   marker — interrupted swaps are rolled forward (marker present) or rolled
+   back (marker absent) on the next entry, and the dataset directory itself
+   is never renamed or absent.
 
 On object stores swap step 3 for a transactional table format (Delta/Iceberg
 ``OPTIMIZE``/rewrite) — steps 1–2 and the parity check are identical.
@@ -23,6 +26,7 @@ On object stores swap step 3 for a transactional table format (Delta/Iceberg
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -44,11 +48,16 @@ def dir_stats(path: str) -> tuple[int, int]:
 
 
 def _partition_subdirs(path: str) -> list[str]:
-    """Immediate ``key=value`` partition directories under ``path``."""
+    """Immediate ``key=value`` partition directories under ``path``.
+
+    Dot/underscore-prefixed names are excluded — they are hidden from Spark's
+    file listing too, which is what makes them safe as staging dirs."""
     return sorted(
         d
         for d in os.listdir(path)
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        if "=" in d
+        and not d.startswith((".", "_"))
+        and os.path.isdir(os.path.join(path, d))
     )
 
 
@@ -86,7 +95,21 @@ def compact(
     - **Incremental-snapshot dirs**: delta files tagged with the current
       watermark (a possibly-uncommitted append) are left byte-identical so
       a crash retry still overwrites its own names idempotently.
-    - Sidecars (``_catalog.json``, ``_watermark.json``) are carried over.
+    - Sidecars (``_catalog.json``, ``_watermark.json``) never move — the
+      swap only touches the data files being replaced.
+
+    Crash safety (the swap is file moves, not a directory rename): new files
+    are staged in a dot-prefixed dir INSIDE the leaf (invisible to Spark's
+    listing and to partition discovery), a fsync'd ``_COMMIT_READY`` marker
+    makes the swap decision durable, and every entry first rolls forward or
+    rolls back any interrupted prior attempt (``_recover_leaf``):
+
+    - crash before the marker → staging is deleted, original untouched;
+    - crash after the marker → the recorded swap is completed from the
+      staging manifest (displace remaining old files, move new files in).
+
+    The dataset directory itself is never renamed, so there is no window
+    where ``path`` does not exist.
 
     Requires a QUIESCENT table: a concurrent writer's append between read
     and swap would be lost. A best-effort listing re-check narrows that
@@ -111,11 +134,13 @@ def compact(
             "compacted": any(r["compacted"] for r in reports),
         }
 
+    _recover_leaf(path)
+
     def _data_files() -> set[str]:
         return {
             f
             for f in os.listdir(path)
-            if f.endswith(".parquet")
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
         }
 
     protect = _pending_delta_prefix(path)
@@ -137,7 +162,11 @@ def compact(
     cand_bytes = sum(os.path.getsize(os.path.join(path, f)) for f in candidates)
     n_target = max(1, -(-cand_bytes // (target_file_mb * 1024 * 1024)))
 
-    staging = path.rstrip("/") + f".compact_{int(time.time())}"
+    # dot-prefixed staging INSIDE the leaf: hidden from Spark's listing, from
+    # partition discovery on the parent (a sibling dir named
+    # 'lang=en.compact_<ts>' would itself look like a partition), and from
+    # _partition_subdirs — a crash can never leave a half-visible dataset
+    staging = os.path.join(path, f".compact_{int(time.time())}")
     df.repartition(n_target).write.mode("overwrite").parquet(staging)
 
     rows_after = spark.read.parquet(staging).count()
@@ -148,13 +177,6 @@ def compact(
             f"original left untouched at {path}"
         )
 
-    # carry protected delta files + sidecars into the new layout
-    for f in protected:
-        shutil.copy2(os.path.join(path, f), os.path.join(staging, f))
-    for f in os.listdir(path):
-        if f.startswith("_") and not f.startswith(("_SUCCESS", "_temporary")):
-            shutil.copy2(os.path.join(path, f), os.path.join(staging, f))
-
     # quiescence guard: abort if the data-file set changed while we rewrote
     if _data_files() != all_files:
         shutil.rmtree(staging, ignore_errors=True)
@@ -163,16 +185,71 @@ def compact(
             "writer?); original left untouched — quiesce writers and retry"
         )
 
-    old = path.rstrip("/") + f".old_{int(time.time())}"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    # durable swap decision: manifest (which old files this run replaces)
+    # then a fsync'd commit marker. After the marker exists, the swap WILL
+    # complete — either below or by _recover_leaf on the next entry.
+    with open(os.path.join(staging, _MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump({"replaces": candidates}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    marker = os.path.join(staging, _COMMIT_MARKER)
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.flush()
+        os.fsync(fh.fileno())
+
+    _complete_swap(path, staging)
 
     n_after, _ = dir_stats(path)
     report.update(
         {"compacted": True, "files_after": n_after, "rows": rows_before}
     )
     return report
+
+
+_MANIFEST = "_compact_manifest.json"
+_COMMIT_MARKER = "_COMMIT_READY"
+
+
+def _complete_swap(path: str, staging: str) -> None:
+    """Roll the committed swap forward: displace the manifest's old files,
+    move the staged files in, clean up. Every step is an idempotent rename —
+    safe to re-run from any crash point."""
+    with open(os.path.join(staging, _MANIFEST), encoding="utf-8") as fh:
+        replaces = json.load(fh)["replaces"]
+    trash = staging + ".old"
+    os.makedirs(trash, exist_ok=True)
+    for f in replaces:
+        src = os.path.join(path, f)
+        if os.path.exists(src):
+            os.replace(src, os.path.join(trash, f))
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            os.replace(os.path.join(staging, f), os.path.join(path, f))
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _recover_leaf(path: str) -> None:
+    """Finish or discard interrupted compactions in ``path``.
+
+    ``.compact_*`` staging dirs WITH the commit marker are rolled forward
+    (the swap was decided — completing it is the only consistent outcome);
+    without the marker they are rolled back by deletion (the original data
+    files are all still in place). Orphaned ``.old`` trash dirs from a
+    completed swap are removed."""
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if not (d.startswith(".compact_") and os.path.isdir(full)):
+            continue
+        if d.endswith(".old"):
+            # trash of a swap whose staging dir is already gone → garbage
+            if not os.path.isdir(full[: -len(".old")]):
+                shutil.rmtree(full, ignore_errors=True)
+            continue
+        if os.path.exists(os.path.join(full, _COMMIT_MARKER)):
+            _complete_swap(path, full)
+        else:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def cluster_write(

@@ -175,9 +175,10 @@ def mm_ingest(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN LEN(cs) > 0
                 THEN LIST_SUM(LIST_TRANSFORM(cs, c -> ASCII(c))) * 1.0 / LEN(cs)
            END AS byte_mean,
-           LIST_TRANSFORM(RANGE(0, 16),
-                          i -> CAST(LEN(LIST_FILTER(cs, c -> ASCII(c) // 16 = i))
-                                    AS BIGINT)) AS byte_hist,
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(RANGE(0, 16),
+                            i -> CAST(LEN(LIST_FILTER(cs, c -> ASCII(c) // 16 = i))
+                                      AS BIGINT)), ',') AS byte_hist,
            'stub-v1' AS decoder
     FROM ch
     """,
@@ -185,10 +186,21 @@ def mm_ingest(spark: SparkSession, sf: str) -> DataFrame:
     "batch flow, fake codec. The corpus is pure ASCII (verified), so the "
     "byte-level stats the stub computes are exactly re-derivable character-wise "
     "in SQL — integer-exact sums, one final IEEE divide — giving the "
-    "distributed Arrow path a full value oracle, not just a rows check.",
+    "distributed Arrow path a full value oracle, not just a rows check. The "
+    "histogram is emitted comma-joined (scalar column) because the comparison "
+    "harness sorts on every output column and chokes on list values.",
 )
 def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
-    return extract_features(ingest_binary(spark, sf))
+    feats = extract_features(ingest_binary(spark, sf))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "byte_mean",
+        F.array_join(
+            F.transform(F.col("byte_hist"), lambda x: x.cast("string")), ","
+        ).alias("byte_hist"),
+        "decoder",
+    )
 
 
 # --------------------------------------------------------------------------

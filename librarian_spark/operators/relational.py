@@ -727,16 +727,24 @@ def q20_strings(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q20_split",
     oracle="""
-    SELECT doc_id, STR_SPLIT(TRIM(text), ' ') AS words,
+    SELECT doc_id,
+           ARRAY_TO_STRING(STR_SPLIT(TRIM(text), ' '), '|') AS words,
+           CAST(LEN(STR_SPLIT(TRIM(text), ' ')) AS BIGINT) AS n_words,
            LENGTH(TRIM(text)) AS n_chars_trim
     FROM documents WHERE doc_id < 100
     """,
+    doc="split + array_join round-trip (scalar output: the comparison harness "
+    "sorts on every column, so array columns are re-joined to one string — "
+    "both engines join the identical token list, so the encoding is lossless "
+    "for the comparison).",
 )
 def q20_split(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    words = F.split(F.trim(F.col("text")), " ")
     return d.select(
         "doc_id",
-        F.split(F.trim(F.col("text")), " ").alias("words"),
+        F.array_join(words, "|").alias("words"),
+        F.size(words).cast("long").alias("n_words"),
         F.length(F.trim(F.col("text"))).cast("long").alias("n_chars_trim"),
     )
 
@@ -904,21 +912,31 @@ def q24_nulls(spark: SparkSession, sf: str) -> DataFrame:
            CAST(LEN(embedding) AS BIGINT) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(embedding[4] AS DOUBLE) AS fourth_val,
-           [CAST(x AS DOUBLE) FOR x IN embedding[1:4]] AS head4,
+           ARRAY_TO_STRING(
+             [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+              FOR x IN embedding[1:4]], ',') AS head4,
            label
     FROM embeddings
     """,
+    doc="array slice/transform/element_at; the sliced head is emitted as a "
+    "fixed-point (1e-6) comma-joined string so every output column is scalar "
+    "for the sort-based comparison harness — floor(x*1e6+0.5) is the same "
+    "IEEE op sequence in both engines (no banker's-rounding divergence).",
 )
 def q25_arrays(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
+    head4 = F.transform(
+        F.slice("embedding", 1, 4),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.element_at("embedding", 4).cast("double").alias("fourth_val"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias(
-            "head4"
-        ),
+        F.array_join(head4, ",").alias("head4"),
         "label",
     )
 
@@ -1138,7 +1156,11 @@ def q31_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l.event_id, l.user_id, l.value,
            r.event_id AS last_click_id, r.value AS last_click_value
     FROM (SELECT * FROM events WHERE event_type = 'view') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+    ASOF LEFT JOIN (SELECT user_id, ts,
+                           MAX(event_id) AS event_id,
+                           ARG_MAX(value, event_id) AS value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     doc="Backward as-of join (each 'view' enriched with the user's most recent "
@@ -1148,7 +1170,12 @@ def q31_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     "shuffle on the by-key, state is a single row per partition-ordered scan — "
     "never the per-key range-join blowup (O(|L|·|R|) worst case) a naive "
     "l.ts >= r.ts theta join produces. The tag orders right before left at "
-    "equal ts, giving at-or-before semantics identical to DuckDB's ASOF JOIN.",
+    "equal ts, giving at-or-before semantics identical to DuckDB's ASOF JOIN. "
+    "BOTH sides pre-reduce clicks to one row per (user_id, ts) (max event_id "
+    "wins): DuckDB's ASOF JOIN returns an UNSPECIFIED row when several right "
+    "rows share the max ts <= l.ts, so without the reduction the oracle "
+    "comparison is nondeterministic on any data with duplicate (user_id, ts) "
+    "click rows.",
 )
 def q32_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
@@ -1161,14 +1188,22 @@ def q32_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("click_value"),
         F.lit(1).alias("tag"),
     )
-    right = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
-        F.col("event_id").alias("click_id"),
-        F.col("value").alias("click_value"),
-        F.lit(0).alias("tag"),
+    right = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "click_id",
+            "click_value",
+            F.lit(0).alias("tag"),
+        )
     )
     # (ts, tag, click_id): right rows sort before left at equal ts (at-or-before),
     # click_id makes same-ts right rows deterministic

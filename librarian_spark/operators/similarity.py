@@ -19,6 +19,8 @@ to 6 digits before ranking with vec_id tie-breaks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -167,51 +169,78 @@ WHERE score >= {_PAIR_THRESHOLD}
 """
 
 
-def cosine_pairs(e: DataFrame, threshold: float) -> DataFrame:
+_PAIRS_CHUNK_ROWS = int(os.environ.get("SPARK_GRAFT_PAIRS_CHUNK_ROWS", "2000000"))
+
+
+def cosine_pairs(
+    e: DataFrame, threshold: float, chunk_rows: int = _PAIRS_CHUNK_ROWS
+) -> DataFrame:
     """All (vec_id_1 < vec_id_2) pairs with round(cosine, 6) ≥ threshold, as a
-    distributed block matmul: the unit-normalized corpus matrix is broadcast
-    once, each partition multiplies its row block against it with BLAS and
-    emits only above-threshold pairs — scores never shuffle. Shared kernel of
+    distributed block matmul: the unit-normalized corpus matrix is broadcast,
+    each partition multiplies its row block against it with BLAS and emits only
+    above-threshold pairs — scores never shuffle. Shared kernel of
     ``sim_pairs_threshold`` and the embedding-dedup operator.
 
-    ``e`` must have columns (vec_id, embedding).
+    Corpora larger than ``chunk_rows`` (default 2M rows ≈ 1 GB at 64-dim
+    float64) are processed in COLUMN CHUNKS: the corpus is broadcast one
+    ``vec_id % n_chunks`` slice at a time, so peak driver/executor memory is
+    one chunk, never the whole table — the exact path degrades to
+    ``n_chunks`` blocked passes (same total flops) instead of an OOM. The
+    chunk slices partition the id space, so each qualifying pair is emitted
+    exactly once. ``e`` must have columns (vec_id, embedding).
     """
     import numpy as np
 
-    # corpus → driver once (N×64 float64; MBs for any broadcastable dim table),
-    # unit-normalized with the same numpy kernel the partitions use.
-    pdf = e.toPandas()
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-    corpus = e.sparkSession.sparkContext.broadcast((ids, mat))
+    n = e.count()
+    n_chunks = max(1, -(-n // chunk_rows))
 
-    def op(batches):
-        import numpy as np
-        import pandas as pd
+    def one_chunk(chunk_df: DataFrame) -> DataFrame:
+        # chunk → driver (bounded by chunk_rows), unit-normalized with the
+        # same numpy kernel the partitions use. PySpark broadcasts are
+        # file-backed, so looping chunks does not accumulate driver heap.
+        pdf = chunk_df.toPandas()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        corpus = e.sparkSession.sparkContext.broadcast((ids, mat))
 
-        c_ids, u = corpus.value
-        for b in batches:
-            if not len(b):
-                continue
-            a_ids = b["vec_id"].to_numpy(dtype=np.int64)
-            a = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            a /= np.sqrt((a * a).sum(axis=1, keepdims=True))
-            scores = np.round(a @ u.T, 6)
-            rows, cols = np.nonzero(
-                (scores >= threshold) & (a_ids[:, None] < c_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id_1": a_ids[rows],
-                    "vec_id_2": c_ids[cols],
-                    "score": scores[rows, cols],
-                }
-            )
+        def op(batches):
+            import numpy as np
+            import pandas as pd
 
-    return fan_out(e).mapInPandas(
-        op, schema="vec_id_1 long, vec_id_2 long, score double"
-    )
+            c_ids, u = corpus.value
+            for b in batches:
+                if not len(b):
+                    continue
+                a_ids = b["vec_id"].to_numpy(dtype=np.int64)
+                a = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                a /= np.sqrt((a * a).sum(axis=1, keepdims=True))
+                scores = np.round(a @ u.T, 6)
+                rows, cols = np.nonzero(
+                    (scores >= threshold) & (a_ids[:, None] < c_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id_1": a_ids[rows],
+                        "vec_id_2": c_ids[cols],
+                        "score": scores[rows, cols],
+                    }
+                )
+
+        return fan_out(e).mapInPandas(
+            op, schema="vec_id_1 long, vec_id_2 long, score double"
+        )
+
+    if n_chunks == 1:
+        return one_chunk(e)
+    parts = [
+        one_chunk(e.filter(F.pmod(F.col("vec_id"), F.lit(n_chunks)) == i))
+        for i in range(n_chunks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(
@@ -443,8 +472,9 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
           FROM x)
     SELECT vec_id,
            ROUND(sc, 6) AS scale,
-           LIST_TRANSFORM(xe, v -> CAST(FLOOR(v / sc * 127.0 + 0.5) AS INTEGER))
-             AS q8
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(xe, v -> CAST(FLOOR(v / sc * 127.0 + 0.5) AS INTEGER)),
+             ',') AS q8
     FROM s
     """,
     doc="Symmetric per-vector int8 quantization (scale = max|x|/127): the "
@@ -467,8 +497,13 @@ def sim_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         F.col("xe"),
         lambda v: F.floor(v / F.col("sc") * F.lit(127.0) + F.lit(0.5)).cast("int"),
     )
+    # the codes are emitted comma-joined (scalar column): the comparison
+    # harness sorts on every output column and chokes on list values; both
+    # engines join the identical int list, so the encoding is lossless
     return e.select(
-        "vec_id", F.round("sc", 6).alias("scale"), q8.alias("q8")
+        "vec_id",
+        F.round("sc", 6).alias("scale"),
+        F.array_join(q8, ",").alias("q8"),
     )
 
 

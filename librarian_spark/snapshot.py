@@ -168,22 +168,33 @@ class Snapshotter:
             # (`internal/sql/source.go:43-49`) AND the new high watermark —
             # a separate count + max would scan the (live) source twice and
             # could disagree with what gets written
+            col = src.incremental_column
             agg = df.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.max(src.incremental_column).alias("m"),
+                F.max(col).alias("m"),
             ).collect()[0]
             record.num_source_records, new_max = agg.n, agg.m
-            processed = self._write_delta_idempotent(
-                df, out_path, wm, append=append
-            )
-            record.finish(processed)
-            if new_max is not None:
-                self._save_watermark(
-                    out_path,
-                    src.incremental_column,
-                    new_max,
-                    dict(df.dtypes).get(src.incremental_column, "string"),
+            if new_max is None:
+                # empty delta: nothing to write, watermark unchanged
+                record.finish(0)
+            else:
+                # Bound the write to the SAME interval the aggregate (and
+                # therefore the saved watermark) observed: on a live source
+                # (JDBC), rows committed between the aggregate action and the
+                # write action would otherwise be written yet exceed the saved
+                # watermark — the next run would re-pull and re-append them
+                # under a different delta tag, defeating the idempotent
+                # overwrite. With the upper bound, (watermark_old, new_max]
+                # is exactly what both actions cover; late arrivals belong to
+                # the next run. The bound is a plain comparison on the
+                # monotone column, so it pushes down alongside the lower one.
+                dtype = dict(df.dtypes).get(col, "string")
+                bounded = df.filter(F.col(col) <= F.lit(new_max).cast(dtype))
+                processed = self._write_delta_idempotent(
+                    bounded, out_path, wm, append=append
                 )
+                record.finish(processed)
+                self._save_watermark(out_path, col, new_max, dtype)
         else:
             # count pre-scan (`internal/sql/source.go:43-49`)
             record.num_source_records = df.count()

@@ -24,14 +24,17 @@ def main() -> int:
     import __spark_entry__ as ent
     from oracle import compare, run_oracle
 
+    import time
+
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[16]").appName("driver-sim").getOrCreate()
     )
     print("entry rows:", ent.entry(spark).count())
     q, o = ent.queries(), ent.oracle_sql()
-    failed, rows_only = [], 0
+    failed, rows_only, secs = [], 0, {}
     for name in sorted(q):
+        t0 = time.perf_counter()
         try:
             df = q[name](spark, sf)
             if name not in o:
@@ -45,10 +48,15 @@ def main() -> int:
                 failed.append((name, problems[:1]))
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             failed.append((name, [f"EXCEPTION {type(e).__name__}: {str(e)[:100]}"]))
+        finally:
+            secs[name] = time.perf_counter() - t0
     print(
         f"driver sim @ {sf}: {len(q)} queries, {rows_only} rows-only, "
-        f"{len(failed)} failed"
+        f"{len(failed)} failed, {sum(secs.values()):.1f}s total "
+        "(spark+oracle+compare per query)"
     )
+    print("slowest:", {n: round(s, 2) for n, s in
+                       sorted(secs.items(), key=lambda kv: -kv[1])[:12]})
     for name, p in failed:
         print(" FAIL", name, p)
     return 1 if failed else 0

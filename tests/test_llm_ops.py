@@ -244,3 +244,23 @@ def test_kmeans_clusters_deterministic_and_complete(spark, sf_dir):
     assert len({v for v, _, _ in a}) == n
     assert len({c for _, c, _ in a}) == 8
     assert all(d >= 0 for _, _, d in a)
+
+
+def test_cosine_pairs_chunked_broadcast_exact(spark, sf_dir):
+    """The chunked-broadcast path (bounded driver memory for corpora beyond
+    chunk_rows) must emit exactly the same pair set as the single-broadcast
+    path — each pair once, same rounded scores."""
+    from librarian_spark.operators.similarity import _PAIR_THRESHOLD, cosine_pairs
+    from librarian_spark.sources.batch import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    whole = {
+        (r.vec_id_1, r.vec_id_2, r.score)
+        for r in cosine_pairs(e, _PAIR_THRESHOLD).collect()
+    }
+    chunked = [
+        (r.vec_id_1, r.vec_id_2, r.score)
+        for r in cosine_pairs(e, _PAIR_THRESHOLD, chunk_rows=150).collect()
+    ]
+    assert len(chunked) == len(set(chunked)), "chunking duplicated pairs"
+    assert set(chunked) == whole

@@ -109,7 +109,9 @@ def test_relational_hot_path_stays_in_codegen(spark, specs, name):
     regions while the adaptive plan is non-final, so plan with it off."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = _df(specs, spark, name)
+        # raw_fn: the registered fn re-applies the engine conf profile
+        # (including AQE) to its session, which would re-hide the spans
+        df = specs[name].raw_fn(spark, SF)
         assert wholestage_codegen_spans(df) >= 1, f"{name}: " + formatted_plan(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -456,3 +456,51 @@ def test_compact_preserves_hive_partitions(spark, tmp_path, sf_dir):
         for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+def test_compact_crash_recovery(spark, tmp_path, sf_dir):
+    """The swap is decided by a fsync'd commit marker: a staging dir WITH the
+    marker is rolled forward on the next compact() entry (old files displaced,
+    staged files moved in), one WITHOUT is rolled back by deletion — and in
+    both cases the dataset dir itself always exists and hidden staging dirs
+    are invisible to Spark reads."""
+    import json as _json
+
+    from librarian_spark.maintenance import (
+        _COMMIT_MARKER,
+        _MANIFEST,
+        compact,
+        dir_stats,
+    )
+
+    out = str(tmp_path / "crashy")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartition(10).write.mode("overwrite").parquet(out)
+    want = {(r.event_id, r.value) for r in spark.read.parquet(out).collect()}
+
+    # --- crash BEFORE the marker: staging must be rolled back -------------
+    pre = os.path.join(out, ".compact_100")
+    ev.limit(5).write.parquet(pre)  # half-written attempt, no marker
+    # hidden staging never pollutes a read of the dataset
+    assert {(r.event_id, r.value) for r in spark.read.parquet(out).collect()} == want
+
+    # --- crash AFTER the marker: swap must be rolled forward --------------
+    post = os.path.join(out, ".compact_200")
+    data_files = sorted(
+        f for f in os.listdir(out)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    ev.repartition(1).write.parquet(post)
+    with open(os.path.join(post, _MANIFEST), "w") as fh:
+        _json.dump({"replaces": data_files}, fh)
+    open(os.path.join(post, _COMMIT_MARKER), "w").close()
+
+    report = compact(spark, out, target_file_mb=128)
+    # recovery completed the committed swap: content identical, staging gone
+    got = {(r.event_id, r.value) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert not any(d.startswith(".compact_") for d in os.listdir(out))
+    # the rolled-forward layout is already compacted → this run was a no-op
+    n_after, _ = dir_stats(out)
+    assert n_after == 1
+    assert not report["compacted"]
