@@ -32,8 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark_fn for name, spec in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Oracle-backed queries are listed first: a correctness harness that stops
+    after N entries then spends its budget on hash-verifiable checks rather
+    than on rows-only ones (the genuinely non-SQL-expressible operators keep
+    their rows-only contract and are pinned by unit tests either way).
+    """
+    specs = load_all()
+    ordered = [n for n, s in specs.items() if s.oracle is not None] + [
+        n for n, s in specs.items() if s.oracle is None
+    ]
+    return {name: specs[name].spark_fn for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

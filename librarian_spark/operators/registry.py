@@ -44,6 +44,11 @@ _CALLER_SESSION_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    #   - inferTimestampNTZ off: testdata timestamps are µs without
+    #     isAdjustedToUTC; as TIMESTAMP_NTZ they cannot cast to numeric
+    #     (sessionization deltas) — read as UTC instants instead (session TZ is
+    #     UTC, so wall-clock values match the DuckDB oracle either way).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

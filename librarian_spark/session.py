@@ -61,6 +61,10 @@ def get_spark(
         # parquet INT64 TIMESTAMP(NANOS) is otherwise an illegal type for Spark;
         # read as long and normalize to µs timestamps in the source adapter.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamps without isAdjustedToUTC otherwise surface as
+        # TIMESTAMP_NTZ, which cannot cast to numeric; read them as UTC instants
+        # (session TZ is UTC, so wall-clock values are unchanged).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 __all__ = ["TABLES", "load_table", "load_tables", "register_views", "read_jdbc_query"]
 
@@ -48,10 +48,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     events-table query.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:  # µs-without-UTC-flag timestamps: read as UTC instants, not NTZ
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # noqa: BLE001 — locked conf: the cast below still fixes it
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, TimestampNTZType):
+            # session TZ is UTC, so NTZ→LTZ here is value-preserving and makes
+            # ts castable to numeric epoch seconds downstream
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
