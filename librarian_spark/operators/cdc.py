@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from librarian_spark.operators.registry import query
 from librarian_spark.sources.batch import load_table as _t
@@ -174,4 +175,48 @@ def cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.col("last.ts").alias("last_ts"),
         F.col("last.value").alias("last_value"),
         "n_changes",
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 history (versioned dimension from a change log)
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query(
+    "cdc_scd2",
+    oracle=_SCD2_ORACLE,
+    doc="Slowly-changing-dimension type-2 materialization: turn a keyed change "
+    "log (the reference's replication stream, pkg/replicator/event.go:30-56) "
+    "into effective-dated history rows — each change opens a version at its "
+    "event time and the NEXT change for the same key closes it (valid_from / "
+    "valid_to, open interval = current). ONE shuffle on the key serves the "
+    "version counter and the interval close (row_number + lead share a "
+    "window); per-key state during the sort is a single row, so at 100 TB "
+    "this scales like any key-partitioned window — no self-join of the "
+    "history against itself (the naive formulation) which would double-scan "
+    "and double-shuffle the log.",
+)
+def cdc_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

@@ -714,3 +714,102 @@ def sim_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("prediction").cast("long").alias("cluster"),
         F.round(dist, 6).alias("dist_to_centroid"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN join across dataset splits (retrieval / cross-split contamination)
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_QUERY_LABEL = 0  # the "query split": one held-out label bucket
+
+_KNN_JOIN_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id, label, {_o_normalize('embedding')} AS u FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         ROUND({_o_dot('q.u', 'c.u')}, 6) AS score
+  FROM unit q JOIN unit c
+    ON q.label = {_KNN_QUERY_LABEL} AND c.label != {_KNN_QUERY_LABEL}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(neighbor_label AS BIGINT) AS neighbor_label,
+       score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_KNN_K}
+"""
+
+
+@query(
+    "sim_knn_join",
+    oracle=_KNN_JOIN_ORACLE,
+    doc=f"k-NN JOIN between two dataset splits: every vector in the query "
+    f"split (label={_KNN_QUERY_LABEL}) gets its top-{_KNN_K} cosine "
+    "neighbors from the rest of the corpus — the retrieval primitive behind "
+    "cross-split contamination checks (eval↔train leakage by embedding) and "
+    "RAG candidate generation. Same distributed-block-matmul shape as "
+    "sim_cosine_topk but with set membership defined by a COLUMN, not an id "
+    "range: the query split (small by construction — one label bucket) is "
+    "broadcast as a unit-normalized matrix, each candidate partition scores "
+    "its block with BLAS and pre-prunes to its local top-k per query, so the "
+    "ranking shuffle carries ≤ |Q|·k·partitions rows. The corpus side never "
+    "self-joins and never leaves its partitions.",
+)
+def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    qpdf = e.filter(F.col("label") == _KNN_QUERY_LABEL).toPandas()
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qb = spark.sparkContext.broadcast((q_ids, qm))
+    k = _KNN_K
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, qm = qb.value
+        for b in batches:
+            if not len(b):
+                continue
+            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            c_lab = b["label"].to_numpy(dtype=np.int64)
+            c = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
+            scores = np.round(qm @ c.T, 6)  # |Q| × |block|
+            out_q, out_n, out_l, out_s = [], [], [], []
+            for qi in range(len(q_ids)):
+                s = scores[qi]
+                # local top-k by the GLOBAL total order (score desc, id asc)
+                top = np.lexsort((c_ids, -s))[:k]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(c_ids[top].tolist())
+                out_l.extend(c_lab[top].tolist())
+                out_s.extend(s[top].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "neighbor_label": pd.Series(out_l, dtype="int64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    cand = fan_out(e.filter(F.col("label") != _KNN_QUERY_LABEL))
+    pruned = cand.mapInPandas(
+        op,
+        schema="query_id long, neighbor_id long, neighbor_label long, score double",
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .withColumn("rn", F.col("rn").cast("long"))
+    )

@@ -821,3 +821,111 @@ def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_unique").cast("long").alias("n_unique"),
         (F.col("n_unique") * F.lit(1.0) / F.col("n_grams")).alias("novelty"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring (retrieval / curation ranking)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "hash", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 100
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"LEN(LIST_FILTER(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = " + ".join(
+        f"LN(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(tf{i} * ({k1} + 1)) / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS tk FROM documents
+    ),
+    d AS (
+      SELECT doc_id, LEN(tk) AS dl,
+         {tf_cols}
+      FROM tok
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         {df_cols}
+      FROM d
+    )
+    SELECT doc_id, ROUND({contrib}, 6) AS score
+    FROM d, s
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPN}
+    """
+
+
+@query(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc=f"BM25 top-{_BM25_TOPN} relevance ranking for a fixed query "
+    f"{_BM25_TERMS} (k1={_BM25_K1}, b={_BM25_B}) — the classic retrieval / "
+    "quality-curation scorer. Plan shape at scale: one map-only pass computes "
+    "per-doc term frequencies and length (codegen, no UDF); ONE tiny "
+    "corpus-stats row (N, avgdl, per-term document frequency) comes back via "
+    "an aggregate and is broadcast into the scoring pass; the final top-N is "
+    "TakeOrderedAndProject (per-partition heap + driver merge) — never a "
+    "global sort or single-partition window. Shuffle volume is the stats row "
+    "plus N result rows, independent of corpus size. Scores rounded to 6 "
+    "digits in both engines (same grain as the similarity ops) so IEEE "
+    "summation-order differences cannot flip the comparison.",
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    def tf_of(term: str) -> F.Column:
+        # NB: the lambda must be unary — F.filter treats a 2-arg lambda as
+        # (element, index), silently binding the index where a captured
+        # default-arg would go
+        return F.size(F.filter(F.col("tk"), lambda x: x == F.lit(term)))
+
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("tk"))
+    per_doc = d.select(
+        "doc_id",
+        F.size("tk").alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    contrib = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        term = idf * (
+            (F.col(f"tf{i}") * (k1 + F.lit(1)))
+            / (
+                F.col(f"tf{i}")
+                + k1 * (F.lit(1) - b + b * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        contrib = term if contrib is None else contrib + term
+    return (
+        scored.select("doc_id", F.round(contrib, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+    )

@@ -304,3 +304,19 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, specs):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_single_window_shuffle(spark, specs):
+    """row_number + lead share one (user_id) window: exactly one exchange."""
+    df = _df(specs, spark, "cdc_scd2")
+    assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_bm25_topk_take_ordered_no_global_window(spark, specs):
+    """BM25 ranking must cut top-N with TakeOrderedAndProject (per-partition
+    heap), never a single-partition global window/sort; the corpus-stats row
+    must enter the scoring pass as a broadcast."""
+    plan = formatted_plan(_df(specs, spark, "text_bm25_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan, plan
