@@ -76,6 +76,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated subset (default: all registered)",
     )
 
+    ex = sub.add_parser(
+        "explain",
+        help="print the formatted physical plan of registry queries (the "
+        "scale-review surface: pushed filters, ReadSchema pruning, exchange "
+        "count, codegen spans)",
+    )
+    ex.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", help="testdata directory"
+    )
+    ex.add_argument(
+        "-q", "--queries", required=True,
+        help="comma-separated registry query names",
+    )
+
     return p
 
 
@@ -224,6 +238,41 @@ def _cmd_validate(args) -> int:
     return 1 if failed else 0
 
 
+def _cmd_explain(args) -> int:
+    """Formatted physical plan + one-line scale summary per query.
+
+    The review loop the operators were built with: after a query is correct,
+    read its plan — are filters pushed to the scan, is the read schema pruned,
+    how many exchanges, do the hot stages stay in whole-stage codegen?
+    """
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.plans.introspect import formatted_plan, shuffle_count
+    from librarian_spark.session import get_spark
+
+    spark = get_spark(app_name="librarian-explain")
+    specs = load_all()
+    for name in [n.strip() for n in args.queries.split(",") if n.strip()]:
+        df = specs[name].spark_fn(spark, args.sf_dir)
+        plan = formatted_plan(df)
+        print(f"===== {name} =====")
+        print(plan)
+        import re as _re
+
+        codegen_ids = set(_re.findall(r"\[codegen id : (\d+)\]", plan))
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "exchanges": shuffle_count(df),
+                    "codegen_stages": len(codegen_ids),
+                    "pushed_filters": "PushedFilters: [" in plan
+                    and "PushedFilters: []" not in plan,
+                }
+            )
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "snapshot":
@@ -243,6 +292,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(compact(get_spark("librarian-compact"), args.path,
                                  target_file_mb=args.target_file_mb)))
         return 0
+    if args.cmd == "explain":
+        return _cmd_explain(args)
     return 2
 
 

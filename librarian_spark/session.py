@@ -73,3 +73,68 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_profile(
+    total_cores: int,
+    executor_mem_gb: int = 16,
+    input_tb: float | None = None,
+) -> dict[str, str]:
+    """Conf profile for a real multi-executor cluster (the 100 TB deployment
+    of the same operator code — ``get_spark`` covers the local[32] test box).
+
+    The sizing rules, each one line of arithmetic so they can be audited:
+
+    - ``shuffle.partitions`` = 2× total cores, floored at 200: two waves of
+      shuffle tasks per stage smooth skew/straggler loss without drowning the
+      scheduler; AQE coalesces the empty ones anyway.
+    - ``advisoryPartitionSizeInBytes`` = 128 MB: AQE's post-shuffle coalesce
+      target — big enough to amortize task startup, small enough that a
+      partition (× ~3-5 decode amplification) fits executor memory headroom.
+    - ``maxPartitionBytes`` = 128 MB: scan-side split size, same argument.
+    - ``autoBroadcastJoinThreshold`` scales with executor memory (1/64 of an
+      executor's heap, capped at 512 MB): a broadcast table is materialized
+      ONCE per executor, so what's safe to broadcast is a function of the
+      executor heap, not of the data scale.
+    - skew-join split thresholds stay at AQE defaults (64 MB / 5× median) —
+      measured skew belongs to AQE at runtime, not to static conf.
+    - ``files.openCostInBytes`` down to 1 MB on object stores: S3 listings
+      bias Spark toward packing many small files per task; the real cost of
+      an extra S3 GET is far below the 4 MB default's implication.
+    - RocksDB state store + changelog checkpointing for any streaming job
+      whose keyed state exceeds executor heap (session windows / dedup at
+      100 TB); harmless for stateless jobs.
+
+    ``input_tb``, when given, only sanity-floors the partition count so one
+    pass over the input stays under ~2 GB per task even before AQE sees it.
+    """
+    shuffle_parts = max(200, 2 * total_cores)
+    if input_tb is not None:
+        # one scan wave: input / maxPartitionBytes tasks; keep shuffles in
+        # the same order of magnitude so joins against the scan don't funnel
+        shuffle_parts = max(shuffle_parts, int(input_tb * 1024 * 1024 // 2048))
+    bcast_mb = min(512, max(10, executor_mem_gb * 1024 // 64))
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.files.openCostInBytes": "1048576",
+        "spark.sql.autoBroadcastJoinThreshold": f"{bcast_mb}m",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.speculation": "true",
+    }

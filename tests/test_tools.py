@@ -504,3 +504,38 @@ def test_compact_crash_recovery(spark, tmp_path, sf_dir):
     n_after, _ = dir_stats(out)
     assert n_after == 1
     assert not report["compacted"]
+
+
+def test_cluster_profile_sizing_rules():
+    from librarian_spark.session import cluster_profile
+
+    # small cluster: the 200 floor holds and broadcast scales with heap
+    small = cluster_profile(64, executor_mem_gb=8)
+    assert small["spark.sql.shuffle.partitions"] == "200"
+    assert small["spark.sql.autoBroadcastJoinThreshold"] == "128m"
+
+    # 1000-executor / 100 TB shape: partitions follow 2×cores, then the
+    # input floor when the input is so large that 2×cores would leave
+    # multi-GB shuffle partitions
+    big = cluster_profile(4000, executor_mem_gb=32, input_tb=100)
+    assert int(big["spark.sql.shuffle.partitions"]) >= 8000
+    assert big["spark.sql.autoBroadcastJoinThreshold"] == "512m"
+    # the profile carries the same correctness-critical confs as get_spark
+    assert big["spark.sql.session.timeZone"] == "UTC"
+    assert big["spark.sql.parquet.inferTimestampNTZ.enabled"] == "false"
+
+
+def test_cli_explain_reports_plan(capsys):
+    import json as _json
+
+    from librarian_spark.cli import main
+
+    rc = main(
+        ["explain", "--sf-dir", "/root/testdata/sf0.001", "-q", "q03_filter"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "q03_filter" in out and "codegen id" in out
+    summary = _json.loads(out.strip().splitlines()[-1])
+    assert summary["pushed_filters"] is True
+    assert summary["codegen_stages"] >= 1
