@@ -1937,3 +1937,51 @@ def q48_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         "mad",
         F.coalesce(flag, F.lit(False)).alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q49 native session_window in batch mode (S12's primitive, batch-applied)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q49_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window aggregation applied in batch — the same "
+    "primitive Structured Streaming uses for streaming sessionization (S12), "
+    "here pinned against the lag+cumsum SQL formulation (q30's shape). Gap "
+    "semantics: per-event windows [ts, ts+30m) merge when they overlap, so a "
+    "gap of exactly 30 minutes starts a new session (oracle uses >=). ONE "
+    "shuffle on user_id; Spark merges sessions inside the aggregate operator "
+    "(no per-event window state), which is what makes the same code viable "
+    "over an unbounded stream with a watermark.",
+)
+def q49_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "first_ts", "last_ts", "n_events")
+    )
