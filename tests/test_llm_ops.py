@@ -264,3 +264,24 @@ def test_cosine_pairs_chunked_broadcast_exact(spark, sf_dir):
     ]
     assert len(chunked) == len(set(chunked)), "chunking duplicated pairs"
     assert set(chunked) == whole
+
+
+def test_scd2_intervals_partition_the_timeline(spark, sf_dir):
+    """Formulation-independent SCD2 contract: per key, versions are dense
+    (1..n), intervals chain exactly (valid_to == next valid_from), and there
+    is exactly one open (is_current) version — the last one."""
+    from librarian_spark.operators.registry import load_all
+
+    df = load_all()["cdc_scd2"].spark_fn(spark, sf_dir)
+    rows = df.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    assert by_key
+    for _uid, vs in by_key.items():
+        vs.sort(key=lambda r: r.version)
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert not a.is_current
+        assert vs[-1].is_current and vs[-1].valid_to is None
