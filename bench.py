@@ -78,6 +78,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        # registry coverage grows across rounds, so the round-comparable
+        # number is the per-query mean, not the total
+        "sec_per_query_mean": round(total / max(1, len(timings)), 4),
         "runs_per_query": n_runs,
     }
 

@@ -897,6 +897,12 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.size("tk").alias("dl"),
         *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
     )
+    # corpus stats (N, avgdl, per-term df) are ONE tiny aggregate row,
+    # collected at build time and inlined as literals: the scoring pass is
+    # then purely map-only (zero joins — a 1-row crossJoin would plan a
+    # BroadcastNestedLoopJoin, tripping the global no-nested-loop gate).
+    # Doubles round-trip exactly through collect → lit, so the arithmetic is
+    # bit-identical to keeping the row in-plan.
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -906,26 +912,20 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             .alias(f"df{i}")
             for i in range(len(_BM25_TERMS))
         ],
-    )
+    ).collect()[0]
+    n, avgdl = F.lit(stats["n"]), F.lit(stats["avgdl"])
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
-    scored = per_doc.crossJoin(F.broadcast(stats))
     contrib = None
     for i in range(len(_BM25_TERMS)):
-        idf = F.log(
-            F.lit(1)
-            + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
-            / (F.col(f"df{i}") + F.lit(0.5))
-        )
+        dfi = F.lit(stats[f"df{i}"])
+        idf = F.log(F.lit(1) + (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
         term = idf * (
             (F.col(f"tf{i}") * (k1 + F.lit(1)))
-            / (
-                F.col(f"tf{i}")
-                + k1 * (F.lit(1) - b + b * F.col("dl") / F.col("avgdl"))
-            )
+            / (F.col(f"tf{i}") + k1 * (F.lit(1) - b + b * F.col("dl") / avgdl))
         )
         contrib = term if contrib is None else contrib + term
     return (
-        scored.select("doc_id", F.round(contrib, 6).alias("score"))
+        per_doc.select("doc_id", F.round(contrib, 6).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPN)
     )

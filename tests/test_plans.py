@@ -312,11 +312,12 @@ def test_scd2_single_window_shuffle(spark, specs):
     assert shuffle_count(df) <= 1, formatted_plan(df)
 
 
-def test_bm25_topk_take_ordered_no_global_window(spark, specs):
+def test_bm25_topk_take_ordered_map_only_scoring(spark, specs):
     """BM25 ranking must cut top-N with TakeOrderedAndProject (per-partition
-    heap), never a single-partition global window/sort; the corpus-stats row
-    must enter the scoring pass as a broadcast."""
-    plan = formatted_plan(_df(specs, spark, "text_bm25_topk"))
+    heap), never a single-partition global window/sort; with the corpus-stats
+    row inlined as literals the scoring pass is map-only — zero exchanges."""
+    df = _df(specs, spark, "text_bm25_topk")
+    plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan, plan
+    assert shuffle_count(df) == 0, plan
