@@ -539,3 +539,88 @@ def test_cli_explain_reports_plan(capsys):
     summary = _json.loads(out.strip().splitlines()[-1])
     assert summary["pushed_filters"] is True
     assert summary["codegen_stages"] >= 1
+
+
+def test_reference_example_config_shape_runs_unchanged(spark, tmp_path):
+    """A config with the exact structure of the reference's shipped example
+    (dev/examples/property-sales.snapshot.yml: nested preserver.parquet.schema
+    using the Parquet-type vocabulary — INT64, BYTE_ARRAY/UTF8, INT32/DATE,
+    INT64/DECIMAL with scale+length) runs end-to-end; only the JDBC
+    connection is swapped for a file source (no database in the test env).
+    The declared schema must also be ENFORCED: the DECIMAL(12,2) cast and
+    DATE type appear in the written output."""
+    from librarian_spark.config import load_config_str
+    from librarian_spark.snapshot import run_snapshot_config
+    from librarian_spark.sources.fixtures import property_sales
+
+    src = str(tmp_path / "ps_src")
+    out = str(tmp_path / "ps_out")
+    property_sales(spark, 120, seed=11).write.parquet(src)
+
+    cfg = load_config_str(
+        f"""
+archiver:
+  name: property-sales-example
+  source:
+    format: parquet
+    path: {src}
+    schema: public
+    table: property_sales
+    query: |
+      SELECT
+        serial_number,
+        list_year,
+        date_recorded,
+        town,
+        assessed_value,
+        sale_amount
+      FROM property_sales
+      ORDER BY serial_number
+
+  repository:
+    type: local
+    local:
+      path: {out}
+
+  preserver:
+    type: parquet
+    parquet:
+      schema:
+        - name: serial_number
+          type: INT64
+          repetition_type: OPTIONAL
+        - name: list_year
+          type: INT64
+          repetition_type: OPTIONAL
+        - name: date_recorded
+          type: INT32
+          converted_type: DATE
+          repetition_type: OPTIONAL
+        - name: town
+          type: BYTE_ARRAY
+          converted_type: UTF8
+          repetition_type: OPTIONAL
+        - name: assessed_value
+          type: INT64
+          converted_type: DECIMAL
+          repetition_type: OPTIONAL
+          scale: 2
+          length: 12
+        - name: sale_amount
+          type: INT64
+          converted_type: DECIMAL
+          repetition_type: OPTIONAL
+          scale: 2
+          length: 12
+"""
+    )
+    rec = run_snapshot_config(spark, cfg)
+    assert rec.success and rec.num_records_processed == 120
+
+    got = spark.read.parquet(out)
+    dt = dict(got.dtypes)
+    assert dt["serial_number"] == "bigint"       # INT64
+    assert dt["town"] == "string"                # BYTE_ARRAY/UTF8
+    assert dt["date_recorded"] == "date"         # INT32/DATE
+    assert dt["assessed_value"] == "decimal(12,2)"  # INT64/DECIMAL(len,scale)
+    assert got.count() == 120
