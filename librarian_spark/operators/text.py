@@ -929,3 +929,60 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset mixture balancing (derived per-group sampling rates)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 0.6  # keep 60% of the corpus overall
+_MIX_BUCKETS = 10000
+
+
+@query(
+    "text_balance_mixture",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_l FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT CAST(SUM(n_l) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS k FROM c
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           ROUND(LEAST(1.0, ({_MIX_BUDGET} * n / k) / c.n_l), 6) AS rate
+    FROM documents d JOIN c USING (lang), s
+    WHERE {o_hash_bucket('doc_id', _MIX_BUCKETS)}
+          < FLOOR(LEAST(1.0, ({_MIX_BUDGET} * n / k) / c.n_l) * {_MIX_BUCKETS})
+    """,
+    doc=f"Dataset-mixture BALANCING: unlike text_stratified_sample's fixed "
+    "per-domain rates, the rates here are DERIVED from corpus statistics — "
+    f"equalize language shares within a {_MIX_BUDGET:.0%} overall budget "
+    "(rate_l = min(1, budget·N/K/n_l): dominant languages downsample, "
+    "minority languages keep everything). One tiny per-group count aggregate "
+    "is collected at build time and inlined as a CASE literal, so the "
+    "selection itself is a map-only codegen filter using the shared md5 "
+    "hash-bucket idiom — the sampled set is stable across runs, engines, "
+    "partitionings, and re-ingestions. At 100 TB the pre-pass is one "
+    "map-side-combining count over the group column only; the filter "
+    "streams at scan rate with zero shuffles.",
+)
+def text_balance_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    counts = {
+        r["lang"]: float(r["n"])
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n, k = float(sum(counts.values())), float(len(counts))
+    target = F.lit(_MIX_BUDGET) * F.lit(n) / F.lit(k)
+    n_l = None
+    for lang, c in counts.items():
+        n_l = (
+            F.when(F.col("lang") == lang, F.lit(c))
+            if n_l is None
+            else n_l.when(F.col("lang") == lang, F.lit(c))
+        )
+    rate = F.least(F.lit(1.0), target / n_l)
+    sel = hash_bucket("doc_id", _MIX_BUCKETS) < F.floor(rate * _MIX_BUCKETS)
+    return d.filter(sel).select(
+        "doc_id", "lang", "source", F.round(rate, 6).alias("rate")
+    )
