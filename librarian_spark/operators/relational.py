@@ -1985,3 +1985,49 @@ def q49_session_window(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("user_id", "first_ts", "last_ts", "n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# Q50 partial-aggregate merge (incremental rollup without fact rescans)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q50_reaggregation",
+    oracle="""
+    WITH partials AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS y,
+             EXTRACT(month FROM o_orderdate) AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(y AS BIGINT) AS y,
+           SUM(s) AS total_price,
+           CAST(SUM(c) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_partials
+    FROM partials GROUP BY y
+    """,
+    doc="Partial-aggregate MERGE: yearly totals derived from monthly partial "
+    "aggregates alone — the incremental-rollup / materialized-view "
+    "maintenance contract (store partials once; every coarser rollup reads "
+    "|partials| rows, never the fact table again). The merge-ability "
+    "requirement is that accumulators are algebraic AND order-insensitive: "
+    "DECIMAL sums + counts here are bit-exact under any merge order, the "
+    "same property q42's HLL sketches provide for distinct counts. At "
+    "100 TB the fact scan happens once per period, and re-aggregation cost "
+    "is O(periods), not O(orders).",
+)
+def q50_reaggregation(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    partials = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return partials.groupBy("y").agg(
+        F.sum("s").alias("total_price"),
+        F.sum("c").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_partials"),
+    ).select(F.col("y").cast("long").alias("y"), "total_price", "n_orders", "n_partials")
