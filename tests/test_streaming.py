@@ -640,3 +640,103 @@ def test_text_operators_run_on_streams(spark, tmp_path, sf_dir):
         for r in curate(spark.read.parquet(docs_dir)).collect()
     }
     assert got == want and len(got) == 200
+
+
+def test_scd2_streaming_materialize_versioned_history(spark, tmp_path, sf_dir):
+    """Streaming SCD2: inserts, two chained updates in ONE batch, then deletes,
+    drained as separate micro-batches; the state dir must hold the full
+    effective-dated history — dense versions, chained intervals, deletes
+    closing without reopening."""
+    from librarian_spark.streaming.envelope import build_envelope_json, parse_envelope
+    from librarian_spark.streaming.scd2 import SCD2Config, read_history, scd2_materialize
+
+    src = str(tmp_path / "scd2_src")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 20)
+    )
+
+    def env(df, op, ts_ms, lsn, value_col=None):
+        after = (
+            None
+            if op == "d"
+            else F.to_json(
+                F.struct(
+                    F.col("o_orderkey"),
+                    (value_col if value_col is not None else F.col("o_totalprice"))
+                    .cast("double")
+                    .alias("o_totalprice"),
+                )
+            )
+        )
+        before = F.to_json(F.struct(F.col("o_orderkey"))) if op == "d" else None
+        return df.select(
+            build_envelope_json(
+                before_json=before,
+                after_json=after,
+                version=F.lit("1.0.0"),
+                connector=F.lit("t"),
+                name=F.lit("t"),
+                source_ts_ms=F.lit(ts_ms).cast("long"),
+                snapshot=F.lit("false"),
+                db=F.lit("db"),
+                schema=F.lit("s"),
+                table=F.lit("orders"),
+                op=F.lit(op),
+                ts_ms=F.lit(ts_ms).cast("long"),
+                lsn=F.lit(lsn).cast("long"),
+            ).alias("value")
+        )
+
+    env(orders, "c", 1_000_000, 1).coalesce(1).write.mode("overwrite").text(
+        src + "/b1"
+    )
+    # one batch containing a two-step chain for keys %6==0
+    u1 = env(orders.filter(F.col("o_orderkey") % 3 == 0), "u", 2_000_000, 2, F.lit(1.0))
+    u2 = env(orders.filter(F.col("o_orderkey") % 6 == 0), "u", 2_500_000, 3, F.lit(2.0))
+    u1.unionAll(u2).coalesce(1).write.mode("overwrite").text(src + "/b2")
+    env(orders.filter(F.col("o_orderkey") % 7 == 0), "d", 3_000_000, 4).coalesce(
+        1
+    ).write.mode("overwrite").text(src + "/b3")
+
+    cfg = SCD2Config(
+        state_dir=str(tmp_path / "scd2_state"),
+        checkpoint_dir=str(tmp_path / "scd2_ckpt"),
+        key_cols=["o_orderkey"],
+        row_ddl="o_orderkey long, o_totalprice double",
+    )
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(src + "/b*")
+    )
+    q = scd2_materialize(spark, parse_envelope(stream, "value"), cfg)
+    q.processAllAvailable()
+    q.stop()
+
+    hist = read_history(spark, cfg).collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r.o_orderkey, []).append(r)
+
+    base = {r.o_orderkey: float(r.o_totalprice) for r in orders.collect()}
+    assert set(by_key) == set(base)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.version)
+        chain = [(base[k], 1_000_000)]
+        if k % 3 == 0:
+            chain.append((1.0, 2_000_000))
+        if k % 6 == 0:
+            chain.append((2.0, 2_500_000))
+        deleted = k % 7 == 0
+        assert [r.version for r in rows] == list(range(1, len(chain) + 1)), k
+        for i, (r, (val, frm)) in enumerate(zip(rows, chain)):
+            assert (r.o_totalprice, r.valid_from_ms) == (val, frm), k
+            last = i == len(chain) - 1
+            if not last:
+                assert r.valid_to_ms == chain[i + 1][1] and not r.is_current, k
+            elif deleted:
+                assert r.valid_to_ms == 3_000_000 and not r.is_current, k
+            else:
+                assert r.valid_to_ms is None and r.is_current, k
