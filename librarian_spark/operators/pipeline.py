@@ -135,3 +135,83 @@ def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
             "o_totalprice"
         ),
     )
+
+
+@query(
+    "pipeline_scd2",
+    oracle="""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           value,
+           epoch_ms(ts) AS valid_from_ms,
+           LEAD(epoch_ms(ts)) OVER w AS valid_to_ms,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    """,
+    doc="The streaming SCD2 pipeline E2E (change log → Debezium-envelope "
+    "lines → Structured Streaming foreachBatch SCD2 materializer → versioned "
+    "state dir → read-back): the oracle is the BATCH effective-dated-history "
+    "SQL over the same change log, so the comparison proves the streaming "
+    "materializer's incremental merge reproduces the batch semantics exactly "
+    "(versions, interval chaining, open-row flags) after envelope "
+    "encode/decode. Bench timing = drain + merge throughput. Keys partition "
+    "the one window pass; state merge is a key join — the same shapes the "
+    "batch cdc_scd2 operator commits to.",
+)
+def pipeline_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+    from librarian_spark.streaming.envelope import build_envelope_json, parse_envelope
+    from librarian_spark.streaming.scd2 import (
+        SCD2Config,
+        read_history,
+        scd2_materialize,
+    )
+
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_scd2_{tag}"
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        ev = load_table(spark, sf, "events").select(
+            build_envelope_json(
+                before_json=None,
+                after_json=F.to_json(F.struct(F.col("user_id"), F.col("value"))),
+                version=F.lit("1.0.0"),
+                connector=F.lit("bench"),
+                name=F.lit("bench"),
+                source_ts_ms=F.unix_millis("ts"),
+                snapshot=F.lit("false"),
+                db=F.lit("db"),
+                schema=F.lit("s"),
+                table=F.lit("events"),
+                op=F.lit("c"),
+                ts_ms=F.unix_millis("ts"),
+                lsn=F.col("event_id"),
+            ).alias("value")
+        )
+        ev.select("value").write.mode("overwrite").text(in_dir)
+
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith(("state_", "ckpt_")):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    run_id = uuid.uuid4().hex[:8]
+    cfg = SCD2Config(
+        state_dir=f"{base}/state_{run_id}",
+        checkpoint_dir=f"{base}/ckpt_{run_id}",
+        key_cols=["user_id"],
+        row_ddl="user_id long, value double",
+    )
+    stream = spark.readStream.schema("value string").text(in_dir)
+    q = scd2_materialize(spark, parse_envelope(stream, "value"), cfg)
+    q.processAllAvailable()
+    q.stop()
+    return read_history(spark, cfg)
