@@ -740,3 +740,40 @@ def test_scd2_streaming_materialize_versioned_history(spark, tmp_path, sf_dir):
                 assert r.valid_to_ms == 3_000_000 and not r.is_current, k
             else:
                 assert r.valid_to_ms is None and r.is_current, k
+
+
+def test_scd2_batch_replay_is_idempotent_and_cross_run_fails(spark, tmp_path, sf_dir):
+    """SCD2 materializer replay contract: re-applying the same batch id is a
+    no-op (history byte-identical, versions not double-appended); a batch id
+    BEHIND the state pointer (checkpoint/state mismatch) fails loudly."""
+    import pytest as _pytest
+
+    from librarian_spark.streaming.envelope import parse_envelope
+    from librarian_spark.streaming.scd2 import SCD2Config, _apply_batch, read_history
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") < 30)
+    )
+    ev = snapshot_as_events(orders, db="db", schema="s", table="orders")
+    batch = parse_envelope(ev.select("value"), "value")
+    cfg = SCD2Config(
+        state_dir=str(tmp_path / "scd2_state"),
+        checkpoint_dir=str(tmp_path / "scd2_ckpt"),
+        key_cols=["o_orderkey"],
+        row_ddl="o_orderkey long, o_totalprice double",
+    )
+    import os as _os
+
+    _os.makedirs(cfg.state_dir, exist_ok=True)
+    _apply_batch(spark, cfg, batch, 0)
+    snap = lambda: sorted(  # noqa: E731
+        tuple(r) for r in read_history(spark, cfg).collect()
+    )
+    first = snap()
+    _apply_batch(spark, cfg, batch, 0)  # crash-replay of the applied batch
+    assert snap() == first
+    assert all(r[2] == 1 for r in first)  # single version per key, no doubling
+    with _pytest.raises(ValueError, match="different runs"):
+        _apply_batch(spark, cfg, batch, -1)
