@@ -43,6 +43,19 @@ def build_parser() -> argparse.ArgumentParser:
     rep.add_argument("--serve", type=int, default=None, metavar="PORT", help="start the stats/control HTTP server")
     rep.add_argument("--once", action="store_true", help="drain available input then stop (batch-drain)")
 
+    mat = sub.add_parser(
+        "materialize",
+        help="apply a CDC envelope stream to a queryable table "
+        "(latest-state log compaction or SCD2 versioned history)",
+    )
+    mat.add_argument("-s", "--source", required=True, help="files:<glob> of envelope JSON lines")
+    mat.add_argument("--state-dir", required=True)
+    mat.add_argument("--checkpoint-dir", required=True)
+    mat.add_argument("--key-cols", required=True, help="comma-separated primary key columns")
+    mat.add_argument("--row-ddl", required=True, help='payload DDL, e.g. "id long, v double"')
+    mat.add_argument("--mode", choices=["latest", "scd2"], default="latest")
+    mat.add_argument("--once", action="store_true", help="drain available input then stop")
+
     sch = sub.add_parser("schema", help="schema utilities")
     sch_sub = sch.add_subparsers(dest="schema_cmd", required=True)
     gen = sch_sub.add_parser("generate", help="CREATE TABLE DDL → librarian YAML schema")
@@ -174,6 +187,60 @@ def _cmd_replicate(args) -> int:
     return 0
 
 
+def _cmd_materialize(args) -> int:
+    """Consumer half of replicate: drain an envelope stream into a queryable
+    table — latest-state (log compaction) or SCD2 effective-dated history."""
+    from librarian_spark.session import get_spark
+    from librarian_spark.streaming.envelope import parse_envelope
+
+    src_kind, src_rest = _parse_endpoint(args.source)
+    if src_kind != "files":
+        print(f"unsupported source kind: {src_kind}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"librarian-materialize-{args.mode}")
+    stream = parse_envelope(
+        spark.readStream.schema("value string").text(src_rest), "value"
+    )
+    keys = [k.strip() for k in args.key_cols.split(",") if k.strip()]
+    if args.mode == "scd2":
+        from librarian_spark.streaming.scd2 import (
+            SCD2Config,
+            read_history,
+            scd2_materialize,
+        )
+
+        cfg = SCD2Config(
+            state_dir=args.state_dir,
+            checkpoint_dir=args.checkpoint_dir,
+            key_cols=keys,
+            row_ddl=args.row_ddl,
+        )
+        q = scd2_materialize(spark, stream, cfg)
+        read_back = lambda: read_history(spark, cfg)  # noqa: E731
+    else:
+        from librarian_spark.streaming.materialize import (
+            MaterializeConfig,
+            materialize,
+            read_state,
+        )
+
+        cfg = MaterializeConfig(
+            state_dir=args.state_dir,
+            checkpoint_dir=args.checkpoint_dir,
+            key_cols=keys,
+            row_ddl=args.row_ddl,
+        )
+        q = materialize(spark, stream, cfg)
+        read_back = lambda: read_state(spark, cfg)  # noqa: E731
+    if args.once:
+        q.processAllAvailable()
+        q.stop()
+        print(json.dumps({"mode": args.mode, "rows": read_back().count()}))
+        return 0
+    q.awaitTermination()
+    return 0
+
+
 def _cmd_schema_generate(args) -> int:
     import yaml
 
@@ -294,6 +361,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "explain":
         return _cmd_explain(args)
+    if args.cmd == "materialize":
+        return _cmd_materialize(args)
     return 2
 
 

@@ -662,3 +662,47 @@ def test_ts_queries_invariant_across_parquet_timestamp_encodings(spark, tmp_path
             qname,
             {k: len(v) for k, v in results.items()},
         )
+
+
+def test_cli_materialize_both_modes(spark, tmp_path, capsys):
+    """`materialize` drains envelope lines into latest-state or SCD2 history
+    from the command line (the consumer half of replicate as a CLI verb)."""
+    src = str(tmp_path / "mat_src")
+    ev = snapshot_as_events(
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_totalprice")
+        .limit(25),
+        db="d", schema="s", table="orders",
+    )
+    ev.select("value").coalesce(1).write.text(src + "/b1")
+
+    for mode, expect in [("latest", 25), ("scd2", 25)]:
+        rc = cli_main(
+            [
+                "materialize",
+                "-s", f"files:{src}/b*",
+                "--state-dir", str(tmp_path / f"state_{mode}"),
+                "--checkpoint-dir", str(tmp_path / f"ckpt_{mode}"),
+                "--key-cols", "o_orderkey",
+                "--row-ddl", "o_orderkey long, o_totalprice double",
+                "--mode", mode,
+                "--once",
+            ]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out == {"mode": mode, "rows": expect}
+    # scd2 state carries the history columns
+    from librarian_spark.streaming.scd2 import SCD2Config, read_history
+
+    hist = read_history(
+        spark,
+        SCD2Config(
+            state_dir=str(tmp_path / "state_scd2"),
+            checkpoint_dir="",
+            key_cols=["o_orderkey"],
+            row_ddl="o_orderkey long, o_totalprice double",
+        ),
+    )
+    assert {"version", "valid_from_ms", "valid_to_ms", "is_current"} <= set(
+        hist.columns
+    )
