@@ -589,11 +589,18 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # singleton cluster and skips the iteration entirely. Per-round shuffles
     # on this (usually tiny) subgraph are right-sized by AQE partition
     # coalescing — no explicit repartition pass, no extra sizing job.
+    # Initialization IS the first propagation round: label = min(self,
+    # neighbors) from one aggregate over the symmetric edges (the identical
+    # shuffle a distinct-nodes init would pay), so the loop below starts one
+    # hop ahead — one fewer join+checkpoint+count round to convergence.
     labels = (
-        edges.select("doc_id_1")
-        .distinct()
-        .select(F.col("doc_id_1").alias("doc_id"))
-        .withColumn("cluster_id", F.col("doc_id"))
+        edges.groupBy("doc_id_1")
+        .agg(
+            F.min(F.least(F.col("doc_id_1"), F.col("doc_id_2"))).alias(
+                "cluster_id"
+            )
+        )
+        .select(F.col("doc_id_1").alias("doc_id"), "cluster_id")
         .localCheckpoint()
     )
     for _ in range(_CC_MAX_ITERS):
