@@ -171,7 +171,9 @@ def _hash_family(k: int = _MINHASH_K) -> list[tuple[int, int]]:
     return pairs
 
 
-def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
+def minhash_features(
+    spark: SparkSession, sf: str, docs: DataFrame | None = None
+) -> DataFrame:
     """doc_id → (shingle hash set, 16 LSH band signatures) in ONE map-only pass.
 
     Per Arrow batch: shingle every doc in python, hash all shingles of the
@@ -197,7 +199,7 @@ def minhash_features(spark: SparkSession, sf: str) -> DataFrame:
     3-5× worse again. Cached: band table feeds a self-join (both branches) and
     the verify stage re-reads the shingle arrays.
     """
-    d = fan_out(_t(spark, sf, "documents"))
+    d = fan_out(docs if docs is not None else _t(spark, sf, "documents"))
     fam = _hash_family()
     a_np = [a for a, _ in fam]
     b_np = [b for _, b in fam]
@@ -727,3 +729,123 @@ def dedup_cross_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.filter(is_eval_1 != is_eval_2).select(
         "doc_id_1", "doc_id_2", "jaccard"
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted MinHash-LSH band index (near-dup lookups against a corpus at rest)
+# --------------------------------------------------------------------------
+
+_IDX_QUERY_MOD = 10  # doc_id % 10 == 0 plays the incoming query batch
+_IDX_BUCKETS = 32  # band-signature hash buckets = index partition dirs
+
+
+def build_minhash_index(spark: SparkSession, sf: str, index_dir: str) -> None:
+    """Materialize the LSH index at rest: the exploded band table written
+    PARTITIONED BY a band-signature bucket, plus a shingle-hash sidecar for
+    exact verification.
+
+    The dedup twin of ``build_ivf_index``: at 100 TB the signature pass runs
+    once; each incoming batch then probes only the partition dirs its own
+    band signatures hash into — Spark's partition pruning turns the bucket
+    filter into "don't open those files". Re-sharding (different bucket
+    count) is a rewrite, so callers version ``index_dir``.
+    """
+    feats = minhash_features(spark, sf)
+    bands = feats.select(
+        "doc_id", F.posexplode("band_sigs").alias("band", "band_sig")
+    ).withColumn(
+        "bucket", F.pmod(F.col("band_sig") + F.col("band"), F.lit(_IDX_BUCKETS))
+    )
+    bands.write.partitionBy("bucket").mode("overwrite").parquet(
+        index_dir + "/bands"
+    )
+    feats.select("doc_id", "shingle_hashes").write.mode("overwrite").parquet(
+        index_dir + "/features"
+    )
+
+
+def minhash_index_probe(
+    spark: SparkSession, sf: str, index_dir: str, query_docs: DataFrame
+) -> DataFrame:
+    """Near-dup pairs between a query batch and the indexed corpus: signature
+    the queries (map-only, query batch ONLY), probe just the matching bucket
+    partitions, then exact-verify candidates from the index's shingle
+    sidecar."""
+    qf = minhash_features(spark, sf, docs=query_docs)
+    qbands = qf.select(
+        F.col("doc_id").alias("q_id"),
+        F.posexplode("band_sigs").alias("band", "band_sig"),
+    ).withColumn(
+        "bucket", F.pmod(F.col("band_sig") + F.col("band"), F.lit(_IDX_BUCKETS))
+    )
+    probes = [r.bucket for r in qbands.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(index_dir + "/bands").filter(
+        F.col("bucket").isin(probes)  # static partition filter → file skipping
+    )
+    cands = (
+        qbands.drop("bucket")
+        .join(idx.drop("bucket"), ["band", "band_sig"])
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select(
+            F.least("q_id", "doc_id").alias("doc_id_1"),
+            F.greatest("q_id", "doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    feats_idx = spark.read.parquet(index_dir + "/features")
+    s1 = feats_idx.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shingle_hashes").alias("sh1")
+    )
+    s2 = feats_idx.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shingle_hashes").alias("sh2")
+    )
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jac = n_common * F.lit(1.0) / (
+        F.size("sh1") + F.size("sh2") - n_common
+    )
+    return (
+        cands.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .withColumn("raw_jac", jac)
+        .filter(F.col("raw_jac") >= _JACCARD_THRESHOLD)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            n_common.cast("long").alias("n_common"),
+            F.round("raw_jac", 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_minhash_index",
+    oracle=f"""
+    SELECT * FROM ({_NGRAM_ORACLE})
+    WHERE doc_id_1 % {_IDX_QUERY_MOD} = 0 OR doc_id_2 % {_IDX_QUERY_MOD} = 0
+    """,
+    doc="PERSISTED MinHash-LSH index + query-batch probe: the corpus band "
+    f"table lives on disk partitioned by signature bucket ({_IDX_BUCKETS} "
+    "dirs) with a shingle-hash sidecar; an incoming batch (doc_id % "
+    f"{_IDX_QUERY_MOD} == 0 plays the role) is signatured map-only, probes "
+    "ONLY its buckets' partition dirs (file skipping at rest — the dedup "
+    "twin of sim_ivf_index_topk), and candidates are exact-verified from "
+    "the sidecar. Oracle = the exact all-pairs SQL restricted to pairs "
+    "touching the query split, so the hash match also certifies index "
+    "completeness: every true near-dup pair must survive the "
+    "index-build→persist→probe round trip.",
+)
+def dedup_minhash_index(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+
+    src = os.path.join(sf, "documents.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/librarian_mhidx_{tag}"
+    # completion = the writer's _SUCCESS commit marker, not bare existence
+    if not os.path.exists(index_dir + "/features/_SUCCESS"):
+        build_minhash_index(spark, sf, index_dir)
+    queries = _t(spark, sf, "documents").filter(
+        F.col("doc_id") % _IDX_QUERY_MOD == 0
+    )
+    return minhash_index_probe(spark, sf, index_dir, queries)

@@ -321,3 +321,15 @@ def test_bm25_topk_take_ordered_map_only_scoring(spark, specs):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
     assert shuffle_count(df) == 0, plan
+
+
+def test_minhash_index_probe_prunes_partitions(spark, specs):
+    """The persisted-LSH probe must reach the band table through a partition
+    filter on the signature bucket (file skipping at rest), never a full
+    index scan."""
+    df = _df(specs, spark, "dedup_minhash_index")
+    plan = formatted_plan(df)
+    import re as _re
+
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in f for f in pf), plan
