@@ -313,30 +313,16 @@ def _cmd_explain(args) -> int:
     how many exchanges, do the hot stages stay in whole-stage codegen?
     """
     from librarian_spark.operators.registry import load_all
-    from librarian_spark.plans.introspect import formatted_plan, shuffle_count
+    from librarian_spark.plans.introspect import formatted_plan, plan_fingerprint
     from librarian_spark.session import get_spark
 
     spark = get_spark(app_name="librarian-explain")
     specs = load_all()
     for name in [n.strip() for n in args.queries.split(",") if n.strip()]:
         df = specs[name].spark_fn(spark, args.sf_dir)
-        plan = formatted_plan(df)
         print(f"===== {name} =====")
-        print(plan)
-        import re as _re
-
-        codegen_ids = set(_re.findall(r"\[codegen id : (\d+)\]", plan))
-        print(
-            json.dumps(
-                {
-                    "query": name,
-                    "exchanges": shuffle_count(df),
-                    "codegen_stages": len(codegen_ids),
-                    "pushed_filters": "PushedFilters: [" in plan
-                    and "PushedFilters: []" not in plan,
-                }
-            )
-        )
+        print(formatted_plan(df))
+        print(json.dumps({"query": name, **plan_fingerprint(df)}))
     return 0
 
 

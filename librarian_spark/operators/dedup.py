@@ -840,7 +840,11 @@ def dedup_minhash_index(spark: SparkSession, sf: str) -> DataFrame:
 
     src = os.path.join(sf, "documents.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    # the tag versions the index LAYOUT too: bucket count, hash family size,
+    # banding, and threshold all change what is on disk — reusing an index
+    # built under different constants would silently drop candidate pairs
+    layout = f"{_IDX_BUCKETS}:{_MINHASH_K}:{_LSH_BANDS}:{_JACCARD_THRESHOLD}"
+    tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_mhidx_{tag}"
     # completion = the writer's _SUCCESS commit marker, not bare existence
     if not os.path.exists(index_dir + "/features/_SUCCESS"):

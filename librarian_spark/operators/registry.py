@@ -17,6 +17,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from librarian_spark.session import CORRECTNESS_CONFS
+
 __all__ = ["QuerySpec", "REGISTRY", "register", "query", "tune_session"]
 
 # Runtime-settable confs applied to the CALLER's session before every
@@ -37,18 +39,13 @@ __all__ = ["QuerySpec", "REGISTRY", "register", "query", "tune_session"]
 # All of these are runtime-settable (no session restart), idempotent, and
 # identical to what librarian_spark.session.get_spark configures at build time.
 _CALLER_SESSION_CONF = {
-    "spark.sql.session.timeZone": "UTC",
+    # correctness-critical confs (timeZone/nanosAsLong/inferTimestampNTZ/arrow)
+    # are single-sourced in librarian_spark.session.CORRECTNESS_CONFS
+    **CORRECTNESS_CONFS,
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
-    #   - inferTimestampNTZ off: testdata timestamps are µs without
-    #     isAdjustedToUTC; as TIMESTAMP_NTZ they cannot cast to numeric
-    #     (sessionization deltas) — read as UTC instants instead (session TZ is
-    #     UTC, so wall-clock values match the DuckDB oracle either way).
-    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -765,9 +765,13 @@ def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _t(spark, sf, "embeddings").select("vec_id", "label", "embedding")
     qpdf = e.filter(F.col("label") == _KNN_QUERY_LABEL).toPandas()
+    schema = "query_id long, neighbor_id long, neighbor_label long, score double, rn long"
+    if not len(qpdf):  # no query split in this corpus → no rows, not a crash
+        return spark.createDataFrame([], schema)
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
-    qm /= np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qn = np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qm /= np.where(qn == 0.0, 1.0, qn)  # zero vectors score 0, never NaN
     qb = spark.sparkContext.broadcast((q_ids, qm))
     k = _KNN_K
 
@@ -782,7 +786,8 @@ def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
             c_ids = b["vec_id"].to_numpy(dtype=np.int64)
             c_lab = b["label"].to_numpy(dtype=np.int64)
             c = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
+            cn = np.sqrt((c * c).sum(axis=1, keepdims=True))
+            c /= np.where(cn == 0.0, 1.0, cn)
             scores = np.round(qm @ c.T, 6)  # |Q| × |block|
             out_q, out_n, out_l, out_s = [], [], [], []
             for qi in range(len(q_ids)):

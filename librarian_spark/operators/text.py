@@ -919,8 +919,12 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     for i in range(len(_BM25_TERMS)):
         dfi = F.lit(stats[f"df{i}"])
         idf = F.log(F.lit(1) + (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
-        term = idf * (
-            (F.col(f"tf{i}") * (k1 + F.lit(1)))
+        # association order must MIRROR the oracle's left-to-right parse,
+        # (idf * num) / den — grouping as idf * (num / den) differs in the
+        # last ulp and can flip a ROUND(...,6) boundary between engines
+        term = (
+            idf
+            * (F.col(f"tf{i}") * (k1 + F.lit(1)))
             / (F.col(f"tf{i}") + k1 * (F.lit(1) - b + b * F.col("dl") / avgdl))
         )
         contrib = term if contrib is None else contrib + term

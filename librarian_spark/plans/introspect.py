@@ -23,6 +23,7 @@ __all__ = [
     "shuffle_count",
     "has_partial_aggregate",
     "wholestage_codegen_spans",
+    "plan_fingerprint",
 ]
 
 
@@ -87,3 +88,31 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     )
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
     return int(m.group(1)) if m else 0
+
+
+def plan_fingerprint(df: DataFrame) -> dict:
+    """One-line scale summary of a plan — the shared backend of ``cli
+    explain`` and ``scripts/gen_plans_md.py`` (one implementation, so the two
+    surfaces can never disagree on what they report).
+
+    Keys: exchanges (shuffle count), codegen_stages (distinct whole-stage
+    ids; 0 can mean "AQE printed a non-finalized plan", not "interpreted"),
+    pushed_filters (any non-empty PushedFilters on a scan), broadcast_join,
+    hazards (cartesian / nested-loop / single-partition exchange).
+    """
+    plan = formatted_plan(df)
+    hazards = []
+    if "CartesianProduct" in plan:
+        hazards.append("cartesian")
+    if "BroadcastNestedLoopJoin" in plan:
+        hazards.append("nested-loop")
+    if "Exchange SinglePartition" in plan:
+        hazards.append("single-partition")
+    return {
+        "exchanges": shuffle_count(df),
+        "codegen_stages": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+        "broadcast_join": "BroadcastHashJoin" in plan,
+        "hazards": hazards,
+    }

@@ -17,11 +17,31 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+__all__ = ["get_spark", "cluster_profile", "CORRECTNESS_CONFS", "DEFAULT_SHUFFLE_PARTITIONS"]
 
 # local[32] on the test box; on a 1000-executor cluster this should be
 # ~2-3x total cores — overridable via config/env.
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Correctness-critical confs, single-sourced: every session-building path
+# (get_spark, the caller-session tuning profile in operators.registry, the
+# cluster profile, and load_table's defensive set) consumes THIS dict — a
+# conf added or changed here reaches all of them, instead of four hand-kept
+# copies drifting (the class of hidden-conf bug scripts/driver_sim.py
+# exists to catch).
+#   - timeZone UTC: DuckDB-oracle timestamps are UTC-naive; any other TZ
+#     drifts every timestamp-typed result.
+#   - nanosAsLong: parquet INT64 TIMESTAMP(NANOS) is otherwise an illegal
+#     type for the vectorized reader.
+#   - inferTimestampNTZ off: µs-without-UTC-flag timestamps otherwise
+#     surface as TIMESTAMP_NTZ, which cannot cast to numeric.
+#   - arrow: every mapInPandas/toPandas boundary assumes Arrow batching.
+CORRECTNESS_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
 
 
 def get_spark(
@@ -54,20 +74,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # parquet INT64 TIMESTAMP(NANOS) is otherwise an illegal type for Spark;
-        # read as long and normalize to µs timestamps in the source adapter.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # parquet timestamps without isAdjustedToUTC otherwise surface as
-        # TIMESTAMP_NTZ, which cannot cast to numeric; read them as UTC instants
-        # (session TZ is UTC, so wall-clock values are unchanged).
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    for k, v in CORRECTNESS_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -115,6 +128,7 @@ def cluster_profile(
         shuffle_parts = max(shuffle_parts, int(input_tb * 1024 * 1024 // 2048))
     bcast_mb = min(512, max(10, executor_mem_gb * 1024 // 64))
     return {
+        **CORRECTNESS_CONFS,
         "spark.sql.shuffle.partitions": str(shuffle_parts),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -123,11 +137,7 @@ def cluster_profile(
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.files.openCostInBytes": "1048576",
         "spark.sql.autoBroadcastJoinThreshold": f"{bcast_mb}m",
-        "spark.sql.session.timeZone": "UTC",
-        "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
-        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.streaming.stateStore.providerClass": (
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider"

@@ -47,11 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bare session would otherwise throw PARQUET_TYPE_ILLEGAL on every
     events-table query.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:  # µs-without-UTC-flag timestamps: read as UTC instants, not NTZ
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    except Exception:  # noqa: BLE001 — locked conf: the cast below still fixes it
-        pass
+    from librarian_spark.session import CORRECTNESS_CONFS
+
+    for k, v in CORRECTNESS_CONFS.items():
+        try:  # runtime-settable and idempotent; a locked conf never aborts a read
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — the ts-normalizing cast below still fixes NTZ
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, LongType):

@@ -130,6 +130,21 @@ def _apply_batch(
         .withColumn("is_current", F.lit(False))
         .drop("_first_ts")
     )
+    # Contract: the stream is per-key event-time monotone (true for an
+    # LSN-ordered replication slot, the reference's source). A batch event
+    # EARLIER than the open version's start would close an interval before it
+    # began — a silently corrupted history — so reject it loudly; genuinely
+    # late data needs an explicit repair/backfill path, not a quiet merge.
+    n_late = closed_prev.filter(
+        F.col("valid_to_ms") < F.col("valid_from_ms")
+    ).count()
+    if n_late:
+        raise ValueError(
+            f"batch {batch_id} contains {n_late} key(s) with events earlier "
+            "than the open version's valid_from (out-of-order change log); "
+            "refusing to write a history with negative intervals — repair or "
+            "re-order the source, or rebuild the state dir from the full log"
+        )
     untouched_cur = prev_cur.join(touched.select(*cfg.key_cols), cfg.key_cols, "left_anti")
 
     new_rows = (

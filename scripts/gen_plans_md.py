@@ -1,12 +1,10 @@
 #!/usr/bin/env python
 """Regenerate PLANS.md: per-registry-query physical-plan fingerprint.
 
-One row per query: exchange (shuffle) count, whole-stage-codegen stage count,
-whether filters are pushed to the scan, whether a broadcast join appears, and
-the top-level plan verdict flags the plan-audit would raise. Run from repo
-root after operator changes.
+One row per query via plans.introspect.plan_fingerprint — the SAME helper
+`cli explain` prints, so the two surfaces cannot disagree. Run from repo root
+after operator changes.
 """
-import re
 import sys
 from pathlib import Path
 
@@ -14,7 +12,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from librarian_spark.operators.registry import load_all  # noqa: E402
-from librarian_spark.plans.introspect import formatted_plan, shuffle_count  # noqa: E402
+from librarian_spark.plans.introspect import plan_fingerprint  # noqa: E402
 from librarian_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
@@ -26,24 +24,15 @@ def main() -> None:
     rows = []
     for name, spec in sorted(specs.items()):
         try:
-            df = spec.spark_fn(spark, SF)
-            plan = formatted_plan(df)
+            fp = plan_fingerprint(spec.spark_fn(spark, SF))
         except Exception as e:  # noqa: BLE001
             rows.append((name, "-", "-", "-", "-", f"BUILD-ERROR {type(e).__name__}"))
             continue
-        codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
-        pushed = "PushedFilters: [" in plan and "PushedFilters: []" not in plan
-        bcast = "BroadcastHashJoin" in plan
-        hazards = []
-        if "CartesianProduct" in plan:
-            hazards.append("cartesian")
-        if "BroadcastNestedLoopJoin" in plan:
-            hazards.append("nested-loop")
-        if "Exchange SinglePartition" in plan:
-            hazards.append("single-partition")
         rows.append(
-            (name, shuffle_count(df), codegen, "y" if pushed else "",
-             "y" if bcast else "", ",".join(hazards) or "")
+            (name, fp["exchanges"], fp["codegen_stages"],
+             "y" if fp["pushed_filters"] else "",
+             "y" if fp["broadcast_join"] else "",
+             ",".join(fp["hazards"]) or "")
         )
     lines = [
         "# Plan fingerprints (auto-generated; scripts/gen_plans_md.py)",

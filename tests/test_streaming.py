@@ -777,3 +777,45 @@ def test_scd2_batch_replay_is_idempotent_and_cross_run_fails(spark, tmp_path, sf
     assert all(r[2] == 1 for r in first)  # single version per key, no doubling
     with _pytest.raises(ValueError, match="different runs"):
         _apply_batch(spark, cfg, batch, -1)
+
+
+def test_scd2_rejects_out_of_order_batches(spark, tmp_path, sf_dir):
+    """A later batch whose events predate a key's open version must fail
+    loudly (negative-interval history) instead of merging silently."""
+    import pytest as _pytest
+
+    from librarian_spark.streaming.envelope import build_envelope_json, parse_envelope
+    from librarian_spark.streaming.scd2 import SCD2Config, _apply_batch
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .limit(5)
+    )
+
+    def batch(ts_ms, lsn):
+        env = orders.select(
+            build_envelope_json(
+                before_json=None,
+                after_json=F.to_json(F.struct("o_orderkey", "o_totalprice")),
+                version=F.lit("1.0.0"), connector=F.lit("t"), name=F.lit("t"),
+                source_ts_ms=F.lit(ts_ms).cast("long"), snapshot=F.lit("false"),
+                db=F.lit("db"), schema=F.lit("s"), table=F.lit("orders"),
+                op=F.lit("u"), ts_ms=F.lit(ts_ms).cast("long"),
+                lsn=F.lit(lsn).cast("long"),
+            ).alias("value")
+        )
+        return parse_envelope(env, "value")
+
+    cfg = SCD2Config(
+        state_dir=str(tmp_path / "ooo_state"),
+        checkpoint_dir=str(tmp_path / "ooo_ckpt"),
+        key_cols=["o_orderkey"],
+        row_ddl="o_orderkey long, o_totalprice double",
+    )
+    import os as _os
+
+    _os.makedirs(cfg.state_dir, exist_ok=True)
+    _apply_batch(spark, cfg, batch(1_000_000, 1), 0)
+    with _pytest.raises(ValueError, match="out-of-order"):
+        _apply_batch(spark, cfg, batch(500_000, 2), 1)
