@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Scaling smoke: measure wall-clock growth of representative operators when
+the input grows 5x (key-shifted replication of the sf0.1 tables into /tmp).
+
+Not a correctness gate and not a replacement for bench.py — this answers the
+scale-review question directly: does each plan's runtime grow ~linearly with
+input size (shuffle- and scan-bound operators should), or does something
+super-linear hide at small scale? Run from repo root:
+
+    python scripts/scale_smoke.py [factor]
+
+Prints one JSON line {query: {base_s, scaled_s, factor}} and a summary.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from librarian_spark.operators.registry import load_all  # noqa: E402
+from librarian_spark.session import get_spark  # noqa: E402
+from librarian_spark.sources.batch import load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+# (table, key columns to shift so replicas don't collide)
+SHIFT = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": [],
+    "region": [],
+}
+
+QUERIES = [
+    "q06_tpch_q1",          # scan + hash aggregate
+    "q14_star_join",        # multi-join star
+    "q30_sessionization",   # key window
+    "q31_topk_per_group",   # rank window
+    "dedup_minhash_lsh",    # fingerprints + band join (replicas ARE dups)
+    "sim_cosine_topk",      # broadcast block matmul
+    "text_bm25_topk",       # map-only score + TakeOrdered
+    "cdc_apply",            # max_by aggregate
+]
+
+
+def build_scaled(spark, out_dir: str) -> None:
+    for t, keys in SHIFT.items():
+        src = load_table(spark, BASE_SF, t)
+        if not keys:
+            src.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+            continue
+        parts = []
+        # shift well past the table's own id range so replicas never collide
+        span = 10 ** 12
+        for r in range(REPL):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(r * span))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def time_query(spark, spec, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        spec.spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    scaled = f"/tmp/librarian_scale_x{REPL}"
+    if not os.path.exists(f"{scaled}/lineitem.parquet/_SUCCESS"):
+        print(f"building {scaled} ...", file=sys.stderr)
+        build_scaled(spark, scaled)
+    specs = load_all()
+    spark.read.parquet(f"{BASE_SF}/region.parquet").count()  # warm JVM
+    out = {}
+    for name in QUERIES:
+        b = time_query(spark, specs[name], BASE_SF)
+        s = time_query(spark, specs[name], scaled)
+        out[name] = {
+            "base_s": round(b, 3),
+            "scaled_s": round(s, 3),
+            "factor": round(s / b, 2),
+        }
+        print(f"{name}: {b:.2f}s -> {s:.2f}s ({s / b:.2f}x)", file=sys.stderr)
+    line = {"replication": REPL, "queries": out}
+    print(json.dumps(line, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
