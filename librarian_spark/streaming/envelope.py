@@ -244,7 +244,13 @@ def snapshot_as_events(
     sorted to match Go's map marshaling.
     """
     cols = sorted(df.columns)
-    after = F.to_json(F.struct(*[F.col(c).alias(c) for c in cols]))
+    # ignoreNullFields off: Go's json.Marshal of map[string]interface{} emits
+    # "col":null for nil values; Spark's default DROPS null fields, which
+    # would make a null column read as absent downstream
+    after = F.to_json(
+        F.struct(*[F.col(c).alias(c) for c in cols]),
+        {"ignoreNullFields": "false"},
+    )
     now_ms = (F.unix_micros(F.current_timestamp()) / 1000).cast("long")
     value = build_envelope_json(
         before_json=None,

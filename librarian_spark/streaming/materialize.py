@@ -11,8 +11,12 @@ Semantics per micro-batch:
 1. within the batch, reduce to the LAST change per key (``max_by`` over the
    (ts_ms, lsn) change order — same partial-aggregate shape as the batch
    ``cdc_apply`` operator),
-2. anti-join the previous state against the batch's keys (drop superseded
-   rows), union the surviving upserts (final op != 'd'),
+2. merge against the previous state BY EVENT ORDER, not batch order: state
+   rows carry their winning event's (ts_ms, lsn) watermark, and a max_by over
+   prev ∪ batch picks each key's winner — a stale re-delivery arriving in a
+   later batch (the at-least-once producer's crash behavior) loses to the
+   stored row instead of silently regressing it; surviving winners with
+   final op != 'd' are the new state,
 3. write the merged state to ``state_dir/v=<batch_id>`` and atomically advance
    the ``_LATEST`` pointer.
 
@@ -94,11 +98,27 @@ def _prune_versions(state_dir: str, latest: int, keep: int) -> None:
 
 
 def read_state(spark: SparkSession, cfg: MaterializeConfig) -> DataFrame:
-    """Current materialized table (empty with the declared schema if none)."""
+    """Current materialized table (empty with the declared schema if none).
+    Internal order-tracking columns are stripped; use ``_read_state_raw`` in
+    the merge path."""
+    df = _read_state_raw(spark, cfg)
+    return df.drop("_ts_ms_", "_ordc_")
+
+
+def _read_state_raw(spark: SparkSession, cfg: MaterializeConfig) -> DataFrame:
+    """State WITH the per-row order watermark columns the merge needs.
+    Rows written by a pre-watermark layout get LONG_MIN (any event beats
+    them — the old last-batch-wins behavior, but only for those rows)."""
     v = _latest_version(cfg.state_dir)
     if v is None:
-        return spark.createDataFrame([], cfg.row_ddl)
-    return spark.read.parquet(os.path.join(cfg.state_dir, f"v={v}"))
+        df = spark.createDataFrame([], cfg.row_ddl)
+    else:
+        df = spark.read.parquet(os.path.join(cfg.state_dir, f"v={v}"))
+    lo = -(1 << 63)
+    for c in ("_ts_ms_", "_ordc_"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(lo).cast("long"))
+    return df
 
 
 def _apply_batch(
@@ -134,13 +154,49 @@ def _apply_batch(
     ]
     keyed = typed.select("op", ts, ordc, F.col("after_row"), *keys)
     last = keyed.groupBy(*cfg.key_cols).agg(
-        F.max_by(F.struct("op", "after_row"), F.struct(ts, ordc)).alias("fin")
+        F.max_by(F.struct("op", "after_row"), F.struct(ts, ordc)).alias("fin"),
+        F.max(F.struct(F.col(ts).alias("t"), F.col(ordc).alias("o"))).alias("_ord"),
     )
-    upserts = last.filter(F.col("fin.op") != cfg.delete_op).select("fin.after_row.*")
-    prev = read_state(spark, cfg)
-    merged = prev.join(
-        last.select(*cfg.key_cols), cfg.key_cols, "left_anti"
-    ).unionByName(upserts)
+    # Cross-batch ordering: the source is at-least-once (the reference
+    # re-produces tail events after a crash — replicator.go:267-275), so a
+    # LATER batch can carry an OLDER event for a key already in state.
+    # State rows therefore keep their winning event's (ts, ordc) watermark,
+    # and the merge is a max_by over prev ∪ batch BY EVENT ORDER — batch
+    # arrival order never overrides event order (a stale re-delivery loses
+    # to the stored row instead of silently regressing it). Deletes win by
+    # the same ordering; a removed key keeps no tombstone, so an even older
+    # re-delivery after the delete's batch would reinsert — production
+    # retention of delete tombstones is the transactional-format upgrade.
+    payload_cols = spark.createDataFrame([], cfg.row_ddl).columns
+    batch_cand = last.select(
+        *cfg.key_cols,
+        F.col("fin.op").alias("_op_"),
+        F.col("fin.after_row").alias("_row_"),
+        F.col("_ord.t").alias("_ts_ms_"),
+        F.col("_ord.o").alias("_ordc_"),
+    )
+    prev_cand = _read_state_raw(spark, cfg).select(
+        *cfg.key_cols,
+        F.lit("u").alias("_op_"),  # live row ≡ an upsert at its stored order
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_row_"),
+        "_ts_ms_",
+        "_ordc_",
+    )
+    winners = (
+        prev_cand.unionByName(batch_cand)
+        .groupBy(*cfg.key_cols)
+        .agg(
+            F.max_by(
+                F.struct("_op_", "_row_", "_ts_ms_", "_ordc_"),
+                F.struct("_ts_ms_", "_ordc_"),
+            ).alias("w")
+        )
+    )
+    merged = winners.filter(F.col("w._op_") != cfg.delete_op).select(
+        F.col("w._row_.*"),
+        F.col("w._ts_ms_").alias("_ts_ms_"),
+        F.col("w._ordc_").alias("_ordc_"),
+    )
     out = os.path.join(cfg.state_dir, f"v={batch_id}")
     merged.write.mode("overwrite").parquet(out)
     _advance_pointer(cfg.state_dir, batch_id)

@@ -86,6 +86,8 @@ class Replicator:
             reader = self.spark.readStream
             for k, v in cfg.source_options.items():
                 reader = reader.option(k, v)
+            if cfg.source_schema:
+                reader = reader.schema(cfg.source_schema)
             df = reader.format("text").load(cfg.source_path)
             df = df.select(F.col("value").cast("string").alias("value"))
         elif cfg.source_format == "cdc_jsonl":
@@ -134,11 +136,15 @@ class Replicator:
         else:
             raise ValueError(f"unknown target format: {cfg.target_format!r}")
 
-        self.query = (
-            writer.option("checkpointLocation", self.cfg.checkpoint_dir)
-            .trigger(processingTime=cfg.trigger_processing_time)
-            .start()
-        )
+        if cfg.target_format != "memory":
+            writer = writer.option("checkpointLocation", self.cfg.checkpoint_dir)
+        # memory sink: append mode cannot RECOVER from a checkpoint, so a
+        # restart() with a populated checkpoint dir would throw — memory
+        # targets (a debug/test surface) run checkpoint-free and a restart
+        # replays from the source instead of resuming
+        self.query = writer.trigger(
+            processingTime=cfg.trigger_processing_time
+        ).start()
         return self.query
 
     # -- lifecycle (FSM parity: created→streaming→stopped; pause ≡ stop) ----

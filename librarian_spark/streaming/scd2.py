@@ -96,7 +96,12 @@ def _apply_batch(
         F.coalesce(F.col(f"after_row.{k}"), F.col(f"before_row.{k}")).alias(k)
         for k in cfg.key_cols
     ]
-    keyed = typed.select("op", ts, ordc, F.col("after_row"), *keys)
+    # at-least-once delivery can duplicate an event inside one batch; without
+    # this, the duplicate would become a phantom zero-length version and
+    # permanently inflate the version counter
+    keyed = typed.select("op", ts, ordc, F.col("after_row"), *keys).dropDuplicates(
+        [*cfg.key_cols, ts, ordc]
+    )
 
     w = W.partitionBy(*cfg.key_cols).orderBy(ts, ordc)
     chained = keyed.select(
@@ -109,9 +114,7 @@ def _apply_batch(
         F.sum(F.when(F.col("op") != cfg.delete_op, 1).otherwise(0))
         .over(w.rowsBetween(W.unboundedPreceding, 0))
         .alias("_vrank"),
-        F.min(ts).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("_first_ts"),
-    ).localCheckpoint()  # one window pass serves new-rows, closes, and firsts
+    ).localCheckpoint()  # one window pass serves new-rows and closes
 
     prev = read_history(spark, cfg)
     prev_cur = prev.filter(F.col("is_current"))
@@ -121,30 +124,41 @@ def _apply_batch(
     # survives deletes, so the max may live on a non-current row
     vmax = prev.groupBy(*cfg.key_cols).agg(F.max("version").alias("_vmax"))
 
-    touched = chained.groupBy(*cfg.key_cols).agg(
-        F.min("_first_ts").alias("_first_ts")
+    touched = chained.groupBy(*cfg.key_cols).agg(F.min(ts).alias("_first_ts"))
+    # Contract: the stream is per-key event-time monotone (true for an
+    # LSN-ordered replication slot, the reference's source). A batch event
+    # EARLIER than the key's history high-watermark — the max of every
+    # valid_from AND valid_to, so closed/deleted keys are guarded too, not
+    # just keys with an open row — would write a negative or overlapping
+    # interval: a silently corrupted history. Reject it loudly; genuinely
+    # late data needs an explicit repair/backfill path, not a quiet merge.
+    hwm = prev.groupBy(*cfg.key_cols).agg(
+        F.max(
+            F.greatest(
+                F.col("valid_from_ms"),
+                F.coalesce(F.col("valid_to_ms"), F.col("valid_from_ms")),
+            )
+        ).alias("_hwm")
     )
+    n_late = (
+        touched.join(hwm, cfg.key_cols)
+        .filter(F.col("_first_ts") < F.col("_hwm"))
+        .count()
+    )
+    if n_late:
+        raise ValueError(
+            f"batch {batch_id} contains {n_late} key(s) with events earlier "
+            "than the key's history high-watermark (out-of-order change "
+            "log); refusing to write negative/overlapping intervals — "
+            "repair or re-order the source, or rebuild the state dir from "
+            "the full log"
+        )
     closed_prev = (
         prev_cur.join(touched, cfg.key_cols)
         .withColumn("valid_to_ms", F.col("_first_ts"))
         .withColumn("is_current", F.lit(False))
         .drop("_first_ts")
     )
-    # Contract: the stream is per-key event-time monotone (true for an
-    # LSN-ordered replication slot, the reference's source). A batch event
-    # EARLIER than the open version's start would close an interval before it
-    # began — a silently corrupted history — so reject it loudly; genuinely
-    # late data needs an explicit repair/backfill path, not a quiet merge.
-    n_late = closed_prev.filter(
-        F.col("valid_to_ms") < F.col("valid_from_ms")
-    ).count()
-    if n_late:
-        raise ValueError(
-            f"batch {batch_id} contains {n_late} key(s) with events earlier "
-            "than the open version's valid_from (out-of-order change log); "
-            "refusing to write a history with negative intervals — repair or "
-            "re-order the source, or rebuild the state dir from the full log"
-        )
     untouched_cur = prev_cur.join(touched.select(*cfg.key_cols), cfg.key_cols, "left_anti")
 
     new_rows = (

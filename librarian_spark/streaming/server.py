@@ -120,7 +120,14 @@ class ReplicatorServer:
                 rep = server.get(rep_id)
                 if rep is None:
                     return self._json(404, {"error": "replicator not found"})
-                server.signal(rep, sig)
+                try:
+                    server.signal(rep, sig)
+                except Exception as e:  # noqa: BLE001 — a failed signal must
+                    # return the reference's JSON error shape, not a dropped
+                    # connection with a raw traceback on stderr
+                    return self._json(
+                        500, {"error": f"{type(e).__name__}: {e}"}
+                    )
                 return self._json(
                     200, {"status": f"{sig} signal sent", "replicator_id": rep_id}
                 )

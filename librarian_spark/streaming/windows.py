@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from librarian_spark.functions.numeric import slong
+from librarian_spark.functions.numeric import dsum
 
 __all__ = [
     "tumbling_counts",
@@ -57,7 +57,7 @@ def tumbling_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(slong("value")).cast("double") / 1e4).alias("sum_value"),
+            dsum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("wstart"),
@@ -96,7 +96,7 @@ def session_windows(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(slong("value")).cast("double") / 1e4).alias("session_value"),
+            dsum("value").alias("session_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),

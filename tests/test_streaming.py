@@ -458,7 +458,14 @@ def test_cdc_materialize_foreachbatch(spark, tmp_path, sf_dir):
     snap = snapshot_as_events(orders, db="db", schema="s", table="orders")
     snap.select("value").coalesce(1).write.mode("overwrite").text(src + "/b1")
 
-    # batch 2: update keys %3==0 (price → 1.0), delete keys %7==0
+    # batch 2: update keys %3==0 (price → 1.0), delete keys %7==0.
+    # Event times must be LATER than the snapshot's wall-clock ts_ms: the
+    # materializer merges by EVENT order (stale re-deliveries lose), so a
+    # 1970-epoch literal here would correctly lose to the snapshot rows.
+    import time as _time
+
+    t_upd = int(_time.time() * 1000) + 60_000
+    t_del = t_upd + 60_000
     upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         build_envelope_json(
             before_json=None,
@@ -470,13 +477,13 @@ def test_cdc_materialize_foreachbatch(spark, tmp_path, sf_dir):
             version=F.lit("1.0.0"),
             connector=F.lit("t"),
             name=F.lit("t"),
-            source_ts_ms=F.lit(2_000_000).cast("long"),
+            source_ts_ms=F.lit(t_upd).cast("long"),
             snapshot=F.lit("false"),
             db=F.lit("db"),
             schema=F.lit("s"),
             table=F.lit("orders"),
             op=F.lit("u"),
-            ts_ms=F.lit(2_000_000).cast("long"),
+            ts_ms=F.lit(t_upd).cast("long"),
             lsn=F.lit(2).cast("long"),
         ).alias("value")
     )
@@ -487,13 +494,13 @@ def test_cdc_materialize_foreachbatch(spark, tmp_path, sf_dir):
             version=F.lit("1.0.0"),
             connector=F.lit("t"),
             name=F.lit("t"),
-            source_ts_ms=F.lit(3_000_000).cast("long"),
+            source_ts_ms=F.lit(t_del).cast("long"),
             snapshot=F.lit("false"),
             db=F.lit("db"),
             schema=F.lit("s"),
             table=F.lit("orders"),
             op=F.lit("d"),
-            ts_ms=F.lit(3_000_000).cast("long"),
+            ts_ms=F.lit(t_del).cast("long"),
             lsn=F.lit(3).cast("long"),
         ).alias("value")
     )
@@ -819,3 +826,103 @@ def test_scd2_rejects_out_of_order_batches(spark, tmp_path, sf_dir):
     _apply_batch(spark, cfg, batch(1_000_000, 1), 0)
     with _pytest.raises(ValueError, match="out-of-order"):
         _apply_batch(spark, cfg, batch(500_000, 2), 1)
+
+
+def test_materialize_stale_redelivery_does_not_regress_state(spark, tmp_path, sf_dir):
+    """At-least-once producers re-deliver tail events after a crash; a LATER
+    batch carrying an OLDER event must lose to the stored state (event-order
+    merge), not overwrite it (batch-order merge)."""
+    from librarian_spark.streaming.envelope import build_envelope_json, parse_envelope
+    from librarian_spark.streaming.materialize import (
+        MaterializeConfig,
+        _apply_batch,
+        read_state,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+    def batch(price, ts_ms, lsn):
+        env = orders.select(
+            build_envelope_json(
+                before_json=None,
+                after_json=F.to_json(
+                    F.struct(
+                        "o_orderkey", F.lit(price).cast("double").alias("o_totalprice")
+                    )
+                ),
+                version=F.lit("1.0.0"), connector=F.lit("t"), name=F.lit("t"),
+                source_ts_ms=F.lit(ts_ms).cast("long"), snapshot=F.lit("false"),
+                db=F.lit("db"), schema=F.lit("s"), table=F.lit("orders"),
+                op=F.lit("u"), ts_ms=F.lit(ts_ms).cast("long"),
+                lsn=F.lit(lsn).cast("long"),
+            ).alias("value")
+        )
+        return parse_envelope(env, "value")
+
+    cfg = MaterializeConfig(
+        state_dir=str(tmp_path / "stale_state"),
+        checkpoint_dir=str(tmp_path / "stale_ckpt"),
+        key_cols=["o_orderkey"],
+        row_ddl="o_orderkey long, o_totalprice double",
+    )
+    import os as _os
+
+    _os.makedirs(cfg.state_dir, exist_ok=True)
+    _apply_batch(spark, cfg, batch(200.0, 2_000_000, 2), 0)  # the real update
+    _apply_batch(spark, cfg, batch(150.0, 1_500_000, 1), 1)  # stale re-delivery
+    vals = {r.o_totalprice for r in read_state(spark, cfg).collect()}
+    assert vals == {200.0}
+    # internal order columns never leak to readers
+    assert set(read_state(spark, cfg).columns) == {"o_orderkey", "o_totalprice"}
+
+
+def test_scd2_rejects_late_event_for_deleted_key(spark, tmp_path, sf_dir):
+    """The out-of-order guard covers CLOSED histories too: a late event for a
+    key whose last interval was closed by a delete must be rejected, not
+    written as an overlapping open version."""
+    import pytest as _pytest
+
+    from librarian_spark.streaming.envelope import build_envelope_json, parse_envelope
+    from librarian_spark.streaming.scd2 import SCD2Config, _apply_batch
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .limit(3)
+    )
+
+    def batch(op, ts_ms, lsn):
+        after = (
+            None if op == "d"
+            else F.to_json(F.struct("o_orderkey", "o_totalprice"))
+        )
+        before = F.to_json(F.struct("o_orderkey")) if op == "d" else None
+        env = orders.select(
+            build_envelope_json(
+                before_json=before, after_json=after,
+                version=F.lit("1.0.0"), connector=F.lit("t"), name=F.lit("t"),
+                source_ts_ms=F.lit(ts_ms).cast("long"), snapshot=F.lit("false"),
+                db=F.lit("db"), schema=F.lit("s"), table=F.lit("orders"),
+                op=F.lit(op), ts_ms=F.lit(ts_ms).cast("long"),
+                lsn=F.lit(lsn).cast("long"),
+            ).alias("value")
+        )
+        return parse_envelope(env, "value")
+
+    cfg = SCD2Config(
+        state_dir=str(tmp_path / "delgap_state"),
+        checkpoint_dir=str(tmp_path / "delgap_ckpt"),
+        key_cols=["o_orderkey"],
+        row_ddl="o_orderkey long, o_totalprice double",
+    )
+    import os as _os
+
+    _os.makedirs(cfg.state_dir, exist_ok=True)
+    _apply_batch(spark, cfg, batch("c", 100_000, 1), 0)
+    _apply_batch(spark, cfg, batch("d", 200_000, 2), 1)  # all keys closed
+    with _pytest.raises(ValueError, match="high-watermark"):
+        _apply_batch(spark, cfg, batch("u", 150_000, 3), 2)  # inside [100k,200k)
