@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from librarian_spark.functions.textfns import o_shingles, shingles_of_tokens, tokens
 from librarian_spark.operators.registry import query
 from librarian_spark.operators.similarity import _o_dot, _o_normalize
 from librarian_spark.sources.batch import fan_out
@@ -853,3 +854,75 @@ def dedup_minhash_index(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id") % _IDX_QUERY_MOD == 0
     )
     return minhash_index_probe(spark, sf, index_dir, queries)
+
+
+# --------------------------------------------------------------------------
+# Substring-level (span) duplication — the "dedup below document granularity"
+# signal
+# --------------------------------------------------------------------------
+
+_SPAN_N = 8  # tokens per span; long enough that cross-doc repeats mean real copying
+
+
+_SUBSTRING_ORACLE = f"""
+WITH t AS (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, UNNEST({o_shingles('w', _SPAN_N, distinct=False)}) AS gram FROM t
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(d.gram) AS BIGINT) AS n_dup_spans,
+       ROUND(COUNT(d.gram) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM g LEFT JOIN dup d ON g.gram = d.gram
+GROUP BY g.doc_id
+"""
+
+
+@query(
+    "dedup_substring",
+    oracle=_SUBSTRING_ORACLE,
+    doc=f"Substring-level duplication (dedup BELOW document granularity, the "
+    "train-data signal document-level methods miss: boilerplate, quoted "
+    f"passages, licence blocks): every overlapping {_SPAN_N}-token span is "
+    "hashed map-side, spans appearing in >1 distinct document are flagged, "
+    "and each document gets its duplicated-span fraction — the per-doc "
+    "score used to drop or trim heavily-copied text. Both shuffles move "
+    "8-byte span hashes, never span text; at 100 TB the span table is "
+    "O(tokens) rows of 16 bytes and the duplicated-span set is the small "
+    "side (re-broadcastable). A cross-doc hash collision perturbs one count "
+    "with odds ~spans²/2^64 — the same 1e-13 argument as the Jaccard join.",
+)
+def dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("w"))
+    g = fan_out(d).select(
+        "doc_id",
+        F.explode(shingles_of_tokens("w", _SPAN_N, distinct=False)).alias("gram"),
+    )
+    # join key = 64-bit hash of the span (the oracle groups on the string; the
+    # hash only changes shuffle bytes, not the grouping, absent a collision)
+    g = g.select("doc_id", F.xxhash64("gram").alias("s"))
+    dup = (
+        g.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("s", F.lit(1).alias("is_dup"))
+    )
+    per = (
+        g.join(dup, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(F.col("n_dup_spans") * F.lit(1.0) / F.col("n_spans"), 6).alias(
+            "dup_frac"
+        ),
+    )

@@ -2031,3 +2031,79 @@ def q50_reaggregation(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_orders"),
         F.count(F.lit(1)).cast("long").alias("n_partials"),
     ).select(F.col("y").cast("long").alias("y"), "total_price", "n_orders", "n_partials")
+
+
+# --------------------------------------------------------------------------
+# Q51: time-series gap fill + LOCF (densify the daily grid, carry last value)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q51_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id,
+             CAST(UNNEST(GENERATE_SERIES(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    j AS (SELECT s.user_id, s.day, d.day_cents
+          FROM spine s LEFT JOIN daily d
+            ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day,
+           CAST(day_cents AS DOUBLE) / 100.0 AS observed,
+           CAST(LAST_VALUE(day_cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0 AS filled,
+           day_cents IS NULL AS is_gap
+    FROM j
+    """,
+    doc="Time-series densify + LOCF: per-user daily totals are laid onto a "
+    "complete day grid (sequence-explode of each user's [min,max] span — "
+    "map-only, no driver involvement) and gaps carry the last observed "
+    "value forward via last(ignorenulls) over one per-user window. The "
+    "standard feature-engineering step before any fixed-step model. Sums "
+    "are exact integer cents so the fill values hash-match cross-engine. "
+    "Shuffle profile: one partial+final agg on (user, day), one equi-join "
+    "and one window BOTH keyed by user_id — AQE reuses the partitioning; "
+    "the exploded spine is bounded by users x span-days, rows of 20 bytes. "
+    "At 100 TB the grid explode happens AFTER aggregation, so the big "
+    "fact table is touched exactly once.",
+)
+def q51_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("user_id", "day").agg(F.sum("cents").alias("day_cents"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        (F.col("day_cents").cast("double") / F.lit(100.0)).alias("observed"),
+        (
+            F.last("day_cents", ignorenulls=True).over(w).cast("double")
+            / F.lit(100.0)
+        ).alias("filled"),
+        F.col("day_cents").isNull().alias("is_gap"),
+    )

@@ -990,3 +990,63 @@ def text_balance_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return d.filter(sel).select(
         "doc_id", "lang", "source", F.round(rate, 6).alias("rate")
     )
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing document vectors (the "bring your own embedding" bridge)
+# --------------------------------------------------------------------------
+
+_FH_DIM = 32  # hashed bag-of-words dimensionality
+
+
+@query(
+    "text_feature_hash_embed",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(STR_SPLIT(TRIM(LOWER(text)), ' '),
+                            t -> {o_fingerprint('t')} % {_FH_DIM}) AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           LIST_TRANSFORM(RANGE(0, {_FH_DIM}),
+                          d -> CAST(LEN(LIST_FILTER(b, x -> x = d)) AS BIGINT))
+             AS vec,
+           CAST(LEN(b) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(b)) AS BIGINT) AS n_active_dims
+    FROM t
+    """,
+    doc=f"Hashing-trick document vectors: each token is bucketed by the shared "
+    f"polynomial rolling hash into {_FH_DIM} dimensions and the document "
+    "becomes its integer bucket-count vector — the classic feature-hashing "
+    "(Weinberger et al. 2009) bag-of-words embedding that needs NO "
+    "vocabulary build, so it runs map-only in one pass: no shuffle, no "
+    "fitted state, stable under re-partitioning and corpus growth. This is "
+    "the bridge from raw documents to every vector operator in "
+    "similarity.py (cosine/LSH/IVF take any array column). Integer counts "
+    "make the oracle exact — no float summation-order concerns. At 100 TB "
+    "this is a scan-rate-bound codegen pass; the nested-lambda hash folds "
+    "stay JVM-side.",
+)
+def text_feature_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
+    def fp_of(tok):  # per-token rolling hash, same fold as functions.textfns
+        return F.aggregate(
+            F.split(tok, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % FP_MOD,
+        )
+
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("w"))
+    d = fan_out(d).select(
+        "doc_id", F.transform("w", lambda t: fp_of(t) % _FH_DIM).alias("b")
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+        lambda dim: F.size(F.filter("b", lambda x: x == dim)).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        counts.alias("vec"),
+        F.size("b").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("b")).cast("long").alias("n_active_dims"),
+    )
