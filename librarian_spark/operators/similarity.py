@@ -294,9 +294,57 @@ def lsh_bucket(col) -> F.Column:
     return acc
 
 
+def _o_dot_signs(v: str, signs: list[int]) -> str:
+    """DuckDB fold of ``v · signs`` for a literal ±1 plane (same left-fold
+    order as :data:`_O_DOT`)."""
+    lit = "[" + ",".join(str(float(s)) for s in signs) + "]"
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+        f"LIST_TRANSFORM(RANGE(1, {_DIM + 1}), i -> {v}[i] * {lit}[i])), "
+        f"(a, x) -> a + x)"
+    )
+
+
+def _o_lsh_bucket(v: str) -> str:
+    """DuckDB twin of the LSH bucket id: bit p = sign(v · plane_p), planes
+    inlined as literal arrays from the same LCG the Spark side uses."""
+    return " + ".join(
+        f"(CASE WHEN {_o_dot_signs(v, _plane_signs(p))} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+
+
+_LSH_PROBE_MASKS = "[" + ",".join(str(m) for m in [0] + [1 << p for p in range(_N_PLANES)]) + "]"
+
+_ANN_LSH_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+),
+b AS (SELECT vec_id, u, ({_o_lsh_bucket('u')}) AS bucket FROM unit),
+probes AS (
+  SELECT q.vec_id AS query_id, q.u AS qu, XOR(q.bucket, m.mask) AS pb
+  FROM b q, (SELECT UNNEST({_LSH_PROBE_MASKS}) AS mask) m
+  WHERE q.vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ROUND({_o_dot('p.qu', 'c.u')}, 6) AS score
+  FROM probes p JOIN b c ON c.bucket = p.pb AND c.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM cand)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK}
+"""
+
+
 @query(
     "sim_ann_lsh",
-    oracle=None,  # approximate recall — rows-only; properties asserted in unit tests
+    oracle=_ANN_LSH_ORACLE,
     doc="ANN top-k via random-hyperplane LSH with multi-probe: bucket each vector "
     "(sign(v·plane) bits, one tiny BLAS matmul per Arrow batch), probe the "
     "query's bucket plus every 1-bit-flip neighbor bucket, exact cosine re-rank "
@@ -305,7 +353,9 @@ def lsh_bucket(col) -> F.Column:
     "never materializes; scan fraction ≈ (planes+1)/2^planes of the corpus. "
     "Recall is high for genuinely-near neighbors (cos ≳ 0.9) and intentionally "
     "low for uniform-random data — pruning only helps when neighbors beat the "
-    "noise floor.",
+    "noise floor. The planes come from a fixed LCG, so the DuckDB oracle "
+    "replays the identical bucket/probe/re-rank pipeline — the hash match "
+    "certifies the pruning semantics themselves, not just row counts.",
 )
 def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
@@ -385,10 +435,56 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 _IVF_NLISTS = 16  # inverted lists (coarse quantizer cells)
 _IVF_NPROBE = 4  # lists probed per query → scans ~nprobe/nlists of the corpus
 
+# The whole IVF pipeline is deterministic (centroids = corpus sample, nearest-
+# centroid ties broken by centroid id, matching np.argmax/argsort first-hit), so
+# the oracle replays it exactly: probe selection, list assignment, in-list
+# re-rank. An exact dot-product tie between two centroids could order probes
+# differently than np.argsort — measure-zero for real-valued embeddings.
+_IVF_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, u AS cu FROM unit WHERE vec_id < {_IVF_NLISTS}),
+q AS (SELECT vec_id AS query_id, u AS qu FROM unit
+      WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_o_dot('q.qu', 'c.cu')} DESC, c.cid)
+             AS r
+    FROM q, cent c)
+  WHERE r <= {_IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, u, cid FROM (
+    SELECT e.vec_id, e.u, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_o_dot('e.u', 'c.cu')} DESC, c.cid)
+             AS r
+    FROM unit e, cent c)
+  WHERE r = 1
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_o_dot('q.qu', 'a.u')}, 6) AS score
+  FROM probes p
+  JOIN q USING (query_id)
+  JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM cand)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK}
+"""
+
 
 @query(
     "sim_ivf_topk",
-    oracle=None,  # approximate recall — rows-only; properties asserted in unit tests
+    oracle=_IVF_ORACLE,
     doc=f"ANN top-{_TOPK} via IVF: a coarse quantizer of {_IVF_NLISTS} centroids "
     "partitions the corpus into inverted lists (one map-only assignment pass); "
     f"each query probes its {_IVF_NPROBE} nearest lists and exact-reranks only "
@@ -635,26 +731,29 @@ def ivf_index_topk(
 
 @query(
     "sim_ivf_index_topk",
-    oracle=None,  # approximate recall — rows-only; exact parity with the
-    # in-flight IVF operator is asserted in tests/test_llm_ops.py
+    oracle=_IVF_ORACLE,  # same deterministic pipeline as sim_ivf_topk, so the
+    # hash match ALSO certifies the index build→persist→probe round trip
     doc="ANN top-k over a PERSISTED IVF index: the corpus stored partitioned "
     "by inverted list (built once into a versioned index dir), queries probe "
     "their nprobe nearest lists via a list_id partition filter — unprobed "
     "parquet files are never opened. Same scoring/rerank as sim_ivf_topk "
-    "(results are identical); the difference is WHERE the pruning happens: "
-    "at the storage layout, the way a production vector store does it. "
-    "Bench note: the first run builds the index, the second probes it — "
+    "(results are identical), so the same exact oracle applies and the hash "
+    "match certifies index completeness; the difference is WHERE the pruning "
+    "happens: at the storage layout, the way a production vector store does "
+    "it. Bench note: the first run builds the index, the second probes it — "
     "best-of-N records the amortized probe cost.",
 )
 def sim_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
     import os
 
-    # tag includes the source file's mtime so a regenerated corpus under the
-    # same path can never serve a stale index
+    # tag includes the source file's mtime (a regenerated corpus under the
+    # same path can never serve a stale index) AND the layout constants (a
+    # changed nlists/nprobe/query-set would otherwise reuse a mismatched index)
     src = os.path.join(sf, "embeddings.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    layout = f"{_IVF_NLISTS}:{_N_QUERIES}"
+    tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_ivf_{tag}"
     # completion = the writer's _SUCCESS commit marker, not bare existence —
     # a crash mid-build leaves a partial dir that must trigger a rebuild
