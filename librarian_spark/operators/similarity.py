@@ -917,3 +917,206 @@ def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= k)
         .withColumn("rn", F.col("rn").cast("long"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — ADC search over compressed codes
+# --------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_K = 16  # codes per subspace codebook
+_PQ_SHORTLIST = 50  # ADC candidates kept per query before exact re-rank
+
+
+def _o_dot_sub(a: str, b: str) -> str:
+    """DuckDB fold dot over two SUBDIM-length double lists."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+        f"LIST_TRANSFORM(RANGE(1, {_PQ_SUBDIM + 1}), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _o_l2_sub(a: str, b: str) -> str:
+    """DuckDB fold squared-L2 over two SUBDIM-length double lists."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+        f"LIST_TRANSFORM(RANGE(1, {_PQ_SUBDIM + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+# The PQ pipeline is deterministic end-to-end: codebooks are the id-ordered
+# corpus sample, argmin code assignment ties break to the smallest code id
+# (np.argmin first-hit ≡ ORDER BY dist, code), ADC terms accumulate in
+# subspace order (LIST(... ORDER BY s) fold ≡ the Spark-side s-ascending
+# accumulation), and both cuts rank on 6-digit-rounded scores with id
+# tie-breaks.
+_PQ_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+),
+sp AS (SELECT UNNEST(RANGE(0, {_PQ_M})) AS s),
+sub AS (
+  SELECT vec_id, s, u[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+           AS us
+  FROM unit, sp
+),
+cb AS (SELECT s, vec_id AS code, us AS cv FROM sub WHERE vec_id < {_PQ_K}),
+assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                              ORDER BY {_o_l2_sub('sub.us', 'cb.cv')} ASC,
+                                       cb.code) AS r
+    FROM sub JOIN cb ON sub.s = cb.s)
+  WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, u AS qu FROM unit
+      WHERE vec_id < {_N_QUERIES}),
+qsub AS (
+  SELECT query_id, s,
+         qu[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS qs
+  FROM q, sp
+),
+terms AS (
+  SELECT qs.query_id, a.vec_id AS neighbor_id, qs.s,
+         {_o_dot_sub('qs.qs', 'cb.cv')} AS term
+  FROM qsub qs
+  JOIN assign a ON a.s = qs.s AND a.vec_id != qs.query_id
+  JOIN cb ON cb.s = a.s AND cb.code = a.code
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                                        LIST(term ORDER BY s)),
+                           (acc, x) -> acc + x), 6) AS approx
+  FROM terms GROUP BY query_id, neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id) AS r1
+    FROM adc)
+  WHERE r1 <= {_PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({_o_dot('q.qu', 'c.u')}, 6) AS score
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN unit c ON c.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM exact)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK}
+"""
+
+
+@query(
+    "sim_pq_topk",
+    oracle=_PQ_ORACLE,
+    doc=f"ANN top-{_TOPK} via product quantization: each vector is compressed "
+    f"to {_PQ_M} one-byte codes ({_PQ_M} subspaces × {_PQ_K}-entry "
+    "codebooks, 64× smaller than the float vectors), queries score the "
+    "ENTIRE corpus from code lookups alone (asymmetric distance "
+    f"computation: one {_PQ_M}-table add per candidate, no float vector "
+    f"touched), and only the per-query top-{_PQ_SHORTLIST} shortlist gets "
+    "an exact re-rank. This is the memory-bound regime's index: at 100 TB "
+    "of embeddings, codes fit where vectors can't (RAM/cache), the ADC "
+    "pass is a map-only scan of the code table, and the only shuffle is "
+    "the shortlist ranking, ≤ |Q|·shortlist·partitions rows. Codebooks "
+    "here are the deterministic id-ordered corpus sample (production "
+    "swaps in per-subspace k-means, same plumbing), which is what makes "
+    "the exact-replay DuckDB oracle possible — the hash match certifies "
+    "compression, assignment, ADC ordering, and re-rank together.",
+)
+def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def unit(m: "np.ndarray") -> "np.ndarray":
+        return m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+
+    small = e.filter(F.col("vec_id") < max(_PQ_K, _N_QUERIES)).toPandas()
+    ids = small["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = unit(np.stack(small["embedding"].to_numpy())[order].astype(np.float64))
+    cbm = mat[ids < _PQ_K]  # _PQ_K × _DIM, code id = row index = vec_id
+    q_ids = ids[ids < _N_QUERIES]
+    qmat = mat[ids < _N_QUERIES]
+    bc = e.sparkSession.sparkContext.broadcast((q_ids, qmat, cbm))
+    k_short = _PQ_SHORTLIST
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, qmat, cbm = bc.value
+        nq = len(q_ids)
+        for b in batches:
+            if not len(b):
+                continue
+            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            block = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            # ADC: per subspace, assign codes (argmin L2 — first-hit ties) and
+            # accumulate the query→code lookup terms in s order (the oracle
+            # folds LIST(term ORDER BY s) — same IEEE addition sequence)
+            approx = np.zeros((nq, len(block)))
+            for s in range(_PQ_M):
+                lo, hi = s * _PQ_SUBDIM, (s + 1) * _PQ_SUBDIM
+                bs, cbs = block[:, lo:hi], cbm[:, lo:hi]
+                d2 = ((bs[:, None, :] - cbs[None, :, :]) ** 2).sum(axis=2)
+                codes = np.argmin(d2, axis=1)
+                adc = qmat[:, lo:hi] @ cbs.T  # nq × _PQ_K
+                approx += adc[:, codes]
+            approx = np.round(approx, 6)
+            out_q, out_n, out_a, out_s = [], [], [], []
+            for qi in range(nq):
+                a = approx[qi]
+                idx = np.nonzero(c_ids != q_ids[qi])[0]
+                top = idx[np.lexsort((c_ids[idx], -a[idx]))][:k_short]
+                if not len(top):
+                    continue
+                # exact scores ONLY for the shortlist (the ADC point: float
+                # vectors are touched for shortlist·|Q| rows, not the corpus)
+                ex = np.round(qmat[qi] @ block[top].T, 6)
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(c_ids[top].tolist())
+                out_a.extend(a[top].tolist())
+                out_s.extend(ex.tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "approx": pd.Series(out_a, dtype="float64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    pruned = fan_out(e).mapInPandas(
+        op, schema="query_id long, neighbor_id long, approx double, score double"
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _PQ_SHORTLIST)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _TOPK)
+        .select("query_id", "neighbor_id", "score", F.col("rn").cast("long").alias("rn"))
+    )
