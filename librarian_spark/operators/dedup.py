@@ -836,24 +836,32 @@ def minhash_index_probe(
     "index-build→persist→probe round trip.",
 )
 def dedup_minhash_index(spark: SparkSession, sf: str) -> DataFrame:
+    index_dir = ensure_minhash_index(spark, sf)
+    queries = _t(spark, sf, "documents").filter(
+        F.col("doc_id") % _IDX_QUERY_MOD == 0
+    )
+    return minhash_index_probe(spark, sf, index_dir, queries)
+
+
+def ensure_minhash_index(spark: SparkSession, sf: str) -> str:
+    """Build-once accessor for the persisted LSH index of a corpus dir.
+
+    The tag versions the index LAYOUT too: bucket count, hash family size,
+    banding, and threshold all change what is on disk — reusing an index
+    built under different constants would silently drop candidate pairs.
+    Completion = the writer's _SUCCESS commit marker, not bare existence.
+    """
     import hashlib
     import os
 
     src = os.path.join(sf, "documents.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    # the tag versions the index LAYOUT too: bucket count, hash family size,
-    # banding, and threshold all change what is on disk — reusing an index
-    # built under different constants would silently drop candidate pairs
     layout = f"{_IDX_BUCKETS}:{_MINHASH_K}:{_LSH_BANDS}:{_JACCARD_THRESHOLD}"
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_mhidx_{tag}"
-    # completion = the writer's _SUCCESS commit marker, not bare existence
     if not os.path.exists(index_dir + "/features/_SUCCESS"):
         build_minhash_index(spark, sf, index_dir)
-    queries = _t(spark, sf, "documents").filter(
-        F.col("doc_id") % _IDX_QUERY_MOD == 0
-    )
-    return minhash_index_probe(spark, sf, index_dir, queries)
+    return index_dir
 
 
 # --------------------------------------------------------------------------

@@ -215,3 +215,97 @@ def pipeline_scd2(spark: SparkSession, sf: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return read_history(spark, cfg)
+
+
+from librarian_spark.operators.dedup import _IDX_QUERY_MOD, _NGRAM_ORACLE
+
+
+@query(
+    "pipeline_dedup_gate",
+    # the acceptance set is defined by the SAME exact-Jaccard pair SQL the
+    # dedup operators pin against, so the gate's threshold can never drift
+    # from the index it probes
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+    WHERE d.doc_id % {_IDX_QUERY_MOD} = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM ({_NGRAM_ORACLE}) p
+        WHERE p.doc_id_1 = d.doc_id OR p.doc_id_2 = d.doc_id)
+    """,
+    doc="Streaming dedup-at-ingest E2E (the continuous-corpus-growth pipeline "
+    "every training-data stack needs): incoming documents arrive as a file "
+    "stream in micro-batches, each batch is MinHash-signatured map-only and "
+    "probed against the PERSISTED corpus LSH index (only its buckets' "
+    "partition files are opened), exact-verified near-dups of anything "
+    "already in the corpus are rejected, and accepted docs append to the "
+    "output. The oracle is the exact n-gram-Jaccard acceptance set, so the "
+    "hash match proves the whole stream→probe→gate→sink path drops exactly "
+    "the true near-dups — LSH recall included. Per-batch cost at 100 TB: "
+    "signature the batch, open nprobe index partitions, one anti-join; the "
+    "corpus itself is never rescanned.",
+)
+def pipeline_dedup_gate(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.dedup import (
+        ensure_minhash_index,
+        minhash_index_probe,
+    )
+    from librarian_spark.sources.batch import load_table
+
+    index_dir = ensure_minhash_index(spark, sf)
+
+    src = os.path.join(sf, "documents.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_ddgate_{tag}"
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf, "documents")
+            .filter(F.col("doc_id") % _IDX_QUERY_MOD == 0)
+            .repartition(4)  # 4 input files → 4 micro-batches below
+            .write.mode("overwrite")
+            .parquet(in_dir)
+        )
+
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith(("out_", "ckpt_")):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    run_id = uuid.uuid4().hex[:8]
+    out = f"{base}/out_{run_id}"
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = minhash_index_probe(spark, sf, index_dir, batch_df)
+        rejected = (
+            pairs.select(F.col("doc_id_1").alias("doc_id"))
+            .union(pairs.select(F.col("doc_id_2").alias("doc_id")))
+            .distinct()
+        )
+        (
+            batch_df.join(rejected, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source", "n_chars")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", f"{base}/ckpt_{run_id}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out)

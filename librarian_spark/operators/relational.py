@@ -2107,3 +2107,53 @@ def q51_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("filled"),
         F.col("day_cents").isNull().alias("is_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q52: Markov transition matrix over event sequences
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q52_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (SELECT prev, event_type AS next, COUNT(*) AS n
+          FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT prev, next, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev), 6) AS p
+    FROM t
+    """,
+    doc="First-order Markov transition matrix over per-user event sequences: "
+    "lag() pairs consecutive event types (ties in ts broken by event_id so "
+    "the sequence is total-ordered and engine-independent), one hash "
+    "aggregate counts each (prev → next) edge, and row-normalizing per "
+    "prev-state gives transition probabilities — the standard "
+    "behavioral-model / next-event-prediction input. Transition "
+    "probabilities are single IEEE divisions of exact integer counts. "
+    "Shuffle profile: one window keyed by user_id over the events (the "
+    "only pass over the big table), then aggregation/normalization over "
+    "the |event_types|² matrix — constant-size downstream of the scan.",
+)
+def q52_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(seq).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = s.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return t.select(
+        "prev",
+        "next",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n") * F.lit(1.0) / F.sum("n").over(W.partitionBy("prev")), 6
+        ).alias("p"),
+    )
