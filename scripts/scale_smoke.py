@@ -49,8 +49,11 @@ QUERIES = [
     "q30_sessionization",   # key window
     "q31_topk_per_group",   # rank window
     "dedup_minhash_lsh",    # fingerprints + band join (replicas ARE dups)
+    "dedup_substring",      # span-hash agg + join (replicas share ALL spans)
     "sim_cosine_topk",      # broadcast block matmul
+    "sim_pq_topk",          # ADC code scan + shortlist re-rank
     "text_bm25_topk",       # map-only score + TakeOrdered
+    "q51_gap_fill",         # agg + spine explode + key window
     "cdc_apply",            # max_by aggregate
 ]
 
