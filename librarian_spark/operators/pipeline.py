@@ -309,3 +309,50 @@ def pipeline_dedup_gate(spark: SparkSession, sf: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(out)
+
+
+@query(
+    "pipeline_compact",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders",
+    doc="Small-file compaction E2E (the top operational cost of a parquet "
+    "lake at 100 TB — the reference's per-batch file splitting, "
+    "preserver.go:79-83, plus any incremental append path produces exactly "
+    "this fragmentation): a 64-small-file copy of orders is rewritten into "
+    "size-targeted files via the crash-safe staged swap (repartition by "
+    "measured bytes, staging dir hidden inside the leaf, fsync'd commit "
+    "marker, roll-forward/roll-back recovery), and the returned DataFrame "
+    "reads the compacted result back — the oracle match proves compaction "
+    "moves bytes without touching values, and the bench times "
+    "fragment→compact→readback. Each run compacts a FRESH fragmented copy "
+    "so the measurement is never a no-op resume.",
+)
+def pipeline_compact(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from librarian_spark.maintenance import compact, dir_stats
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_compact_{tag}"
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith("run_"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    data = f"{base}/run_{uuid.uuid4().hex[:8]}"
+    (
+        load_table(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(data)
+    )
+    n_before, _ = dir_stats(data)
+    report = compact(spark, data, target_file_mb=128)
+    n_after, _ = dir_stats(data)
+    if not report["compacted"] or n_after >= n_before:
+        raise RuntimeError(f"compaction did not reduce files: {report}")
+    return spark.read.parquet(data)
