@@ -59,3 +59,42 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
     for name in ["q47_zscore_anomaly", "q45_funnel", "cdc_apply", "q30_sessionization"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
+
+
+def test_degenerate_documents_match_oracle(spark, tmp_path):
+    """Adversarial docs for the span/token operators: shorter than the 8-token
+    span width (the sequence() guard would otherwise emit phantom descending
+    spans), exactly at the width, a single token, and empty text. The corpus
+    docs are all ≥10 tokens, so without this the guards are never executed."""
+    import glob
+    import os
+    import shutil
+
+    from librarian_spark.sources.batch import load_table
+
+    tmp = str(tmp_path / "degenerate_docs")
+    os.makedirs(tmp)
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [
+            (999901, "three token doc", "en", "srcx", 15),
+            (999902, "seven tokens just below the span width", "en", "srcx", 38),
+            (999903, "eight tokens exactly at the span width here", "en", "srcx", 43),
+            (999904, "solo", "en", "srcx", 4),
+            (999905, "", "en", "srcx", 0),
+            # an exact 8-token twin of 999903 so the dup path fires too
+            (999906, "eight tokens exactly at the span width here", "en", "srcx", 43),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    staging = f"{tmp}/_staging"
+    d.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(glob.glob(f"{staging}/part-*.parquet")[0], f"{tmp}/documents.parquet")
+    shutil.rmtree(staging)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
+    for name in ["dedup_substring", "text_feature_hash_embed",
+                 "text_token_count", "dedup_ngram_jaccard"]:
+        spec = SPECS[name]
+        assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
