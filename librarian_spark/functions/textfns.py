@@ -101,15 +101,19 @@ def o_shingles(col_expr: str, n: int = 3, distinct: bool = True) -> str:
     return f"LIST_DISTINCT({inner})" if distinct else inner
 
 
-def fingerprint(col_name: str, mod: int = FP_MOD) -> Column:
+def fingerprint(col: Column | str, mod: int = FP_MOD) -> Column:
     """Polynomial rolling-hash document fingerprint: fold ``h = (h*31 + code) % mod``
     over the characters. Stays in bigint range (h < 1e9; h*31 + 127 << 2^63).
+    Accepts a column name or a Column expression (e.g. a lambda variable inside
+    a higher-order function) — every Spark-side copy of this fold must live
+    here so it can never drift from ``o_fingerprint``.
 
     DuckDB twin: ``LIST_REDUCE(LIST_PREPEND(0, LIST_TRANSFORM(STR_SPLIT(col, ''),
     c -> ASCII(c))), (a, b) -> (a*31 + b) % mod)``.
     """
+    c = F.col(col) if isinstance(col, str) else col
     return F.aggregate(
-        F.split(F.col(col_name), ""),
+        F.split(c, ""),
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
     )

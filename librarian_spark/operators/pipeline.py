@@ -260,14 +260,16 @@ def pipeline_dedup_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     src = os.path.join(sf, "documents.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    # the cached input IS the mod-filtered query split, so the mod is part of
+    # the cache identity (same rule as the index layout tags)
+    tag = hashlib.md5(f"{sf}:{mtime}:{_IDX_QUERY_MOD}".encode()).hexdigest()[:10]
     base = f"/tmp/librarian_bench_ddgate_{tag}"
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         (
             load_table(spark, sf, "documents")
             .filter(F.col("doc_id") % _IDX_QUERY_MOD == 0)
-            .repartition(4)  # 4 input files → 4 micro-batches below
+            .repartition(2)  # 2 input files → 2 micro-batches below
             .write.mode("overwrite")
             .parquet(in_dir)
         )
@@ -343,10 +345,16 @@ def pipeline_compact(spark: SparkSession, sf: str) -> DataFrame:
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     data = f"{base}/run_{uuid.uuid4().hex[:8]}"
+    # fragment count scales with source size (~2 MB fragments, floor 64) so
+    # each fragment stays far below the 128 MB compaction target at ANY scale
+    # factor — a fixed count would stop reproducing the small-files problem
+    # (and make the reduction guard below fire) once fragments outgrew the
+    # target
+    n_frag = max(64, os.path.getsize(src) // (2 * 1024 * 1024) + 1)
     (
         load_table(spark, sf, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-        .repartition(64)
+        .repartition(int(n_frag))
         .write.mode("overwrite")
         .parquet(data)
     )

@@ -295,14 +295,10 @@ def lsh_bucket(col) -> F.Column:
 
 
 def _o_dot_signs(v: str, signs: list[int]) -> str:
-    """DuckDB fold of ``v · signs`` for a literal ±1 plane (same left-fold
-    order as :data:`_O_DOT`)."""
+    """DuckDB fold of ``v · signs`` for a literal ±1 plane — one shared fold
+    template (:data:`_O_DOT`) so the accumulation order can never drift."""
     lit = "[" + ",".join(str(float(s)) for s in signs) + "]"
-    return (
-        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
-        f"LIST_TRANSFORM(RANGE(1, {_DIM + 1}), i -> {v}[i] * {lit}[i])), "
-        f"(a, x) -> a + x)"
-    )
+    return _o_dot(v, lit)
 
 
 def _o_lsh_bucket(v: str) -> str:
@@ -748,8 +744,11 @@ def sim_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
     # tag includes the source file's mtime (a regenerated corpus under the
-    # same path can never serve a stale index) AND the layout constants (a
-    # changed nlists/nprobe/query-set would otherwise reuse a mismatched index)
+    # same path can never serve a stale index) and nlists (the one layout
+    # constant that changes what is ON DISK — list assignments + centroid
+    # sidecar). nprobe/query-set only affect the probe, not the index;
+    # _N_QUERIES stays in the tag conservatively (a rebuild is cheap, a
+    # subtly stale probe-vs-index mismatch is not).
     src = os.path.join(sf, "embeddings.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     layout = f"{_IVF_NLISTS}:{_N_QUERIES}"
@@ -930,12 +929,8 @@ _PQ_SHORTLIST = 50  # ADC candidates kept per query before exact re-rank
 
 
 def _o_dot_sub(a: str, b: str) -> str:
-    """DuckDB fold dot over two SUBDIM-length double lists."""
-    return (
-        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
-        f"LIST_TRANSFORM(RANGE(1, {_PQ_SUBDIM + 1}), i -> {a}[i] * {b}[i])), "
-        f"(acc, x) -> acc + x)"
-    )
+    """DuckDB fold dot over two SUBDIM-length double lists (shared template)."""
+    return _o_dot(a, b, dim=_PQ_SUBDIM)
 
 
 def _o_l2_sub(a: str, b: str) -> str:

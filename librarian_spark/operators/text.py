@@ -1009,9 +1009,10 @@ _FH_DIM = 32  # hashed bag-of-words dimensionality
       FROM documents
     )
     SELECT doc_id,
-           LIST_TRANSFORM(RANGE(0, {_FH_DIM}),
-                          d -> CAST(LEN(LIST_FILTER(b, x -> x = d)) AS BIGINT))
-             AS vec,
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(RANGE(0, {_FH_DIM}),
+                            d -> LEN(LIST_FILTER(b, x -> x = d))), ',')
+             AS vec_str,
            CAST(LEN(b) AS BIGINT) AS n_tokens,
            CAST(LEN(LIST_DISTINCT(b)) AS BIGINT) AS n_active_dims
     FROM t
@@ -1024,29 +1025,25 @@ _FH_DIM = 32  # hashed bag-of-words dimensionality
     "fitted state, stable under re-partitioning and corpus growth. This is "
     "the bridge from raw documents to every vector operator in "
     "similarity.py (cosine/LSH/IVF take any array column). Integer counts "
-    "make the oracle exact — no float summation-order concerns. At 100 TB "
-    "this is a scan-rate-bound codegen pass; the nested-lambda hash folds "
-    "stay JVM-side.",
+    "make the oracle exact — no float summation-order concerns — and the "
+    "vector is emitted comma-joined (every output column scalar, the q25 "
+    "convention the sort-based comparison harness requires; split(',') "
+    "recovers the array). At 100 TB this is a scan-rate-bound codegen "
+    "pass; the nested-lambda hash folds stay JVM-side.",
 )
 def text_feature_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
-    def fp_of(tok):  # per-token rolling hash, same fold as functions.textfns
-        return F.aggregate(
-            F.split(tok, ""),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * 31 + F.ascii(ch)) % FP_MOD,
-        )
-
     d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("w"))
     d = fan_out(d).select(
-        "doc_id", F.transform("w", lambda t: fp_of(t) % _FH_DIM).alias("b")
+        "doc_id",
+        F.transform("w", lambda t: fingerprint(t) % _FH_DIM).alias("b"),
     )
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
-        lambda dim: F.size(F.filter("b", lambda x: x == dim)).cast("long"),
+        lambda dim: F.size(F.filter("b", lambda x: x == dim)),
     )
     return d.select(
         "doc_id",
-        counts.alias("vec"),
+        F.array_join(counts, ",").alias("vec_str"),
         F.size("b").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("b")).cast("long").alias("n_active_dims"),
     )
