@@ -114,11 +114,23 @@ def _read_state_raw(spark: SparkSession, cfg: MaterializeConfig) -> DataFrame:
         df = spark.createDataFrame([], cfg.row_ddl)
     else:
         df = spark.read.parquet(os.path.join(cfg.state_dir, f"v={v}"))
+    # additive schema evolution: a restart with a WIDENED row_ddl (the change
+    # stream grew a column — the standard Debezium source-DDL scenario) must
+    # still read state written under the old layout. Missing payload columns
+    # backfill as typed NULLs — exactly what those rows' source events
+    # carried — and the next commit rewrites state in the new layout. Column
+    # REMOVAL needs no handling: the merge selects only declared columns.
+    declared = spark.createDataFrame([], cfg.row_ddl).schema.fields
+    for f_ in declared:
+        if f_.name not in df.columns:
+            df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
     lo = -(1 << 63)
     for c in ("_ts_ms_", "_ordc_"):
         if c not in df.columns:
             df = df.withColumn(c, F.lit(lo).cast("long"))
-    return df
+    # dropped columns (a NARROWED row_ddl) disappear here too — state always
+    # reads in exactly the declared layout
+    return df.select(*[f_.name for f_ in declared], "_ts_ms_", "_ordc_")
 
 
 def _apply_batch(

@@ -67,11 +67,22 @@ class SCD2Config:
 
 
 def read_history(spark: SparkSession, cfg: SCD2Config) -> DataFrame:
-    """Full SCD2 history table (empty with the declared schema if none)."""
+    """Full SCD2 history table (empty with the declared schema if none).
+
+    Schema evolution: history written under an older, narrower ``row_ddl``
+    backfills the missing payload columns as typed NULLs (what those
+    versions' source events carried), and columns no longer declared are
+    dropped — so a restart after the change stream grew (or shed) a column
+    keeps merging, and the next commit rewrites state in the new layout."""
     v = _latest_version(cfg.state_dir)
     if v is None:
         return spark.createDataFrame([], cfg.history_ddl())
-    return spark.read.parquet(os.path.join(cfg.state_dir, f"v={v}"))
+    df = spark.read.parquet(os.path.join(cfg.state_dir, f"v={v}"))
+    declared = spark.createDataFrame([], cfg.history_ddl()).schema.fields
+    for f_ in declared:
+        if f_.name not in df.columns:
+            df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    return df.select(*[f_.name for f_ in declared])
 
 
 def _apply_batch(

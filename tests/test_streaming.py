@@ -926,3 +926,124 @@ def test_scd2_rejects_late_event_for_deleted_key(spark, tmp_path, sf_dir):
     _apply_batch(spark, cfg, batch("d", 200_000, 2), 1)  # all keys closed
     with _pytest.raises(ValueError, match="high-watermark"):
         _apply_batch(spark, cfg, batch("u", 150_000, 3), 2)  # inside [100k,200k)
+
+
+def test_materializers_survive_additive_schema_evolution(spark, tmp_path):
+    """Restart with a WIDENED row_ddl (the change stream grew a column — the
+    standard Debezium source-DDL scenario): both materializers must keep
+    merging, backfilling pre-evolution state with typed NULLs for the new
+    column and carrying real values for post-evolution events."""
+    from librarian_spark.streaming.envelope import build_envelope_json
+    from librarian_spark.streaming.materialize import (
+        MaterializeConfig,
+        materialize,
+        read_state,
+    )
+    from librarian_spark.streaming.scd2 import (
+        SCD2Config,
+        read_history,
+        scd2_materialize,
+    )
+
+    def env_lines(rows, path, op="c"):
+        """rows: list of (after_json_string, ts_ms)."""
+        df = spark.createDataFrame(rows, "aj string, t long")
+        df.select(
+            build_envelope_json(
+                before_json=None,
+                after_json=F.col("aj"),
+                version=F.lit("1.0.0"),
+                connector=F.lit("t"),
+                name=F.lit("t"),
+                source_ts_ms=F.col("t"),
+                snapshot=F.lit("false"),
+                db=F.lit("db"),
+                schema=F.lit("s"),
+                table=F.lit("tbl"),
+                op=F.lit(op),
+                ts_ms=F.col("t"),
+                lsn=F.col("t"),
+            ).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(path)
+
+    src = str(tmp_path / "evo_src")
+    env_lines([('{"k": 1, "v": 10.0}', 1000), ('{"k": 2, "v": 20.0}', 1000)],
+              src + "/b1")
+
+    # ---- latest-state materializer ----
+    def mat_cfg(ddl):
+        return MaterializeConfig(
+            state_dir=str(tmp_path / "mat_state"),
+            checkpoint_dir=str(tmp_path / "mat_ckpt"),
+            key_cols=["k"],
+            row_ddl=ddl,
+        )
+
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(src + "/b*")
+    )
+    q = materialize(spark, parse_envelope(stream, "value"), mat_cfg("k long, v double"))
+    q.processAllAvailable()
+    q.stop()
+
+    # stream grows a column; key 2 updated with it, key 3 arrives with it
+    env_lines(
+        [('{"k": 2, "v": 21.0, "note": "n2"}', 2000),
+         ('{"k": 3, "v": 30.0, "note": "n3"}', 2000)],
+        src + "/b2",
+    )
+    cfg2 = mat_cfg("k long, v double, note string")
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(src + "/b*")
+    )
+    q = materialize(spark, parse_envelope(stream, "value"), cfg2)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.k, r.v, r.note) for r in read_state(spark, cfg2).collect()}
+    assert got == {(1, 10.0, None), (2, 21.0, "n2"), (3, 30.0, "n3")}
+
+    # ---- SCD2 materializer ----
+    def scd2_cfg(ddl):
+        return SCD2Config(
+            state_dir=str(tmp_path / "scd2_state"),
+            checkpoint_dir=str(tmp_path / "scd2_ckpt"),
+            key_cols=["k"],
+            row_ddl=ddl,
+        )
+
+    s2src = str(tmp_path / "evo_scd2_src")
+    env_lines([('{"k": 1, "v": 10.0}', 1000)], s2src + "/b1")
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(s2src + "/b*")
+    )
+    q = scd2_materialize(
+        spark, parse_envelope(stream, "value"), scd2_cfg("k long, v double")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    env_lines([('{"k": 1, "v": 11.0, "note": "n1"}', 2000)], s2src + "/b2",
+              op="u")
+    cfg2 = scd2_cfg("k long, v double, note string")
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(s2src + "/b*")
+    )
+    q = scd2_materialize(spark, parse_envelope(stream, "value"), cfg2)
+    q.processAllAvailable()
+    q.stop()
+    hist = {
+        (r.k, r.version, r.v, r.note, r.valid_to_ms, r.is_current)
+        for r in read_history(spark, cfg2).collect()
+    }
+    assert hist == {
+        (1, 1, 10.0, None, 2000, False),
+        (1, 2, 11.0, "n1", None, True),
+    }
