@@ -364,3 +364,57 @@ def pipeline_compact(spark: SparkSession, sf: str) -> DataFrame:
     if not report["compacted"] or n_after >= n_before:
         raise RuntimeError(f"compaction did not reduce files: {report}")
     return spark.read.parquet(data)
+
+
+@query(
+    "pipeline_csv_snapshot",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+    doc="Snapshot pipeline over a CSV source (the format-breadth twin of "
+    "pipeline_snapshot): a CSV export of orders is read headers-only-typed "
+    "(all strings — the honest CSV contract), the configured query casts "
+    "every column back to its declared type NATIVELY in Spark SQL (the "
+    "cast-at-ingest step the reference delegates to Postgres), and the "
+    "batched parquet + catalog write path is shared. The oracle compares "
+    "against the ORIGINAL parquet values, so the hash match proves the "
+    "text round trip (double formatting, timestamp parsing) is lossless.",
+)
+def pipeline_csv_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.config import load_config_str
+    from librarian_spark.snapshot import run_snapshot_config
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_csvsnap_{tag}"
+    csv_dir = f"{base}/csv"
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(csv_dir)
+        )
+    out = f"{base}/out"
+    cfg = load_config_str(
+        f"""
+name: bench-csv-snapshot
+archiver:
+  source:
+    format: csv
+    path: {csv_dir}
+    query: "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate FROM source"
+  preserver:
+    batch_size_num_records: 100000
+  repository:
+    local:
+      path: {out}
+"""
+    )
+    rec = run_snapshot_config(spark, cfg)
+    if not rec.success or rec.num_source_records != rec.num_records_processed:
+        raise RuntimeError(f"csv snapshot count parity failed: {rec}")
+    return spark.read.parquet(out)
