@@ -54,6 +54,7 @@ QUERIES = [
     "sim_pq_topk",          # ADC code scan + shortlist re-rank
     "text_bm25_topk",       # map-only score + TakeOrdered
     "q51_gap_fill",         # agg + spine explode + key window
+    "q40_tpch_q3",          # multi-join + agg + top-k
     "cdc_apply",            # max_by aggregate
 ]
 
