@@ -124,6 +124,11 @@ class PreserverConfig:
     type: str = "parquet"
     batch_size_num_records: int = 0  # 0 = single file (`internal/config/config.go:60-62`)
     fields: list[FieldConfig] = field(default_factory=list)
+    # parquet codec (snappy/zstd/gzip/none); "" = Spark session default.
+    # The reference hardcodes parquet-go's default; at 100 TB the
+    # scan-rate-vs-size tradeoff is a per-dataset decision, so it belongs in
+    # the config.
+    compression: str = ""
 
 
 @dataclass
@@ -185,12 +190,20 @@ def load_config_str(text: str) -> LibrarianConfig:
                 prefix=s3.get("prefix", ""),
                 endpoint=s3.get("endpoint", ""),
                 force_path_style=bool(s3.get("force_path_style", False)),
-                partition_by=list(repo.get("partition_by", []) or []),
+                # accepted at the repository level or nested under the
+                # concrete repo block — both read naturally in YAML
+                partition_by=list(
+                    repo.get("partition_by")
+                    or local.get("partition_by")
+                    or s3.get("partition_by")
+                    or []
+                ),
             ),
             preserver=PreserverConfig(
                 type=pres.get("type", "parquet"),
                 batch_size_num_records=int(pres.get("batch_size_num_records", 0) or 0),
                 fields=[_field_from_dict(f) for f in (parquet.get("schema") or [])],
+                compression=str(pres.get("compression", "") or ""),
             ),
         ),
     )

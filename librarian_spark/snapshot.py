@@ -106,6 +106,8 @@ class Snapshotter:
         writer = df.write.mode("append" if append else "overwrite")
         if pres.batch_size_num_records > 0:
             writer = writer.option("maxRecordsPerFile", pres.batch_size_num_records)
+        if pres.compression:
+            writer = writer.option("compression", pres.compression)
         if repo.partition_by:
             writer = writer.partitionBy(*repo.partition_by)
         writer.parquet(out_path)

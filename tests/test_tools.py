@@ -706,3 +706,57 @@ def test_cli_materialize_both_modes(spark, tmp_path, capsys):
     assert {"version", "valid_from_ms", "valid_to_ms", "is_current"} <= set(
         hist.columns
     )
+
+
+def test_snapshot_partitioned_layout_and_compression(spark, tmp_path):
+    """repository.partition_by writes a hive layout (partition pruning +
+    per-partition compaction downstream) and preserver.compression picks the
+    parquet codec — both declared in the YAML, both verified on the committed
+    files."""
+    import glob
+    import os
+
+    from librarian_spark.config import load_config_str
+    from librarian_spark.maintenance import compact
+    from librarian_spark.snapshot import run_snapshot_config
+
+    out = str(tmp_path / "snap_part")
+    cfg = load_config_str(f"""
+name: partitioned-snapshot
+archiver:
+  source:
+    format: parquet
+    path: /root/testdata/sf0.001/orders.parquet
+    query: "SELECT o_orderkey, o_orderstatus, o_totalprice FROM source"
+  preserver:
+    compression: zstd
+  repository:
+    local:
+      path: {out}
+      partition_by: [o_orderstatus]
+""")
+    rec = run_snapshot_config(spark, cfg)
+    assert rec.success and rec.num_source_records == rec.num_records_processed
+
+    data_dir = os.path.dirname(
+        glob.glob(f"{out}/**/_catalog.json", recursive=True)[0]
+    )
+    parts = sorted(
+        d for d in os.listdir(data_dir) if d.startswith("o_orderstatus=")
+    )
+    assert len(parts) >= 2, parts  # hive layout materialized
+    a_file = glob.glob(f"{data_dir}/{parts[0]}/*.parquet")[0]
+    import pyarrow.parquet as pq
+
+    assert pq.ParquetFile(a_file).metadata.row_group(0).column(0).compression \
+        == "ZSTD"
+
+    # read-back: partition column restored, values intact, pruning possible
+    df = spark.read.parquet(data_dir)
+    assert df.filter(df.o_orderstatus == parts[0].split("=")[1]).count() > 0
+    assert df.count() == rec.num_records_processed
+
+    # the per-partition compactor accepts this layout unchanged
+    report = compact(spark, data_dir, target_file_mb=128)
+    assert report["partitions"] == len(parts)
+    assert spark.read.parquet(data_dir).count() == rec.num_records_processed
