@@ -57,17 +57,26 @@ def main() -> None:
     # every attempt of whichever query it lands on.
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     best: dict[str, float] = {n: float("inf") for n in names}
+    errors: dict[str, str] = {}
     for _ in range(n_runs):
         for name in names:
+            if name in errors:
+                continue  # already failed deterministically; don't retry n_runs times
             spark.catalog.clearCache()
             # time construction + execution: operators that collect a broadcast
             # block or run an iterative convergence loop do real work while the
             # DataFrame is being built, and that belongs in the measurement
             t0 = time.perf_counter()
-            df = specs[name].spark_fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = specs[name].spark_fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001 — one bad query must never
+                # zero the whole round's metric (round-2's bench crashed on a
+                # single cast error and recorded rc=1 / no number at all)
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
             best[name] = min(best[name], time.perf_counter() - t0)
-    timings = {name: round(best[name], 4) for name in names}
+    timings = {n: round(best[n], 4) for n in names if best[n] != float("inf")}
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -83,6 +92,8 @@ def main() -> None:
         "sec_per_query_mean": round(total / max(1, len(timings)), 4),
         "runs_per_query": n_runs,
     }
+    if errors:
+        payload["errors"] = errors
 
     # Full-precision record for the repo (the judge can read per-query detail
     # here regardless of what fits on the driver's wire).
@@ -108,6 +119,8 @@ def main() -> None:
     line = _ser(payload)
     if len(line) > _LIMIT:
         payload["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        if errors:  # full messages live in BENCH_DETAIL.json; wire gets names
+            payload["errors"] = sorted(errors)
         line = _ser(payload)
     if len(line) > _LIMIT:
         by_time = sorted(timings, key=timings.get)  # fastest first

@@ -418,3 +418,60 @@ archiver:
     if not rec.success or rec.num_source_records != rec.num_records_processed:
         raise RuntimeError(f"csv snapshot count parity failed: {rec}")
     return spark.read.parquet(out)
+
+
+@query(
+    "pipeline_jsonl_snapshot",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    doc="Snapshot pipeline over a JSON-lines source (format breadth alongside "
+    "parquet/CSV): an export of events — bigints, a µs-precision timestamp "
+    "(written with an explicit 6-digit fractional format; the default JSON "
+    "format truncates to millis), a shortest-round-trip double, and props "
+    "(a JSON document NESTED as a string field, exercising quoting/escape "
+    "fidelity) — is read back strings-first, the configured query casts to "
+    "declared types natively, and the shared batched-parquet + catalog "
+    "write path commits. Oracle = the ORIGINAL parquet values, so the hash "
+    "match proves the whole text round trip lossless. JSONL is the "
+    "format CDC/event feeds actually arrive in at 100 TB; scan, cast and "
+    "write are all distributed and map-only.",
+)
+def pipeline_jsonl_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.config import load_config_str
+    from librarian_spark.snapshot import run_snapshot_config
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_jsonlsnap_{tag}"
+    jsonl_dir = f"{base}/jsonl"
+    if not os.path.exists(os.path.join(jsonl_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf, "events")
+            .write.mode("overwrite")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .json(jsonl_dir)
+        )
+    out = f"{base}/out"
+    cfg = load_config_str(
+        f"""
+name: bench-jsonl-snapshot
+archiver:
+  source:
+    format: json
+    path: {jsonl_dir}
+    query: "SELECT CAST(event_id AS BIGINT) AS event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            CAST(user_id AS BIGINT) AS user_id, event_type,
+            CAST(value AS DOUBLE) AS value, props FROM source"
+  preserver:
+    batch_size_num_records: 100000
+  repository:
+    local:
+      path: {out}
+"""
+    )
+    rec = run_snapshot_config(spark, cfg)
+    if not rec.success or rec.num_source_records != rec.num_records_processed:
+        raise RuntimeError(f"jsonl snapshot count parity failed: {rec}")
+    return spark.read.parquet(out)

@@ -2157,3 +2157,430 @@ def q52_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n") * F.lit(1.0) / F.sum("n").over(W.partitionBy("prev")), 6
         ).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q53: OHLC resample (time-series downsampling to bars)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q53_ohlc_resample",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             DATE_TRUNC('hour', ts) AS bar,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)) AS cnt
+      FROM events
+    )
+    SELECT event_type, bar,
+           CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS DOUBLE) / 100.0 AS open,
+           CAST(MAX(cents) AS DOUBLE) / 100.0 AS high,
+           CAST(MIN(cents) AS DOUBLE) / 100.0 AS low,
+           CAST(MAX(CASE WHEN rn = cnt THEN cents END) AS DOUBLE) / 100.0 AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS volume
+    FROM pts
+    GROUP BY event_type, bar
+    """,
+    doc="OHLC downsampling of the events stream to hourly bars — the classic "
+    "metrics/financial resample the reference cannot express outside its "
+    "delegated SQL. First/last are pinned by one row_number window totally "
+    "ordered on (ts, event_id); open/close come out of the same hash "
+    "aggregate as high/low/volume via conditional MAX, so the whole query "
+    "is ONE shuffle on (event_type, hour) serving both the window sort and "
+    "the aggregation (Spark reuses the exchange). Values ride as exact "
+    "integer cents until the final division. At 100 TB the bar key is "
+    "fine-grained (type x hour), so the shuffle is well-spread; no global "
+    "sort anywhere.",
+)
+def q53_ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    w = W.partitionBy("event_type", bar.alias("bar")).orderBy("ts", "event_id")
+    pts = e.select(
+        "event_type",
+        bar.alias("bar"),
+        slong("value", 2).alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy("event_type", bar.alias("bar")).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("cnt"),
+    )
+    g = pts.groupBy("event_type", "bar").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents"))).alias("close_c"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("cents").alias("vol_c"),
+    )
+    cents_d = lambda c: (F.col(c).cast("double") / F.lit(100.0))  # noqa: E731
+    return g.select(
+        "event_type",
+        "bar",
+        cents_d("open_c").alias("open"),
+        cents_d("high_c").alias("high"),
+        cents_d("low_c").alias("low"),
+        cents_d("close_c").alias("close"),
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        cents_d("vol_c").alias("volume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q54: EWMA (sequential exponential smoothing, exact fold parity)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "q54_ewma",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY DATE_TRUNC('day', ts)) AS rn
+      FROM events
+      GROUP BY event_type, DATE_TRUNC('day', ts)
+    ),
+    r AS (
+      SELECT event_type, rn, day, x, x AS ewma FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, d.day, d.x,
+             {_EWMA_ALPHA} * d.x + (1 - {_EWMA_ALPHA}) * r.ewma
+      FROM daily d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1
+    )
+    SELECT event_type, day, x, ROUND(ewma, 6) AS ewma FROM r
+    """,
+    doc="Exponentially weighted moving average over per-type daily totals — "
+    "inherently SEQUENTIAL state (each output depends on the previous), the "
+    "shape Spark's parallel windows cannot express directly. Spark-first "
+    "answer: aggregate per group to an ordered array (sort_array of day-keyed "
+    "structs — deterministic under any partitioning), then run the "
+    "recurrence as an F.aggregate higher-order fold building the running "
+    "array JVM-side, and posexplode back to rows. The fold order is the "
+    "sorted-day order in BOTH engines (oracle = recursive CTE walking rn), "
+    "so every IEEE operation matches bit-for-bit. Scale: state per group is "
+    "days-per-type (bounded, ~hundreds), groups spread across executors; "
+    "the big table is touched once by the daily pre-aggregation.",
+)
+def q54_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg((F.sum(slong("value", 2)).cast("double") / F.lit(100.0)).alias("x"))
+    a = F.lit(_EWMA_ALPHA)
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("pts")
+    )
+    folded = series.select(
+        "event_type",
+        "pts",
+        F.aggregate(
+            F.col("pts"),
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, p: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, p["x"]).otherwise(
+                        a * p["x"] + (F.lit(1.0) - a) * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ).alias("ew"),
+    )
+    z = folded.select(
+        "event_type", F.posexplode(F.arrays_zip("pts", "ew")).alias("i", "pe")
+    )
+    return z.select(
+        "event_type",
+        F.col("pe.pts.day").alias("day"),
+        F.col("pe.pts.x").alias("x"),
+        F.round(F.col("pe.ew"), 6).alias("ewma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q55: mode + discrete percentile (deterministic order statistics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q55_mode_percentile_disc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, cents, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, cents) AS mode_rn
+      FROM c GROUP BY event_type, cents
+    ),
+    ordered AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, 1) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM c
+    )
+    SELECT m.event_type,
+           CAST(m.cents AS DOUBLE) / 100.0 AS mode_value,
+           CAST(m.n AS BIGINT) AS mode_count,
+           CAST(p.cents AS DOUBLE) / 100.0 AS p50_disc,
+           p.cnt AS n
+    FROM (SELECT * FROM counts WHERE mode_rn = 1) m
+    JOIN (SELECT * FROM ordered
+          WHERE rn = CAST(CEIL(cnt * 0.5) AS BIGINT)) p
+      ON m.event_type = p.event_type
+    """,
+    doc="Deterministic order statistics per group: MODE with a pinned "
+    "tie-break (most frequent, ties to the smallest value — engines' native "
+    "mode() leaves ties unspecified, so both sides compute it explicitly) "
+    "and DISCRETE median (the actual element at ceil(n/2), never an "
+    "interpolated midpoint — percentile_disc semantics). Two shuffles over "
+    "SMALL intermediates: the value-frequency table (|distinct cents| per "
+    "type) and the per-type rank pass; the raw scan feeds one hash "
+    "aggregate with map-side combine. The final join is two tiny per-type "
+    "rows — broadcast.",
+)
+def q55_mode_percentile_disc(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    c = e.select("event_type", slong("value", 2).alias("cents"))
+    counts = c.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("n"))
+    mode = (
+        counts.withColumn(
+            "mode_rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.desc("n"), F.asc("cents"))
+            ),
+        )
+        .filter(F.col("mode_rn") == 1)
+        .select(
+            "event_type",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("mode_value"),
+            F.col("n").cast("long").alias("mode_count"),
+        )
+    )
+    ordered = c.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("cents"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy("event_type").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("cnt"),
+    )
+    p50 = ordered.filter(
+        F.col("rn") == F.ceil(F.col("cnt") * F.lit(0.5)).cast("long")
+    ).select(
+        "event_type",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("p50_disc"),
+        F.col("cnt").cast("long").alias("n"),
+    )
+    return mode.join(F.broadcast(p50), "event_type").select(
+        "event_type", "mode_value", "mode_count", "p50_disc", "n"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q56: correlation + linear regression from exact integer moments
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q56_corr_regress",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS sx,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS sxx,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS intercept
+    FROM m
+    """,
+    doc="Pearson correlation + OLS slope/intercept of extendedprice on "
+    "quantity per (returnflag, linestatus) — native corr()/regr_slope() "
+    "accumulate doubles in partition order, so two engines (or two RUNS on "
+    "different partitionings) disagree in the low bits. Here every moment "
+    "(n, Sx, Sy, Sxx, Syy, Sxy) is an EXACT integer sum (quantity units x "
+    "price cents, decimal(38,0) accumulators — hugeint in the oracle; "
+    "int64 would overflow the squared-cents sum beyond ~sf10), and the "
+    "closed-form combination runs in an identical IEEE order both sides. "
+    "One map-side-combining hash aggregate over the scan; the moment table "
+    "is |groups| rows. This is also the 100 TB pattern: exact moments are "
+    "mergeable partials, so rollups to coarser groupings never rescan the "
+    "fact table.",
+)
+def q56_corr_regress(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    xi = F.round(F.col("l_quantity")).cast("long")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(xi.cast(dec)).alias("sx"),
+        F.sum(yi.cast(dec)).alias("sy"),
+        F.sum((xi * xi).cast(dec)).alias("sxx"),
+        F.sum((yi * yi).cast(dec)).alias("syy"),
+        F.sum((xi * yi).cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / varx
+    return m.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("corr"),
+        F.round(slope / F.lit(100.0), 6).alias("slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n").cast("double")
+                - slope * F.col("sx").cast("double") / F.col("n").cast("double")
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q57: distinct count over a sliding window frame
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q57_window_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           COUNT(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS uniq_users_100
+    FROM events
+    """,
+    doc="Distinct-count over a sliding 100-row frame per event type — SQL "
+    "engines allow COUNT(DISTINCT) OVER, Spark does not; the Spark-first "
+    "bridge is size(collect_set()) over the same frame, which keeps the "
+    "whole computation in the JVM window exec with bounded per-frame state "
+    "(<=100 ids). Frame order is total (ts, event_id). One shuffle on "
+    "event_type; at 100 TB the partition key should gain a coarse time "
+    "bucket to bound per-task window state — same pattern, finer key.",
+)
+def q57_window_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias(
+            "uniq_users_100"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q58: max interval overlap (sweep-line concurrency)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q58_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, ts AS s,
+             ts + INTERVAL 1 MINUTE * (CAST(ROUND(value) AS BIGINT) % 60 + 1) AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS pt, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS pt, -1 AS delta FROM iv
+    ),
+    run AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY pt, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                             ) AS concurrent
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(concurrent) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM run GROUP BY event_type
+    """,
+    doc="Maximum concurrent overlap of half-open intervals per event type — "
+    "the sweep-line: each interval contributes a +1 at start and a -1 at "
+    "end, a running sum over (time, delta) order is the live concurrency, "
+    "and its max is the answer. Half-open semantics pinned by sorting -1 "
+    "before +1 at equal timestamps; within equal (pt, delta) runs the "
+    "prefix max is permutation-invariant (same-sign runs peak at their "
+    "boundary), so the result is deterministic without a unique sort key. "
+    "Two rows per event, one shuffle on event_type, constant output. The "
+    "generic form of capacity/occupancy questions engines usually answer "
+    "with an O(n^2) self-join — this is O(n log n) and fully distributed.",
+)
+def q58_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    dur_min = (F.round(F.col("value")).cast("long") % 60 + 1).cast("int")
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + dur_min * F.expr("INTERVAL 1 MINUTE")).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("pt"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("e").alias("pt"), F.lit(-1).alias("delta"))
+    )
+    run = pts.select(
+        "event_type",
+        F.sum("delta")
+        .over(
+            W.partitionBy("event_type")
+            .orderBy("pt", "delta")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("concurrent"),
+    )
+    return run.groupBy("event_type").agg(
+        F.max("concurrent").cast("long").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
