@@ -475,3 +475,209 @@ archiver:
     if not rec.success or rec.num_source_records != rec.num_records_processed:
         raise RuntimeError(f"jsonl snapshot count parity failed: {rec}")
     return spark.read.parquet(out)
+
+
+@query(
+    "pipeline_session_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, cents,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS session_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Streaming sessionization E2E (S12 driven through a REAL stream, not "
+    "just the batch primitive of q49): the events table replays as a "
+    "multi-file stream (maxFilesPerTrigger forces several micro-batches, so "
+    "sessions genuinely merge across batch boundaries inside the session "
+    "state store), a watermark bounds state, and one far-future sentinel "
+    "event advances the watermark at end-of-input so every real session "
+    "closes and flushes through the append-mode parquet sink in the "
+    "trailing no-data batch. The oracle is the lag+cumsum batch "
+    "formulation (q49's pinned gap semantics, >= 30 min starts a new "
+    "session) plus exact-cents session value — the hash match proves the "
+    "incremental, stateful, cross-batch merge reproduces batch semantics "
+    "exactly. The watermark delay is sized to the replayed corpus's "
+    "disorder (files may interleave time arbitrarily); a live feed would "
+    "use minutes and RocksDB state (cluster_profile) for beyond-heap "
+    "session state.",
+)
+def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:v1".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_sessagg_{tag}"
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        ev = load_table(spark, sf, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        sentinel = ev.sparkSession.createDataFrame(
+            [(-1, -1, 0.0)], "event_id long, user_id long, value double"
+        ).select(
+            "event_id",
+            F.expr("timestamp'2100-01-01 00:00:00'").alias("ts"),
+            "user_id",
+            "value",
+        )
+        # 8 real files + the sentinel: several micro-batches, sessions span them
+        ev.repartition(8).unionByName(sentinel.coalesce(1)).write.mode(
+            "overwrite"
+        ).parquet(in_dir)
+
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith(("out_", "ckpt_")):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    run_id = uuid.uuid4().hex[:8]
+    out = f"{base}/out_{run_id}"
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(in_dir)
+    )
+    # watermark must cover the replay's full disorder (files interleave time
+    # arbitrarily); the 2100 sentinel still lands far past max(ts) + 400 days
+    sess = (
+        stream.withWatermark("ts", "400 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("session_value"),
+        )
+    )
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{base}/ckpt_{run_id}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.read.parquet(out)
+    return t.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "session_end", "n_events", "session_value"
+    )
+
+
+@query(
+    "pipeline_incremental_snapshot",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    doc="Incremental high-watermark snapshot E2E — the capability gap the "
+    "reference's snapshot verb actually has at scale (it re-reads the whole "
+    "configured query every run, archiver.go:57-130; at 100 TB only delta "
+    "pulls are viable): run 1 snapshots the first half of orders "
+    "(watermarked on the monotone o_orderkey), the source then GROWS by the "
+    "second half, and run 2 pulls ONLY the delta (pushdown-filtered "
+    "`> watermark` scan, appended idempotently, atomic _watermark.json "
+    "advance). Both runs' processed counts must equal their exact delta "
+    "sizes, and the returned read-back of the accumulated output must "
+    "hash-match the FULL orders table — proving no loss, no duplication, "
+    "no history re-read across runs.",
+)
+def pipeline_incremental_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.config import load_config_str
+    from librarian_spark.snapshot import run_snapshot_config
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:v1".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_incsnap_{tag}"
+    halves = [f"{base}/half1", f"{base}/half2"]
+    if not all(os.path.exists(os.path.join(h, "_SUCCESS")) for h in halves):
+        o = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        med = o.agg(F.expr("approx_percentile(o_orderkey, 0.5)")).collect()[0][0]
+        o.filter(F.col("o_orderkey") <= med).write.mode("overwrite").parquet(halves[0])
+        o.filter(F.col("o_orderkey") > med).write.mode("overwrite").parquet(halves[1])
+
+    run_id = uuid.uuid4().hex[:8]
+    src_dir = f"{base}/src_{run_id}"
+    out = f"{base}/out_{run_id}"
+    if os.path.isdir(base):  # bounded /tmp: drop previous runs' dirs
+        for d in os.listdir(base):
+            if d.startswith(("src_", "out_")) and run_id not in d:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    def _cfg() -> str:
+        return f"""
+name: bench-incremental-snapshot
+archiver:
+  source:
+    format: parquet
+    path: {src_dir}
+    incremental_column: o_orderkey
+    query: "SELECT o_orderkey, o_orderstatus, o_totalprice FROM source"
+  preserver:
+    batch_size_num_records: 100000
+  repository:
+    local:
+      path: {out}
+"""
+
+    # run 1: source = first half
+    os.makedirs(src_dir, exist_ok=True)
+    for f_ in os.listdir(halves[0]):
+        if f_.endswith(".parquet"):
+            shutil.copy(os.path.join(halves[0], f_), os.path.join(src_dir, f_))
+    rec1 = run_snapshot_config(spark, load_config_str(_cfg()))
+    # source grows; run 2 must pull only the delta
+    for f_ in os.listdir(halves[1]):
+        if f_.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(halves[1], f_), os.path.join(src_dir, "b_" + f_)
+            )
+    rec2 = run_snapshot_config(spark, load_config_str(_cfg()))
+    n1 = spark.read.parquet(halves[0]).count()
+    n2 = spark.read.parquet(halves[1]).count()
+    if not (
+        rec1.success
+        and rec2.success
+        and rec1.num_records_processed == n1
+        and rec2.num_records_processed == n2
+    ):
+        raise RuntimeError(
+            f"incremental delta counts wrong: run1={rec1.num_records_processed}/{n1} "
+            f"run2={rec2.num_records_processed}/{n2}"
+        )
+    return spark.read.parquet(out).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
