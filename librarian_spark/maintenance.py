@@ -272,3 +272,68 @@ def cluster_write(
     cols = [F.col(c) for c in cluster_cols]
     out = df.repartitionByRange(*( [n_files] if n_files else [] ), *cols)
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def zorder_key(cols, mins, maxs, bits: int = 10):
+    """Z-order (Morton) key: each column is min/max-scaled to ``bits`` bits and
+    the bits are interleaved, so sorting by the single key keeps rows that are
+    close in EVERY dimension close in the file order.
+
+    1-D range clustering (``cluster_write``) makes min/max skipping optimal for
+    one column and useless for the others; the Z-curve trades a little pruning
+    power on the first column for pruning on ALL of them — the standard
+    multi-dimensional layout (Delta/Iceberg OPTIMIZE ZORDER) for 100 TB fact
+    tables queried on several independent keys. ``mins``/``maxs`` are inlined
+    literals (one tiny pre-aggregate, bm25 pattern) so the key is a pure
+    map-only codegen expression — no shuffle, no UDF.
+
+    The expression builds the interleave as a sum of shifted bit tests —
+    O(bits × ncols) integer ops per row, all whole-stage-codegen'd.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        c = F.col(c) if isinstance(c, str) else c
+        span = max(1, int(hi) - int(lo))
+        # scale to [0, 2^bits): exact integer arithmetic, no doubles
+        scaled.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                ((c.cast("long") - F.lit(int(lo))) * F.lit((1 << bits) - 1))
+                / F.lit(span),
+            ).cast("long")
+        )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            key = key + (
+                F.shiftright(s, b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (b * n + i))
+            )
+    return key
+
+
+def zorder_write(df, path: str, cluster_cols: list[str], n_files: int = 16,
+                 bits: int = 10) -> None:
+    """Rewrite ``df`` Z-order-clustered on ``cluster_cols`` (see zorder_key):
+    one tiny min/max pre-aggregate, then a single range-partition + sort by
+    the Morton key. Layout-only — row values are untouched."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cluster_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    mins = [r[f"min_{c}"] for c in cluster_cols]
+    maxs = [r[f"max_{c}"] for c in cluster_cols]
+    key = zorder_key(cluster_cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -681,3 +681,198 @@ archiver:
     return spark.read.parquet(out).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "pipeline_zorder_cluster",
+    oracle="""
+    WITH dom AS (
+      SELECT MIN(l_orderkey) AS omn, MAX(l_orderkey) AS omx,
+             MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem, dom
+    WHERE l_orderkey BETWEEN omn + (omx - omn) * 45 // 100
+                         AND omn + (omx - omn) * 55 // 100
+      AND l_partkey BETWEEN pmn + (pmx - pmn) * 40 // 100
+                        AND pmn + (pmx - pmn) * 60 // 100
+    """,
+    doc="Z-order (Morton) clustering maintenance E2E: lineitem is rewritten "
+    "sorted by the bit-interleaved (l_orderkey, l_partkey) key "
+    "(maintenance.zorder_write — min/max scaling inlined as literals, the "
+    "key a pure codegen integer expression, ONE range-partition shuffle), "
+    "then a 2-D range query runs against the clustered copy. The run "
+    "asserts from the parquet footers that the predicate's file-level "
+    "min/max overlap set is a MINORITY of files on BOTH dimensions "
+    "combined — the pruning 1-D range clustering cannot give — and the "
+    "oracle hash-match against the original table proves the rewrite "
+    "lossless. At 100 TB this layout op is what turns multi-key selective "
+    "scans from full-table reads into a handful of file opens.",
+)
+def pipeline_zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from librarian_spark.maintenance import zorder_write
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "lineitem.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:zv1".encode()).hexdigest()[:10]
+    zdir = f"/tmp/librarian_bench_zorder_{tag}/z"
+    if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+            "l_extendedprice",
+        )
+        zorder_write(li, zdir, ["l_orderkey", "l_partkey"], n_files=16)
+
+    # file-skipping evidence straight from the footers: the predicate box
+    # must overlap only a minority of files on the combined stats
+    import pyarrow.parquet as pq
+
+    # sf-relative 10% x 20% box, same integer formula as the oracle's CTE
+    dom = (
+        load_table(spark, sf, "lineitem")
+        .agg(
+            F.min("l_orderkey").alias("omn"),
+            F.max("l_orderkey").alias("omx"),
+            F.min("l_partkey").alias("pmn"),
+            F.max("l_partkey").alias("pmx"),
+        )
+        .collect()[0]
+    )
+    lo_ok = dom.omn + (dom.omx - dom.omn) * 45 // 100
+    hi_ok = dom.omn + (dom.omx - dom.omn) * 55 // 100
+    lo_pk = dom.pmn + (dom.pmx - dom.pmn) * 40 // 100
+    hi_pk = dom.pmn + (dom.pmx - dom.pmn) * 60 // 100
+    total, overlap = 0, 0
+    for f_ in os.listdir(zdir):
+        if not f_.endswith(".parquet"):
+            continue
+        total += 1
+        md = pq.ParquetFile(os.path.join(zdir, f_)).metadata
+        fmin: dict[str, int] = {}
+        fmax: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                col = md.row_group(rg).column(i)
+                nm = col.path_in_schema
+                if nm in ("l_orderkey", "l_partkey") and col.statistics:
+                    st = col.statistics
+                    fmin[nm] = min(fmin.get(nm, st.min), st.min)
+                    fmax[nm] = max(fmax.get(nm, st.max), st.max)
+        if (
+            fmin.get("l_orderkey", lo_ok) <= hi_ok
+            and fmax.get("l_orderkey", hi_ok) >= lo_ok
+            and fmin.get("l_partkey", lo_pk) <= hi_pk
+            and fmax.get("l_partkey", hi_pk) >= lo_pk
+        ):
+            overlap += 1
+    if total >= 8 and overlap > total // 2:
+        raise RuntimeError(
+            f"z-order pruning ineffective: {overlap}/{total} files overlap"
+        )
+
+    z = spark.read.parquet(zdir)
+    return z.filter(
+        (F.col("l_orderkey").between(lo_ok, hi_ok))
+        & (F.col("l_partkey").between(lo_pk, hi_pk))
+    ).select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "pipeline_stream_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+           CAST(DATE_DIFF('second', a.ts, b.ts) AS BIGINT) AS lag_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 6 HOUR
+    """,
+    doc="Stream-stream interval join E2E (S14's hardest shape, absent in the "
+    "reference's passthrough loop): view and purchase events replay as two "
+    "independent file streams in several micro-batches each; the inner join "
+    "on user_id with a [0, 6 h) event-time range runs inside the "
+    "streaming symmetric-hash join with watermarked state, so matches whose "
+    "two sides arrive in DIFFERENT micro-batches are found by probing the "
+    "buffered other side. Oracle = the identical batch interval join; the "
+    "hash match proves the incremental join emits exactly the batch result "
+    "— no lost cross-batch matches, no duplicates from state replay. The "
+    "watermark is sized to the replay's disorder; live feeds use minutes, "
+    "which also BOUNDS state — the property that makes this viable on an "
+    "unbounded 100 TB stream, with the range condition evicting rows as "
+    "event time passes.",
+)
+def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:v2".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_sjoin_{tag}"
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+            .repartition(6)
+            .write.mode("overwrite")
+            .parquet(in_dir)
+        )
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith(("out_", "ckpt_")):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    run_id = uuid.uuid4().hex[:8]
+    out = f"{base}/out_{run_id}"
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def _side(kind: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(in_dir)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "400 days")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("user_id").alias(f"{alias}_user"),
+            )
+        )
+
+    views, buys = _side("view", "view"), _side("purchase", "purchase")
+    joined = views.join(
+        buys,
+        (F.col("view_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("view_user").alias("user_id"),
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).cast("long").alias("lag_sec"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{base}/ckpt_{run_id}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
