@@ -2584,3 +2584,198 @@ def q58_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         F.max("concurrent").cast("long").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q59: time-interval RANGE window frame
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q59_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_1h,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1h
+    FROM events
+    """,
+    doc="Event-TIME range frame (q18 is a row-count frame — a different "
+    "surface): per user, the exact-cents sum and count over the trailing "
+    "one hour of event time, however many rows that is. Spark expresses "
+    "time ranges as rangeBetween over epoch seconds (-3600, 0], identical "
+    "inclusive bounds to SQL RANGE INTERVAL. Peer rows (equal ts) share a "
+    "frame in BOTH engines, so no unique tie-break is needed — range "
+    "frames are peer-deterministic by definition. One shuffle on user_id; "
+    "frame state is the trailing hour only, so task memory is bounded by "
+    "per-user event RATE, not history length — the property that keeps "
+    "this viable on years of data.",
+)
+def q59_time_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    cents = slong("value", 2)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("long").alias("cents_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q60: recursive hierarchy (transitive closure without recursive CTEs)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q60_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE par AS (
+      SELECT a.o_orderkey AS k,
+             CASE WHEN b.o_orderkey IS NULL OR a.o_orderkey // 8 = a.o_orderkey
+                  THEN -1 ELSE a.o_orderkey // 8 END AS anc
+      FROM orders a LEFT JOIN orders b ON b.o_orderkey = a.o_orderkey // 8
+    ),
+    walk AS (
+      SELECT k AS node, anc AS cur, CAST(1 AS BIGINT) AS depth FROM par
+      UNION ALL
+      SELECT w.node, p.anc, w.depth + 1
+      FROM walk w JOIN par p ON p.k = w.cur
+      WHERE w.cur >= 0
+    )
+    SELECT node AS o_orderkey, CAST(-1 AS BIGINT) AS root, MAX(depth) AS depth
+    FROM walk GROUP BY node
+    """,
+    doc="Recursive-query surface: every order walks its synthetic ancestry "
+    "chain (parent = key div 8) to the root, returning per-node root and "
+    "depth — the org-chart / BOM-explosion shape SQL writes as WITH "
+    "RECURSIVE and Spark has no native form of. Spark-first bridge: "
+    "POINTER DOUBLING — each iteration joins the frontier's current "
+    "ancestor pointer to that ancestor's own pointer, so after k rounds "
+    "every pointer has jumped 2^k levels; a depth-D hierarchy finishes in "
+    "ceil(log2 D) self-joins instead of D chained joins (here: 3 rounds "
+    "for depth ≤ 8 vs 8 sequential steps — at a 100 TB graph the round "
+    "count, i.e. the number of SHUFFLES, is the cost that matters). "
+    "Termination is a driver-side empty-frontier check on an exact "
+    "aggregate, and all arithmetic is integer-exact.",
+)
+def q60_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    # parent-edge TABLE (not a function): parent = key div 8 when that key
+    # exists in orders, else the root sentinel 0 — so every hop is a genuine
+    # table lookup, the shape recursive CTEs exist for
+    cand = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") / 8).cast("long").alias("cand"),
+    )
+    par = (
+        cand.join(
+            o.select(F.col("o_orderkey").alias("cand_k")),
+            cand["cand"] == F.col("cand_k"),
+            "left",
+        )
+        .select(
+            "k",
+            # -1 sentinel (0 is a real key here) + self-loop exclusion: a
+            # root-sentinel that collides with a live key gives its pointer a
+            # phantom self-edge, which pointer composition then COUNTS
+            F.when(
+                F.col("cand_k").isNull() | (F.col("cand") == F.col("k")),
+                F.lit(-1),
+            )
+            .otherwise(F.col("cand"))
+            .cast("long")
+            .alias("anc"),
+        )
+    )
+    # state: (node, cur ancestor pointer, depth walked so far)
+    state = par.select(
+        F.col("k").alias("node"),
+        F.col("anc").alias("cur"),
+        F.lit(1).cast("long").alias("depth"),
+    )
+    # Round count is DERIVED, not discovered: parent = key div 8 means the
+    # longest possible chain from max_key is floor(log8) + 1 levels, and
+    # pointer reach doubles per round — so ceil(log2(depth_bound)) rounds
+    # suffice. One tiny max() pre-scan replaces a per-round frontier action
+    # (each of which would re-materialize the whole iteration state).
+    import math
+    import os as _os
+
+    # metadata-only: the max key comes from the parquet footers' column
+    # statistics (a few KB read), not a table scan — the same stats the
+    # min/max file-skipping machinery relies on
+    max_key = 0
+    try:
+        import pyarrow.parquet as _pq
+
+        src_path = _os.path.join(sf, "orders.parquet")
+        paths = (
+            [
+                _os.path.join(src_path, f_)
+                for f_ in _os.listdir(src_path)
+                if f_.endswith(".parquet")
+            ]
+            if _os.path.isdir(src_path)
+            else [src_path]
+        )
+        for path in paths:
+            md = _pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "o_orderkey" and col.statistics:
+                        max_key = max(max_key, col.statistics.max)
+    except Exception:  # noqa: BLE001 — stats unavailable: fall back to a scan
+        max_key = 0
+    if not max_key:
+        max_key = o.agg(F.max("o_orderkey")).collect()[0][0] or 1
+    depth_bound = int(math.log(max(2, max_key), 8)) + 2
+    rounds = max(1, math.ceil(math.log2(depth_bound)))
+    # pointer table doubles its reach each round: p maps key -> (ancestor,
+    # levels). Round k composes p with itself, so p covers 2^k levels.
+    p = par.select("k", "anc", F.lit(1).cast("long").alias("lvl"))
+    for _ in range(rounds):
+        nxt = (
+            state.filter(F.col("cur") >= 0)
+            .join(p, state["cur"] == p["k"], "inner")
+            .select(
+                "node",
+                F.col("anc").alias("cur"),
+                (F.col("depth") + F.col("lvl")).alias("depth"),
+            )
+        )
+        done = state.filter(F.col("cur") < 0)
+        state = done.unionByName(nxt)
+        # pointer doubling: compose p with itself as well
+        p2 = (
+            p.alias("a")
+            .join(p.alias("b"), F.col("a.anc") == F.col("b.k"), "left")
+            .select(
+                F.col("a.k").alias("k"),
+                F.coalesce(F.col("b.anc"), F.col("a.anc")).alias("anc"),
+                (
+                    F.col("a.lvl")
+                    + F.coalesce(F.col("b.lvl"), F.lit(0))
+                ).alias("lvl"),
+            )
+        )
+        # materialize ONLY the composed pointer table: without this, p_2k's
+        # plan contains p_k twice and the composition tree re-derives
+        # exponentially; state's lineage stays linear and needs nothing
+        p = p2.localCheckpoint()
+    return state.select(
+        F.col("node").alias("o_orderkey"),
+        F.lit(-1).cast("long").alias("root"),
+        F.col("depth").cast("long").alias("depth"),
+    )
