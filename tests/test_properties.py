@@ -146,3 +146,78 @@ def test_minhash_signatures_partition_invariant(spark, sf_dir, partitions):
         .collect()
     }
     assert base == repart
+
+
+# -- new-operator semantics pins (round 3, part 3) -------------------------
+
+
+def test_zorder_key_deinterleaves_exactly(spark):
+    """On a dense domain where scaling is the identity, the Morton key must be
+    a perfect interleave: de-interleaving its bits recovers both inputs, and
+    the key is monotone in each dimension with the other fixed."""
+    from librarian_spark.maintenance import zorder_key
+
+    bits = 4
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.select(
+        "x", "y",
+        zorder_key(["x", "y"], [0, 0], [15, 15], bits=bits).alias("z"),
+    ).collect()
+    for r in out:
+        dx = sum(((r.z >> (2 * b)) & 1) << b for b in range(bits))
+        dy = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(bits))
+        assert (dx, dy) == (r.x, r.y), (r.x, r.y, r.z)
+    by_xy = {(r.x, r.y): r.z for r in out}
+    for y in range(16):
+        keys = [by_xy[(x, y)] for x in range(16)]
+        assert keys == sorted(keys)
+    for x in range(16):
+        keys = [by_xy[(x, y)] for y in range(16)]
+        assert keys == sorted(keys)
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    """q54's higher-order-function fold must equal a plain sequential Python
+    fold over the same sorted daily series — same order, same IEEE ops."""
+    from librarian_spark.operators.registry import load_all
+
+    rows = load_all()["q54_ewma"].spark_fn(spark, sf_dir).collect()
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r)
+    assert series
+    for pts in series.values():
+        acc = None
+        for r in pts:
+            acc = r.x if acc is None else 0.3 * r.x + (1 - 0.3) * acc
+            assert r.ewma == round(acc, 6), (r, acc)
+
+
+def test_interval_overlap_matches_brute_force(spark, sf_dir):
+    """q58's sweep-line max concurrency must equal the O(n²) definition:
+    for each interval, how many intervals cover some common instant —
+    checked exactly by evaluating concurrency at every start point."""
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.sources.batch import load_table
+
+    got = {
+        r.event_type: r.max_concurrent
+        for r in load_all()["q58_interval_overlap"].spark_fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.round(F.col("value")).cast("long").alias("rv")
+    ).collect()
+    from collections import defaultdict
+    from datetime import timedelta
+
+    ivs = defaultdict(list)
+    for r in ev:
+        ivs[r.event_type].append((r.ts, r.ts + timedelta(minutes=(r.rv % 60) + 1)))
+    for et, xs in ivs.items():
+        # max concurrency is attained at some interval start (half-open)
+        best = 0
+        starts = [s for s, _ in xs]
+        for t in starts:
+            best = max(best, sum(1 for s, e in xs if s <= t < e))
+        assert got[et] == best, (et, got[et], best)
