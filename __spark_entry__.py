@@ -38,11 +38,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     after N entries then spends its budget on hash-verifiable checks rather
     than on rows-only ones (the genuinely non-SQL-expressible operators keep
     their rows-only contract and are pinned by unit tests either way).
+    Within the oracle-backed block, operator FAMILIES round-robin (cdc, sim,
+    dedup, multimodal, pipeline, relational, text) so a harness that checks
+    only the first N entries still samples every family instead of whichever
+    modules happen to register first.
     """
     specs = load_all()
-    ordered = [n for n, s in specs.items() if s.oracle is not None] + [
-        n for n, s in specs.items() if s.oracle is None
-    ]
+
+    def family(name: str) -> str:
+        for p in ("cdc_", "sim_", "dedup_", "mm_", "pipeline_", "text_"):
+            if name.startswith(p):
+                return p
+        return "q_"
+
+    backed = [n for n, s in specs.items() if s.oracle is not None]
+    groups: dict[str, list[str]] = {}
+    for n in backed:  # registry order preserved within each family
+        groups.setdefault(family(n), []).append(n)
+    ordered: list[str] = []
+    queues = [groups[f] for f in ("cdc_", "sim_", "dedup_", "mm_", "pipeline_", "q_", "text_") if f in groups]
+    while any(queues):
+        for qgroup in queues:
+            if qgroup:
+                ordered.append(qgroup.pop(0))
+    ordered += [n for n, s in specs.items() if s.oracle is None]
     return {name: specs[name].spark_fn for name in ordered}
 
 
