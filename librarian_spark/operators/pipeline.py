@@ -554,6 +554,10 @@ def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
 
     run_id = uuid.uuid4().hex[:8]
     out = f"{base}/out_{run_id}"
+    # state partitions sized to per-batch volume (same reasoning and knob as
+    # pipeline_stream_join); restored after the drain
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
         .option("maxFilesPerTrigger", 3)
@@ -576,15 +580,18 @@ def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("cents").cast("double") / F.lit(100.0)).alias("session_value"),
         )
     )
-    q = (
-        sess.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", f"{base}/ckpt_{run_id}")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{base}/ckpt_{run_id}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     t = spark.read.parquet(out)
     return t.filter(F.col("user_id") >= 0).select(
         "user_id", "session_start", "session_end", "n_events", "session_value"
@@ -817,14 +824,14 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:v2".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf}:{mtime}:v3".encode()).hexdigest()[:10]
     base = f"/tmp/librarian_bench_sjoin_{tag}"
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         (
             load_table(spark, sf, "events")
             .select("event_id", "ts", "user_id", "event_type")
-            .repartition(6)
+            .repartition(4)
             .write.mode("overwrite")
             .parquet(in_dir)
         )
@@ -836,6 +843,16 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:8]
     out = f"{base}/out_{run_id}"
     schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    # Streaming state partitioning is FIXED at the query's first run, and the
+    # per-batch cost of the symmetric-hash join is dominated by state-store
+    # file IO = partitions x batches x 4 stores (left/right x keyed/value).
+    # Size it to the stream's per-batch volume (a few thousand rows here), not
+    # to the session's batch-shuffle width: 8 partitions cuts the state IO 4x
+    # (measured 14.7s -> see BENCH_DETAIL). On a real high-volume stream this
+    # SAME knob goes the other way - state width should match peak per-batch
+    # rows, and repartitioning a checkpoint requires a fresh one.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
     def _side(kind: str, alias: str) -> DataFrame:
         return (
@@ -851,6 +868,7 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     views, buys = _side("view", "view"), _side("purchase", "purchase")
     joined = views.join(
         buys,
@@ -866,13 +884,16 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
         ).cast("long").alias("lag_sec"),
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", f"{base}/ckpt_{run_id}")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{base}/ckpt_{run_id}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out)

@@ -2779,3 +2779,42 @@ def q60_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(-1).cast("long").alias("root"),
         F.col("depth").cast("long").alias("depth"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q61: LATERAL correlated subquery (per-row dependent subquery surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q61_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3) t
+    """,
+    doc="LATERAL correlated subquery — the per-row dependent-subquery surface "
+    "(SQL:1999 LATERAL, Postgres's idiom for top-N-per-key lookups, in the "
+    "declared-query dialect a snapshot user can write). Spark SQL supports "
+    "LATERAL subqueries natively since 3.2; Catalyst decorrelates the "
+    "ORDER BY ... LIMIT 3 body into a partitioned window filter — the SAME "
+    "physical plan q31_topk_per_group declares directly, which is the "
+    "point: the user writes the Postgres idiom, the optimizer rewrites it "
+    "to the scalable shape (one shuffle on the correlation key, rank "
+    "filter, no per-row re-execution).",
+)
+def q61_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3) t
+        """
+    )

@@ -228,10 +228,9 @@ _CHUNK_CHARS = 200  # chunk width
 _CHUNK_OVERLAP = 50  # chars shared between consecutive chunks
 _CHUNK_STRIDE = _CHUNK_CHARS - _CHUNK_OVERLAP
 
-
-@query(
-    "text_chunk",
-    oracle=f"""
+# single source of truth: text_chunk (codegen) and text_chunk_udtf (Python
+# UDTF) pin against the SAME oracle string - two copies would drift
+_CHUNK_ORACLE = f"""
     SELECT doc_id,
            CAST(i AS BIGINT) AS chunk_idx,
            SUBSTRING(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_CHARS})
@@ -242,7 +241,12 @@ _CHUNK_STRIDE = _CHUNK_CHARS - _CHUNK_OVERLAP
                  UNNEST(RANGE(0, GREATEST(CAST(CEIL((LENGTH(text) - {_CHUNK_OVERLAP})
                        * 1.0 / {_CHUNK_STRIDE}) AS BIGINT), 1))) AS i
           FROM documents)
-    """,
+    """
+
+
+@query(
+    "text_chunk",
+    oracle=_CHUNK_ORACLE,
     doc=f"Sliding-window document chunking ({_CHUNK_CHARS}-char windows, "
     f"{_CHUNK_OVERLAP}-char overlap) — the context-window splitting step every "
     "RAG / pre-training pipeline runs before tokenization. Pure generator "
@@ -1046,4 +1050,45 @@ def text_feature_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(counts, ",").alias("vec_str"),
         F.size("b").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("b")).cast("long").alias("n_active_dims"),
+    )
+
+
+# --------------------------------------------------------------------------
+# document chunking as a Python UDTF (§2D surface: user-defined TABLE function)
+# --------------------------------------------------------------------------
+
+@query(
+    "text_chunk_udtf",
+    oracle=_CHUNK_ORACLE,
+    doc="The SAME chunking contract as text_chunk, implemented as a Python "
+    "UDTF (Spark 4 user-defined TABLE function) — §2D's user-extension "
+    "surface driven end-to-end: one input row expands to a variable number "
+    "of output rows inside the Python worker, Arrow-batched, schema "
+    "declared on the decorator. Hash-matching the identical oracle as the "
+    "codegen version pins the two implementations together. The builtin "
+    "posexplode form (text_chunk) remains the hot path — this exists "
+    "because a real user extension point must be shown working, and the "
+    "UDTF is the shape custom generators (parsers, tokenizers, format "
+    "exploders) take when no builtin composition exists. Map-only: the "
+    "UDTF never shuffles; fan_out pre-spreads rows so Python workers "
+    "saturate all cores.",
+)
+def text_chunk_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id long, chunk_idx long, chunk_text string, chunk_len long")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):  # noqa: D102
+            t = text or ""
+            n = len(t)
+            n_chunks = max(1, -(-(n - _CHUNK_OVERLAP) // _CHUNK_STRIDE))
+            for i in range(n_chunks):
+                c = t[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_CHARS]
+                yield doc_id, i, c, len(c)
+
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
+    d.createOrReplaceTempView("__chunk_in")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.* FROM __chunk_in, LATERAL chunk_doc(doc_id, text) c"
     )
