@@ -56,6 +56,12 @@ QUERIES = [
     "q51_gap_fill",         # agg + spine explode + key window
     "q40_tpch_q3",          # multi-join + agg + top-k
     "cdc_apply",            # max_by aggregate
+    "q58_interval_overlap", # sweep-line window
+    "q60_recursive_hierarchy",  # pointer-doubling iterative joins
+    "q63_skyline",          # bucketed two-phase Pareto frontier
+    "graph_triangle_count", # degree-oriented wedge joins
+    "q53_ohlc_resample",    # shared window+agg exchange
+    "q56_corr_regress",     # exact-moment single aggregate
 ]
 
 
