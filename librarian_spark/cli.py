@@ -76,6 +76,20 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("-p", "--path", required=True)
     cp.add_argument("--target-file-mb", type=int, default=128)
 
+    cl = sub.add_parser(
+        "cluster",
+        help="rewrite a parquet dir clustered on keys for min/max file "
+        "skipping (range: optimal for one column; zorder: bit-interleaved "
+        "multi-column locality)",
+    )
+    cl.add_argument("-p", "--path", required=True, help="source parquet dir")
+    cl.add_argument("-o", "--out", required=True, help="output dir")
+    cl.add_argument(
+        "-c", "--columns", required=True, help="comma-separated cluster keys"
+    )
+    cl.add_argument("--strategy", choices=["range", "zorder"], default="range")
+    cl.add_argument("--n-files", type=int, default=16)
+
     val = sub.add_parser(
         "validate",
         help="run every registry query against its DuckDB oracle (the "
@@ -344,6 +358,21 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(compact(get_spark("librarian-compact"), args.path,
                                  target_file_mb=args.target_file_mb)))
+        return 0
+    if args.cmd == "cluster":
+        from librarian_spark.maintenance import cluster_write, zorder_write
+        from librarian_spark.session import get_spark
+
+        spark = get_spark("librarian-cluster")
+        df = spark.read.parquet(args.path)
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.strategy == "zorder":
+            zorder_write(df, args.out, cols, n_files=args.n_files)
+        else:
+            cluster_write(df, args.out, cols, n_files=args.n_files)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"clustered": args.out, "strategy": args.strategy,
+                          "columns": cols, "rows": n}))
         return 0
     if args.cmd == "explain":
         return _cmd_explain(args)
