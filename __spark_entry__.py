@@ -56,7 +56,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for n in backed:  # registry order preserved within each family
         groups.setdefault(family(n), []).append(n)
     ordered: list[str] = []
-    queues = [groups[f] for f in ("cdc_", "sim_", "dedup_", "mm_", "pipeline_", "q_", "text_") if f in groups]
+    # every group participates (drift-proof: a family added to family() but
+    # missing from a hand-typed list here would silently VANISH from the
+    # harness); dict insertion order keeps the interleave deterministic
+    queues = list(groups.values())
     while any(queues):
         for qgroup in queues:
             if qgroup:

@@ -84,7 +84,14 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 continue
             best[name] = min(best[name], time.perf_counter() - t0)
-    timings = {n: round(best[n], 4) for n in names if best[n] != float("inf")}
+    # a query is either timed or errored, never both: a round-2 failure after
+    # a round-1 success (transient OOM/disk) reports as an error — a partial
+    # timing from fewer rounds is not comparable with the best-of-N numbers
+    timings = {
+        n: round(best[n], 4)
+        for n in names
+        if best[n] != float("inf") and n not in errors
+    }
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -274,6 +274,43 @@ def cluster_write(
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
 
 
+def footer_minmax(path: str, columns: list[str]) -> dict[str, tuple]:
+    """Column (min, max) across ALL parquet footers under ``path`` (a file or
+    a directory) — metadata-only, a few KB of reads however large the data.
+
+    One shared implementation for every footer-stats consumer (the z-order
+    pruning assertion, q60's round-bound probe); the independent hand-rolled
+    copy in tests stays independent on purpose — it verifies this one.
+    Columns with no statistics anywhere are absent from the result.
+    """
+    import pyarrow.parquet as pq
+
+    paths = (
+        [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(path)
+        else [path]
+    )
+    out: dict[str, tuple] = {}
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                nm = col.path_in_schema
+                if nm in columns and col.statistics is not None:
+                    lo, hi = col.statistics.min, col.statistics.max
+                    if nm in out:
+                        plo, phi = out[nm]
+                        out[nm] = (min(plo, lo), max(phi, hi))
+                    else:
+                        out[nm] = (lo, hi)
+    return out
+
+
 def zorder_key(cols, mins, maxs, bits: int = 10):
     """Z-order (Morton) key: each column is min/max-scaled to ``bits`` bits and
     the bits are interleaved, so sorting by the single key keeps rows that are
@@ -297,12 +334,18 @@ def zorder_key(cols, mins, maxs, bits: int = 10):
     for c, lo, hi in zip(cols, mins, maxs):
         c = F.col(c) if isinstance(c, str) else c
         span = max(1, int(hi) - int(lo))
-        # scale to [0, 2^bits): exact integer arithmetic, no doubles
+        # scale to [0, 2^bits): exact integer arithmetic throughout — `/`
+        # would round-trip through doubles, which misplaces cells once
+        # (value-min)*(2^bits-1) exceeds 2^53 (e.g. epoch-micros domains)
         scaled.append(
             F.least(
-                F.lit((1 << bits) - 1),
-                ((c.cast("long") - F.lit(int(lo))) * F.lit((1 << bits) - 1))
-                / F.lit(span),
+                F.lit((1 << bits) - 1).cast("long"),
+                F.call_function(
+                    "div",
+                    (c.cast("long") - F.lit(int(lo)))
+                    * F.lit((1 << bits) - 1),
+                    F.lit(span),
+                ),
             ).cast("long")
         )
     key = F.lit(0).cast("long")

@@ -527,7 +527,7 @@ def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
 
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:v1".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf}:{mtime}:v2".encode()).hexdigest()[:10]
     base = f"/tmp/librarian_bench_sessagg_{tag}"
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
@@ -542,10 +542,17 @@ def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
             "user_id",
             "value",
         )
-        # 8 real files + the sentinel: several micro-batches, sessions span them
-        ev.repartition(8).unionByName(sentinel.coalesce(1)).write.mode(
-            "overwrite"
-        ).parquet(in_dir)
+        # 8 real files, then the sentinel APPENDED as a second write: the
+        # file stream orders files by modification time, and the sentinel
+        # must be ingested last — if it rode in the same write as the data
+        # files, its position would be an unguaranteed mtime side effect,
+        # and a sentinel processed FIRST advances the watermark to ~2098 and
+        # silently drops every real event as late
+        ev.repartition(8).write.mode("overwrite").parquet(in_dir)
+        import time as _time
+
+        _time.sleep(1.1)  # distinct mtime second even on coarse filesystems
+        sentinel.coalesce(1).write.mode("append").parquet(in_dir)
 
     if os.path.isdir(base):
         for d in os.listdir(base):
@@ -735,46 +742,28 @@ def pipeline_zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
         zorder_write(li, zdir, ["l_orderkey", "l_partkey"], n_files=16)
 
     # file-skipping evidence straight from the footers: the predicate box
-    # must overlap only a minority of files on the combined stats
-    import pyarrow.parquet as pq
+    # must overlap only a minority of files on the combined stats. The box is
+    # sf-relative (domain from the same shared footer reader), 10% x 20%,
+    # same integer formula as the oracle's CTE
+    from librarian_spark.maintenance import footer_minmax
 
-    # sf-relative 10% x 20% box, same integer formula as the oracle's CTE
-    dom = (
-        load_table(spark, sf, "lineitem")
-        .agg(
-            F.min("l_orderkey").alias("omn"),
-            F.max("l_orderkey").alias("omx"),
-            F.min("l_partkey").alias("pmn"),
-            F.max("l_partkey").alias("pmx"),
-        )
-        .collect()[0]
-    )
-    lo_ok = dom.omn + (dom.omx - dom.omn) * 45 // 100
-    hi_ok = dom.omn + (dom.omx - dom.omn) * 55 // 100
-    lo_pk = dom.pmn + (dom.pmx - dom.pmn) * 40 // 100
-    hi_pk = dom.pmn + (dom.pmx - dom.pmn) * 60 // 100
+    dom = footer_minmax(os.path.join(sf, "lineitem.parquet"),
+                        ["l_orderkey", "l_partkey"])
+    omn, omx = dom["l_orderkey"]
+    pmn, pmx = dom["l_partkey"]
+    lo_ok = omn + (omx - omn) * 45 // 100
+    hi_ok = omn + (omx - omn) * 55 // 100
+    lo_pk = pmn + (pmx - pmn) * 40 // 100
+    hi_pk = pmn + (pmx - pmn) * 60 // 100
     total, overlap = 0, 0
     for f_ in os.listdir(zdir):
         if not f_.endswith(".parquet"):
             continue
         total += 1
-        md = pq.ParquetFile(os.path.join(zdir, f_)).metadata
-        fmin: dict[str, int] = {}
-        fmax: dict[str, int] = {}
-        for rg in range(md.num_row_groups):
-            for i in range(md.num_columns):
-                col = md.row_group(rg).column(i)
-                nm = col.path_in_schema
-                if nm in ("l_orderkey", "l_partkey") and col.statistics:
-                    st = col.statistics
-                    fmin[nm] = min(fmin.get(nm, st.min), st.min)
-                    fmax[nm] = max(fmax.get(nm, st.max), st.max)
-        if (
-            fmin.get("l_orderkey", lo_ok) <= hi_ok
-            and fmax.get("l_orderkey", hi_ok) >= lo_ok
-            and fmin.get("l_partkey", lo_pk) <= hi_pk
-            and fmax.get("l_partkey", hi_pk) >= lo_pk
-        ):
+        st = footer_minmax(os.path.join(zdir, f_), ["l_orderkey", "l_partkey"])
+        okn, okx = st.get("l_orderkey", (lo_ok, hi_ok))
+        pkn, pkx = st.get("l_partkey", (lo_pk, hi_pk))
+        if okn <= hi_ok and okx >= lo_ok and pkn <= hi_pk and pkx >= lo_pk:
             overlap += 1
     if total >= 8 and overlap > total // 2:
         raise RuntimeError(

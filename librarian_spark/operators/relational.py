@@ -2205,20 +2205,15 @@ def q53_ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         bar.alias("bar"),
         slong("value", 2).alias("cents"),
+        # rn totally orders the bar; min_by/max_by on it give open/close in
+        # the same hash aggregate as high/low — no second window pass
         F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            W.partitionBy("event_type", bar.alias("bar")).rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("cnt"),
     )
     g = pts.groupBy("event_type", "bar").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("open_c"),
+        F.min_by("cents", "rn").alias("open_c"),
         F.max("cents").alias("high_c"),
         F.min("cents").alias("low_c"),
-        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents"))).alias("close_c"),
+        F.max_by("cents", "rn").alias("close_c"),
         F.count(F.lit(1)).alias("n_ticks"),
         F.sum("cents").alias("vol_c"),
     )
@@ -2618,10 +2613,13 @@ def q58_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q59_time_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
+    # µs epoch, not unix_timestamp: events carry microsecond precision and
+    # the SQL RANGE INTERVAL bound is µs-granular — second-truncated ordering
+    # would pull in events up to 1s past the hour boundary
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     cents = slong("value", 2)
     return e.select(
@@ -2676,7 +2674,9 @@ def q60_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
     # table lookup, the shape recursive CTEs exist for
     cand = o.select(
         F.col("o_orderkey").alias("k"),
-        (F.col("o_orderkey") / 8).cast("long").alias("cand"),
+        # exact integer div (matches the oracle's `// 8` at ALL magnitudes;
+        # `/ 8` would round through doubles past 2^53)
+        F.call_function("div", F.col("o_orderkey"), F.lit(8)).alias("cand"),
     )
     par = (
         cand.join(
@@ -2715,27 +2715,11 @@ def q60_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
     # metadata-only: the max key comes from the parquet footers' column
     # statistics (a few KB read), not a table scan — the same stats the
     # min/max file-skipping machinery relies on
-    max_key = 0
-    try:
-        import pyarrow.parquet as _pq
+    from librarian_spark.maintenance import footer_minmax
 
-        src_path = _os.path.join(sf, "orders.parquet")
-        paths = (
-            [
-                _os.path.join(src_path, f_)
-                for f_ in _os.listdir(src_path)
-                if f_.endswith(".parquet")
-            ]
-            if _os.path.isdir(src_path)
-            else [src_path]
-        )
-        for path in paths:
-            md = _pq.ParquetFile(path).metadata
-            for rg in range(md.num_row_groups):
-                for ci in range(md.num_columns):
-                    col = md.row_group(rg).column(ci)
-                    if col.path_in_schema == "o_orderkey" and col.statistics:
-                        max_key = max(max_key, col.statistics.max)
+    try:
+        stats = footer_minmax(_os.path.join(sf, "orders.parquet"), ["o_orderkey"])
+        max_key = stats.get("o_orderkey", (0, 0))[1]
     except Exception:  # noqa: BLE001 — stats unavailable: fall back to a scan
         max_key = 0
     if not max_key:

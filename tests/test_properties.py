@@ -221,3 +221,25 @@ def test_interval_overlap_matches_brute_force(spark, sf_dir):
         for t in starts:
             best = max(best, sum(1 for s, e in xs if s <= t < e))
         assert got[et] == best, (et, got[et], best)
+
+
+def test_zorder_key_exact_on_wide_domains(spark):
+    """The scaling must be exact integer arithmetic: on an epoch-micros-wide
+    domain, (v-lo)*(2^bits-1) exceeds 2^53 and a double-division path would
+    misplace cells by one. De-interleaved cells must equal the exact
+    Python-integer formula."""
+    from librarian_spark.maintenance import zorder_key
+
+    bits = 10
+    lo, hi = 1_700_000_000_000_000, 1_731_536_000_000_000  # ~1y of µs
+    span = hi - lo
+    m = (1 << bits) - 1
+    vals = [lo, hi, lo + span // 3, lo + (2**53 // m) + 12345, hi - 1]
+    df = spark.createDataFrame([(v, lo) for v in vals], "x long, y long")
+    out = df.select(
+        "x", zorder_key(["x", "y"], [lo, lo], [hi, hi], bits=bits).alias("z")
+    ).collect()
+    for r in out:
+        cell = sum(((r.z >> (2 * b)) & 1) << b for b in range(bits))
+        exact = min(m, (r.x - lo) * m // span)
+        assert cell == exact, (r.x, cell, exact)
