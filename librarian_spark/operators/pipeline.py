@@ -886,3 +886,93 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out)
+
+
+@query(
+    "pipeline_partition_backfill",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_id, user_id,
+           CASE WHEN CAST(DATE_TRUNC('day', ts) AS DATE) =
+                     (SELECT CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) FROM events)
+                THEN value * 2 ELSE value END AS value
+    FROM events
+    """,
+    doc="Partition-level backfill/restatement E2E — THE maintenance operation "
+    "on a date-partitioned 100 TB lake (a bug is found in one day's "
+    "transform; that day is recomputed and swapped without touching the "
+    "other partitions): events are written partitioned by day, then the "
+    "EARLIEST day is restated (values doubled, the 'fixed transform') via "
+    "dynamic partition overwrite — Spark's INSERT OVERWRITE semantics "
+    "where only partitions present in the incoming data are replaced. The "
+    "run asserts from file mtimes that untouched partitions' files were "
+    "NOT rewritten, and the oracle (full table with the restated day "
+    "doubled) proves the swap replaced exactly the right rows. The "
+    "restatement recomputes from the upstream source with a day predicate "
+    "(pruned when the source itself is partitioned); rewriting in place "
+    "from the target would read and overwrite the same files.",
+)
+def pipeline_partition_backfill(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:v1".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_backfill_{tag}"
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith("run_"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    out = f"{base}/run_{uuid.uuid4().hex[:8]}"
+
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+    )
+    ev.select("day", "event_id", "user_id", "value").write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(out)
+
+    # file inventory before the restatement
+    def _files() -> dict[str, float]:
+        out_files = {}
+        for root, _dirs, files in os.walk(out):
+            for f_ in files:
+                if f_.endswith(".parquet"):
+                    p = os.path.join(root, f_)
+                    out_files[p] = os.path.getmtime(p)
+        return out_files
+
+    before = _files()
+
+    first_day = ev.agg(F.min("day")).collect()[0][0]
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated = (
+            ev.filter(F.col("day") == F.lit(first_day))  # day-pruned recompute
+            .select(
+                "day", "event_id", "user_id", (F.col("value") * 2).alias("value")
+            )
+        )
+        restated.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    after = _files()
+    day_prefix = os.path.join(out, f"day={first_day}")
+    for p, m in after.items():
+        touched = p.startswith(day_prefix)
+        if not touched and (p not in before or before[p] != m):
+            raise RuntimeError(f"untouched partition rewritten: {p}")
+    if not any(p.startswith(day_prefix) for p in after):
+        raise RuntimeError("restated partition missing")
+
+    return spark.read.parquet(out).select("day", "event_id", "user_id", "value")

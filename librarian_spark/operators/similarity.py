@@ -1115,3 +1115,70 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= _TOPK)
         .select("query_id", "neighbor_id", "score", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of every approximate method vs exact
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sim_recall_eval",
+    oracle=f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE})),
+    m AS (
+      SELECT 'exact' AS method, query_id, neighbor_id FROM exact
+      UNION ALL
+      SELECT 'ann_lsh', query_id, neighbor_id FROM ({_ANN_LSH_ORACLE})
+      UNION ALL
+      SELECT 'ivf', query_id, neighbor_id FROM ({_IVF_ORACLE})
+      UNION ALL
+      SELECT 'pq', query_id, neighbor_id FROM ({_PQ_ORACLE})
+    )
+    SELECT m.method,
+           ROUND(CAST(COUNT(e.neighbor_id) AS DOUBLE)
+                 / ({_N_QUERIES} * {_TOPK}), 6) AS recall_at_k,
+           CAST({_TOPK} AS BIGINT) AS k,
+           CAST({_N_QUERIES} AS BIGINT) AS n_queries
+    FROM m LEFT JOIN exact e
+      ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+    GROUP BY m.method
+    """,
+    doc=f"Recall@{_TOPK} of every ANN method (hyperplane LSH, IVF probes, "
+    "product quantization) against the exact brute-force cosine top-k, plus "
+    "the exact method itself as a 1.0 control row — the evaluation harness "
+    "an ANN deployment needs BEFORE trading accuracy for speed, as a "
+    "first-class operator. Every underlying pipeline is deterministic, so "
+    "recall itself is deterministic and the DuckDB oracle replays the "
+    "whole evaluation (all four retrievals composed as CTEs) exactly. "
+    "Spark side reuses the registered implementations and computes all "
+    "methods in ONE plan: union with a method tag, one broadcast-size "
+    "join against the exact set, one tiny aggregate.",
+)
+def sim_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    exact = sim_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    methods = [
+        ("exact", exact),
+        ("ann_lsh", sim_ann_lsh(spark, sf).select("query_id", "neighbor_id")),
+        ("ivf", sim_ivf_topk(spark, sf).select("query_id", "neighbor_id")),
+        ("pq", sim_pq_topk(spark, sf).select("query_id", "neighbor_id")),
+    ]
+    tagged = None
+    for m, df in methods:
+        d = df.select(F.lit(m).alias("method"), "query_id", "neighbor_id")
+        tagged = d if tagged is None else tagged.unionByName(d)
+    hits = tagged.join(
+        F.broadcast(exact.withColumn("hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    denom = float(_N_QUERIES * _TOPK)
+    return hits.groupBy("method").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.lit(denom),
+            6,
+        ).alias("recall_at_k"),
+        F.lit(_TOPK).cast("long").alias("k"),
+        F.lit(_N_QUERIES).cast("long").alias("n_queries"),
+    )
