@@ -1047,3 +1047,112 @@ def test_materializers_survive_additive_schema_evolution(spark, tmp_path):
         (1, 1, 10.0, None, 2000, False),
         (1, 2, 11.0, "n1", None, True),
     }
+
+
+def test_session_agg_resumes_from_checkpoint_mid_drain(spark, tmp_path, sf_dir):
+    """Kill the stateful session-window drain after its FIRST micro-batch,
+    restart from the same checkpoint, drain to completion: the final output
+    must equal the batch gap-sessionization exactly — no lost session state,
+    no duplicated emissions across the restart (exactly-once file sink)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    in_dir = str(tmp_path / "in")
+    ev.repartition(4).write.parquet(in_dir)
+    import time as _t
+
+    _t.sleep(1.1)
+    sentinel = spark.createDataFrame(
+        [(-1, -1, 0.0)], "event_id long, user_id long, value double"
+    ).select(
+        "event_id",
+        F.expr("timestamp'2100-01-01 00:00:00'").alias("ts"),
+        "user_id",
+        "value",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def _start(max_files: int):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(in_dir)
+        )
+        sess = (
+            stream.withWatermark("ts", "400 days")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+        )
+        return (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # phase 1: process only the first micro-batch, then kill the query
+    q = _start(max_files=1)
+    deadline = _t.time() + 60
+    while not q.recentProgress and _t.time() < deadline:
+        _t.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+
+    # phase 2: restart from the same checkpoint, drain everything
+    q2 = _start(max_files=2)
+    q2.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(seq).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(seq))
+                >= 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+        F.sum(
+            F.when(
+                F.lag("ts").over(seq).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(seq))
+                    >= 1800 * 1_000_000
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(seq.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in flagged.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    assert got == want
