@@ -363,9 +363,26 @@ def main(argv: list[str] | None = None) -> int:
         from librarian_spark.maintenance import cluster_write, zorder_write
         from librarian_spark.session import get_spark
 
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        if not cols:
+            print("cluster: --columns must name at least one column",
+                  file=sys.stderr)
+            return 2
         spark = get_spark("librarian-cluster")
         df = spark.read.parquet(args.path)
-        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            print(f"cluster: columns not in input: {missing}", file=sys.stderr)
+            return 2
+        if args.strategy == "zorder":
+            types = dict(df.dtypes)
+            bad = [c for c in cols
+                   if types[c] not in ("tinyint", "smallint", "int", "bigint")]
+            if bad:
+                print(f"cluster: zorder needs integer keys (cast timestamps "
+                      f"to epoch first), got {[(c, types[c]) for c in bad]}",
+                      file=sys.stderr)
+                return 2
         if args.strategy == "zorder":
             zorder_write(df, args.out, cols, n_files=args.n_files)
         else:

@@ -301,8 +301,15 @@ def footer_minmax(path: str, columns: list[str]) -> dict[str, tuple]:
             for ci in range(md.num_columns):
                 col = md.row_group(rg).column(ci)
                 nm = col.path_in_schema
-                if nm in columns and col.statistics is not None:
-                    lo, hi = col.statistics.min, col.statistics.max
+                st = col.statistics
+                if (
+                    nm in columns
+                    and st is not None
+                    and st.has_min_max
+                    and st.min is not None
+                    and st.max is not None
+                ):
+                    lo, hi = st.min, st.max
                     if nm in out:
                         plo, phi = out[nm]
                         out[nm] = (min(plo, lo), max(phi, hi))

@@ -527,10 +527,15 @@ def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
 
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:v2".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf}:{mtime}:v3".encode()).hexdigest()[:10]
     base = f"/tmp/librarian_bench_sessagg_{tag}"
     in_dir = f"{base}/in"
-    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+    # completion marker OWNED BY THIS BUILD, written after the sentinel
+    # append: the data write's own _SUCCESS appears before the sentinel
+    # exists, so a crash in between would otherwise cache a sentinel-less
+    # input forever (and the query would silently emit nothing)
+    ready = os.path.join(in_dir, "_SENTINEL_APPENDED")
+    if not os.path.exists(ready):
         ev = load_table(spark, sf, "events").select(
             "event_id", "ts", "user_id", "value"
         )
@@ -553,6 +558,8 @@ def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
 
         _time.sleep(1.1)  # distinct mtime second even on coarse filesystems
         sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+        with open(ready, "w") as fh:
+            fh.write("ok\n")
 
     if os.path.isdir(base):
         for d in os.listdir(base):
@@ -749,6 +756,17 @@ def pipeline_zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
 
     dom = footer_minmax(os.path.join(sf, "lineitem.parquet"),
                         ["l_orderkey", "l_partkey"])
+    if "l_orderkey" not in dom or "l_partkey" not in dom:
+        # stats absent (written with statistics disabled): one tiny scan
+        r = (
+            load_table(spark, sf, "lineitem")
+            .agg(
+                F.min("l_orderkey"), F.max("l_orderkey"),
+                F.min("l_partkey"), F.max("l_partkey"),
+            )
+            .collect()[0]
+        )
+        dom = {"l_orderkey": (r[0], r[1]), "l_partkey": (r[2], r[3])}
     omn, omx = dom["l_orderkey"]
     pmn, pmx = dom["l_partkey"]
     lo_ok = omn + (omx - omn) * 45 // 100

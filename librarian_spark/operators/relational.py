@@ -2603,7 +2603,7 @@ def q58_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     doc="Event-TIME range frame (q18 is a row-count frame — a different "
     "surface): per user, the exact-cents sum and count over the trailing "
     "one hour of event time, however many rows that is. Spark expresses "
-    "time ranges as rangeBetween over epoch seconds (-3600, 0], identical "
+    "time ranges as rangeBetween over epoch MICROSECONDS (-3.6e9, 0], identical "
     "inclusive bounds to SQL RANGE INTERVAL. Peer rows (equal ts) share a "
     "frame in BOTH engines, so no unique tie-break is needed — range "
     "frames are peer-deterministic by definition. One shuffle on user_id; "
@@ -2892,7 +2892,9 @@ def q63_skyline(spark: SparkSession, sf: str) -> DataFrame:
     # summary collected and inlined as a literal CASE (bm25 pattern) —
     # broadcast-free, and the per-bucket window is properly partitioned.
     bw = 1 << 21  # ~$20k bucket width in cents; domain-fixed, SF-independent
-    pts = pts.withColumn("bkt", (F.col("pc") / bw).cast("long"))
+    # exact integer div: the cross-bucket dominance proof needs exact bucket
+    # boundaries, and `/` rounds through doubles past 2^53 on wider domains
+    pts = pts.withColumn("bkt", F.call_function("div", F.col("pc"), F.lit(bw)))
     summary = sorted(
         (r.bkt, r.dm)
         for r in pts.groupBy("bkt").agg(F.min("d").alias("dm")).collect()

@@ -1156,7 +1156,13 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     "join against the exact set, one tiny aggregate.",
 )
 def sim_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
-    exact = sim_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    # materialize the exact set once: it feeds both the union branch and the
+    # broadcast build side, and it is the most expensive of the retrievals
+    exact = (
+        sim_cosine_topk(spark, sf)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     methods = [
         ("exact", exact),
         ("ann_lsh", sim_ann_lsh(spark, sf).select("query_id", "neighbor_id")),

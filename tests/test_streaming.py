@@ -1050,35 +1050,27 @@ def test_materializers_survive_additive_schema_evolution(spark, tmp_path):
 
 
 def test_session_agg_resumes_from_checkpoint_mid_drain(spark, tmp_path, sf_dir):
-    """Kill the stateful session-window drain after its FIRST micro-batch,
-    restart from the same checkpoint, drain to completion: the final output
-    must equal the batch gap-sessionization exactly — no lost session state,
-    no duplicated emissions across the restart (exactly-once file sink)."""
+    """Stop the stateful session-window query after it has drained the data
+    files but BEFORE the watermark sentinel exists, then restart from the same
+    checkpoint with the sentinel appended: the final output must equal the
+    batch gap-sessionization as a MULTISET (duplicate-sensitive — a restart
+    that re-emits already-written sessions must fail here), proving session
+    state survives the restart and the file sink stays exactly-once. The
+    phase split is deterministic: phase 1's input simply does not contain
+    the sentinel yet, so nothing can flush in phase 1 regardless of timing."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
     )
     in_dir = str(tmp_path / "in")
     ev.repartition(4).write.parquet(in_dir)
-    import time as _t
-
-    _t.sleep(1.1)
-    sentinel = spark.createDataFrame(
-        [(-1, -1, 0.0)], "event_id long, user_id long, value double"
-    ).select(
-        "event_id",
-        F.expr("timestamp'2100-01-01 00:00:00'").alias("ts"),
-        "user_id",
-        "value",
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
-    def _start(max_files: int):
+    def _start():
         stream = (
             spark.readStream.schema(
                 "event_id long, ts timestamp, user_id long, value double"
             )
-            .option("maxFilesPerTrigger", max_files)
+            .option("maxFilesPerTrigger", 2)
             .parquet(in_dir)
         )
         sess = (
@@ -1100,52 +1092,52 @@ def test_session_agg_resumes_from_checkpoint_mid_drain(spark, tmp_path, sf_dir):
             .start()
         )
 
-    # phase 1: process only the first micro-batch, then kill the query
-    q = _start(max_files=1)
-    deadline = _t.time() + 60
-    while not q.recentProgress and _t.time() < deadline:
-        _t.sleep(0.3)
-    q.stop()
+    # phase 1: drain the data files; the watermark (max ts - 400 d) is below
+    # every session end, so NOTHING is emitted and all state is in-flight
+    q = _start()
     q.awaitTermination()
+    assert spark.read.schema(
+        "user_id long, session_start timestamp, n_events long"
+    ).parquet(out).count() == 0
 
-    # phase 2: restart from the same checkpoint, drain everything
-    q2 = _start(max_files=2)
+    # the stream grows: the sentinel arrives, advancing the watermark
+    import time as _t
+
+    _t.sleep(1.1)
+    spark.createDataFrame(
+        [(-1, -1, 0.0)], "event_id long, user_id long, value double"
+    ).select(
+        "event_id",
+        F.expr("timestamp'2100-01-01 00:00:00'").alias("ts"),
+        "user_id",
+        "value",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # phase 2: restart from the checkpoint — carried state must flush exactly once
+    q2 = _start()
     q2.awaitTermination()
 
-    got = {
+    got = sorted(
         (r.user_id, r.session_start, r.n_events)
         for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
-    }
+    )
     from pyspark.sql.window import Window as W
 
     seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.lag("ts").over(seq).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(seq))
+            >= 1800 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
     flagged = ev.select(
         "user_id",
         "ts",
-        F.when(
-            F.lag("ts").over(seq).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(seq))
-                >= 1800 * 1_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_s"),
-        F.sum(
-            F.when(
-                F.lag("ts").over(seq).isNull()
-                | (
-                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(seq))
-                    >= 1800 * 1_000_000
-                ),
-                1,
-            ).otherwise(0)
-        )
-        .over(seq.rowsBetween(W.unboundedPreceding, 0))
-        .alias("sid"),
+        F.sum(gap).over(seq.rowsBetween(W.unboundedPreceding, 0)).alias("sid"),
     )
-    want = {
+    want = sorted(
         (r.user_id, r.session_start, r.n_events)
         for r in flagged.groupBy("user_id", "sid")
         .agg(
@@ -1154,5 +1146,5 @@ def test_session_agg_resumes_from_checkpoint_mid_drain(spark, tmp_path, sf_dir):
         )
         .select("user_id", "session_start", "n_events")
         .collect()
-    }
+    )
     assert got == want
