@@ -934,3 +934,141 @@ def dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-size broadcast membership filter)
+# --------------------------------------------------------------------------
+#
+# text_decontaminate broadcasts the eval set's DISTINCT GRAM STRINGS — fine
+# while the eval corpus is small, but the broadcast grows with eval-set
+# vocabulary. The Bloom formulation broadcasts a CONSTANT-SIZE bit set instead
+# (m bits regardless of how many grams set them), probes it map-side, and only
+# the tiny bloom-positive shortlist ever joins the true gram table for exact
+# verification. This is the standard shape for membership pre-filters at
+# 100 TB: the filter rides to every executor once; corpus grams never shuffle.
+#
+# Hash family: double hashing from two independent 32-bit halves of md5(gram)
+# — position_i = (h1 + i·(2·h2+1)) mod m, i < k. Deterministic and identical
+# in Spark and DuckDB, so the oracle replays the filter bit-for-bit, false
+# positives included (the output exposes them: n_candidate_grams counts bloom
+# hits, n_true_grams the exactly-verified subset).
+
+_BLOOM_M = 1 << 14  # bits — deliberately small so false positives occur and
+#                     the exact-verify stage is provably load-bearing
+_BLOOM_K = 3  # probes per key
+_BLOOM_EVAL_MOD = 20  # doc_id % 20 == 0 plays the held-out eval corpus
+_BLOOM_N = 5  # word n-gram width (the decontamination standard)
+
+_BLOOM_ORACLE = f"""
+WITH tk AS (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(w) - {_BLOOM_N - 2}, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4])) AS grams
+      FROM tk),
+eg AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
+       WHERE doc_id % {_BLOOM_EVAL_MOD} = 0),
+bits AS (
+  SELECT DISTINCT UNNEST(LIST_TRANSFORM(RANGE(0, {_BLOOM_K}),
+           i -> (h1 + i * h2) % {_BLOOM_M})) AS pos
+  FROM (SELECT
+          CAST(('0x' || SUBSTRING(MD5(gram), 1, 8))::UBIGINT AS BIGINT) AS h1,
+          CAST(('0x' || SUBSTRING(MD5(gram), 9, 8))::UBIGINT AS BIGINT) * 2 + 1 AS h2
+        FROM eg)),
+cg AS (SELECT doc_id, UNNEST(grams) AS gram FROM g
+       WHERE doc_id % {_BLOOM_EVAL_MOD} != 0),
+cp AS (SELECT doc_id, gram,
+              LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, {_BLOOM_K}),
+                i -> (h1 + i * h2) % {_BLOOM_M})) AS plist
+       FROM (SELECT doc_id, gram,
+               CAST(('0x' || SUBSTRING(MD5(gram), 1, 8))::UBIGINT AS BIGINT) AS h1,
+               CAST(('0x' || SUBSTRING(MD5(gram), 9, 8))::UBIGINT AS BIGINT) * 2 + 1
+                 AS h2
+             FROM cg)),
+hits AS (
+  SELECT doc_id, gram
+  FROM (SELECT doc_id, gram, LEN(plist) AS np, UNNEST(plist) AS pos FROM cp) c
+  JOIN bits USING (pos)
+  GROUP BY doc_id, gram, np
+  HAVING COUNT(*) = np),
+cand AS (SELECT doc_id, COUNT(*) AS n_cand FROM hits GROUP BY doc_id),
+truth AS (SELECT h.doc_id, COUNT(*) AS n_true
+          FROM hits h JOIN eg USING (gram) GROUP BY h.doc_id)
+SELECT c.doc_id,
+       CAST(c.n_cand AS BIGINT) AS n_candidate_grams,
+       CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true_grams,
+       COALESCE(t.n_true, 0) > 0 AS is_contaminated
+FROM cand c LEFT JOIN truth t USING (doc_id)
+"""
+
+
+@query(
+    "dedup_bloom",
+    oracle=_BLOOM_ORACLE,
+    doc=f"Bloom-filter decontamination pre-filter: the eval corpus's word "
+    f"{_BLOOM_N}-grams set k={_BLOOM_K} md5-double-hashed bits in an "
+    f"m={_BLOOM_M}-bit filter; training grams probe it MAP-SIDE (broadcast "
+    "join on bit position — constant-size regardless of eval vocabulary) and "
+    "only bloom-positive grams reach the exact-verify join against the true "
+    "gram set. m is deliberately small here so false positives occur and the "
+    "verify stage is observably load-bearing (n_candidate_grams > "
+    "n_true_grams). At 100 TB: the filter is m/8 bytes per executor, the "
+    "corpus side is one map-only pass, and the exact join touches only the "
+    "shortlist.",
+)
+def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", tokens("text").alias("_w"))
+    grams = toks.select(
+        "doc_id", F.explode(shingles_of_tokens("_w", _BLOOM_N)).alias("gram")
+    )
+    h1 = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    h2 = (
+        F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 9, 8), 16, 10).cast(
+            "long"
+        )
+        * 2
+        + 1
+    )
+    plist = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+            lambda i: (h1 + i * h2) % _BLOOM_M,
+        )
+    )
+    is_eval = F.col("doc_id") % _BLOOM_EVAL_MOD == 0
+    # Cached: the eval branch (filter bits + true gram set) and the corpus
+    # branch both read this positioned gram stream.
+    gp = grams.select("doc_id", "gram", plist.alias("plist")).cache()
+    eg = gp.filter(is_eval).select("gram").distinct()
+    bits = (
+        gp.filter(is_eval)
+        .select(F.explode("plist").alias("pos"))
+        .distinct()
+    )
+    corpus = gp.filter(~is_eval).select(
+        "doc_id", "gram", F.size("plist").alias("np"), F.explode("plist").alias("pos")
+    )
+    hits = (
+        corpus.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram", "np")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == F.col("np"))
+        .select("doc_id", "gram")
+    )
+    cand = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    truth = (
+        hits.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return cand.join(truth, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_cand").cast("long").alias("n_candidate_grams"),
+        F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true_grams"),
+        (F.coalesce("n_true", F.lit(0)) > 0).alias("is_contaminated"),
+    )
