@@ -352,9 +352,14 @@ _VOCAB_MIN_COUNT = 5
 def text_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     w = tokens("text")
+    # size guard: sequence(1, 0) infers step -1 → [1, 0], and element_at(_w, 0)
+    # aborts the job under ANSI mode — any doc under 2 tokens would crash the
+    # whole pass (the oracle's RANGE is end-exclusive and already safe)
     bigrams = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
         "transform(sequence(1, size(_w) - 1), "
-        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     return (
         d.select(w.alias("_w"))
@@ -1091,4 +1096,228 @@ def text_chunk_udtf(spark: SparkSession, sf: str) -> DataFrame:
     spark.udtf.register("chunk_doc", ChunkDoc)
     return spark.sql(
         "SELECT c.* FROM __chunk_in, LATERAL chunk_doc(doc_id, text) c"
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (mergeable fixed-size frequency summary)
+# --------------------------------------------------------------------------
+#
+# The boilerplate-phrase detector at corpus scale: find bigrams whose corpus
+# frequency exceeds a budget WITHOUT keeping the full vocabulary. The sketch
+# is a d×w integer matrix (constant size regardless of vocabulary); it is
+# LINEAR, so per-source sketches built independently merge by cell-wise
+# addition — the same partial-aggregate re-use story as q42's HLL and
+# q50's stored partials, here for frequencies. The estimate min_j cms[j][h_j(x)]
+# only OVER-counts, so the sketch shortlist provably contains every true heavy
+# hitter; the exact-verify join then splits true positives from collision
+# inflation (both exposed in the output).
+#
+# Hash family: three independent 32-bit words of md5(gram) — deterministic and
+# identical in DuckDB, so the oracle replays sketch build, merge, probe, and
+# verify exactly, collisions included. w is sized so the shortlist is
+# selective on the 916-bigram test corpus yet collisions still occur, so
+# `overestimate` is nonzero and the verify stage observably matters.
+
+_CMS_D = 3  # sketch rows (independent hash functions)
+_CMS_W = 1024  # sketch width (buckets per row)
+_CMS_T = 40  # heavy-hitter frequency threshold
+
+_CMS_RANGE = f"CROSS JOIN (SELECT UNNEST(RANGE(0, {_CMS_D})) AS row_id) r"
+_CMS_BUCKET = (
+    f"CAST(('0x' || SUBSTRING(MD5(gram), 1 + 8 * row_id, 8))::UBIGINT AS BIGINT)"
+    f" % {_CMS_W}"
+)
+
+_CMS_ORACLE = f"""
+WITH tk AS (SELECT source, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents),
+occ AS (SELECT source,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1]))
+                 AS gram
+        FROM tk),
+v AS (SELECT source, gram, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+b AS (SELECT source, cnt, row_id, {_CMS_BUCKET} AS bucket FROM v {_CMS_RANGE}),
+persrc AS (SELECT source, row_id, bucket, SUM(cnt) AS c FROM b GROUP BY 1, 2, 3),
+sk AS (SELECT row_id, bucket, SUM(c) AS c FROM persrc GROUP BY 1, 2),
+tok AS (SELECT gram, SUM(cnt) AS true_cnt FROM v GROUP BY 1),
+probe AS (SELECT gram, row_id, {_CMS_BUCKET} AS bucket FROM tok {_CMS_RANGE}),
+est AS (SELECT p.gram, MIN(sk.c) AS est
+        FROM probe p JOIN sk USING (row_id, bucket) GROUP BY 1)
+SELECT e.gram,
+       CAST(e.est AS BIGINT) AS est_count,
+       CAST(k.true_cnt AS BIGINT) AS true_count,
+       CAST(e.est - k.true_cnt AS BIGINT) AS overestimate,
+       k.true_cnt >= {_CMS_T} AS is_true_heavy
+FROM est e JOIN tok k USING (gram)
+WHERE e.est >= {_CMS_T}
+"""
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    doc=f"Count-min-sketch heavy hitters: per-source d={_CMS_D}×w={_CMS_W} "
+    "integer sketches over bigram occurrences, MERGED by cell-wise addition "
+    "(CMS is linear — the per-partition-sketch-then-merge shape that scales "
+    "to 100 TB without ever shuffling the token stream twice), probed for "
+    f"bigrams with estimate >= {_CMS_T}, then the shortlist exact-verified "
+    "against true counts. CMS only over-counts, so the shortlist provably "
+    "contains every true heavy hitter; `overestimate` exposes collision "
+    "inflation (nonzero here by construction). The sketch is "
+    "constant-size; the only vocabulary-sized shuffle is the verify "
+    "aggregate, which a pure-sketch deployment drops.",
+)
+def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    w = tokens("text")
+    bigrams = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    occ = d.select("source", w.alias("_w")).select(
+        "source", F.explode(bigrams).alias("gram")
+    )
+    v = occ.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def buckets() -> F.Column:
+        md5 = F.md5(F.col("gram").cast("binary"))
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row_id"),
+                    (
+                        F.conv(F.substring(md5, 1 + 8 * j, 8), 16, 10).cast("long")
+                        % _CMS_W
+                    ).alias("bucket"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+
+    b = v.select("source", "cnt", F.inline(buckets()))
+    persrc = b.groupBy("source", "row_id", "bucket").agg(F.sum("cnt").alias("c"))
+    sk = persrc.groupBy("row_id", "bucket").agg(F.sum("c").alias("c"))
+    tok = v.groupBy("gram").agg(F.sum("cnt").alias("true_cnt"))
+    probe = tok.select("gram", F.inline(buckets()))
+    est = (
+        probe.join(F.broadcast(sk), ["row_id", "bucket"])
+        .groupBy("gram")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.filter(F.col("est") >= _CMS_T)
+        .join(tok, "gram")
+        .select(
+            "gram",
+            F.col("est").cast("long").alias("est_count"),
+            F.col("true_cnt").cast("long").alias("true_count"),
+            (F.col("est") - F.col("true_cnt")).cast("long").alias("overestimate"),
+            (F.col("true_cnt") >= _CMS_T).alias("is_true_heavy"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hashed n-gram importance weights (DSIR-style data selection)
+# --------------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., 2023) reduced to its
+# engine shape: model a TARGET domain and the RAW pool as distributions over
+# hashed n-gram features, weight each raw document by how target-like its
+# features are, and feed the weights to a sampler. Hashing makes the feature
+# space a fixed B buckets — both distributions are one map-side-combining
+# aggregate each, the weight table is B rows (broadcast), and scoring is a
+# map-only pass + one per-doc aggregate. At 100 TB nothing grows with
+# vocabulary.
+#
+# The canonical formulation sums log-likelihood ratios; engine log() (java
+# libm vs duckdb libm) is not guaranteed bit-identical across engines, so the
+# oracle-checked variant keeps the per-bucket likelihood RATIO in fixed-point
+# (round(1e6·(t+1)/(r+1))) and averages those — deterministic end-to-end
+# (integer counts, one IEEE multiply+divide on identical operands, exact
+# int64 sum, two final IEEE divides).
+
+_DSIR_B = 512  # hashed feature buckets
+_DSIR_TARGET = "src0"  # the target domain; everything else is the raw pool
+_DSIR_SCALE = 1_000_000.0
+
+_DSIR_ORACLE = f"""
+WITH tk AS (SELECT doc_id, source, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w
+            FROM documents),
+occ AS (SELECT doc_id, source,
+               {o_hash_bucket("gram", _DSIR_B)} AS bucket
+        FROM (SELECT doc_id, source,
+                     UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                                           i -> w[i] || ' ' || w[i+1])) AS gram
+              FROM tk)),
+tgt AS (SELECT bucket, COUNT(*) AS t FROM occ
+        WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
+rawocc AS (SELECT * FROM occ WHERE source != '{_DSIR_TARGET}'),
+rawb AS (SELECT bucket, COUNT(*) AS r FROM rawocc GROUP BY 1),
+wt AS (SELECT rawb.bucket,
+              CAST(ROUND((CAST(COALESCE(t, 0) + 1 AS DOUBLE) * {_DSIR_SCALE})
+                         / (r + 1)) AS BIGINT) AS wr
+       FROM rawb LEFT JOIN tgt ON rawb.bucket = tgt.bucket)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       (CAST(SUM(wt.wr) AS DOUBLE) / {_DSIR_SCALE}) / COUNT(*) AS importance
+FROM rawocc o JOIN wt ON o.bucket = wt.bucket
+GROUP BY o.doc_id
+"""
+
+
+@query(
+    "text_importance_weights",
+    oracle=_DSIR_ORACLE,
+    doc=f"DSIR-style importance weights: hashed-bigram (B={_DSIR_B}) feature "
+    f"distributions for the target domain ('{_DSIR_TARGET}') and the raw "
+    "pool, per-bucket smoothed likelihood ratios in fixed point, and each "
+    "raw document scored by its mean feature ratio — the data-selection "
+    "signal for domain-targeted pre-training mixtures. Two "
+    "map-side-combining aggregates (bucket counts), one B-row broadcast "
+    "weight table, one map-only scoring pass: nothing scales with "
+    "vocabulary, so the plan is unchanged at 100 TB.",
+)
+def text_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    w = tokens("text")
+    bigrams = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    occ = (
+        d.select("doc_id", "source", w.alias("_w"))
+        .select("doc_id", "source", F.explode(bigrams).alias("gram"))
+        .select("doc_id", "source", hash_bucket("gram", _DSIR_B).alias("bucket"))
+    )
+    tgt = (
+        occ.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    rawocc = occ.filter(F.col("source") != _DSIR_TARGET)
+    rawb = rawocc.groupBy("bucket").agg(F.count(F.lit(1)).alias("r"))
+    wt = rawb.join(tgt, "bucket", "left").select(
+        "bucket",
+        F.round(
+            ((F.coalesce("t", F.lit(0)) + 1).cast("double") * F.lit(_DSIR_SCALE))
+            / (F.col("r") + 1)
+        )
+        .cast("long")
+        .alias("wr"),
+    )
+    return (
+        rawocc.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            (
+                (F.sum("wr").cast("double") / F.lit(_DSIR_SCALE))
+                / F.count(F.lit(1))
+            ).alias("importance"),
+        )
     )
