@@ -1072,3 +1072,107 @@ def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true_grams"),
         (F.coalesce("n_true", F.lit(0)) > 0).alias("is_contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-dup (Levenshtein verify on an inverted-index shortlist)
+# --------------------------------------------------------------------------
+#
+# Character-level near-duplication for pairs the set-based methods can't
+# certify: the Levenshtein DP is O(|a|·|b|) per pair, so the design problem is
+# never the distance itself but WHICH pairs compute it. Candidates come from
+# the shingle inverted index with a common-count pre-filter (share at least a
+# quarter of the smaller doc's shingles) — a count aggregate, no DP — and only
+# that shortlist pays the quadratic verify. At 100 TB: the index join is the
+# same bounded shape dedup_ngram_jaccard commits to, and DP cost is
+# |shortlist| · doclen², independent of corpus size.
+
+_EDIT_REL_MAX = 0.30  # keep pairs with lev ≤ 30% of the longer doc
+
+
+_EDIT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           AS shingles
+  FROM (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.doc_id_1, p.doc_id_2, p.n_common
+  FROM pairs p
+  JOIN sh s1 ON p.doc_id_1 = s1.doc_id
+  JOIN sh s2 ON p.doc_id_2 = s2.doc_id
+  WHERE p.n_common * 4 >= LEAST(LEN(s1.shingles), LEN(s2.shingles))
+)
+SELECT c.doc_id_1, c.doc_id_2,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(LEVENSHTEIN(d1.text, d2.text) AS BIGINT) AS lev_dist,
+       ROUND(LEVENSHTEIN(d1.text, d2.text) * 1.0
+             / GREATEST(LENGTH(d1.text), LENGTH(d2.text), 1), 6) AS rel_dist
+FROM cand c
+JOIN documents d1 ON c.doc_id_1 = d1.doc_id
+JOIN documents d2 ON c.doc_id_2 = d2.doc_id
+WHERE LEVENSHTEIN(d1.text, d2.text) * 100
+      <= {int(_EDIT_REL_MAX * 100)} * GREATEST(LENGTH(d1.text), LENGTH(d2.text), 1)
+"""
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=_EDIT_ORACLE,
+    doc=f"Character-level near-dup via Levenshtein, verified ONLY on an "
+    "inverted-index shortlist: pairs sharing ≥¼ of the smaller doc's word "
+    "3-gram shingles (a count aggregate over the shingle index — no DP) go "
+    f"through the O(len²) distance check, kept at rel_dist ≤ {_EDIT_REL_MAX}. "
+    "The threshold compare is integer arithmetic (lev·100 ≤ 30·len) so the "
+    "cut is exact in both engines. DP cost scales with the shortlist, not "
+    "the corpus: at 100 TB the expensive stage is |candidates|·doclen², the "
+    "same bounded-verify discipline as MinHash-LSH.",
+)
+def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    sh = minhash_features(spark, sf).select("doc_id", "shingle_hashes")
+    sizes = sh.select("doc_id", F.size("shingle_hashes").alias("ns"))
+    ex = sh.select("doc_id", F.explode("shingle_hashes").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_id_1", "ns": "ns1"}),
+                   "doc_id_1")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_2", "ns": "ns2"}),
+              "doc_id_2")
+        .filter(F.col("n_common") * 4 >= F.least("ns1", "ns2"))
+        .select("doc_id_1", "doc_id_2", "n_common")
+    )
+    t1 = d.withColumnsRenamed({"doc_id": "doc_id_1", "text": "t1"})
+    t2 = d.withColumnsRenamed({"doc_id": "doc_id_2", "text": "t2"})
+    lev = F.levenshtein("t1", "t2")
+    longest = F.greatest(F.length("t1"), F.length("t2"), F.lit(1))
+    return (
+        cand.join(t1, "doc_id_1")
+        .join(t2, "doc_id_2")
+        .filter(lev * 100 <= int(_EDIT_REL_MAX * 100) * longest)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col("n_common").cast("long").alias("n_common"),
+            lev.cast("long").alias("lev_dist"),
+            F.round(lev * F.lit(1.0) / longest, 6).alias("rel_dist"),
+        )
+    )

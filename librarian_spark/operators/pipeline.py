@@ -994,3 +994,237 @@ def pipeline_partition_backfill(spark: SparkSession, sf: str) -> DataFrame:
         raise RuntimeError("restated partition missing")
 
     return spark.read.parquet(out).select("day", "event_id", "user_id", "value")
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (shuffle-free big-big join via storage layout)
+# --------------------------------------------------------------------------
+#
+# The one join shape layout maintenance exists to serve: two FACT tables
+# pre-bucketed on the join key join with ZERO exchange — each task reads
+# bucket i of both sides and merges locally. At 100 TB a lineitem⋈orders
+# shuffle moves the whole dataset over the network every run; bucketing pays
+# that cost ONCE at write time and every subsequent join (and bucket-key
+# aggregation) is map-side. The reference has no layout management at all
+# (one parquet batch per N records, `internal/parquet/preserver.go:79-83`);
+# this operator plus pipeline_compact/pipeline_zorder_cluster are the
+# maintenance trio a 100 TB lake needs.
+#
+# tests/test_plans.py pins the guarantee: with broadcast disabled, the
+# executed join plan contains NO shuffle exchange on either side.
+
+_BKT_N = 8  # bucket count — both sides MUST match for exchange elision
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str, str]:
+    """Write (once) and register orders + lineitem bucketed by order key.
+
+    Returns (orders_table, lineitem_table, base_dir). The parquet files are
+    written with ``bucketBy(8, key).sortBy(key)`` via ``saveAsTable`` (bucket
+    ids live in the file names); on a later session the SAME layout is
+    re-registered with ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` so the
+    files are not rewritten — the cache tag pins sf dir, source mtime, and
+    the bucket count baked into the layout.
+    """
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:{_BKT_N}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bucketed_{tag}"
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tname = f"lb_bkt_{tbl}_{tag}"
+        names[tbl] = tname
+        tdir = os.path.join(base, tbl)
+        if spark.catalog.tableExists(tname):
+            continue
+        if os.path.exists(os.path.join(tdir, "_SUCCESS")):
+            # files already on disk from an earlier session: register only
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(tdir).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tname} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {_BKT_N} BUCKETS "
+                f"LOCATION '{tdir}'"
+            )
+            continue
+        (
+            load_table(spark, sf, tbl)
+            .write.mode("overwrite")
+            .bucketBy(_BKT_N, key)
+            .sortBy(key)
+            .option("path", tdir)
+            .saveAsTable(tname)
+        )
+    return names["orders"], names["lineitem"], base
+
+
+@query(
+    "pipeline_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           (CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000.0)
+                          AS BIGINT)) AS DOUBLE) / 10000.0) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc=f"Shuffle-free big-big join via bucketing: orders and lineitem are "
+    f"written ONCE bucketed into {_BKT_N} buckets on the order key "
+    "(bucketBy + sortBy), then joined with zero exchange — each task merges "
+    "bucket i of both sides locally (plan-pinned in tests/test_plans.py "
+    "with broadcast disabled). The write cost is paid once; every "
+    "subsequent join on the key rides the layout. The oracle runs the "
+    "identical join on the RAW tables, so the hash match also proves the "
+    "bucketed copies are faithful. Revenue in fixed-point (order-exact).",
+)
+def pipeline_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from librarian_spark.functions.numeric import dsum
+
+    t_orders, t_lineitem, _ = ensure_bucketed_tables(spark, sf)
+    o = spark.table(t_orders).hint("merge")
+    li = spark.table(t_lineitem).hint("merge")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(rev).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot-then-stream (S8): op='r' initial snapshot handed off to the CDC
+# stream, one checkpointed materialization consuming both
+# --------------------------------------------------------------------------
+
+_SNAPSTREAM_T0 = "2024-01-15 00:00:00"  # handoff point (mid-range of events)
+
+
+@query(
+    "pipeline_snapshot_stream",
+    oracle="""
+    SELECT user_id, value AS last_value
+    FROM (SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Snapshot-then-stream E2E — the reference RESERVES op='r' for "
+    "snapshot reads (event.go:10) but never wires initial-snapshot-into-"
+    "stream (snapshot and replicate are separate commands); this pipeline "
+    "does: the keyed state as of T0 is emitted as op='r' envelope events "
+    "carrying their source position, the post-T0 change log follows as "
+    "op='c' events, and ONE checkpointed materialization drains both into "
+    "the latest-state store. The merge is event-ordered (max_by on "
+    "(ts_ms, lsn)), so the handoff needs no coordination: a change replayed "
+    "from before the snapshot boundary loses to the snapshot row by order, "
+    "not by arrival. Oracle = latest value per key over the FULL log — "
+    "proving snapshot ∪ stream reconstructs exactly the state a "
+    "never-interrupted stream would have built.",
+)
+def pipeline_snapshot_stream(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+    from librarian_spark.streaming.envelope import build_envelope_json, parse_envelope
+    from librarian_spark.streaming.materialize import (
+        MaterializeConfig,
+        materialize,
+        read_state,
+    )
+
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:{_SNAPSTREAM_T0}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_snapstream_{tag}"
+    in_dir = f"{base}/in"
+    # own marker written AFTER both writes: the first write's _SUCCESS must
+    # not cache a stream-half-missing input dir (crash between the writes)
+    marker = os.path.join(base, "_INPUT_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(in_dir, ignore_errors=True)
+        e = load_table(spark, sf, "events")
+        t0 = F.lit(_SNAPSTREAM_T0).cast("timestamp")
+
+        def envelope(df: DataFrame, op: str, snapshot: str) -> DataFrame:
+            return df.select(
+                build_envelope_json(
+                    before_json=None,
+                    after_json=F.to_json(F.struct(F.col("user_id"), F.col("value"))),
+                    version=F.lit("1.0.0"),
+                    connector=F.lit("bench"),
+                    name=F.lit("bench"),
+                    source_ts_ms=F.unix_millis("ts"),
+                    snapshot=F.lit(snapshot),
+                    db=F.lit("db"),
+                    schema=F.lit("s"),
+                    table=F.lit("events"),
+                    op=F.lit(op),
+                    ts_ms=F.unix_millis("ts"),
+                    lsn=F.col("event_id"),
+                ).alias("value")
+            )
+
+        # initial snapshot: latest row per key as of T0, AT its source position
+        snap = (
+            e.filter(F.col("ts") <= t0)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.ts").alias("ts"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        envelope(snap, "r", "true").write.mode("overwrite").text(in_dir)
+        # the live stream: every change after the handoff point, APPENDED so
+        # the file source (mtime-ordered) ingests snapshot before stream
+        envelope(e.filter(F.col("ts") > t0), "c", "false").write.mode(
+            "append"
+        ).text(in_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith(("state_", "ckpt_")):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    run_id = uuid.uuid4().hex[:8]
+    cfg = MaterializeConfig(
+        state_dir=f"{base}/state_{run_id}",
+        checkpoint_dir=f"{base}/ckpt_{run_id}",
+        key_cols=["user_id"],
+        row_ddl="user_id long, value double",
+    )
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 16)
+        .text(in_dir)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # per-batch volume
+    try:
+        q = materialize(spark, parse_envelope(stream, "value"), cfg)
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return read_state(spark, cfg).select("user_id", F.col("value").alias("last_value"))

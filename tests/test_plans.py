@@ -333,3 +333,15 @@ def test_minhash_index_probe_prunes_partitions(spark, specs):
 
     pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("bucket" in f for f in pf), plan
+
+
+def test_pipeline_bucketed_join_only_shuffles_for_agg(spark, specs):
+    """pipeline_bucketed_join's plan: the orders⋈lineitem join itself is
+    exchange-free (both sides bucketed on the key, merge-hinted), so the ONLY
+    shuffle in the whole query is the final small groupBy aggregation — and
+    nothing broadcasts (it's the big-big join shape bucketing exists for)."""
+    df = specs["pipeline_bucketed_join"].raw_fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert not has_broadcast_join(df), plan
+    assert shuffle_count(df) == 1, plan
