@@ -67,8 +67,12 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.5
 
-_NGRAM_ORACLE = f"""
-WITH sh AS (
+# Shared candidate-generation CTEs: per-doc shingle sets, the inverted-index
+# self-join, and per-pair common counts. Both the Jaccard and the
+# edit-distance oracles build on EXACTLY these CTEs — one copy, so the pair
+# machinery can never drift between operators.
+_PAIR_CTES = """
+sh AS (
   SELECT doc_id,
          LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
@@ -81,6 +85,10 @@ pairs AS (
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+_NGRAM_ORACLE = f"""
+WITH {_PAIR_CTES}
 SELECT p.doc_id_1, p.doc_id_2,
        CAST(p.n_common AS BIGINT) AS n_common,
        ROUND(p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common), 6)
@@ -93,19 +101,15 @@ WHERE p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common)
 """
 
 
-def ngram_jaccard_pairs(
-    spark: SparkSession, sf: str, threshold: float = _JACCARD_THRESHOLD
-) -> DataFrame:
-    """All document pairs with word-3-gram Jaccard ≥ threshold (exact).
+def shared_shingle_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate pairs from the shingle inverted index with per-pair common
+    counts and both set sizes: (doc_id_1, doc_id_2, n_common, n1, n2).
 
-    Plan: shingle-set per doc (map-only, shared cached stage with the MinHash
-    operator) → explode → self-equi-join on the 64-bit shingle hash → per-pair
-    common count → Jaccard from the three set sizes. The join is on the shingle
-    value, so cost is Σ_s |docs(s)|² — fine while no shingle is ubiquitous; at
-    100 TB drop stop-shingles (document frequency cap) first, or use the
-    MinHash path below. Joining on the 8-byte hash instead of the shingle
-    string shrinks the exploded shuffle ~3×; a cross-doc hash collision
-    perturbs a count with odds ~pairs·|s|²/2^64 ≈ 1e-13.
+    THE shared pair-generation stage (Jaccard verify and edit-distance verify
+    both build on it): explode the 64-bit shingle hashes, self-equi-join on
+    the hash, count per pair, broadcast-join the two size columns. Any
+    100 TB-prep change (stop-shingle document-frequency cap, hash widening)
+    lands here once and every downstream verify inherits it.
     """
     sh = minhash_features(spark, sf).select("doc_id", "shingle_hashes")
     sizes = sh.select("doc_id", F.size("shingle_hashes").alias("n_shingles"))
@@ -128,11 +132,27 @@ def ngram_jaccard_pairs(
     s2 = sizes.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed(
         "n_shingles", "n2"
     )
+    return pairs.join(F.broadcast(s1), "doc_id_1").join(F.broadcast(s2), "doc_id_2")
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf: str, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """All document pairs with word-3-gram Jaccard ≥ threshold (exact).
+
+    Plan: shingle-set per doc (map-only, shared cached stage with the MinHash
+    operator) → explode → self-equi-join on the 64-bit shingle hash → per-pair
+    common count → Jaccard from the three set sizes. The join is on the shingle
+    value, so cost is Σ_s |docs(s)|² — fine while no shingle is ubiquitous; at
+    100 TB drop stop-shingles (document frequency cap) first, or use the
+    MinHash path below. Joining on the 8-byte hash instead of the shingle
+    string shrinks the exploded shuffle ~3×; a cross-doc hash collision
+    perturbs a count with odds ~pairs·|s|²/2^64 ≈ 1e-13.
+    """
+    pairs = shared_shingle_pairs(spark, sf)
     jac = F.col("n_common") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
-        pairs.join(F.broadcast(s1), "doc_id_1")
-        .join(F.broadcast(s2), "doc_id_2")
-        .filter(jac >= threshold)
+        pairs.filter(jac >= threshold)
         .select(
             "doc_id_1",
             "doc_id_2",
@@ -1061,8 +1081,11 @@ def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "gram")
     )
     cand = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    # exact verify: shuffle join — HITS is the small side (the bloom-positive
+    # shortlist), never broadcast eg: shipping the full eval gram vocabulary
+    # to every executor is exactly the growth this operator exists to avoid
     truth = (
-        hits.join(F.broadcast(eg), "gram")
+        hits.join(eg, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
@@ -1091,19 +1114,7 @@ _EDIT_REL_MAX = 0.30  # keep pairs with lev ≤ 30% of the longer doc
 
 
 _EDIT_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id,
-         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
-                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-           AS shingles
-  FROM (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents)
-),
-ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-pairs AS (
-  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+WITH {_PAIR_CTES},
 cand AS (
   SELECT p.doc_id_1, p.doc_id_2, p.n_common
   FROM pairs p
@@ -1138,41 +1149,32 @@ WHERE LEVENSHTEIN(d1.text, d2.text) * 100
 )
 def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    sh = minhash_features(spark, sf).select("doc_id", "shingle_hashes")
-    sizes = sh.select("doc_id", F.size("shingle_hashes").alias("ns"))
-    ex = sh.select("doc_id", F.explode("shingle_hashes").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     cand = (
-        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_id_1", "ns": "ns1"}),
-                   "doc_id_1")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_2", "ns": "ns2"}),
-              "doc_id_2")
-        .filter(F.col("n_common") * 4 >= F.least("ns1", "ns2"))
+        shared_shingle_pairs(spark, sf)
+        .filter(F.col("n_common") * 4 >= F.least("n1", "n2"))
         .select("doc_id_1", "doc_id_2", "n_common")
     )
     t1 = d.withColumnsRenamed({"doc_id": "doc_id_1", "text": "t1"})
     t2 = d.withColumnsRenamed({"doc_id": "doc_id_2", "text": "t2"})
-    lev = F.levenshtein("t1", "t2")
     longest = F.greatest(F.length("t1"), F.length("t2"), F.lit(1))
+    # The O(len²) DP runs once per CANDIDATE in the pushed-down filter and
+    # once more only for the few SURVIVING pairs in the projection (Catalyst
+    # re-substitutes the alias through the project, so a column alias cannot
+    # force single evaluation) — the dominant |candidates|·len² term is paid
+    # exactly once; survivor recompute is |output|·len², negligible.
     return (
         cand.join(t1, "doc_id_1")
         .join(t2, "doc_id_2")
-        .filter(lev * 100 <= int(_EDIT_REL_MAX * 100) * longest)
+        .withColumn("lev", F.levenshtein("t1", "t2"))
+        .withColumn("longest", longest)
+        .filter(F.col("lev") * 100 <= int(_EDIT_REL_MAX * 100) * F.col("longest"))
         .select(
             "doc_id_1",
             "doc_id_2",
             F.col("n_common").cast("long").alias("n_common"),
-            lev.cast("long").alias("lev_dist"),
-            F.round(lev * F.lit(1.0) / longest, 6).alias("rel_dist"),
+            F.col("lev").cast("long").alias("lev_dist"),
+            F.round(F.col("lev") * F.lit(1.0) / F.col("longest"), 6).alias(
+                "rel_dist"
+            ),
         )
     )

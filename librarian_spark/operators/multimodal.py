@@ -396,7 +396,8 @@ def mm_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PHASH_BLOCKS = 64  # one bit per block → 64-bit hash
-_PHASH_SLICES = 8  # LSH slices (8 bits each) for candidate generation
+_PHASH_SLICES = 8  # LSH slices for candidate generation
+_PHASH_BPS = _PHASH_BLOCKS // _PHASH_SLICES  # bits per slice
 _PHASH_MAX_HAMMING = 12  # verify threshold
 
 _PHASH_ORACLE = f"""
@@ -420,7 +421,8 @@ bits AS (
   FROM blocks),
 slices AS (
   SELECT doc_id, j,
-         LIST_SUM(LIST_TRANSFORM(RANGE(0, 8), k -> b[8*j + k + 1] * (1 << k))) AS sl
+         LIST_SUM(LIST_TRANSFORM(RANGE(0, {_PHASH_BPS}),
+           k -> b[{_PHASH_BPS}*j + k + 1] * (1 << k))) AS sl
   FROM bits, (SELECT UNNEST(RANGE(0, {_PHASH_SLICES})) AS j)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
@@ -458,11 +460,17 @@ FROM ham WHERE hamming <= {_PHASH_MAX_HAMMING}
 )
 def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     payloads = ingest_binary(spark, sf).select("doc_id", "payload")
+    # pre-bound locals: cloudpickle serializes captured ints by value (the
+    # minhash_features pattern) — module-global refs would break executor
+    # pickling, but hardcoding the constants would desync from the oracle,
+    # which interpolates _PHASH_*
+    nb = _PHASH_BLOCKS
+    n_slices = _PHASH_SLICES
+    bits_per_slice = nb // _PHASH_SLICES
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        nb = 64  # _PHASH_BLOCKS (inlined: worker fn must be self-contained)
         for pdf in batches:
             bits_out, slices_out = [], []
             for payload in pdf["payload"]:
@@ -481,8 +489,13 @@ def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 total = int(arr.sum())
                 b = (bsum * n > total * blen).astype(np.int64)
                 sl = [
-                    int(sum(int(b[8 * j + k]) << k for k in range(8)))
-                    for j in range(8)
+                    int(
+                        sum(
+                            int(b[bits_per_slice * j + k]) << k
+                            for k in range(bits_per_slice)
+                        )
+                    )
+                    for j in range(n_slices)
                 ]
                 bits_out.append(b.tolist())
                 slices_out.append(sl)

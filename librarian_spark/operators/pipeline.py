@@ -1028,9 +1028,13 @@ def ensure_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str, str]
     """
     from librarian_spark.sources.batch import load_table
 
-    src = os.path.join(sf, "orders.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:{_BKT_N}".encode()).hexdigest()[:10]
+    # tag hashes BOTH sources' mtimes — the cached layout contains copies of
+    # both tables, so either one regenerating must invalidate it
+    mtimes = ":".join(
+        str(int(os.path.getmtime(p)) if os.path.exists(p) else 0)
+        for p in (os.path.join(sf, "orders.parquet"), os.path.join(sf, "lineitem.parquet"))
+    )
+    tag = hashlib.md5(f"{sf}:{mtimes}:{_BKT_N}".encode()).hexdigest()[:10]
     base = f"/tmp/librarian_bucketed_{tag}"
     names = {}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
@@ -1177,13 +1181,18 @@ def pipeline_snapshot_stream(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("value")
             )
 
-        # initial snapshot: latest row per key as of T0, AT its source position
+        # initial snapshot: latest row per key as of T0, AT its source position.
+        # Winner picked by (unix_millis, event_id) — the SAME ms-truncated
+        # ordering the envelope carries (ts_ms), the materializer merges on,
+        # and the oracle replays; a µs-precision max_by here could disagree
+        # with all three when two events share a millisecond.
         snap = (
             e.filter(F.col("ts") <= t0)
             .groupBy("user_id")
             .agg(
                 F.max_by(
-                    F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+                    F.struct("event_id", "ts", "value"),
+                    F.struct(F.unix_millis("ts").alias("ms"), F.col("event_id")),
                 ).alias("s")
             )
             .select(

@@ -23,6 +23,7 @@ from librarian_spark.functions.textfns import (
     STOPWORDS,
     fingerprint,
     o_fingerprint,
+    shingles_of_tokens,
     tokens,
 )
 from librarian_spark.operators.registry import query
@@ -352,15 +353,11 @@ _VOCAB_MIN_COUNT = 5
 def text_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     w = tokens("text")
-    # size guard: sequence(1, 0) infers step -1 → [1, 0], and element_at(_w, 0)
-    # aborts the job under ANSI mode — any doc under 2 tokens would crash the
-    # whole pass (the oracle's RANGE is end-exclusive and already safe)
-    bigrams = F.expr(
-        "CASE WHEN size(_w) >= 2 THEN "
-        "transform(sequence(1, size(_w) - 1), "
-        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) "
-        "ELSE CAST(array() AS array<string>) END"
-    )
+    # shingles_of_tokens carries the size guard (sequence(1, 0) infers step
+    # -1 and element_at(_w, 0) aborts under ANSI — any doc under 2 tokens
+    # would crash the pass); occurrences, not set semantics, hence
+    # distinct=False. The oracle's end-exclusive RANGE is inherently safe.
+    bigrams = shingles_of_tokens("_w", 2, distinct=False)
     return (
         d.select(w.alias("_w"))
         .select(F.explode(bigrams).alias("gram"))
@@ -1170,14 +1167,9 @@ WHERE e.est >= {_CMS_T}
 def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     w = tokens("text")
-    bigrams = F.expr(
-        "CASE WHEN size(_w) >= 2 THEN "
-        "transform(sequence(1, size(_w) - 1), "
-        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) "
-        "ELSE CAST(array() AS array<string>) END"
-    )
     occ = d.select("source", w.alias("_w")).select(
-        "source", F.explode(bigrams).alias("gram")
+        "source",
+        F.explode(shingles_of_tokens("_w", 2, distinct=False)).alias("gram"),
     )
     v = occ.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -1283,15 +1275,13 @@ GROUP BY o.doc_id
 def text_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     w = tokens("text")
-    bigrams = F.expr(
-        "CASE WHEN size(_w) >= 2 THEN "
-        "transform(sequence(1, size(_w) - 1), "
-        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) "
-        "ELSE CAST(array() AS array<string>) END"
-    )
     occ = (
         d.select("doc_id", "source", w.alias("_w"))
-        .select("doc_id", "source", F.explode(bigrams).alias("gram"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles_of_tokens("_w", 2, distinct=False)).alias("gram"),
+        )
         .select("doc_id", "source", hash_bucket("gram", _DSIR_B).alias("bucket"))
     )
     tgt = (
