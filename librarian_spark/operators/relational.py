@@ -3019,3 +3019,146 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return tri.groupBy("p_min").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+# --------------------------------------------------------------------------
+# Forward-fill via IGNORE NULLS window (sensor/telemetry repair)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q64_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS raw_value,
+           LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM events
+    """,
+    doc="Forward-fill (LOCF) via the IGNORE NULLS window form: readings "
+    "masked NULL (here: error events play broken sensor readings) take the "
+    "key's last valid value in (ts, event_id) order — the window-native "
+    "telemetry-repair idiom, complementing q51_gap_fill's spine-based "
+    "densify. ONE key-partitioned window with running-frame state of a "
+    "single value; at 100 TB it scales like any keyed window (shuffle on "
+    "user, per-key sort, O(1) frame state). Leading NULLs before a key's "
+    "first valid reading stay NULL in both engines.",
+)
+def q64_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        masked.alias("raw_value"),
+        F.last(masked, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph: PageRank (fixed-point deterministic power iteration)
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000  # ranks as int64 · 1e9 — exact, order-independent
+_PR_BASE = 150_000_000  # (1 - 0.85) · scale
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-point power iteration: every step is integer division
+    and integer sums, so the result is bit-identical across engines and
+    partition orders (a float PageRank is neither)."""
+    cte = [
+        """
+eo AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  WHERE a.l_orderkey % 10 = 0
+),
+deg AS (SELECT u, COUNT(*) AS d FROM eo GROUP BY u),
+r0 AS (SELECT u AS x, CAST({scale} AS BIGINT) AS r FROM deg)
+""".format(scale=_PR_SCALE)
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        cte.append(
+            f"""
+r{i} AS (
+  SELECT e.v AS x,
+         {_PR_BASE} + (SUM(p.r // d.d) * 85) // 100 AS r
+  FROM eo e JOIN r{i - 1} p ON e.u = p.x JOIN deg d ON e.u = d.u
+  GROUP BY e.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+SELECT x AS part, CAST(r AS BIGINT) AS rank_scaled,
+       CAST(r AS DOUBLE) / {float(_PR_SCALE)} AS rank
+FROM r{_PR_ITERS}
+"""
+    )
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pr_oracle(),
+    doc=f"PageRank ({_PR_ITERS} power iterations, damping 0.85) on the part "
+    "co-purchase graph, in FIXED-POINT int64 arithmetic: each node's share "
+    "is exact integer division, each in-sum is an exact int64 sum — "
+    "order-independent where float PageRank is partition-order-dependent, "
+    "so the DuckDB oracle replays every iteration bit-for-bit. Per "
+    "iteration: rank+degree table broadcast to the edge list (map-only "
+    "contributions) + ONE aggregate shuffle on the destination; each "
+    "iteration's result is localCheckpointed, or the lineage would "
+    "re-derive the edge self-join exponentially (the q60/triangle lesson). "
+    "The undirected co-purchase graph has no dangling nodes, so no "
+    "teleport-mass correction term is needed. At 100 TB: edges partition "
+    "by destination, ranks are |nodes| rows — the classic "
+    "iterate-with-materialization shape.",
+)
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()  # feeds degree + every iteration
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        F.col("u").alias("x"), F.lit(_PR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        rd = ranks.join(deg, ranks["x"] == deg["u"]).select(
+            F.col("x").alias("src"),
+            F.call_function("div", F.col("r"), F.col("d")).alias("share"),
+        )
+        ranks = (
+            edges.join(F.broadcast(rd), edges["u"] == rd["src"])
+            .groupBy("v")
+            .agg(
+                (
+                    F.lit(_PR_BASE)
+                    + F.call_function("div", F.sum("share") * 85, F.lit(100))
+                ).alias("r")
+            )
+            .select(F.col("v").alias("x"), "r")
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("x").alias("part"),
+        F.col("r").cast("long").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias("rank"),
+    )
