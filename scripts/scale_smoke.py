@@ -62,6 +62,13 @@ QUERIES = [
     "graph_triangle_count", # degree-oriented wedge joins
     "q53_ohlc_resample",    # shared window+agg exchange
     "q56_corr_regress",     # exact-moment single aggregate
+    "dedup_bloom",          # broadcast bit-set probe + shortlist verify
+    "text_heavy_hitters",   # constant-size sketch build/merge/probe
+    "text_importance_weights",  # bucket-count aggs + broadcast weights
+    "dedup_edit_distance",  # shingle-index shortlist + bounded DP verify
+    "mm_phash_dedup",       # batched block hash + slice join + hamming
+    "graph_pagerank",       # 5 broadcast+agg fixed-point iterations
+    "q64_forward_fill",     # single key window, O(1) frame state
 ]
 
 

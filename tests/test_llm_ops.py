@@ -285,3 +285,61 @@ def test_scd2_intervals_partition_the_timeline(spark, sf_dir):
             assert a.valid_to == b.valid_from
             assert not a.is_current
         assert vs[-1].is_current and vs[-1].valid_to is None
+
+
+def test_cms_heavy_hitters_never_undercount_and_cover_truth(spark, sf_dir):
+    """Count-min property: every estimate >= its true count (the sketch only
+    over-counts), so the shortlist must CONTAIN every true heavy hitter —
+    the guarantee that makes a sketch-only deployment safe."""
+    from librarian_spark.operators.registry import REGISTRY
+    from librarian_spark.operators.text import _CMS_T  # noqa: PLC2701
+
+    rows = REGISTRY["text_heavy_hitters"].spark_fn(spark, sf_dir).collect()
+    assert rows, "no heavy hitters found at all"
+    assert all(r.est_count >= r.true_count for r in rows)
+    assert all(r.overestimate == r.est_count - r.true_count for r in rows)
+    # every true-heavy gram must be in the shortlist: its estimate >= its
+    # true count >= T, so the filter cannot have dropped it
+    assert all(r.est_count >= _CMS_T for r in rows)
+    assert any(r.is_true_heavy for r in rows)
+
+
+def test_bloom_candidates_superset_of_truth(spark, sf_dir):
+    """Bloom filters have no false negatives: every doc with a TRUE eval-gram
+    overlap must appear in the candidate output, and candidate counts bound
+    true counts from above. False positives must exist at this m (that is
+    what makes the exact-verify stage observably load-bearing)."""
+    from librarian_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["dedup_bloom"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_candidate_grams >= r.n_true_grams for r in rows)
+    assert any(r.n_candidate_grams > r.n_true_grams for r in rows), (
+        "no bloom false positives — m is too large for the verify stage to matter"
+    )
+    assert any(r.is_contaminated for r in rows)
+
+
+def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
+    """Fixed-point PageRank: total rank stays within the damping envelope of
+    N·scale (teleport + damped redistribution; floor-division loss only
+    shrinks it), every rank >= the teleport floor, and a re-run is
+    bit-identical (the determinism the fixed-point design buys)."""
+    from librarian_spark.operators.registry import REGISTRY
+    from librarian_spark.operators.relational import (  # noqa: PLC2701
+        _PR_BASE,
+        _PR_SCALE,
+    )
+
+    spec = REGISTRY["graph_pagerank"]
+    rows = {r.part: r.rank_scaled for r in spec.spark_fn(spark, sf_dir).collect()}
+    assert rows
+    n = len(rows)
+    total = sum(rows.values())
+    assert all(v >= _PR_BASE for v in rows.values())
+    # mass: at stationarity total ≈ n·scale; with integer floors it can only
+    # fall below, never exceed
+    assert total <= n * _PR_SCALE
+    assert total >= int(n * _PR_SCALE * 0.9)
+    rows2 = {r.part: r.rank_scaled for r in spec.spark_fn(spark, sf_dir).collect()}
+    assert rows == rows2
