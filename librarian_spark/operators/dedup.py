@@ -1039,7 +1039,10 @@ FROM cand c LEFT JOIN truth t USING (doc_id)
     "shortlist.",
 )
 def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    # fan_out: the gram+md5 explode is the dominant cost and the testdata
+    # files are single-row-group (unsplittable) — without the repartition the
+    # whole corpus hashes on ONE core (measured 3.3s -> 1.4s at sf0.1)
+    d = fan_out(_t(spark, sf, "documents"))
     toks = d.select("doc_id", tokens("text").alias("_w"))
     grams = toks.select(
         "doc_id", F.explode(shingles_of_tokens("_w", _BLOOM_N)).alias("gram")
@@ -1061,9 +1064,12 @@ def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     is_eval = F.col("doc_id") % _BLOOM_EVAL_MOD == 0
-    # Cached: the eval branch (filter bits + true gram set) and the corpus
-    # branch both read this positioned gram stream.
-    gp = grams.select("doc_id", "gram", plist.alias("plist")).cache()
+    # Deliberately NOT cached: the doc_id filters below push PAST the explode
+    # to the parquet scan, so the two eval branches each re-explode only the
+    # 5% eval slice while the corpus branch runs once — ~1.05 passes total,
+    # fully parallel. Caching materializes the whole positioned gram stream
+    # to save that 5%, a measured net loss (1.8s vs 1.4s cold at sf0.1).
+    gp = grams.select("doc_id", "gram", plist.alias("plist"))
     eg = gp.filter(is_eval).select("gram").distinct()
     bits = (
         gp.filter(is_eval)
@@ -1175,6 +1181,61 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
             F.col("lev").cast("long").alias("lev_dist"),
             F.round(F.col("lev") * F.lit(1.0) / F.col("longest"), 6).alias(
                 "rel_dist"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Containment (asymmetric near-dup: quote / subset detection)
+# --------------------------------------------------------------------------
+#
+# Jaccard misses the asymmetric case: a short document wholly quoted inside a
+# long one has high CONTAINMENT (|A∩B| / |smaller|) but low Jaccard (the union
+# is dominated by the long doc). Containment is the signal for quote
+# detection, template extraction, and retrieval-leakage checks.
+
+_CONTAIN_THRESHOLD = 0.8  # smaller doc ≥80% covered by the larger one
+
+_CONTAIN_ORACLE = f"""
+WITH {{ctes}}
+SELECT p.doc_id_1, p.doc_id_2,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       ROUND(p.n_common * 1.0 / LEAST(LEN(s1.shingles), LEN(s2.shingles)), 6)
+         AS containment
+FROM pairs p
+JOIN sh s1 ON p.doc_id_1 = s1.doc_id
+JOIN sh s2 ON p.doc_id_2 = s2.doc_id
+WHERE p.n_common * 10 >= {int(_CONTAIN_THRESHOLD * 10)}
+      * LEAST(LEN(s1.shingles), LEN(s2.shingles))
+"""
+
+
+@query(
+    "dedup_containment",
+    oracle=_CONTAIN_ORACLE.format(ctes=_PAIR_CTES),
+    doc=f"Shingle containment ≥ {_CONTAIN_THRESHOLD} of the smaller document "
+    "— the ASYMMETRIC near-dup signal Jaccard misses (a short doc quoted "
+    "inside a long one has high containment but low Jaccard): quote "
+    "detection, boilerplate-template extraction, retrieval-leakage checks. "
+    "Shares shared_shingle_pairs' candidate machinery and the _PAIR_CTES "
+    "oracle block with the Jaccard and edit-distance operators; the "
+    "threshold cut is integer arithmetic (10·n_common ≥ 8·min) so the cut "
+    "is exact in both engines.",
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = shared_shingle_pairs(spark, sf)
+    smaller = F.least("n1", "n2")
+    return (
+        pairs.filter(
+            F.col("n_common") * 10 >= int(_CONTAIN_THRESHOLD * 10) * smaller
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(F.col("n_common") * F.lit(1.0) / smaller, 6).alias(
+                "containment"
             ),
         )
     )

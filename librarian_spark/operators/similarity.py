@@ -1188,3 +1188,130 @@ def sim_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(_TOPK).cast("long").alias("k"),
         F.lit(_N_QUERIES).cast("long").alias("n_queries"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and vector rankings
+# --------------------------------------------------------------------------
+#
+# The standard RAG/retrieval-stack combiner: lexical (BM25) and semantic
+# (cosine) rankings fused by RRF — score(d) = Σ_r 1/(K + rank_r(d)) — which
+# needs no score calibration between the two systems. Determinism: ranks are
+# computed over 6-digit-rounded scores SCALED TO INTEGERS (a float sort could
+# disagree across engines on -0.0/ulp boundaries; an int64 sort cannot), and
+# the RRF contributions are exact integer division — the oracle replays the
+# whole fusion bit-for-bit.
+#
+# Rank derivation avoids both a global window (single-partition exchange) and
+# a theta self-join (nested loop): each retriever's top-N arrives via
+# TakeOrderedAndProject, is packed into ONE row (collect_list of ≤N structs —
+# the bm25 stats-row discipline), sorted in-place, and posexploded back out
+# with its position as the rank. At 100 TB the per-retriever candidate pull
+# is the scale cost; the fusion itself touches ≤ 2N rows.
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_LIST_N = 100  # candidates taken from each retriever
+_RRF_OUT_N = 20  # fused results returned
+_RRF_QUERY_VEC = 0  # query-by-example: vec_id 0 is the query document
+_RRF_SCALE = 1_000_000_000
+
+
+def _rrf_oracle() -> str:
+    from librarian_spark.operators.text import bm25_score_ctes
+
+    return f"""
+WITH {bm25_score_ctes()},
+bkey AS (SELECT doc_id, CAST(ROUND(score * 1000000.0) AS BIGINT) AS k
+         FROM bscore),
+brank AS (SELECT doc_id, r FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS r
+            FROM bkey) WHERE r <= {_RRF_LIST_N}),
+unit AS (SELECT vec_id, {_o_normalize("embedding")} AS u FROM embeddings),
+qv AS (SELECT u FROM unit WHERE vec_id = {_RRF_QUERY_VEC}),
+ckey AS (SELECT c.vec_id AS doc_id,
+                CAST(ROUND(ROUND({_o_dot("q.u", "c.u")}, 6) * 1000000.0)
+                     AS BIGINT) AS k
+         FROM unit c, qv q WHERE c.vec_id != {_RRF_QUERY_VEC}),
+crank AS (SELECT doc_id, r FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS r
+            FROM ckey) WHERE r <= {_RRF_LIST_N}),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         CAST(b.r AS BIGINT) AS bm25_rank,
+         CAST(c.r AS BIGINT) AS cos_rank,
+         COALESCE({_RRF_SCALE} // ({_RRF_K} + b.r), 0)
+         + COALESCE({_RRF_SCALE} // ({_RRF_K} + c.r), 0) AS rrf
+  FROM brank b FULL OUTER JOIN crank c ON b.doc_id = c.doc_id)
+SELECT doc_id, bm25_rank, cos_rank, CAST(rrf AS BIGINT) AS rrf_scaled
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT_N}
+"""
+
+
+def _rankify(df: DataFrame, key_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, rank 1..n) of the top-n rows by (key DESC, id ASC) — via
+    TakeOrdered + one packed collect_list row + posexplode: no global window
+    (single-partition exchange) and no theta join (nested loop)."""
+    top = df.orderBy(F.col(key_col).desc(), id_col).limit(n)
+    packed = top.select(
+        F.struct((-F.col(key_col)).alias("nk"), F.col(id_col).alias("i")).alias(
+            "kv"
+        )
+    ).agg(F.sort_array(F.collect_list("kv")).alias("a"))
+    return packed.select(F.posexplode("a").alias("pos", "kv")).select(
+        F.col("kv.i").alias(id_col), (F.col("pos") + 1).cast("long").alias("r")
+    )
+
+
+@query(
+    "sim_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc=f"Hybrid retrieval: BM25 (lexical) and cosine-to-query-vector "
+    f"(semantic) top-{_RRF_LIST_N} lists fused by reciprocal-rank fusion "
+    f"(K={_RRF_K}) — the calibration-free combiner every RAG/retrieval "
+    "stack ships. Ranks come from integer-scaled scores (no float-sort "
+    "ambiguity) via TakeOrdered + one packed sort row (no global window, "
+    "no nested loop); RRF contributions are exact integer division, so the "
+    "oracle replays the fusion bit-for-bit including which documents only "
+    "one retriever surfaced (NULL rank on the other). At 100 TB each "
+    "retriever bounds its own candidate pull; fusion cost is fixed at "
+    f"2·{_RRF_LIST_N} rows.",
+)
+def sim_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.functions.vector import dot, unit_vectors
+    from librarian_spark.operators.text import bm25_scores
+
+    key = lambda c: F.round(F.col(c) * F.lit(1_000_000.0)).cast("long")  # noqa: E731
+    b = bm25_scores(spark, sf).select("doc_id", key("score").alias("k"))
+    brank = _rankify(b, "k", "doc_id", _RRF_LIST_N).withColumnRenamed("r", "rb")
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # query vector normalized DRIVER-side with the same sequential fold the
+    # oracle's LIST_REDUCE performs (identical IEEE op order), then inlined
+    # as an array literal — floats round-trip exactly, and a 1-row join
+    # would plan the banned BroadcastNestedLoopJoin
+    qrow = e.filter(F.col("vec_id") == _RRF_QUERY_VEC).collect()[0]["embedding"]
+    acc = 0.0
+    for x in qrow:
+        acc = acc + float(x) * float(x)
+    nrm = acc**0.5
+    qu = F.array(*[F.lit(float(x) / nrm) for x in qrow])
+    cu = unit_vectors(e.filter(F.col("vec_id") != _RRF_QUERY_VEC))
+    c = cu.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(F.round(dot(qu, F.col("u")), 6) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("k"),
+    )
+    crank = _rankify(c, "k", "doc_id", _RRF_LIST_N).withColumnRenamed("r", "rc")
+
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.call_function("div", F.lit(_RRF_SCALE), F.lit(_RRF_K) + F.col(r)),
+        F.lit(0),
+    )
+    fused = brank.join(crank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rb").alias("bm25_rank"),
+        F.col("rc").alias("cos_rank"),
+        (contrib("rb") + contrib("rc")).cast("long").alias("rrf_scaled"),
+    )
+    return fused.orderBy(F.col("rrf_scaled").desc(), "doc_id").limit(_RRF_OUT_N)

@@ -839,7 +839,10 @@ _BM25_B = 0.75
 _BM25_TOPN = 100
 
 
-def _bm25_oracle() -> str:
+def bm25_score_ctes() -> str:
+    """The CTE block scoring EVERY document (``... bscore AS (doc_id, score)``)
+    — single-sourced so the top-k oracle and the RRF-fusion oracle can never
+    drift from each other."""
     tf_cols = ",\n         ".join(
         f"LEN(LIST_FILTER(tk, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -855,7 +858,7 @@ def _bm25_oracle() -> str:
         for i in range(len(_BM25_TERMS))
     )
     return f"""
-    WITH tok AS (
+    tok AS (
       SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS tk FROM documents
     ),
     d AS (
@@ -867,9 +870,16 @@ def _bm25_oracle() -> str:
       SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
          {df_cols}
       FROM d
-    )
-    SELECT doc_id, ROUND({contrib}, 6) AS score
-    FROM d, s
+    ),
+    bscore AS (SELECT doc_id, ROUND({contrib}, 6) AS score FROM d, s)
+    """
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {bm25_score_ctes()}
+    SELECT doc_id, score
+    FROM bscore
     ORDER BY score DESC, doc_id
     LIMIT {_BM25_TOPN}
     """
@@ -891,6 +901,17 @@ def _bm25_oracle() -> str:
     "summation-order differences cannot flip the comparison.",
 )
 def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        bm25_scores(spark, sf)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, score) for EVERY document — the scoring pass text_bm25_topk
+    and sim_rrf_fusion share (map-only + one inlined stats row)."""
+
     def tf_of(term: str) -> F.Column:
         # NB: the lambda must be unary — F.filter treats a 2-arg lambda as
         # (element, index), silently binding the index where a captured
@@ -934,11 +955,7 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col(f"tf{i}") + k1 * (F.lit(1) - b + b * F.col("dl") / avgdl))
         )
         contrib = term if contrib is None else contrib + term
-    return (
-        per_doc.select("doc_id", F.round(contrib, 6).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_BM25_TOPN)
-    )
+    return per_doc.select("doc_id", F.round(contrib, 6).alias("score"))
 
 
 # --------------------------------------------------------------------------
