@@ -1237,3 +1237,113 @@ def pipeline_snapshot_stream(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return read_state(spark, cfg).select("user_id", F.col("value").alias("last_value"))
+
+
+# --------------------------------------------------------------------------
+# CDC fan-out: one envelope stream routed to per-table sink partitions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_cdc_fanout",
+    oracle="""
+    SELECT 'orders' AS tbl, o_orderkey AS key,
+           CAST(o_totalprice AS DOUBLE) AS val FROM orders
+    UNION ALL
+    SELECT 'customer' AS tbl, c_custkey AS key,
+           CAST(c_acctbal AS DOUBLE) AS val FROM customer
+    """,
+    doc="CDC fan-out E2E — the single-topic-many-tables shape every "
+    "Kafka-Connect replacement must route: ONE envelope stream carries two "
+    "tables' events (orders + customer, distinguished by the envelope's "
+    "source.table), one checkpointed drain writes them to a sink "
+    "PARTITIONED BY table, and the read-back selects each table's rows via "
+    "partition pruning (the per-table consumer's scan never opens the other "
+    "table's files). The oracle is the union of both raw tables, so the "
+    "hash match proves routing drops and duplicates nothing and each "
+    "table's payload decodes faithfully. At 100 TB the sink partitioning "
+    "IS the fan-out: downstream per-table jobs prune to their directory.",
+)
+def pipeline_cdc_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+    from librarian_spark.streaming.envelope import snapshot_as_events
+    from librarian_spark.streaming.replicate import ReplicateConfig, Replicator
+
+    paths = [os.path.join(sf, f"{t}.parquet") for t in ("orders", "customer")]
+    mtimes = ":".join(
+        str(int(os.path.getmtime(p)) if os.path.exists(p) else 0) for p in paths
+    )
+    tag = hashlib.md5(f"{sf}:{mtimes}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_fanout_{tag}"
+    in_dir = f"{base}/in"
+    marker = os.path.join(base, "_INPUT_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(in_dir, ignore_errors=True)
+        ev_o = snapshot_as_events(
+            load_table(spark, sf, "orders").select(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_totalprice").cast("double").alias("val"),
+            ),
+            db="db",
+            schema="s",
+            table="orders",
+        )
+        ev_c = snapshot_as_events(
+            load_table(spark, sf, "customer").select(
+                F.col("c_custkey").alias("key"),
+                F.col("c_acctbal").cast("double").alias("val"),
+            ),
+            db="db",
+            schema="s",
+            table="customer",
+        )
+        ev_o.select("value").unionAll(ev_c.select("value")).write.mode(
+            "overwrite"
+        ).text(in_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith(("out_", "ckpt_")):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    run_id = uuid.uuid4().hex[:8]
+    out = f"{base}/out_{run_id}"
+    rep = Replicator(
+        spark,
+        ReplicateConfig(
+            replicator_id=f"fanout_{run_id}",
+            checkpoint_dir=f"{base}/ckpt_{run_id}",
+            source_format="files",
+            source_path=in_dir,
+            source_schema="value string",
+            target_format="parquet",
+            target_path=out,
+            target_partition_by="table",
+        ),
+    )
+    rep.start()
+    rep.process_available()
+    rep.stop()
+
+    # per-table consumers: partition-pruned scans of their own directory
+    def side(tbl: str) -> DataFrame:
+        return (
+            spark.read.parquet(out)
+            .filter(F.col("table") == tbl)  # partition filter → file skipping
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.get_json_object("after_json", "$.key").cast("long").alias("key"),
+                F.get_json_object("after_json", "$.val")
+                .cast("double")
+                .alias("val"),
+            )
+        )
+
+    return side("orders").unionAll(side("customer"))

@@ -54,6 +54,9 @@ class ReplicateConfig:
     target_format: str = "kafka"
     target_options: dict[str, str] = field(default_factory=dict)
     target_path: str = ""
+    # fan-out: partition the file sink by these envelope columns (e.g.
+    # ["table"] routes a one-topic-many-tables stream to per-table dirs)
+    target_partition_by: list[str] | str = ()
     trigger_processing_time: str = "5 seconds"  # ≈ FlushTimeout
     parse_debezium: bool = True
 
@@ -129,6 +132,11 @@ class Replicator:
                 writer = writer.option(k, v)
         elif cfg.target_format == "parquet":
             writer = df.writeStream.format("parquet").option("path", cfg.target_path)
+            pby = cfg.target_partition_by
+            if pby:
+                writer = writer.partitionBy(
+                    *([pby] if isinstance(pby, str) else list(pby))
+                )
             for k, v in cfg.target_options.items():
                 writer = writer.option(k, v)
         elif cfg.target_format == "memory":
