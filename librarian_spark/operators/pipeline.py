@@ -17,6 +17,33 @@ from librarian_spark.operators.registry import query
 
 _SNAP_QUERY = "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM source"
 
+_RUN_DIR_TTL_S = 1800  # sweep only run dirs older than this
+
+
+def _sweep_run_dirs(base: str, prefixes: tuple[str, ...]) -> None:
+    """Bounded /tmp: drop PREVIOUS runs' per-run dirs under ``base``.
+
+    Age-scoped: a dir younger than the TTL may belong to a CONCURRENTLY
+    running invocation (pytest and bench on the same sf) — an unconditional
+    sweep would delete that run's live checkpoint or sink mid-drain. Every
+    invocation writes uuid-tagged dirs, so anything older than the TTL is a
+    finished run's leftover and safe to drop.
+    """
+    import shutil
+    import time
+
+    if not os.path.isdir(base):
+        return
+    cutoff = time.time() - _RUN_DIR_TTL_S
+    for d in os.listdir(base):
+        path = os.path.join(base, d)
+        try:
+            if d.startswith(prefixes) and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:  # raced with another sweep — someone cleaned it
+            pass
+
+
 
 @query(
     "pipeline_snapshot",
@@ -102,10 +129,7 @@ def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
     # best-effort cleanup of previous runs' out/ckpt dirs (bounded /tmp use)
     import shutil
 
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith(("out_", "ckpt_")):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
 
     run_id = uuid.uuid4().hex[:8]
     out = f"{base}/out_{run_id}"
@@ -198,10 +222,7 @@ def pipeline_scd2(spark: SparkSession, sf: str) -> DataFrame:
         )
         ev.select("value").write.mode("overwrite").text(in_dir)
 
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith(("state_", "ckpt_")):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("state_", "ckpt_"))
 
     run_id = uuid.uuid4().hex[:8]
     cfg = SCD2Config(
@@ -274,10 +295,7 @@ def pipeline_dedup_gate(spark: SparkSession, sf: str) -> DataFrame:
             .parquet(in_dir)
         )
 
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith(("out_", "ckpt_")):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
 
     run_id = uuid.uuid4().hex[:8]
     out = f"{base}/out_{run_id}"
@@ -339,10 +357,7 @@ def pipeline_compact(spark: SparkSession, sf: str) -> DataFrame:
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
     base = f"/tmp/librarian_bench_compact_{tag}"
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith("run_"):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("run_",))
 
     data = f"{base}/run_{uuid.uuid4().hex[:8]}"
     # fragment count scales with source size (~2 MB fragments, floor 64) so
@@ -561,10 +576,7 @@ def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
         with open(ready, "w") as fh:
             fh.write("ok\n")
 
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith(("out_", "ckpt_")):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
 
     run_id = uuid.uuid4().hex[:8]
     out = f"{base}/out_{run_id}"
@@ -653,10 +665,7 @@ def pipeline_incremental_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:8]
     src_dir = f"{base}/src_{run_id}"
     out = f"{base}/out_{run_id}"
-    if os.path.isdir(base):  # bounded /tmp: drop previous runs' dirs
-        for d in os.listdir(base):
-            if d.startswith(("src_", "out_")) and run_id not in d:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("src_", "out_"))
 
     def _cfg() -> str:
         return f"""
@@ -842,10 +851,7 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(in_dir)
         )
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith(("out_", "ckpt_")):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
 
     run_id = uuid.uuid4().hex[:8]
     out = f"{base}/out_{run_id}"
@@ -941,10 +947,7 @@ def pipeline_partition_backfill(spark: SparkSession, sf: str) -> DataFrame:
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}:v1".encode()).hexdigest()[:10]
     base = f"/tmp/librarian_bench_backfill_{tag}"
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith("run_"):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("run_",))
     out = f"{base}/run_{uuid.uuid4().hex[:8]}"
 
     ev = load_table(spark, sf, "events").select(
@@ -1211,10 +1214,7 @@ def pipeline_snapshot_stream(spark: SparkSession, sf: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("ok")
 
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith(("state_", "ckpt_")):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("state_", "ckpt_"))
 
     run_id = uuid.uuid4().hex[:8]
     cfg = MaterializeConfig(
@@ -1308,10 +1308,7 @@ def pipeline_cdc_fanout(spark: SparkSession, sf: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("ok")
 
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            if d.startswith(("out_", "ckpt_")):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
 
     run_id = uuid.uuid4().hex[:8]
     out = f"{base}/out_{run_id}"

@@ -3048,7 +3048,13 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q64_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
-    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    # mask must mirror the oracle's CASE WHEN = 'error' THEN NULL ELSE value:
+    # the `!= 'error'`-keeps form silently masks NULL event_type rows too
+    # (NULL != 'error' is NULL, when() falls through) where the oracle keeps
+    # their value — divergent on any corpus with NULL event types
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

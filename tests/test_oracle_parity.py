@@ -45,6 +45,9 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
         [
             (999901, "2024-02-01 00:00:00", 7777, "solo_type", 5.0, "{}"),
             (999902, "2024-02-02 00:00:00", 8888, "view", 1.0, "{}"),
+            # NULL event_type: q64_forward_fill's mask must KEEP this value
+            # (NULL != 'error' is NULL — a when(!=)-keeps form masks it)
+            (999903, "2024-02-03 00:00:00", 8888, None, 3.0, "{}"),
         ],
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
@@ -56,7 +59,8 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "documents", "embeddings"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
-    for name in ["q47_zscore_anomaly", "q45_funnel", "cdc_apply", "q30_sessionization"]:
+    for name in ["q47_zscore_anomaly", "q45_funnel", "cdc_apply", "q30_sessionization",
+                 "q64_forward_fill"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
 
