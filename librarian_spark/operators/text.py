@@ -1328,3 +1328,107 @@ def text_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("importance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style merge training (tokenizer training as a distributed job)
+# --------------------------------------------------------------------------
+#
+# The inner loop of byte-pair-encoding training, at word granularity
+# (phrase-mining form): each round counts all adjacent token pairs across the
+# corpus, picks the most frequent pair, and merges its occurrences — the
+# merge TABLE (pair per rank) is the training artifact a tokenizer ships.
+# Engine shape per round: ONE map-side-combining pair-count aggregate, ONE
+# argmax row collected to the driver (the bm25 stats-row discipline — the
+# artifact is inherently tiny), ONE map-only literal REPLACE pass. At 100 TB
+# each round is a corpus scan + a vocabulary-sized shuffle; rounds are
+# strictly sequential (that's BPE), so wall-clock is rounds × scan — the
+# standard trade every distributed tokenizer trainer makes.
+#
+# Determinism: counts are integers, argmax tie-breaks on the pair string,
+# and REPLACE is left-to-right non-overlapping in BOTH engines (Java
+# String.replace and DuckDB REPLACE agree, including the consumed-boundary
+# behavior on back-to-back occurrences), so the oracle replays every round.
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        "t0 AS (SELECT ' ' || TRIM(LOWER(text)) || ' ' AS pt FROM documents)"
+    ]
+    outs = []
+    for r in range(_BPE_ROUNDS):
+        ctes.append(
+            f"""
+c{r} AS (SELECT pair, COUNT(*) AS cnt FROM (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1]))
+    AS pair
+  FROM (SELECT STR_SPLIT(TRIM(pt), ' ') AS w FROM t{r})) GROUP BY pair),
+b{r} AS (SELECT pair, cnt FROM c{r} ORDER BY cnt DESC, pair LIMIT 1)"""
+        )
+        outs.append(
+            f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, pair, "
+            f"CAST(cnt AS BIGINT) AS freq FROM b{r}"
+        )
+        if r + 1 < _BPE_ROUNDS:
+            ctes.append(
+                f"""
+t{r + 1} AS (SELECT REPLACE(pt,
+    ' ' || (SELECT pair FROM b{r}) || ' ',
+    ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '_') || ' ') AS pt
+  FROM t{r})"""
+            )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + " "
+        + " UNION ALL ".join(outs)
+    )
+
+
+@query(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc=f"BPE-style merge training ({_BPE_ROUNDS} rounds, word granularity): "
+    "per round, count every adjacent token pair corpus-wide (one map-side-"
+    "combining aggregate), take the most frequent pair (deterministic "
+    "argmax, tie-break on the pair string), and merge its occurrences with "
+    "a literal map-only REPLACE. The output is the learned merge table — "
+    "the artifact tokenizer training exists to produce. The oracle unrolls "
+    "the rounds and replays count/argmax/merge exactly (REPLACE is "
+    "left-to-right non-overlapping in both engines). At 100 TB: rounds are "
+    "sequential by definition; each costs one corpus scan plus a "
+    "vocabulary-sized shuffle, and only the 1-row argmax ever reaches the "
+    "driver.",
+)
+def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(_t(spark, sf, "documents"))
+    cur = d.select(
+        F.concat(F.lit(" "), F.trim(F.lower(F.col("text"))), F.lit(" ")).alias(
+            "pt"
+        )
+    )
+    merges: list[tuple[int, str, int]] = []
+    for r in range(_BPE_ROUNDS):
+        toks = cur.select(F.split(F.trim(F.col("pt")), " ").alias("_w"))
+        pairs = toks.select(
+            F.explode(shingles_of_tokens("_w", 2, distinct=False)).alias("pair")
+        )
+        counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+        best = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not best:  # degenerate corpus with no adjacent pairs anywhere
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        merges.append((r + 1, pair, cnt))
+        if r + 1 < _BPE_ROUNDS:
+            cur = cur.select(
+                F.replace(
+                    F.col("pt"),
+                    F.lit(f" {pair} "),
+                    F.lit(" " + pair.replace(" ", "_") + " "),
+                ).alias("pt")
+            )
+    return spark.createDataFrame(
+        merges, "merge_rank long, pair string, freq long"
+    )
