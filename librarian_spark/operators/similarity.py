@@ -605,7 +605,11 @@ def sim_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def build_ivf_index(
-    spark: SparkSession, sf: str, index_dir: str, nlists: int = _IVF_NLISTS
+    spark: SparkSession,
+    sf: str,
+    index_dir: str,
+    nlists: int = _IVF_NLISTS,
+    vectors: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index at rest: the corpus written PARTITIONED BY its
     inverted-list assignment (plus a centroids sidecar).
@@ -621,6 +625,11 @@ def build_ivf_index(
     import numpy as np
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # centroids always come from the TABLE (the quantizer is corpus-derived);
+    # `vectors` restricts only which rows get INDEXED — the incremental-add
+    # path indexes a subset now and appends the rest later under the same
+    # fixed quantizer
+    index_src = vectors if vectors is not None else e
     small = e.filter(F.col("vec_id") < nlists).toPandas()
     ids = small["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack(small["embedding"].to_numpy()).astype(np.float64)
@@ -646,7 +655,7 @@ def build_ivf_index(
                 }
             )
 
-    assigned = fan_out(e).mapInPandas(
+    assigned = fan_out(index_src).mapInPandas(
         assign, schema="vec_id long, embedding array<float>, list_id long"
     )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
@@ -656,6 +665,49 @@ def build_ivf_index(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cmat)],
         "list_id long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
+
+
+def ivf_index_add(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> None:
+    """Grow a persisted IVF index WITHOUT a rebuild: assign the new vectors
+    against the index's OWN centroid sidecar (the quantizer is frozen — the
+    whole point; re-clustering is a versioned-rewrite, not an add) and append
+    their files into the existing ``list_id`` partition dirs. At 100 TB this
+    is the nightly-ingest path: cost is one pass over the NEW batch, the
+    existing lists are never rewritten or even read."""
+    import numpy as np
+
+    cpdf = (
+        spark.read.parquet(index_dir + "/centroids").orderBy("list_id").toPandas()
+    )
+    cmat = np.stack(cpdf["centroid"].to_numpy())
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            block = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].astype("int64"),
+                    "embedding": b["embedding"],
+                    "list_id": np.argmax(block @ cm.T, axis=1).astype("int64"),
+                }
+            )
+
+    assigned = fan_out(new_vectors).mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, list_id long"
+    )
+    assigned.write.partitionBy("list_id").mode("append").parquet(
+        index_dir + "/lists"
+    )
 
 
 def ivf_index_topk(
@@ -758,6 +810,53 @@ def sim_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
     # a crash mid-build leaves a partial dir that must trigger a rebuild
     if not os.path.exists(index_dir + "/centroids/_SUCCESS"):
         build_ivf_index(spark, sf, index_dir)
+    return ivf_index_topk(spark, index_dir)
+
+
+_IVF_INCR_MOD = 10  # vec_id % 10 == 0 plays the newly ingested batch
+
+
+@query(
+    "sim_ivf_incremental_add",
+    oracle=_IVF_ORACLE,  # the grown index's CONTENT equals a one-shot build
+    # (assignments are a pure function of the frozen quantizer), so the same
+    # exact replay certifies the add path end-to-end
+    doc=f"IVF index GROWTH without rebuild: the base index is built over 90% "
+    "of the corpus, the remaining 10% (vec_id % "
+    f"{_IVF_INCR_MOD} == 0 plays a newly ingested batch) is assigned "
+    "against the index's persisted centroid sidecar and APPENDED into the "
+    "existing list partition dirs — existing lists are never rewritten or "
+    "read. The quantizer is frozen by design (re-clustering is a versioned "
+    "rewrite, not an add), so the grown index is bit-identical to a "
+    "one-shot build and the SAME exact oracle certifies the whole "
+    "build→add→probe path, including that probes see the added vectors. "
+    "At 100 TB this is the nightly-ingest path: cost is one pass over the "
+    "new batch only.",
+)
+def sim_ivf_incremental_add(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(sf, "embeddings.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    layout = f"{_IVF_NLISTS}:{_N_QUERIES}:incr{_IVF_INCR_MOD}"
+    tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/librarian_ivf_incr_{tag}"
+    done = index_dir + "/_ADDED"
+    # crash-safety: append is not atomic, so a dir without the final marker
+    # may hold a partial add — rebuild the whole thing from scratch rather
+    # than risk duplicated rows
+    if not os.path.exists(done):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        base = e.filter(F.col("vec_id") % _IVF_INCR_MOD != 0)
+        build_ivf_index(spark, sf, index_dir, vectors=base)
+        ivf_index_add(
+            spark, index_dir, e.filter(F.col("vec_id") % _IVF_INCR_MOD == 0)
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
     return ivf_index_topk(spark, index_dir)
 
 
