@@ -26,8 +26,11 @@ def _sweep_run_dirs(base: str, prefixes: tuple[str, ...]) -> None:
     Age-scoped: a dir younger than the TTL may belong to a CONCURRENTLY
     running invocation (pytest and bench on the same sf) — an unconditional
     sweep would delete that run's live checkpoint or sink mid-drain. Every
-    invocation writes uuid-tagged dirs, so anything older than the TTL is a
-    finished run's leftover and safe to drop.
+    invocation writes uuid-tagged dirs, so anything whose NEWEST file is
+    older than the TTL is a finished run's leftover and safe to drop.
+    Trade-off: runs within one TTL window accumulate (best-of-N bench = N
+    run footprints for 30 min) — bounded and preferable to deleting a
+    concurrent run's live state.
     """
     import shutil
     import time
@@ -35,10 +38,25 @@ def _sweep_run_dirs(base: str, prefixes: tuple[str, ...]) -> None:
     if not os.path.isdir(base):
         return
     cutoff = time.time() - _RUN_DIR_TTL_S
+
+    def newest_mtime(path: str) -> float:
+        # a LIVE streaming checkpoint's top-level mtime freezes at creation
+        # (progress lands in offsets/commits/ subdirs), so liveness must be
+        # judged by the newest mtime anywhere under the dir — a drain longer
+        # than the TTL keeps touching files and stays protected
+        newest = os.path.getmtime(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                except OSError:
+                    pass
+        return newest
+
     for d in os.listdir(base):
         path = os.path.join(base, d)
         try:
-            if d.startswith(prefixes) and os.path.getmtime(path) < cutoff:
+            if d.startswith(prefixes) and newest_mtime(path) < cutoff:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:  # raced with another sweep — someone cleaned it
             pass
@@ -127,7 +145,6 @@ def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
         ev.select("value").write.mode("overwrite").text(in_dir)
 
     # best-effort cleanup of previous runs' out/ckpt dirs (bounded /tmp use)
-    import shutil
 
     _sweep_run_dirs(base, ("out_", "ckpt_"))
 
@@ -184,7 +201,6 @@ def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
     "batch cdc_scd2 operator commits to.",
 )
 def pipeline_scd2(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F
@@ -266,7 +282,6 @@ from librarian_spark.operators.dedup import _IDX_QUERY_MOD, _NGRAM_ORACLE
     "corpus itself is never rescanned.",
 )
 def pipeline_dedup_gate(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F
@@ -347,7 +362,6 @@ def pipeline_dedup_gate(spark: SparkSession, sf: str) -> DataFrame:
     "so the measurement is never a no-op resume.",
 )
 def pipeline_compact(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
     import uuid
 
     from librarian_spark.maintenance import compact, dir_stats
@@ -533,7 +547,6 @@ archiver:
     "session state.",
 )
 def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F
@@ -831,7 +844,6 @@ def pipeline_zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
     "event time passes.",
 )
 def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F
@@ -936,7 +948,6 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     "from the target would read and overwrite the same files.",
 )
 def pipeline_partition_backfill(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F

@@ -604,6 +604,47 @@ def sim_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _load_centroids(spark: SparkSession, index_dir: str):
+    """The centroid sidecar as a (nlists × dim) float64 matrix, in list order —
+    shared by the probe AND the incremental add so assignment order/normalize
+    semantics can never diverge from the build."""
+    import numpy as np
+
+    cpdf = (
+        spark.read.parquet(index_dir + "/centroids").orderBy("list_id").toPandas()
+    )
+    return np.stack(cpdf["centroid"].to_numpy())
+
+
+def _assign_to_lists(spark: SparkSession, vectors: DataFrame, cmat) -> DataFrame:
+    """Assign vectors to their nearest centroid's inverted list — THE single
+    copy of the assignment kernel (build and add must be bit-identical or the
+    grown-index-equals-one-shot-build oracle invariant silently breaks)."""
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            block = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].astype("int64"),
+                    "embedding": b["embedding"],
+                    "list_id": np.argmax(block @ cm.T, axis=1).astype("int64"),
+                }
+            )
+
+    return fan_out(vectors).mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, list_id long"
+    )
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf: str,
@@ -635,29 +676,8 @@ def build_ivf_index(
     mat = np.stack(small["embedding"].to_numpy()).astype(np.float64)
     mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
     cmat = mat[np.argsort(ids)]
-    bc = spark.sparkContext.broadcast(cmat)
 
-    def assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        cm = bc.value
-        for b in batches:
-            if not len(b):
-                continue
-            block = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
-            yield pd.DataFrame(
-                {
-                    "vec_id": b["vec_id"].astype("int64"),
-                    "embedding": b["embedding"],
-                    "list_id": np.argmax(block @ cm.T, axis=1).astype("int64"),
-                }
-            )
-
-    assigned = fan_out(index_src).mapInPandas(
-        assign, schema="vec_id long, embedding array<float>, list_id long"
-    )
+    assigned = _assign_to_lists(spark, index_src, cmat)
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
         index_dir + "/lists"
     )
@@ -676,35 +696,7 @@ def ivf_index_add(
     their files into the existing ``list_id`` partition dirs. At 100 TB this
     is the nightly-ingest path: cost is one pass over the NEW batch, the
     existing lists are never rewritten or even read."""
-    import numpy as np
-
-    cpdf = (
-        spark.read.parquet(index_dir + "/centroids").orderBy("list_id").toPandas()
-    )
-    cmat = np.stack(cpdf["centroid"].to_numpy())
-    bc = spark.sparkContext.broadcast(cmat)
-
-    def assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        cm = bc.value
-        for b in batches:
-            if not len(b):
-                continue
-            block = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
-            yield pd.DataFrame(
-                {
-                    "vec_id": b["vec_id"].astype("int64"),
-                    "embedding": b["embedding"],
-                    "list_id": np.argmax(block @ cm.T, axis=1).astype("int64"),
-                }
-            )
-
-    assigned = fan_out(new_vectors).mapInPandas(
-        assign, schema="vec_id long, embedding array<float>, list_id long"
-    )
+    assigned = _assign_to_lists(spark, new_vectors, _load_centroids(spark, index_dir))
     assigned.write.partitionBy("list_id").mode("append").parquet(
         index_dir + "/lists"
     )
@@ -722,12 +714,7 @@ def ivf_index_topk(
     a partition filter on the index layout — unprobed files are never opened."""
     import numpy as np
 
-    cpdf = (
-        spark.read.parquet(index_dir + "/centroids")
-        .orderBy("list_id")
-        .toPandas()
-    )
-    cmat = np.stack(cpdf["centroid"].to_numpy())
+    cmat = _load_centroids(spark, index_dir)
     lists = spark.read.parquet(index_dir + "/lists")
     qpdf = lists.filter(F.col("vec_id") < query_ids_below).toPandas()
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
@@ -843,20 +830,25 @@ def sim_ivf_incremental_add(spark: SparkSession, sf: str) -> DataFrame:
     layout = f"{_IVF_NLISTS}:{_N_QUERIES}:incr{_IVF_INCR_MOD}"
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_ivf_incr_{tag}"
-    done = index_dir + "/_ADDED"
-    # crash-safety: append is not atomic, so a dir without the final marker
-    # may hold a partial add — rebuild the whole thing from scratch rather
-    # than risk duplicated rows
-    if not os.path.exists(done):
-        shutil.rmtree(index_dir, ignore_errors=True)
+    # crash- AND race-safety: append is not idempotent, so the whole
+    # build+add happens in a private staging dir, published by ONE atomic
+    # rename — a concurrent first-run builds its own staging copy, loses the
+    # rename, and discards it. The published dir is complete by construction
+    # (no marker needed) and can never hold a double-appended batch.
+    if not os.path.isdir(index_dir):
+        import uuid
+
+        staging = f"{index_dir}.staging-{uuid.uuid4().hex[:8]}"
         e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
         base = e.filter(F.col("vec_id") % _IVF_INCR_MOD != 0)
-        build_ivf_index(spark, sf, index_dir, vectors=base)
+        build_ivf_index(spark, sf, staging, vectors=base)
         ivf_index_add(
-            spark, index_dir, e.filter(F.col("vec_id") % _IVF_INCR_MOD == 0)
+            spark, staging, e.filter(F.col("vec_id") % _IVF_INCR_MOD == 0)
         )
-        with open(done, "w") as fh:
-            fh.write("ok")
+        try:
+            os.rename(staging, index_dir)
+        except OSError:  # lost the publish race — use the winner's index
+            shutil.rmtree(staging, ignore_errors=True)
     return ivf_index_topk(spark, index_dir)
 
 

@@ -56,7 +56,7 @@ class ReplicateConfig:
     target_path: str = ""
     # fan-out: partition the file sink by these envelope columns (e.g.
     # ["table"] routes a one-topic-many-tables stream to per-table dirs)
-    target_partition_by: list[str] | str = ()
+    target_partition_by: tuple[str, ...] | str = ()
     trigger_processing_time: str = "5 seconds"  # ≈ FlushTimeout
     parse_debezium: bool = True
 
