@@ -69,6 +69,8 @@ QUERIES = [
     "mm_phash_dedup",       # batched block hash + slice join + hamming
     "graph_pagerank",       # 5 broadcast+agg fixed-point iterations
     "q64_forward_fill",     # single key window, O(1) frame state
+    "text_bpe_train_merges",  # rounds x (pair-count agg + map-only merge)
+    "sim_ivf_incremental_add",  # probe cost over the grown index
 ]
 
 
