@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from librarian_spark.operators.registry import query
 from librarian_spark.sources.batch import fan_out
@@ -537,4 +538,79 @@ def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
         .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# WebDataset-style shard packing (training-data egress manifest)
+# --------------------------------------------------------------------------
+
+_SHARD_BUDGET = 16_384  # bytes per shard (small so sf0.01 yields ~10 shards)
+_SHARD_BUCKET = 1_000  # coarse doc_id blocks for the two-level prefix sum
+
+
+@query(
+    "mm_shard_manifest",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS nb,
+             COALESCE(SUM(OCTET_LENGTH(ENCODE(text))) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM documents
+    )
+    SELECT prior // {_SHARD_BUDGET} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM sized GROUP BY 1
+    """,
+    doc="WebDataset-style shard packing: documents in stable doc_id order are "
+    f"assigned to ~{_SHARD_BUDGET}-byte shards by exclusive running payload "
+    "size (shard = prefix_bytes // budget — sequence-sharded egress for "
+    "training dataloaders). The prefix sum is computed WITHOUT a global "
+    "single-partition window: per-block subtotals (one groupBy on "
+    f"doc_id//{_SHARD_BUCKET}) take a tiny blocks-only running total, "
+    "broadcast back, and each row adds its within-block running sum from a "
+    "window PARTITIONED by block — every stage parallel, the only ordered "
+    "scan is |blocks| rows. The oracle runs the naive global window (honest "
+    "at oracle scale). At 100 TB: blocks ≈ input splits, and the manifest "
+    "(one row per ~shard) is exactly what the tar-writer job consumes.",
+)
+def mm_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    d = ingest_binary(spark, sf).select(
+        "doc_id", F.col("meta.n_bytes").alias("nb")
+    )
+    d = d.withColumn(
+        "blk", F.call_function("div", F.col("doc_id"), F.lit(_SHARD_BUCKET))
+    )
+    # level 1: per-block totals, then an exclusive running total over the
+    # (tiny) block list — |blocks| rows through the unpartitioned window
+    blk = d.groupBy("blk").agg(F.sum("nb").alias("blk_nb"))
+    wb = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    blk_prior = blk.select(
+        "blk", F.coalesce(F.sum("blk_nb").over(wb), F.lit(0)).alias("blk_prior")
+    )
+    # level 2: within-block exclusive running sum, partition-parallel
+    ww = (
+        W.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sized = (
+        d.join(F.broadcast(blk_prior), "blk")
+        .withColumn(
+            "prior",
+            F.col("blk_prior") + F.coalesce(F.sum("nb").over(ww), F.lit(0)),
+        )
+        .withColumn(
+            "shard_id",
+            F.call_function("div", F.col("prior"), F.lit(_SHARD_BUDGET)),
+        )
+    )
+    return sized.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
