@@ -1355,3 +1355,108 @@ def pipeline_cdc_fanout(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return side("orders").unionAll(side("customer"))
+
+
+@query(
+    "pipeline_quarantine",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN value > 400
+                     OR CAST(JSON_EXTRACT_STRING(props,'$.k') AS BIGINT) > 95
+                THEN 'quarantined' ELSE 'clean' END AS status,
+           CASE WHEN value > 400 THEN 'value_out_of_range'
+                WHEN CAST(JSON_EXTRACT_STRING(props,'$.k') AS BIGINT) > 95
+                     THEN 'props_k_out_of_range'
+           END AS reason
+    FROM events
+    """,
+    doc="Dead-letter-queue split: every ingested row is validated against an "
+    "ordered rule list (range check on value, range check on a JSON prop); "
+    "failures land in a quarantine sink WITH their first-failing-rule "
+    "reason, survivors in the clean sink — the ingest-quality gate every "
+    "production pipeline needs (bad rows must neither poison downstream "
+    "tables nor vanish silently). ONE validation pass computes the reason "
+    "column; both sinks are written and the returned frame is the "
+    "READ-BACK union, so the oracle comparison proves both write paths "
+    "round-trip. Map-only except the file writes; at 100 TB the DLQ side "
+    "is tiny and the clean side streams through untouched.",
+)
+def pipeline_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    _sweep_run_dirs("/tmp", ("librarian_quarantine_",))
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_quarantine_{tag}"
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    reason = F.when(F.col("value") > 400, F.lit("value_out_of_range")).when(
+        k > 95, F.lit("props_k_out_of_range")
+    )
+    validated = ev.select("event_id", "user_id", "value", reason.alias("reason"))
+    validated.filter(F.col("reason").isNotNull()).write.mode("overwrite").parquet(
+        f"{base}/quarantine"
+    )
+    validated.filter(F.col("reason").isNull()).drop("reason").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/clean")
+    dlq = spark.read.parquet(f"{base}/quarantine").select(
+        "event_id", "user_id", "value",
+        F.lit("quarantined").alias("status"), "reason",
+    )
+    clean = spark.read.parquet(f"{base}/clean").select(
+        "event_id", "user_id", "value",
+        F.lit("clean").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+    )
+    return dlq.unionByName(clean)
+
+
+@query(
+    "pipeline_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(1 AS BIGINT) AS gen
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc="Additive schema evolution across snapshot generations: gen=1 was "
+    "written before the source grew a column, gen=2 after; ONE "
+    "mergeSchema=true read unifies them, backfilling NULL for the column "
+    "gen=1 never had — the grow-the-table-without-rewriting-history "
+    "contract (the batch twin of the streaming materializers' widened "
+    "row_ddl drive). The generation is a PARTITION DIRECTORY, so "
+    "generation-scoped queries prune files before reading a byte. The "
+    "returned frame is the merged READ-BACK; the oracle replays both "
+    "generations with an explicit NULL backfill. At 100 TB mergeSchema's "
+    "footer union is driver-side over file stats, not data.",
+)
+def pipeline_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    _sweep_run_dirs("/tmp", ("librarian_schevo_",))
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_schevo_{tag}"
+    o = load_table(spark, sf, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{base}/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.col("gen").cast("long").alias("gen"),
+    )

@@ -1406,3 +1406,142 @@ def sim_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         (contrib("rb") + contrib("rc")).cast("long").alias("rrf_scaled"),
     )
     return fused.orderBy(F.col("rrf_scaled").desc(), "doc_id").limit(_RRF_OUT_N)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-dim rerank (coarse prefix-dim search → exact rerank)
+# --------------------------------------------------------------------------
+
+_MRL_DIM = 16  # coarse stage scores only the first 16 of 64 dims
+_MRL_COARSE_K = 30  # candidates kept per query for the exact stage
+
+_MRL_ORACLE = f"""
+WITH unit16 AS (
+  SELECT vec_id, {_o_normalize('embedding[1:' + str(_MRL_DIM) + ']', _MRL_DIM)} AS u16
+  FROM embeddings
+),
+unit AS (
+  SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_o_dot('q.u16', 'c.u16', _MRL_DIM)}, 6) AS coarse_score
+  FROM unit16 q JOIN unit16 c
+    ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, coarse_score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY coarse_score DESC, neighbor_id) AS crn
+    FROM coarse)
+  WHERE crn <= {_MRL_COARSE_K}
+),
+rer AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.coarse_score,
+         ROUND({_o_dot('q.u', 'c.u')}, 6) AS score
+  FROM cand
+  JOIN unit q ON q.vec_id = cand.query_id
+  JOIN unit c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, coarse_score, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM rer)
+SELECT query_id, neighbor_id, coarse_score, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK}
+"""
+
+
+@query(
+    "sim_matryoshka_rerank",
+    oracle=_MRL_ORACLE,
+    doc=f"Matryoshka-style two-stage retrieval: the coarse pass scores only "
+    f"the first {_MRL_DIM} of {_DIM} dims (prefix re-normalized — the MRL "
+    f"truncation contract), keeps {_MRL_COARSE_K} candidates per query, and "
+    f"ONLY those are re-scored full-width for the final top-{_TOPK}. The "
+    f"coarse matmul moves {_MRL_DIM}/{_DIM} = 4x less data through the "
+    "cache than full-width brute force and the exact stage touches "
+    f"|Q|·{_MRL_COARSE_K} rows instead of |Q|·|N| — the standard "
+    "cheap-filter/exact-rerank funnel of MRL embeddings (also the shape of "
+    "int8→float rerank in sim_quantize_int8). Coarse stage: broadcast "
+    "prefix-normalized queries, per-partition BLAS + local top-k prune "
+    "(the sim_cosine_topk shuffle bound); exact stage: the candidate list "
+    "is the broadcast side of both embedding joins, scored with the "
+    "sequential-fold dot the oracle replays bit-for-bit.",
+)
+def sim_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from librarian_spark.functions.vector import dot, unit_vectors
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qpdf = e.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)[:, :_MRL_DIM]
+    qm /= np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qb = spark.sparkContext.broadcast((q_ids, qm))
+    k, mdim = _MRL_COARSE_K, _MRL_DIM
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, qm = qb.value
+        for b in batches:
+            if not len(b):
+                continue
+            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            c = np.stack(b["embedding"].to_numpy()).astype(np.float64)[:, :mdim]
+            c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
+            scores = np.round(qm @ c.T, 6)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                s = scores[qi]
+                idx = np.nonzero(c_ids != q_ids[qi])[0]
+                if not len(idx):
+                    continue
+                top = idx[np.lexsort((c_ids[idx], -s[idx]))][:k]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(c_ids[top].tolist())
+                out_s.extend(s[top].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "coarse_score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    pruned = fan_out(e).mapInPandas(
+        op, schema="query_id long, neighbor_id long, coarse_score double"
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("coarse_score").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        pruned.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= _MRL_COARSE_K)
+        .drop("crn")
+    )
+    u = unit_vectors(e)
+    qu = u.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))
+    cu = u.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    # candidates (|Q|·coarse_k rows) are the broadcast side of BOTH joins;
+    # the corpus embeddings never shuffle
+    rer = F.broadcast(F.broadcast(cand).join(qu, "query_id")).join(
+        cu, "neighbor_id"
+    )
+    rer = rer.withColumn("score", F.round(dot(F.col("qu"), F.col("cu")), 6))
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            "query_id", "neighbor_id", "coarse_score", "score",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -1432,3 +1432,79 @@ def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank long, pair string, freq long"
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (top terms per document)
+# --------------------------------------------------------------------------
+
+_TFIDF_SCALE = 1_000_000
+_TFIDF_TOPK = 3
+
+
+@query(
+    "text_keyword_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STR_SPLIT(TRIM(LOWER(text)), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             t.tf * (({_TFIDF_SCALE} * n.n) // d.df) AS score_scaled,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * (({_TFIDF_SCALE} * n.n) // d.df) DESC, t.token
+             ) AS rn
+      FROM tf t JOIN df d USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score_scaled AS BIGINT) AS score_scaled, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= {_TFIDF_TOPK}
+    """,
+    doc=f"Top-{_TFIDF_TOPK} keywords per document by TF-IDF — the "
+    "keyword-extraction / topic-labeling primitive. IDF is kept in exact "
+    f"integer fixed point (tf · ({_TFIDF_SCALE}·N // df)) — "
+    "rank-equivalent to tf/df weighting and bit-reproducible across "
+    "engines where a float log-IDF is not; ties broken by token. Two "
+    "aggregates (doc-term tf, term df — the df frame is term-count-sized "
+    "and broadcast back) + one window PARTITIONED by doc (parallel). "
+    "The corpus size N is a one-row aggregate inlined as a literal "
+    "(the bm25 pattern). At 100 TB the doc-term table shuffles once on "
+    "term for df and once on doc for the window — both unavoidable and "
+    "both partial-aggregated map-side.",
+)
+def text_keyword_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf, "documents")
+    n_docs = d.count()  # one scalar to the driver, inlined as a literal
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.call_function(
+        "div", F.lit(_TFIDF_SCALE * n_docs).cast("long"), F.col("df")
+    )
+    scored = tf.join(F.broadcast(df), "token").withColumn(
+        "score_scaled", F.col("tf") * idf
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
+        .select(
+            "doc_id", "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score_scaled").cast("long").alias("score_scaled"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
