@@ -387,3 +387,41 @@ def zorder_write(df, path: str, cluster_cols: list[str], n_files: int = 16,
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def footer_file_stats(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-FILE (path, min, max) for one column from parquet footers — the
+    zone-map manifest an Iceberg/Delta table keeps per data file, derived
+    here directly from footer statistics (a few KB of metadata reads per
+    file, no data IO). Files lacking stats for the column are returned with
+    (None, None) so callers must keep them (pruning is only sound when the
+    range is known)."""
+    import pyarrow.parquet as pq
+
+    paths = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    out: list[tuple[str, object, object]] = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema != column:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        out.append((p, lo if ok else None, hi if ok else None))
+    return out

@@ -1460,3 +1460,68 @@ def pipeline_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderstatus",
         F.col("gen").cast("long").alias("gen"),
     )
+
+
+_MPRUNE_PCT = (45, 55)  # middle 10% of the key domain — scale-relative
+
+
+@query(
+    "pipeline_manifest_prune",
+    oracle="""
+    WITH b AS (SELECT MIN(l_orderkey) AS gmin, MAX(l_orderkey) AS gmax
+               FROM lineitem)
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem, b
+    WHERE l_orderkey BETWEEN gmin + (gmax - gmin) * 45 // 100
+                         AND gmin + (gmax - gmin) * 55 // 100
+    """,
+    doc="Iceberg/Delta-style manifest pruning from parquet footer zone maps: "
+    "the table is laid out range-clustered on the key "
+    "(repartitionByRange — each file owns a tight key range), a MANIFEST of "
+    "per-file (min, max) is built from footer statistics alone (KBs of "
+    "metadata IO, no data reads), and a range predicate (the middle 10% of "
+    "the key domain, derived from the same footer stats with exact integer "
+    "math the oracle replays) selects the files whose zone intersects "
+    "BEFORE any scan is planned — the read then touches only those files "
+    "plus a residual in-file filter. The run asserts pruning actually bit "
+    "(kept < total files) — at 100 TB this metadata-first cut is the "
+    "difference between scanning 3 files and 3000; it composes with (not "
+    "replaces) parquet row-group pushdown, which prunes WITHIN the files "
+    "that survive. Files with absent stats are conservatively kept.",
+)
+def pipeline_manifest_prune(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from librarian_spark.maintenance import footer_file_stats
+    from librarian_spark.sources.batch import load_table
+
+    _sweep_run_dirs("/tmp", ("librarian_mprune_",))
+    src = os.path.join(sf, "lineitem.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:16".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_mprune_{tag}"
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+        ).repartitionByRange(16, "l_orderkey").write.mode("overwrite").parquet(
+            base
+        )
+    manifest = footer_file_stats(base, "l_orderkey")
+    known = [(lo, hi) for _, lo, hi in manifest if lo is not None]
+    gmin = min(lo for lo, _ in known)
+    gmax = max(hi for _, hi in known)
+    lo_key = gmin + (gmax - gmin) * _MPRUNE_PCT[0] // 100
+    hi_key = gmin + (gmax - gmin) * _MPRUNE_PCT[1] // 100
+    kept = [
+        p
+        for p, lo, hi in manifest
+        if lo is None or hi is None or (lo <= hi_key and hi >= lo_key)
+    ]
+    if not (0 < len(kept) < len(manifest)):
+        raise RuntimeError(
+            f"manifest pruning ineffective: kept {len(kept)}/{len(manifest)} "
+            f"files under {base}"
+        )
+    return spark.read.parquet(*kept).filter(
+        F.col("l_orderkey").between(lo_key, hi_key)
+    )

@@ -3306,3 +3306,102 @@ def q65_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return words.groupBy("l_partkey").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("n_supp")
     )
+
+
+# --------------------------------------------------------------------------
+# Q66 event-sequence pattern match (MATCH_RECOGNIZE-style funnels)
+# --------------------------------------------------------------------------
+
+# v…c…p with no intervening error — initials of view/click/purchase/error
+_Q66_PATTERN = "v[^e]*c[^e]*p"
+
+
+@query(
+    "q66_event_pattern",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             STRING_AGG(LEFT(event_type, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, s AS event_seq,
+           REGEXP_MATCHES(s, '{_Q66_PATTERN}') AS has_funnel,
+           CAST(LENGTH(s) AS BIGINT) AS n_events
+    FROM seq
+    """,
+    doc="MATCH_RECOGNIZE-style sequence pattern detection (no native Spark "
+    "operator): each user's event history collapses to an ordered "
+    "initial-character string — ONE grouped aggregate — and the pattern "
+    "'view then click then purchase with no intervening error' becomes a "
+    f"regex ({_Q66_PATTERN!r}) evaluated per user, not per event. Unlike "
+    "q45's per-step funnel joins, arbitrary patterns (negations, "
+    "quantifiers, alternation) are one regex edit away. Order inside "
+    "collect_list is made deterministic by array_sort over (ts, event_id, "
+    "initial) structs — never rely on arrival order. One shuffle on "
+    "user_id; the regex runs on |users| strings of avg-events length. "
+    "Java regex and RE2 agree on this pattern class (char classes + '*').",
+)
+def q66_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("event_seq")
+    )
+    return seq.select(
+        "user_id",
+        "event_seq",
+        F.col("event_seq").rlike(_Q66_PATTERN).alias("has_funnel"),
+        F.length("event_seq").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q67 fixed-width histogram (value distribution profiling)
+# --------------------------------------------------------------------------
+
+_Q67_WIDTH = 50
+_Q67_BUCKETS = 10
+
+
+@query(
+    "q67_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / {_Q67_WIDTH}), {_Q67_BUCKETS - 1}) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events GROUP BY 1, 2
+    """,
+    doc=f"Fixed-width histogram ({_Q67_BUCKETS} buckets of {_Q67_WIDTH}, "
+    "top-clamped) per event type — the data-profiling primitive behind "
+    "dashboards and drift monitors. Bucketing is a map-side expression, so "
+    "the aggregate partially combines to ≤ types·buckets rows per "
+    "partition before ONE shuffle — the full distribution of any corpus "
+    "costs one pass regardless of size (contrast q33's exact percentiles, "
+    "which need a per-key sort). floor(value/width) on doubles is exact "
+    "IEEE in both engines; min/max per bucket expose the actual occupied "
+    "range inside each bin.",
+)
+def q67_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / _Q67_WIDTH), F.lit(_Q67_BUCKETS - 1)
+    ).cast("long")
+    return e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
