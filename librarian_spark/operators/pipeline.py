@@ -1525,3 +1525,137 @@ def pipeline_manifest_prune(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(*kept).filter(
         F.col("l_orderkey").between(lo_key, hi_key)
     )
+
+
+@query(
+    "pipeline_stream_exact_dedup",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    doc="Streaming exactly-once ingest dedup: the input stream carries REPLAYED "
+    "duplicates (a second file re-delivers 50% of the events — the at-least-"
+    "once delivery every real broker/file-drop exhibits), and "
+    "dropDuplicatesWithinWatermark on the event key emits each event exactly "
+    "once into the parquet sink. State is keyed by event_id and EVICTED once "
+    "the watermark passes an event's timestamp — bounded state at 100 TB, "
+    "where unbounded dropDuplicates would hold every key forever; the "
+    "watermark delay here spans the corpus so the drain is exact and the "
+    "oracle is simply the deduplicated source. Per batch: one shuffle of the "
+    "batch (sized by per-batch volume, not corpus), one state-store probe "
+    "per key. The returned frame is the sink READ-BACK — the oracle match "
+    "proves no duplicate and no loss through stream→state→sink.",
+)
+def pipeline_stream_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    _sweep_run_dirs("/tmp", ("librarian_sdedup_",))
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:replay2".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_sdedup_{tag}"
+    in_dir = f"{base}/in"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    if not os.path.exists(os.path.join(in_dir, "_f2marker")):
+        # file 1: every event once; file 2 (APPENDED second — FileStreamSource
+        # orders by mtime): a 50% replay slice, i.e. pure duplicates
+        ev.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        with open(os.path.join(in_dir, "_f2marker"), "w") as fh:
+            fh.write("ok")
+
+    run_id = uuid.uuid4().hex[:8]
+    out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    # watermark delay spans the whole corpus timeline: state survives the
+    # replay file, so the drain is EXACT; production sets this to the real
+    # redelivery horizon and trades tail-late duplicates for bounded state
+    deduped = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # per-BATCH volume
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+_VACUUM_GENS = 4
+_VACUUM_KEEP = 2
+
+
+@query(
+    "pipeline_vacuum_snapshots",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           CAST(o_orderkey % {_VACUUM_GENS} + 1 AS BIGINT) AS gen
+    FROM orders
+    WHERE o_orderkey % {_VACUUM_GENS} + 1 > {_VACUUM_GENS - _VACUUM_KEEP}
+    """,
+    doc=f"Snapshot retention / vacuum: {_VACUUM_GENS} snapshot generations "
+    f"exist as partition directories; the retention policy keeps the newest "
+    f"{_VACUUM_KEEP} and vacuum DELETES the expired generations' files — "
+    "the storage-cost control loop of any time-travel table (delta/iceberg "
+    "VACUUM / expire_snapshots). The run re-creates expired generations if "
+    "a previous vacuum removed them (idempotent re-entry), vacuums, asserts "
+    "the expired dirs are gone, and returns the READ-BACK of what survived "
+    "— the oracle match proves vacuum removed exactly the expired "
+    "generations and nothing else. Deletion is per-directory (partition "
+    "pruning in reverse): no scan of surviving data.",
+)
+def pipeline_vacuum_snapshots(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    _sweep_run_dirs("/tmp", ("librarian_vacuum_",))
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(
+        f"{sf}:{mtime}:{_VACUUM_GENS}:{_VACUUM_KEEP}".encode()
+    ).hexdigest()[:10]
+    base = f"/tmp/librarian_vacuum_{tag}"
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    for g in range(1, _VACUUM_GENS + 1):
+        gen_dir = f"{base}/gen={g}"
+        if not os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
+            o.filter(F.col("o_orderkey") % _VACUUM_GENS == g - 1).write.mode(
+                "overwrite"
+            ).parquet(gen_dir)
+    expired = [
+        f"{base}/gen={g}"
+        for g in range(1, _VACUUM_GENS - _VACUUM_KEEP + 1)
+    ]
+    for d in expired:
+        shutil.rmtree(d, ignore_errors=True)
+    if any(os.path.exists(d) for d in expired):
+        raise RuntimeError(f"vacuum left expired generations under {base}")
+    kept = spark.read.parquet(base)
+    return kept.select(
+        "o_orderkey", "o_totalprice", F.col("gen").cast("long").alias("gen")
+    )
