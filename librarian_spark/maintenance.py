@@ -274,6 +274,20 @@ def cluster_write(
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
 
 
+def _parquet_paths(path: str) -> list[str]:
+    """Data files under ``path`` (a file or a directory), sorted for
+    deterministic iteration — shared by both footer-stats readers."""
+    return (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+
+
 def footer_minmax(path: str, columns: list[str]) -> dict[str, tuple]:
     """Column (min, max) across ALL parquet footers under ``path`` (a file or
     a directory) — metadata-only, a few KB of reads however large the data.
@@ -282,18 +296,14 @@ def footer_minmax(path: str, columns: list[str]) -> dict[str, tuple]:
     pruning assertion, q60's round-bound probe); the independent hand-rolled
     copy in tests stays independent on purpose — it verifies this one.
     Columns with no statistics anywhere are absent from the result.
+    GLOBAL aggregation semantics: row groups with stats contribute even when
+    sibling row groups lack them — per-FILE conservative semantics (a file
+    with ANY stats gap is unknown, as pruning requires) live in
+    ``footer_file_stats``.
     """
     import pyarrow.parquet as pq
 
-    paths = (
-        [
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        ]
-        if os.path.isdir(path)
-        else [path]
-    )
+    paths = _parquet_paths(path)
     out: dict[str, tuple] = {}
     for p in paths:
         md = pq.ParquetFile(p).metadata
@@ -395,20 +405,13 @@ def footer_file_stats(path: str, column: str) -> list[tuple[str, object, object]
     here directly from footer statistics (a few KB of metadata reads per
     file, no data IO). Files lacking stats for the column are returned with
     (None, None) so callers must keep them (pruning is only sound when the
-    range is known)."""
+    range is known). Per-FILE conservative semantics: ANY row group missing
+    stats for the column makes the whole file unknown — contrast
+    ``footer_minmax``'s global best-effort aggregation."""
     import pyarrow.parquet as pq
 
-    paths = (
-        sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-        if os.path.isdir(path)
-        else [path]
-    )
     out: list[tuple[str, object, object]] = []
-    for p in paths:
+    for p in _parquet_paths(path):
         md = pq.ParquetFile(p).metadata
         lo = hi = None
         ok = True
@@ -418,7 +421,12 @@ def footer_file_stats(path: str, column: str) -> list[tuple[str, object, object]
                 if col.path_in_schema != column:
                     continue
                 st = col.statistics
-                if st is None or not st.has_min_max:
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or st.min is None
+                    or st.max is None
+                ):
                     ok = False
                     continue
                 lo = st.min if lo is None else min(lo, st.min)

@@ -1480,7 +1480,8 @@ def sim_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
     qpdf = e.filter(F.col("vec_id") < _N_QUERIES).toPandas()
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)[:, :_MRL_DIM]
-    qm /= np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qn = np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qm /= np.where(qn == 0.0, 1.0, qn)  # all-zero prefix scores 0, never NaN
     qb = spark.sparkContext.broadcast((q_ids, qm))
     k, mdim = _MRL_COARSE_K, _MRL_DIM
 
@@ -1494,7 +1495,8 @@ def sim_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
                 continue
             c_ids = b["vec_id"].to_numpy(dtype=np.int64)
             c = np.stack(b["embedding"].to_numpy()).astype(np.float64)[:, :mdim]
-            c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
+            cn = np.sqrt((c * c).sum(axis=1, keepdims=True))
+            c /= np.where(cn == 0.0, 1.0, cn)  # zero prefix → 0, never NaN
             scores = np.round(qm @ c.T, 6)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
