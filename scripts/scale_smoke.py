@@ -71,6 +71,15 @@ QUERIES = [
     "q64_forward_fill",     # single key window, O(1) frame state
     "text_bpe_train_merges",  # rounds x (pair-count agg + map-only merge)
     "sim_ivf_incremental_add",  # probe cost over the grown index
+    "graph_connected_components",  # K fan-out + min-agg rounds
+    "q65_bitmap_distinct",  # map-side-combining bitmap words
+    "mm_shard_manifest",    # two-level prefix sum + shard agg
+    "text_keyword_tfidf",   # tf agg + broadcast df + per-doc window
+    "sim_matryoshka_rerank",  # prefix matmul prune + exact rerank
+    "q66_event_pattern",    # ordered collect + per-user regex
+    "q67_histogram",        # map-side bucket partial agg
+    "pipeline_manifest_prune",  # footer manifest cut + pruned scan
+    "pipeline_stream_exact_dedup",  # watermarked streaming dedup drain
 ]
 
 
