@@ -264,3 +264,72 @@ def cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "version", F.col("value").alias("value_at_t"), "valid_from")
+
+
+# --------------------------------------------------------------------------
+# MERGE upsert (lakehouse MERGE INTO semantics as a relational plan)
+# --------------------------------------------------------------------------
+
+_MERGE_INS_SHIFT = 2_000_000_000  # inserted keys live far above the table's
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle=f"""
+    SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 2, o_orderstatus
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + {_MERGE_INS_SHIFT}, o_totalprice, 'N'
+    FROM orders WHERE o_orderkey % 10 = 2
+    """,
+    doc="MERGE INTO semantics (Delta/Iceberg's upsert primitive) as a pure "
+    "relational plan: a change set carrying op codes (u=update price, "
+    "d=delete, i=insert-new-key — derived deterministically from the key "
+    "here) is FULL-OUTER joined to the target on the key, and one CASE "
+    "projection applies WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN "
+    "NOT MATCHED INSERT. ONE shuffle join on the key (broadcast when the "
+    "change batch is small — the common case; AQE picks it from runtime "
+    "stats); deletes are a filter, not a rewrite of untouched rows — at "
+    "100 TB pair this plan with copy-on-write file selection "
+    "(pipeline_manifest_prune's zone maps select which files contain "
+    "matched keys; unmatched files are carried over untouched). The doubled "
+    "update price is exact IEEE (×2 never rounds).",
+)
+def cdc_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    mod = F.col("key") % 10
+    upd = o.filter(mod == 0).select(
+        "key", F.lit("u").alias("op"), (F.col("price") * 2).alias("new_price")
+    )
+    dels = o.filter(mod == 1).select(
+        "key", F.lit("d").alias("op"), F.lit(None).cast("double").alias("new_price")
+    )
+    ins = o.filter(mod == 2).select(
+        (F.col("key") + _MERGE_INS_SHIFT).alias("key"),
+        F.lit("i").alias("op"),
+        F.col("price").alias("new_price"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    merged = o.join(changes, "key", "full_outer")
+    return (
+        merged.filter(
+            # WHEN MATCHED AND op='d' THEN DELETE
+            F.col("op").isNull() | (F.col("op") != "d")
+        ).select(
+            "key",
+            # WHEN MATCHED AND op='u' UPDATE / WHEN NOT MATCHED ('i') INSERT
+            F.when(F.col("op").isin("u", "i"), F.col("new_price"))
+            .otherwise(F.col("price"))
+            .alias("price"),
+            F.when(F.col("op") == "i", F.lit("N"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+        )
+    )

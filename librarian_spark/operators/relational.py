@@ -3405,3 +3405,61 @@ def q67_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.min("value").cast("double").alias("lo"),
         F.max("value").cast("double").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q68 period-over-period change (BI trend primitive)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q68_period_over_period",
+    oracle="""
+    WITH wk AS (
+      SELECT DATE_TRUNC('week', ts) AS week,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_cents
+      FROM events GROUP BY 1
+    ),
+    l AS (
+      SELECT week, rev_cents,
+             LAG(rev_cents) OVER (ORDER BY week) AS prev_cents
+      FROM wk
+    )
+    SELECT week, rev_cents, prev_cents,
+           CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+                ELSE ((rev_cents - prev_cents) * 100000) // prev_cents END
+             AS pct_change_micro
+    FROM l
+    """,
+    doc="Week-over-week revenue change — the BI trend primitive (period "
+    "totals + LAG + guarded relative delta). Revenue is summed in exact "
+    "integer CENTS (value has 2 decimals; a double sum is "
+    "partition-order-dependent and unhashable), and the percent change is "
+    "integer micro-units via truncating division — Spark's div and "
+    "DuckDB's // both truncate toward zero, so negative deltas agree. The "
+    "first period and zero-denominator periods yield NULL, not a crash "
+    "(ANSI mode). The heavy aggregate shuffles once on the week; the LAG "
+    "window runs over |periods| rows — inherently tiny, so the "
+    "unpartitioned window is the right plan, not a hazard.",
+)
+def q68_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    wk = e.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents")
+    )
+    w = W.orderBy("week")
+    lagged = wk.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    pct = F.when(
+        F.col("prev_cents").isNull() | (F.col("prev_cents") == 0), F.lit(None)
+    ).otherwise(
+        F.call_function(
+            "div",
+            (F.col("rev_cents") - F.col("prev_cents")) * 100000,
+            F.col("prev_cents"),
+        )
+    )
+    return lagged.select(
+        "week", "rev_cents", "prev_cents", pct.alias("pct_change_micro")
+    )
