@@ -1508,3 +1508,158 @@ def text_keyword_tfidf(spark: SparkSession, sf: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge application (tokenizer inference over the trained merges)
+# --------------------------------------------------------------------------
+
+
+def _bpe_apply_oracle() -> str:
+    ctes = [
+        "t0 AS (SELECT doc_id, ' ' || TRIM(LOWER(text)) || ' ' AS pt "
+        "FROM documents)"
+    ]
+    for r in range(_BPE_ROUNDS):
+        ctes.append(
+            f"""
+c{r} AS (SELECT pair, COUNT(*) AS cnt FROM (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1]))
+    AS pair
+  FROM (SELECT STR_SPLIT(TRIM(pt), ' ') AS w FROM t{r})) GROUP BY pair),
+b{r} AS (SELECT pair, cnt FROM c{r} ORDER BY cnt DESC, pair LIMIT 1),
+t{r + 1} AS (SELECT doc_id, REPLACE(pt,
+    ' ' || (SELECT pair FROM b{r}) || ' ',
+    ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '_') || ' ') AS pt
+  FROM t{r})"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT a.doc_id,
+       CAST(LEN(STR_SPLIT(TRIM(a.pt), ' ')) AS BIGINT) AS n_tokens_raw,
+       CAST(LEN(STR_SPLIT(TRIM(b.pt), ' ')) AS BIGINT) AS n_tokens_bpe,
+       CAST(LEN(STR_SPLIT(TRIM(a.pt), ' '))
+            - LEN(STR_SPLIT(TRIM(b.pt), ' ')) AS BIGINT) AS n_merged
+FROM t0 a JOIN t{_BPE_ROUNDS} b USING (doc_id)
+"""
+    )
+
+
+@query(
+    "text_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc=f"Tokenizer INFERENCE over the {_BPE_ROUNDS} trained BPE merges — "
+    "the encode side of text_bpe_train_merges (train and apply share one "
+    "merge derivation, so the pair is the full tokenizer lifecycle): every "
+    "merge is applied in rank order as a literal map-only REPLACE (the "
+    "merge table is inherently tiny — it rides into the task as a "
+    "literal, the broadcast-artifact pattern), and the output is per-doc "
+    "raw vs encoded token counts — the compression measurement a "
+    "token-budgeted training pipeline actually consumes. Apply is "
+    "embarrassingly parallel: N sequential REPLACEs per row, no shuffle "
+    "after the merge table exists; at 100 TB re-deriving the merges costs "
+    "rounds × scan (text_bpe_train_merges' trade) and a production run "
+    "loads the persisted merge table instead — the apply pass itself is "
+    "ONE scan regardless.",
+)
+def text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(_t(spark, sf, "documents"))
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.trim(F.lower(F.col("text"))), F.lit(" ")).alias(
+            "pt"
+        ),
+    )
+    cur = base
+    for _ in range(_BPE_ROUNDS):
+        toks = cur.select(F.split(F.trim(F.col("pt")), " ").alias("_w"))
+        pairs = toks.select(
+            F.explode(shingles_of_tokens("_w", 2, distinct=False)).alias("pair")
+        )
+        counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+        best = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not best:
+            break
+        pair = best[0]["pair"]
+        cur = cur.select(
+            "doc_id",
+            F.replace(
+                F.col("pt"),
+                F.lit(f" {pair} "),
+                F.lit(" " + pair.replace(" ", "_") + " "),
+            ).alias("pt"),
+        )
+    n_raw = F.size(F.split(F.trim(F.col("pt")), " "))
+    raw = base.select("doc_id", n_raw.alias("n_tokens_raw"))
+    enc = cur.select("doc_id", n_raw.alias("n_tokens_bpe"))
+    return (
+        raw.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens_raw").cast("long").alias("n_tokens_raw"),
+            F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+            (F.col("n_tokens_raw") - F.col("n_tokens_bpe"))
+            .cast("long")
+            .alias("n_merged"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (deterministic A-ES-style priority sample per stratum)
+# --------------------------------------------------------------------------
+
+_WS_SCALE = 1_000_000
+_WS_K = 10
+
+
+@query(
+    "text_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             (({o_hash_bucket('doc_id', 65536)}) + 1)
+               * {_WS_SCALE} // GREATEST(n_chars, 1) AS priority
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT doc_id, source, n_chars, priority,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY priority, doc_id) AS BIGINT) AS rn
+      FROM pri)
+    WHERE rn <= {_WS_K}
+    """,
+    doc=f"Size-weighted sampling without replacement, top-{_WS_K} per source "
+    "stratum: each doc draws a DETERMINISTIC pseudo-uniform from the shared "
+    "md5 hash-bucket idiom and its priority is hash/weight in exact integer "
+    "arithmetic (the A-ES exponential-jitter scheme with the randomness "
+    "replaced by the reproducible hash — same sample on every run, engine, "
+    "and partitioning, which float -ln(u)/w sampling cannot give). "
+    "Larger docs (weight = n_chars) win smaller priorities and are "
+    "over-represented — byte-budget-proportional corpus subsetting. "
+    "Map-only priorities + one per-stratum top-k window; at 100 TB the "
+    "window's shuffle carries only (stratum, priority) keys and per-"
+    "partition TakeOrdered pre-pruning applies if k·strata is small.",
+)
+def text_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf, "documents")
+    pri = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.call_function(
+            "div",
+            (hash_bucket("doc_id", 65536) + 1) * _WS_SCALE,
+            F.greatest(F.col("n_chars"), F.lit(1)),
+        ).alias("priority"),
+    )
+    w = W.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_K)
+        .withColumn("rn", F.col("rn").cast("long"))
+    )
