@@ -345,3 +345,73 @@ def test_pipeline_bucketed_join_only_shuffles_for_agg(spark, specs):
     assert "SortMergeJoin" in plan, plan
     assert not has_broadcast_join(df), plan
     assert shuffle_count(df) == 1, plan
+
+
+def test_bitmap_distinct_partial_aggregates_without_expand(spark, specs):
+    """q65's whole point: the bitmap words combine map-side (partial
+    aggregate) and the plan has NO Expand node — COUNT(DISTINCT) would
+    introduce one and shuffle every (key, id) pair."""
+    df = _df(specs, spark, "q65_bitmap_distinct")
+    plan = formatted_plan(df)
+    assert has_partial_aggregate(df), plan
+    assert "Expand" not in plan, plan
+
+
+def test_shard_manifest_row_windows_are_block_partitioned(spark, specs):
+    """mm_shard_manifest's per-row running sum must be PARTITIONED by the
+    block; the only unpartitioned window may carry the tiny block list.
+    A global row-ordered window (single partition over all rows) is the
+    scale bug the two-level prefix sum exists to avoid."""
+    import re
+
+    df = _df(specs, spark, "mm_shard_manifest")
+    plan = formatted_plan(df)
+    # Window nodes print "Arguments: [exprs], [partitionSpec], [orderSpec]";
+    # any window ORDERING by doc_id is the row-level running sum and must be
+    # PARTITIONED (its partition spec names blk); the block-level window
+    # orders by blk alone and may stay unpartitioned (|blocks| rows).
+    win_args = re.findall(
+        r"\(\d+\) Window[^\n]*\n(?:Input[^\n]*\n)?Arguments: ([^\n]*)", plan
+    )
+    assert win_args, plan
+    row_windows = [a for a in win_args if "doc_id" in a]
+    assert row_windows, win_args
+    for a in row_windows:
+        assert "blk" in a, a
+
+
+def test_merge_upsert_single_full_outer_join(spark, specs):
+    """cdc_merge_upsert is ONE key join: exactly one join node, FullOuter."""
+    df = _df(specs, spark, "cdc_merge_upsert")
+    plan = formatted_plan(df)
+    import re
+
+    assert "FullOuter" in plan, plan
+    # count numbered plan NODES, not raw substring hits (each node appears in
+    # both the tree and its detail block)
+    nodes = re.findall(
+        r"\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
+    )
+    assert len(nodes) == 1, (nodes, plan[:400])
+
+
+def test_manifest_prune_scans_fewer_files(spark, specs):
+    """pipeline_manifest_prune's scan must plan over the PRUNED file list:
+    the scan's 'number of files read' stays below the 16-file layout."""
+    df = _df(specs, spark, "pipeline_manifest_prune")
+    # the op itself raises if pruning kept everything; here assert the plan's
+    # actual input-file list stays at most half the 16-file layout
+    assert 0 < len(df.inputFiles()) <= 8, df.inputFiles()
+
+
+def test_event_pattern_single_shuffle(spark, specs):
+    """q66: one grouped collect per user — a single exchange, regex map-only."""
+    df = _df(specs, spark, "q66_event_pattern")
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_tfidf_df_join_broadcasts(spark, specs):
+    """text_keyword_tfidf: the term-df frame is broadcast back onto the
+    doc-term table — no shuffle join on the term."""
+    df = _df(specs, spark, "text_keyword_tfidf")
+    assert has_broadcast_join(df), formatted_plan(df)
