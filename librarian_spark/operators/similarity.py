@@ -1556,3 +1556,225 @@ def sim_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ composed index (the FAISS IndexIVFPQ shape, exact-replayed)
+# --------------------------------------------------------------------------
+
+# Approximate score for inner-product metric with residual codes:
+#   dot(q, v) = dot(q, centroid(v)) + dot(q, resid(v))
+#             ≈ dot(q, centroid(v)) + Σ_s dot(q_s, rcb[s, code_s(v)])
+# Everything is deterministic (sample centroids/codebooks, first-hit argmin /
+# argmax ties, s-ordered fold, one final centroid-term add) so the oracle
+# replays assignment, residuals, codes, probe selection, ADC, and re-rank.
+
+_IVFPQ_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, u AS cu FROM unit WHERE vec_id < {_IVF_NLISTS}),
+q AS (SELECT vec_id AS query_id, u AS qu FROM unit
+      WHERE vec_id < {_N_QUERIES}),
+assign AS (
+  SELECT vec_id, u, cid, cu FROM (
+    SELECT e.vec_id, e.u, c.cid, c.cu,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_o_dot('e.u', 'c.cu')} DESC, c.cid)
+             AS r
+    FROM unit e, cent c)
+  WHERE r = 1
+),
+resid AS (
+  SELECT vec_id, cid,
+         LIST_TRANSFORM(RANGE(1, {_DIM + 1}), i -> u[i] - cu[i]) AS rv
+  FROM assign
+),
+sp AS (SELECT UNNEST(RANGE(0, {_PQ_M})) AS s),
+rsub AS (
+  SELECT vec_id, cid, s,
+         rv[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS rs
+  FROM resid, sp
+),
+rcb AS (SELECT s, vec_id AS code, rs AS cv FROM rsub WHERE vec_id < {_PQ_K}),
+codes AS (
+  SELECT vec_id, cid, s, code FROM (
+    SELECT rsub.vec_id, rsub.cid, rsub.s, rcb.code,
+           ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+                              ORDER BY {_o_l2_sub('rsub.rs', 'rcb.cv')} ASC,
+                                       rcb.code) AS r
+    FROM rsub JOIN rcb ON rsub.s = rcb.s)
+  WHERE r = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_o_dot('q.qu', 'c.cu')} DESC, c.cid)
+             AS r
+    FROM q, cent c)
+  WHERE r <= {_IVF_NPROBE}
+),
+qsub AS (
+  SELECT query_id, s,
+         qu[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS qs
+  FROM q, sp
+),
+terms AS (
+  SELECT p.query_id, cd.vec_id AS neighbor_id, cd.cid, cd.s,
+         {_o_dot_sub('qs.qs', 'rcb.cv')} AS term
+  FROM probes p
+  JOIN codes cd ON cd.cid = p.cid AND cd.vec_id != p.query_id
+  JOIN qsub qs ON qs.query_id = p.query_id AND qs.s = cd.s
+  JOIN rcb ON rcb.s = cd.s AND rcb.code = cd.code
+),
+adc AS (
+  SELECT t.query_id, t.neighbor_id,
+         ROUND({_o_dot('q.qu', 'c.cu')}
+               + LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+                                          LIST(t.term ORDER BY t.s)),
+                             (acc, x) -> acc + x), 6) AS approx
+  FROM terms t
+  JOIN q ON q.query_id = t.query_id
+  JOIN cent c ON c.cid = t.cid
+  GROUP BY t.query_id, t.neighbor_id, q.qu, c.cu
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id) AS r1
+    FROM adc)
+  WHERE r1 <= {_PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({_o_dot('q.qu', 'c.u')}, 6) AS score
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN unit c ON c.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM exact)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK}
+"""
+
+
+@query(
+    "sim_ivf_pq_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc=f"The COMPOSED production vector index (FAISS IndexIVFPQ shape): IVF "
+    f"coarse quantizer ({_IVF_NLISTS} lists, {_IVF_NPROBE} probed) bounds "
+    f"WHICH vectors are scored, and PQ residual codes ({_PQ_M}×{_PQ_K}) "
+    "bound HOW each is scored — candidates cost one table-lookup sum plus "
+    "one centroid term, never a float-vector read. Residuals (vector minus "
+    "its centroid) are what PQ encodes, so the codebook spans the "
+    "within-cell spread rather than the whole space — the precision win "
+    "that makes IVFPQ the default at billion scale. Scoring identity: "
+    "dot(q,v) = dot(q,cent) + dot(q,resid), the second term approximated "
+    "by s-ordered code lookups folded from zero with the centroid term "
+    "added LAST (one IEEE add — replayed bit-for-bit by the oracle). At "
+    "100 TB: codes+centroids fit in RAM where vectors cannot; the probe "
+    "mask makes the scan ~nprobe/nlists of the corpus; the only shuffle "
+    "is the shortlist ranking. Exact re-rank touches "
+    f"|Q|·{_PQ_SHORTLIST} float vectors total.",
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def unit(m: "np.ndarray") -> "np.ndarray":
+        return m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+
+    n_small = max(_IVF_NLISTS, _PQ_K, _N_QUERIES)
+    small = e.filter(F.col("vec_id") < n_small).toPandas()
+    ids = small["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = unit(np.stack(small["embedding"].to_numpy())[order].astype(np.float64))
+    cmat = mat[ids < _IVF_NLISTS]  # cid = row index = vec_id
+    q_ids = ids[ids < _N_QUERIES]
+    qmat = mat[ids < _N_QUERIES]
+    # residual codebooks from the first _PQ_K vectors' residuals (their own
+    # nearest-centroid assignment, first-hit ties = lowest cid)
+    sample = mat[ids < _PQ_K]
+    s_cid = np.argmax(sample @ cmat.T, axis=1)
+    rcbm = sample - cmat[s_cid]  # _PQ_K × _DIM, code = row index = vec_id
+    probes = np.argsort(-(qmat @ cmat.T), axis=1)[:, :_IVF_NPROBE]
+    qc = qmat @ cmat.T  # nq × nlists: the dot(q, centroid) terms
+    bc = e.sparkSession.sparkContext.broadcast(
+        (q_ids, qmat, cmat, rcbm, probes, qc)
+    )
+    k_short = _PQ_SHORTLIST
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, qmat, cmat, rcbm, probes, qc = bc.value
+        nq = len(q_ids)
+        for b in batches:
+            if not len(b):
+                continue
+            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            block = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            cid = np.argmax(block @ cmat.T, axis=1)  # first-hit tie = low cid
+            resid = block - cmat[cid]
+            # PQ codes of the residuals + ADC term accumulation, s-ordered
+            # fold from ZERO (centroid term added last — oracle parity)
+            sumterms = np.zeros((nq, len(block)))
+            for s in range(_PQ_M):
+                lo, hi = s * _PQ_SUBDIM, (s + 1) * _PQ_SUBDIM
+                rs, cbs = resid[:, lo:hi], rcbm[:, lo:hi]
+                d2 = ((rs[:, None, :] - cbs[None, :, :]) ** 2).sum(axis=2)
+                codes = np.argmin(d2, axis=1)
+                adc = qmat[:, lo:hi] @ cbs.T  # nq × _PQ_K
+                sumterms += adc[:, codes]
+            out_q, out_n, out_a, out_s = [], [], [], []
+            for qi in range(nq):
+                in_probed = np.isin(cid, probes[qi]) & (c_ids != q_ids[qi])
+                idx = np.nonzero(in_probed)[0]
+                if not len(idx):
+                    continue
+                a = np.round(qc[qi, cid[idx]] + sumterms[qi, idx], 6)
+                top = np.lexsort((c_ids[idx], -a))[:k_short]
+                sel = idx[top]
+                ex = np.round(qmat[qi] @ block[sel].T, 6)
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_n.extend(c_ids[sel].tolist())
+                out_a.extend(a[top].tolist())
+                out_s.extend(ex.tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "approx": pd.Series(out_a, dtype="float64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    pruned = fan_out(e).mapInPandas(
+        op, schema="query_id long, neighbor_id long, approx double, score double"
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _PQ_SHORTLIST)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            "query_id", "neighbor_id", "score",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
