@@ -270,20 +270,21 @@ def cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
 # MERGE upsert (lakehouse MERGE INTO semantics as a relational plan)
 # --------------------------------------------------------------------------
 
-_MERGE_INS_SHIFT = 2_000_000_000  # inserted keys live far above the table's
-
-
 @query(
     "cdc_merge_upsert",
-    oracle=f"""
+    # the inserted-key shift is SCALE-RELATIVE (max key + 1 — a fixed 2e9
+    # literal collides with live keys once sf grows the key domain past it),
+    # derived with the same integer arithmetic on both sides
+    oracle="""
+    WITH b AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders)
     SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
     FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)
     UNION ALL
     SELECT o_orderkey, o_totalprice * 2, o_orderstatus
     FROM orders WHERE o_orderkey % 10 = 0
     UNION ALL
-    SELECT o_orderkey + {_MERGE_INS_SHIFT}, o_totalprice, 'N'
-    FROM orders WHERE o_orderkey % 10 = 2
+    SELECT o_orderkey + b.shift, o_totalprice, 'N'
+    FROM orders, b WHERE o_orderkey % 10 = 2
     """,
     doc="MERGE INTO semantics (Delta/Iceberg's upsert primitive) as a pure "
     "relational plan: a change set carrying op codes (u=update price, "
@@ -311,8 +312,9 @@ def cdc_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     dels = o.filter(mod == 1).select(
         "key", F.lit("d").alias("op"), F.lit(None).cast("double").alias("new_price")
     )
+    shift = o.agg(F.max("key")).collect()[0][0] + 1  # one scalar, inlined
     ins = o.filter(mod == 2).select(
-        (F.col("key") + _MERGE_INS_SHIFT).alias("key"),
+        (F.col("key") + F.lit(shift)).alias("key"),
         F.lit("i").alias("op"),
         F.col("price").alias("new_price"),
     )

@@ -1714,10 +1714,16 @@ def pipeline_observed_write(spark: SparkSession, sf: str) -> DataFrame:
     observed.write.mode("overwrite").parquet(out)
     metrics = obs.get
     back = spark.read.parquet(out)
-    n_back = back.count()
-    if metrics["n_rows"] != n_back:
+    audit = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    ).collect()[0]
+    # BOTH observed metrics must match the read-back: the cents checksum
+    # catches value corruption that preserves row count
+    if metrics["n_rows"] != audit["n"] or metrics["total_cents"] != audit["cents"]:
         raise RuntimeError(
-            f"observed write audit failed: wrote {metrics['n_rows']} rows "
-            f"(checksum {metrics['total_cents']}), read back {n_back}"
+            f"observed write audit failed: observed ({metrics['n_rows']} rows,"
+            f" {metrics['total_cents']} cents) vs read-back ({audit['n']},"
+            f" {audit['cents']})"
         )
     return back

@@ -1596,7 +1596,8 @@ rsub AS (
          rv[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS rs
   FROM resid, sp
 ),
-rcb AS (SELECT s, vec_id AS code, rs AS cv FROM rsub WHERE vec_id < {_PQ_K}),
+rcb AS (SELECT s, vec_id - {_IVF_NLISTS} AS code, rs AS cv FROM rsub
+       WHERE vec_id >= {_IVF_NLISTS} AND vec_id < {_IVF_NLISTS} + {_PQ_K}),
 codes AS (
   SELECT vec_id, cid, s, code FROM (
     SELECT rsub.vec_id, rsub.cid, rsub.s, rcb.code,
@@ -1691,7 +1692,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     def unit(m: "np.ndarray") -> "np.ndarray":
         return m / np.sqrt((m * m).sum(axis=1, keepdims=True))
 
-    n_small = max(_IVF_NLISTS, _PQ_K, _N_QUERIES)
+    n_small = max(_IVF_NLISTS + _PQ_K, _N_QUERIES)
     small = e.filter(F.col("vec_id") < n_small).toPandas()
     ids = small["vec_id"].to_numpy(dtype=np.int64)
     order = np.argsort(ids)
@@ -1700,13 +1701,22 @@ def sim_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     cmat = mat[ids < _IVF_NLISTS]  # cid = row index = vec_id
     q_ids = ids[ids < _N_QUERIES]
     qmat = mat[ids < _N_QUERIES]
-    # residual codebooks from the first _PQ_K vectors' residuals (their own
-    # nearest-centroid assignment, first-hit ties = lowest cid)
-    sample = mat[ids < _PQ_K]
+    # residual codebooks from a sample DISJOINT from the centroid ids (a
+    # centroid's own residual is exactly zero — sampling ids < _PQ_K when
+    # the centroids are ids < _IVF_NLISTS yields an all-zero codebook and a
+    # silently no-op PQ stage); assignments use the same first-hit tie rule
+    sample = mat[(ids >= _IVF_NLISTS) & (ids < _IVF_NLISTS + _PQ_K)]
     s_cid = np.argmax(sample @ cmat.T, axis=1)
-    rcbm = sample - cmat[s_cid]  # _PQ_K × _DIM, code = row index = vec_id
-    probes = np.argsort(-(qmat @ cmat.T), axis=1)[:, :_IVF_NPROBE]
+    rcbm = sample - cmat[s_cid]  # _PQ_K × _DIM, code = sample row index
     qc = qmat @ cmat.T  # nq × nlists: the dot(q, centroid) terms
+    # probe cut with the SAME (score desc, cid asc) total order the oracle
+    # uses — bare argsort is unstable on tied dots
+    probes = np.stack(
+        [
+            np.lexsort((np.arange(cmat.shape[0]), -qc[i]))[:_IVF_NPROBE]
+            for i in range(len(q_ids))
+        ]
+    )
     bc = e.sparkSession.sparkContext.broadcast(
         (q_ids, qmat, cmat, rcbm, probes, qc)
     )

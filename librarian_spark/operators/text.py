@@ -1387,6 +1387,33 @@ t{r + 1} AS (SELECT REPLACE(pt,
     )
 
 
+def _bpe_best_pair(cur):
+    """One BPE training round's count+argmax over the current corpus state:
+    returns (pair, freq) or None when no adjacent pair exists anywhere.
+    THE shared derivation — text_bpe_train_merges (train) and
+    text_bpe_apply (encode) must pick identical merges or the tokenizer's
+    two sides silently desynchronize."""
+    toks = cur.select(F.split(F.trim(F.col("pt")), " ").alias("_w"))
+    pairs = toks.select(
+        F.explode(shingles_of_tokens("_w", 2, distinct=False)).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    best = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+    if not best:
+        return None
+    return best[0]["pair"], int(best[0]["cnt"])
+
+
+def _bpe_merge_expr(pair: str):
+    """The literal REPLACE that applies one merge (space-delimited match,
+    underscore-joined result) — single-sourced for train and apply."""
+    return F.replace(
+        F.col("pt"),
+        F.lit(f" {pair} "),
+        F.lit(" " + pair.replace(" ", "_") + " "),
+    )
+
+
 @query(
     "text_bpe_train_merges",
     oracle=_bpe_oracle(),
@@ -1411,24 +1438,13 @@ def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     )
     merges: list[tuple[int, str, int]] = []
     for r in range(_BPE_ROUNDS):
-        toks = cur.select(F.split(F.trim(F.col("pt")), " ").alias("_w"))
-        pairs = toks.select(
-            F.explode(shingles_of_tokens("_w", 2, distinct=False)).alias("pair")
-        )
-        counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
-        best = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
-        if not best:  # degenerate corpus with no adjacent pairs anywhere
+        best = _bpe_best_pair(cur)
+        if best is None:  # degenerate corpus with no adjacent pairs anywhere
             break
-        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        pair, cnt = best
         merges.append((r + 1, pair, cnt))
         if r + 1 < _BPE_ROUNDS:
-            cur = cur.select(
-                F.replace(
-                    F.col("pt"),
-                    F.lit(f" {pair} "),
-                    F.lit(" " + pair.replace(" ", "_") + " "),
-                ).alias("pt")
-            )
+            cur = cur.select(_bpe_merge_expr(pair).alias("pt"))
     return spark.createDataFrame(
         merges, "merge_rank long, pair string, freq long"
     )
@@ -1529,8 +1545,9 @@ c{r} AS (SELECT pair, COUNT(*) AS cnt FROM (
   FROM (SELECT STR_SPLIT(TRIM(pt), ' ') AS w FROM t{r})) GROUP BY pair),
 b{r} AS (SELECT pair, cnt FROM c{r} ORDER BY cnt DESC, pair LIMIT 1),
 t{r + 1} AS (SELECT doc_id, REPLACE(pt,
-    ' ' || (SELECT pair FROM b{r}) || ' ',
-    ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '_') || ' ') AS pt
+    ' ' || COALESCE((SELECT pair FROM b{r}), CHR(1)) || ' ',
+    ' ' || REPLACE(COALESCE((SELECT pair FROM b{r}), CHR(1)), ' ', '_') || ' ')
+    AS pt
   FROM t{r})"""
         )
     return (
@@ -1574,23 +1591,10 @@ def text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
     cur = base
     for _ in range(_BPE_ROUNDS):
-        toks = cur.select(F.split(F.trim(F.col("pt")), " ").alias("_w"))
-        pairs = toks.select(
-            F.explode(shingles_of_tokens("_w", 2, distinct=False)).alias("pair")
-        )
-        counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
-        best = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
-        if not best:
+        best = _bpe_best_pair(cur)
+        if best is None:
             break
-        pair = best[0]["pair"]
-        cur = cur.select(
-            "doc_id",
-            F.replace(
-                F.col("pt"),
-                F.lit(f" {pair} "),
-                F.lit(" " + pair.replace(" ", "_") + " "),
-            ).alias("pt"),
-        )
+        cur = cur.select("doc_id", _bpe_merge_expr(best[0]).alias("pt"))
     n_raw = F.size(F.split(F.trim(F.col("pt")), " "))
     raw = base.select("doc_id", n_raw.alias("n_tokens_raw"))
     enc = cur.select("doc_id", n_raw.alias("n_tokens_bpe"))
