@@ -343,3 +343,31 @@ def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
     assert total >= int(n * _PR_SCALE * 0.9)
     rows2 = {r.part: r.rank_scaled for r in spec.spark_fn(spark, sf_dir).collect()}
     assert rows == rows2
+
+
+def test_ivfpq_residual_codebook_is_live(sf_dir):
+    """Regression for the degenerate-codebook class: if the PQ sample ids
+    overlap the IVF centroid ids, every sampled residual is exactly zero
+    and the ADC stage silently no-ops (the oracle mirrors the same
+    degenerate math, so parity alone cannot catch it). Derive the codebook
+    exactly as the operator does and assert it carries real signal."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from librarian_spark.operators.similarity import (  # noqa: PLC2701
+        _IVF_NLISTS,
+        _PQ_K,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id")
+    ids = t["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    cmat = mat[ids < _IVF_NLISTS]
+    sample = mat[(ids >= _IVF_NLISTS) & (ids < _IVF_NLISTS + _PQ_K)]
+    assert len(sample) == _PQ_K
+    rcbm = sample - cmat[np.argmax(sample @ cmat.T, axis=1)]
+    norms = np.sqrt((rcbm * rcbm).sum(axis=1))
+    # every codebook entry must be a genuinely nonzero residual
+    assert (norms > 1e-6).all(), norms
