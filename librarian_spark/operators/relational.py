@@ -3593,3 +3593,72 @@ def graph_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select(F.col("x").alias("part"), F.col("dist").cast("long").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# Q70 equi-depth histogram (exact deciles WITHOUT a global sort)
+# --------------------------------------------------------------------------
+
+_Q70_K = 10
+
+
+@query(
+    "q70_equi_depth_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT value, event_id,
+             NTILE({_Q70_K}) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket
+    """,
+    doc=f"Equi-DEPTH histogram (exact {_Q70_K}-quantile buckets — the "
+    "boundary source for range partitioning and skew diagnosis), computed "
+    "WITHOUT the global single-partition sort the naive NTILE plan (the "
+    "oracle, honest at its scale) requires: per-(value) counts aggregate "
+    "map-side, an exclusive prefix sum runs over the DISTINCT-value list "
+    "(bounded by the value grid — constant in corpus size, like "
+    "mm_shard_manifest's block level), within-value ranks come from a "
+    "window PARTITIONED by value, and each row's exact global rank = "
+    "prefix + within-rank feeds NTILE's literal bucket formula (first "
+    "n%k buckets take ceil(n/k) rows) as map-side arithmetic. Every "
+    "stage is parallel; the only ordered structure is |distinct values| "
+    "rows. Exact-integer ranks → bit-identical buckets to the oracle's "
+    "NTILE.",
+)
+def q70_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").select("event_id", "value")
+    n = e.count()  # one scalar, inlined (bm25 pattern)
+    k = _Q70_K
+    q, r = divmod(n, k)
+    # exclusive prefix over the distinct-value list (constant-size grid)
+    vc = e.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    wv = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    prior = vc.select(
+        "value", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("prior")
+    )
+    # within-value rank (parallel: partitioned by value)
+    ww = W.partitionBy("value").orderBy("event_id")
+    ranked = (
+        e.join(F.broadcast(prior), "value")
+        .withColumn("rk", F.col("prior") + F.row_number().over(ww))
+    )
+    # NTILE's bucket rule: buckets 1..r hold q+1 rows, the rest hold q
+    big = F.lit(r * (q + 1))
+    bucket = F.when(
+        F.col("rk") <= big,
+        F.call_function("div", F.col("rk") - 1, F.lit(q + 1)) + 1,
+    ).otherwise(
+        F.lit(r) + F.call_function("div", F.col("rk") - 1 - big, F.lit(max(q, 1))) + 1
+    )
+    return (
+        ranked.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
