@@ -1667,3 +1667,77 @@ def text_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= _WS_K)
         .withColumn("rn", F.col("rn").cast("long"))
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (informative-pair mining, fixed-point)
+# --------------------------------------------------------------------------
+
+_PMI_SCALE = 1_000_000
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> [w[i], w[i+1]])) AS p
+      FROM tok WHERE LEN(w) >= 2
+    ),
+    pc AS (SELECT p[1] AS x, p[2] AS y, COUNT(*) AS cxy FROM bg GROUP BY 1, 2),
+    ux AS (SELECT x, SUM(cxy) AS cx FROM pc GROUP BY 1),
+    uy AS (SELECT y, SUM(cxy) AS cy FROM pc GROUP BY 1),
+    n AS (SELECT SUM(cxy) AS nn FROM pc)
+    SELECT x, y, CAST(cxy AS BIGINT) AS cxy,
+           CAST((cxy * nn * {_PMI_SCALE}) // (cx * cy) AS BIGINT) AS pmi_scaled
+    FROM pc JOIN ux USING (x) JOIN uy USING (y) CROSS JOIN n
+    WHERE cxy >= {_PMI_MIN_COUNT}
+    """,
+    doc="Collocation mining by pointwise mutual information: bigrams scored "
+    "by p(x,y)/(p(x)p(y)) in exact integer fixed point ((cxy·N·1e6) // "
+    "(cx·cy) — monotone in PMI, so ranking and thresholds agree while "
+    "staying bit-reproducible where log-PMI is not) — frequency finds "
+    "COMMON pairs (text_heavy_hitters); PMI finds INFORMATIVE ones, the "
+    "phrase-mining signal behind tokenizer vocab curation and multi-word "
+    "entity detection. One pair-count aggregate (map-side combining), two "
+    "marginal aggregates over the PAIR table (vocabulary-sized, not "
+    "corpus-sized), marginals broadcast back, support cut at "
+    f"{_PMI_MIN_COUNT}. Headroom: cxy·N·1e6 needs N ≲ 9e9 bigrams in "
+    "int64 at the demo scale factor — shift the fixed-point scale down as "
+    "N grows (the ratio, not the magnitude, carries the signal).",
+)
+def text_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    # tokens materialized in their own projection FIRST — an inline split
+    # expression inside the shingle lambda re-evaluates per window position
+    # (the measured O(tokens²) trap in shingles_of_tokens' docstring)
+    toks = d.select(tokens("text").alias("_w"))
+    pairs = (
+        toks.select(
+            F.explode(shingles_of_tokens("_w", 2, distinct=False)).alias("s")
+        )
+        .select(F.split("s", " ").alias("p"))
+        .select(F.col("p")[0].alias("x"), F.col("p")[1].alias("y"))
+    )
+    pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    n = pc.agg(F.sum("cxy")).collect()[0][0]  # one scalar, inlined
+    ux = pc.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    uy = pc.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    return (
+        pc.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .filter(F.col("cxy") >= _PMI_MIN_COUNT)
+        .select(
+            "x",
+            "y",
+            F.col("cxy").cast("long").alias("cxy"),
+            F.call_function(
+                "div",
+                F.col("cxy") * F.lit(int(n)) * F.lit(_PMI_SCALE),
+                F.col("cx") * F.col("cy"),
+            ).cast("long").alias("pmi_scaled"),
+        )
+    )
