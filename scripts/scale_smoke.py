@@ -80,6 +80,14 @@ QUERIES = [
     "q67_histogram",        # map-side bucket partial agg
     "pipeline_manifest_prune",  # footer manifest cut + pruned scan
     "pipeline_stream_exact_dedup",  # watermarked streaming dedup drain
+    "sim_ivf_pq_topk",      # probe-masked ADC over residual codes
+    "cdc_merge_upsert",     # one full-outer key join + CASE
+    "graph_bfs_levels",     # min-plus frontier rounds
+    "text_bpe_apply",       # derive merges + map-only encode
+    "text_weighted_sample", # map-only priorities + per-stratum top-k
+    "q70_equi_depth_histogram",  # distinct-value prefix + rank arithmetic
+    "sim_binary_hamming_topk",   # fold-pack + xor/popcount scan
+    "text_collocations_pmi",     # pair counts + broadcast marginals
 ]
 
 
