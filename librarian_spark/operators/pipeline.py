@@ -1797,3 +1797,73 @@ def pipeline_checkpoint_restart(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "pipeline_partition_evolution",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, CAST(1 AS BIGINT) AS gen
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, value, CAST(2 AS BIGINT)
+    FROM events WHERE event_id % 2 = 1
+    """,
+    doc="Partition-scheme EVOLUTION without rewriting history (Iceberg's "
+    "partition evolution contract): generation 1 was laid out "
+    "partitioned-by-event_type, the scheme later changed and generation 2 "
+    "landed partitioned-by-week — old files stay in the old layout, new "
+    "files use the new one, and ONE union read serves queries over both. "
+    "The run ASSERTS the old layout still prunes (an event_type probe's "
+    "plan reads only that type's directory of gen 1) — evolution must not "
+    "cost existing queries their pruning. At 100 TB this is how layout "
+    "migrations actually ship: rewriting history is a full-table copy, so "
+    "the engine routes per-generation predicates to per-generation "
+    "layouts; a background compaction (pipeline_compact / zorder) retires "
+    "the old scheme incrementally if ever needed.",
+)
+def pipeline_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    _sweep_run_dirs("/tmp", ("librarian_pevo_",))
+    src = os.path.join(sf, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:pevo".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_pevo_{tag}"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    if not os.path.exists(f"{base}/gen1/_SUCCESS"):
+        ev.filter(F.col("event_id") % 2 == 0).drop("ts").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(f"{base}/gen1")
+    if not os.path.exists(f"{base}/gen2/_SUCCESS"):
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "week", F.date_trunc("week", F.col("ts")).cast("date")
+        ).drop("ts").write.mode("overwrite").partitionBy("week").parquet(
+            f"{base}/gen2"
+        )
+    g1 = spark.read.parquet(f"{base}/gen1")
+    # evolution must not cost old queries their pruning: a type probe's scan
+    # must carry the predicate as a PARTITION filter (directory cut at
+    # planning time — df.inputFiles() is pre-pruning, so inspect the plan)
+    from librarian_spark.plans.introspect import formatted_plan
+
+    probe_plan = formatted_plan(g1.filter(F.col("event_type") == "click"))
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", probe_plan)
+    if pf is None or "event_type" not in pf.group(1):
+        raise RuntimeError(
+            f"old-layout pruning lost under {base}/gen1: {probe_plan[:400]}"
+        )
+    g2 = spark.read.parquet(f"{base}/gen2").drop("week")
+    out_cols = ["event_id", "user_id", "event_type", "value"]
+    return (
+        g1.select(*out_cols)
+        .withColumn("gen", F.lit(1).cast("long"))
+        .unionByName(
+            g2.select(*out_cols).withColumn("gen", F.lit(2).cast("long"))
+        )
+    )
