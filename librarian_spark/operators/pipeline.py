@@ -63,6 +63,28 @@ def _sweep_run_dirs(base: str, prefixes: tuple[str, ...]) -> None:
 
 
 
+def _cache_base(prefix: str, sf: str, table: str, salt: str = "") -> str:
+    """Shared tag-keyed cache dir under /tmp for a (source table, layout
+    constants) identity — the create-once-behind-_SUCCESS input caches.
+
+    Touches a ``_keepalive`` marker whenever the dir already exists: reads
+    never refresh file mtimes, so a cache older than the sweep TTL could be
+    rmtree'd by a CONCURRENT invocation's sweep mid-scan — the keepalive
+    keeps any cache that is still being ENTERED younger than the TTL, which
+    is what the age-scoped sweep actually needs to be safe on shared dirs.
+    """
+    src = os.path.join(sf, f"{table}.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}:{salt}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_{prefix}_{tag}"
+    if os.path.isdir(base):
+        try:
+            with open(os.path.join(base, "_keepalive"), "w") as fh:
+                fh.write("")
+        except OSError:
+            pass
+    return base
+
 @query(
     "pipeline_snapshot",
     oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
@@ -1386,11 +1408,8 @@ def pipeline_quarantine(spark: SparkSession, sf: str) -> DataFrame:
 
     from librarian_spark.sources.batch import load_table
 
+    base = _cache_base("quarantine", sf, "events")
     _sweep_run_dirs("/tmp", ("librarian_quarantine_",))
-    src = os.path.join(sf, "events.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_quarantine_{tag}"
     ev = load_table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     reason = F.when(F.col("value") > 400, F.lit("value_out_of_range")).when(
@@ -1444,11 +1463,8 @@ def pipeline_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
     from librarian_spark.sources.batch import load_table
 
+    base = _cache_base("schevo", sf, "orders")
     _sweep_run_dirs("/tmp", ("librarian_schevo_",))
-    src = os.path.join(sf, "orders.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_schevo_{tag}"
     o = load_table(spark, sf, "orders")
     # create-once behind _SUCCESS (the sibling cached-dir pattern): an
     # unconditional rewrite would race a concurrent invocation's mergeSchema
@@ -1504,11 +1520,8 @@ def pipeline_manifest_prune(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.maintenance import footer_file_stats
     from librarian_spark.sources.batch import load_table
 
+    base = _cache_base("mprune", sf, "lineitem", salt="16")
     _sweep_run_dirs("/tmp", ("librarian_mprune_",))
-    src = os.path.join(sf, "lineitem.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:16".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_mprune_{tag}"
     if not os.path.exists(f"{base}/_SUCCESS"):
         load_table(spark, sf, "lineitem").select(
             "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
@@ -1559,11 +1572,8 @@ def pipeline_stream_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     from librarian_spark.sources.batch import load_table
 
+    base = _cache_base("sdedup", sf, "events", salt="replay2")
     _sweep_run_dirs("/tmp", ("librarian_sdedup_",))
-    src = os.path.join(sf, "events.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:replay2".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_sdedup_{tag}"
     in_dir = f"{base}/in"
     ev = load_table(spark, sf, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -1644,12 +1654,9 @@ def pipeline_vacuum_snapshots(spark: SparkSession, sf: str) -> DataFrame:
 
     from librarian_spark.sources.batch import load_table
 
-    src = os.path.join(sf, "orders.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(
-        f"{sf}:{mtime}:{_VACUUM_GENS}:{_VACUUM_KEEP}".encode()
-    ).hexdigest()[:10]
-    base = f"/tmp/librarian_vacuum_{tag}"
+    base = _cache_base(
+        "vacuum", sf, "orders", salt=f"{_VACUUM_GENS}:{_VACUUM_KEEP}"
+    )
     _sweep_run_dirs(base, ("run_",))
     run = f"{base}/run_{uuid.uuid4().hex[:8]}"  # destroyed below: never shared
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
@@ -1695,10 +1702,7 @@ def pipeline_observed_write(spark: SparkSession, sf: str) -> DataFrame:
 
     from librarian_spark.sources.batch import load_table
 
-    src = os.path.join(sf, "orders.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:observe".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_obswrite_{tag}"
+    base = _cache_base("obswrite", sf, "orders", salt="observe")
     _sweep_run_dirs(base, ("run_",))
     out = f"{base}/run_{uuid.uuid4().hex[:8]}"  # observation fires per action:
     # the write must actually run, so the sink is run-private, not cached
@@ -1752,10 +1756,7 @@ def pipeline_checkpoint_restart(spark: SparkSession, sf: str) -> DataFrame:
 
     from librarian_spark.sources.batch import load_table
 
-    src = os.path.join(sf, "events.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:ckpt3".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_ckptrs_{tag}"
+    base = _cache_base("ckptrs", sf, "events", salt="ckpt3")
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         load_table(spark, sf, "events").select(
@@ -1763,10 +1764,8 @@ def pipeline_checkpoint_restart(spark: SparkSession, sf: str) -> DataFrame:
         ).repartition(3).write.mode("overwrite").parquet(in_dir)
 
     _sweep_run_dirs(base, ("out_", "ckpt_"))
-    run_id = uuid.uuid4().hex[:8]
-    out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
 
-    def start():
+    def start(out: str, ckpt: str):
         return (
             spark.readStream.schema(
                 "event_id long, ts timestamp, user_id long, "
@@ -1780,20 +1779,47 @@ def pipeline_checkpoint_restart(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
 
-    # phase 1: process at least one micro-batch, then KILL the query
-    q1 = start()
-    deadline = time.time() + 60
-    while time.time() < deadline:
-        done = sum(p["numInputRows"] for p in q1.recentProgress)
-        if done > 0:
-            break
-        time.sleep(0.2)
-    q1.stop()
-    q1.awaitTermination()
-    # phase 2: a fresh query resumes from the checkpoint and finishes
-    q2 = start()
+    def committed(ckpt: str) -> int:
+        d = os.path.join(ckpt, "commits")
+        return (
+            len([f for f in os.listdir(d) if not f.startswith(".")])
+            if os.path.isdir(d)
+            else 0
+        )
+
+    # phase 1: process ≥1 micro-batch then KILL the query MID-stream. The
+    # kill landing is timing-dependent (0 commits: too early; all 3: too
+    # late — either way the restart-resume property would go silently
+    # unexercised, the degenerate-coverage class), so retry with fresh run
+    # dirs until it lands between, and fail loudly if it never commits.
+    out = ckpt = ""
+    c1 = 0
+    for _ in range(3):
+        run_id = uuid.uuid4().hex[:8]
+        out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
+        q1 = start(out, ckpt)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if sum(p["numInputRows"] for p in q1.recentProgress) > 0:
+                break
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination()
+        c1 = committed(ckpt)
+        if 0 < c1 < 3:
+            break  # the kill landed mid-stream — the property is real
+    if c1 == 0:
+        raise RuntimeError(
+            f"checkpoint-restart drive never committed a batch under {ckpt}"
+        )
+    # phase 2: a fresh query resumes from the same checkpoint and finishes
+    q2 = start(out, ckpt)
     q2.processAllAvailable()
     q2.stop()
+    if committed(ckpt) < 3:
+        raise RuntimeError(
+            f"restart did not drain the remaining batches under {ckpt}"
+        )
     return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -1826,11 +1852,8 @@ def pipeline_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
     from librarian_spark.sources.batch import load_table
 
+    base = _cache_base("pevo", sf, "events")
     _sweep_run_dirs("/tmp", ("librarian_pevo_",))
-    src = os.path.join(sf, "events.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}:pevo".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_pevo_{tag}"
     ev = load_table(spark, sf, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

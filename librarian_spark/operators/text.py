@@ -1705,9 +1705,12 @@ _PMI_MIN_COUNT = 5
     "entity detection. One pair-count aggregate (map-side combining), two "
     "marginal aggregates over the PAIR table (vocabulary-sized, not "
     "corpus-sized), marginals broadcast back, support cut at "
-    f"{_PMI_MIN_COUNT}. Headroom: cxy·N·1e6 needs N ≲ 9e9 bigrams in "
-    "int64 at the demo scale factor — shift the fixed-point scale down as "
-    "N grows (the ratio, not the magnitude, carries the signal).",
+    f"{_PMI_MIN_COUNT}. Headroom: the int64 bound is cxy·N·1e6 < 2^63 "
+    "(cxy·N ≲ 9.2e12), CHECKED at runtime with a loud remediation error — "
+    "under ANSI mode an overflow is a hard mid-query crash while DuckDB "
+    "silently widens to HUGEINT, so the engines would otherwise diverge; "
+    "shift the scale down as the corpus grows (the ratio, not the "
+    "magnitude, carries the signal).",
 )
 def text_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
@@ -1723,7 +1726,23 @@ def text_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("p")[0].alias("x"), F.col("p")[1].alias("y"))
     )
     pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
-    n = pc.agg(F.sum("cxy")).collect()[0][0]  # one scalar, inlined
+    stats = pc.agg(
+        F.sum("cxy").alias("n"), F.max("cxy").alias("mx")
+    ).collect()[0]
+    n = int(stats["n"] or 0)  # sum over zero rows is NULL, not 0
+    if n == 0:  # no bigrams anywhere — empty result, matching the oracle
+        return spark.createDataFrame(
+            [], "x string, y string, cxy long, pmi_scaled long"
+        )
+    # int64 headroom is cxy·N·SCALE < 2^63 (NOT 'N alone'); under ANSI mode
+    # an overflow is a hard crash while DuckDB silently widens to HUGEINT —
+    # fail LOUDLY with the remediation instead of diverging
+    if int(stats["mx"]) * n * _PMI_SCALE >= 2**63:
+        raise RuntimeError(
+            f"PMI fixed-point overflow: max(cxy)={stats['mx']} × N={n} × "
+            f"{_PMI_SCALE} exceeds int64 — lower _PMI_SCALE (the ratio, not "
+            "the magnitude, carries the signal)"
+        )
     ux = pc.groupBy("x").agg(F.sum("cxy").alias("cx"))
     uy = pc.groupBy("y").agg(F.sum("cxy").alias("cy"))
     return (
