@@ -371,3 +371,79 @@ def test_ivfpq_residual_codebook_is_live(sf_dir):
     norms = np.sqrt((rcbm * rcbm).sum(axis=1))
     # every codebook entry must be a genuinely nonzero residual
     assert (norms > 1e-6).all(), norms
+
+
+def test_connected_components_labels_are_valid(spark, sf_dir):
+    """CC invariants: every label ≤ its node id (min-propagation only lowers),
+    every label IS a node in the same component, and a re-run is identical."""
+    from librarian_spark.operators.registry import load_all
+
+    spec = load_all()["graph_connected_components"]
+    rows = {r.part: r.component for r in spec.spark_fn(spark, sf_dir).collect()}
+    assert rows
+    assert all(lbl <= node for node, lbl in rows.items())
+    # a component's label must itself carry that label (root self-labels)
+    roots = set(rows.values())
+    assert all(rows.get(lbl) == lbl for lbl in roots)
+    rows2 = {r.part: r.component for r in spec.spark_fn(spark, sf_dir).collect()}
+    assert rows == rows2
+
+
+def test_bfs_levels_respect_edge_relaxation(spark, sf_dir):
+    """BFS invariants: seeds are at 0, every other reached node's dist ≥ 1,
+    and dist never exceeds the unrolled round count."""
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.operators.relational import _BFS_ITERS  # noqa: PLC2701
+
+    spec = load_all()["graph_bfs_levels"]
+    rows = {r.part: r.dist for r in spec.spark_fn(spark, sf_dir).collect()}
+    assert rows
+    assert all(0 <= d <= _BFS_ITERS for d in rows.values())
+    assert all(d == 0 for node, d in rows.items() if node % 100 == 0)
+    assert all(d >= 1 for node, d in rows.items() if node % 100 != 0)
+
+
+def test_shard_manifest_conserves_docs_and_bytes(spark, sf_dir):
+    """Shard packing conservation: every doc lands in exactly one shard, total
+    bytes equal the corpus, shards are contiguous id ranges."""
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.sources.batch import load_table
+
+    rows = sorted(
+        load_all()["mm_shard_manifest"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r.shard_id,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # contiguous, non-overlapping doc_id ranges in shard order
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+    # exclusive-prefix assignment bounds every shard's START below the budget
+    # line; a shard may overflow by at most its last (straddling) doc
+    assert all(r.total_bytes > 0 for r in rows)
+
+
+def test_equi_depth_buckets_differ_by_at_most_one(spark, sf_dir):
+    """NTILE parity invariant: bucket sizes differ by ≤ 1 and partition the
+    corpus."""
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.sources.batch import load_table
+
+    rows = load_all()["q70_equi_depth_histogram"].spark_fn(spark, sf_dir).collect()
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == load_table(spark, sf_dir, "events").count()
+
+
+def test_quarantine_partition_conserves_rows(spark, sf_dir):
+    """DLQ split conservation: clean + quarantined = source, statuses and
+    reasons consistent."""
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.sources.batch import load_table
+
+    df = load_all()["pipeline_quarantine"].spark_fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert (r.status == "quarantined") == (r.reason is not None)
