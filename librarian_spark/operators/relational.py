@@ -3662,3 +3662,76 @@ def q70_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.max("value").cast("double").alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q71 grouped-map UDAF (applyInPandas — the §2D grouped-map surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q71_grouped_gini",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (
+      SELECT a.user_id, SUM(ABS(a.cents - b.cents)) AS sad,
+             COUNT(*) AS n_pairs
+      FROM c a JOIN c b ON a.user_id = b.user_id AND a.event_id != b.event_id
+      GROUP BY 1
+    ),
+    n AS (SELECT user_id, COUNT(*) AS n, SUM(cents) AS total_cents
+          FROM c GROUP BY 1)
+    SELECT n.user_id, CAST(n.n AS BIGINT) AS n_events,
+           CAST(n.total_cents AS BIGINT) AS total_cents,
+           CAST(CASE WHEN n.n > 1 THEN p.sad // p.n_pairs END AS BIGINT)
+             AS gini_mean_diff_cents
+    FROM n LEFT JOIN p USING (user_id)
+    """,
+    doc="Per-user Gini mean difference (mean |xi−xj| over ordered pairs — "
+    "the dispersion measure behind inequality/burstiness scoring) as a "
+    "GROUPED-MAP pandas UDAF: groupBy(user).applyInPandas receives each "
+    "user's rows as ONE Arrow-batched pandas frame and computes the "
+    "O(n log n) sorted-prefix form (Σ|xi−xj| = Σ (2k−n−1)·x(k)) — the "
+    "§2D user-extension surface for per-group algorithms that are "
+    "imperative but group-local. All arithmetic is exact integer cents, "
+    "so the naive O(n²) self-join oracle matches bit-for-bit. ONE "
+    "shuffle on the group key; each group's cost is its own size — the "
+    "grouped-map contract at 100 TB is 'no group too big for one task' "
+    "(salt or pre-aggregate hot keys first; q43's lesson).",
+)
+def q71_grouped_gini(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    e = _t(spark, sf, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+    def gini(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = np.sort(pdf["cents"].to_numpy(dtype=np.int64))
+        n = len(x)
+        total = int(x.sum())
+        if n > 1:
+            k = np.arange(1, n + 1, dtype=np.int64)
+            sad = int(((2 * k - n - 1) * x).sum()) * 2  # ordered pairs
+            g = sad // (n * (n - 1))
+        else:
+            g = None
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "total_cents": [total],
+                "gini_mean_diff_cents": pd.array([g], dtype="Int64"),
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        gini,
+        schema="user_id long, n_events long, total_cents long, "
+        "gini_mean_diff_cents long",
+    )
