@@ -890,6 +890,18 @@ def ensure_minhash_index(spark: SparkSession, sf: str) -> str:
     layout = f"{_IDX_BUCKETS}:{_MINHASH_K}:{_LSH_BANDS}:{_JACCARD_THRESHOLD}:v2"
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_mhidx_{tag}"
+    # keepalive the live index (reads never refresh mtimes), then sweep
+    # orphans — every mtime/layout change (e.g. the v2 bump) strands the
+    # old tag's full band table + sidecar in /tmp otherwise
+    if os.path.isdir(index_dir):
+        try:
+            with open(os.path.join(index_dir, "_keepalive"), "w") as fh:
+                fh.write("")
+        except OSError:
+            pass
+    from librarian_spark.operators.pipeline import _sweep_run_dirs
+
+    _sweep_run_dirs("/tmp", ("librarian_mhidx_",))
     if not os.path.exists(index_dir + "/features/_SUCCESS"):
         build_minhash_index(spark, sf, index_dir)
     return index_dir

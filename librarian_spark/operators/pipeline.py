@@ -1945,30 +1945,18 @@ def pipeline_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
         ).parquet(mv_dir)
     stored = spark.read.parquet(mv_dir)
     delta = agg(ev.filter(F.col("event_id") % 4 == 0))
-    # group-wise merge of mergeable stats; full-outer because a delta may
-    # introduce a brand-new group (or touch none of an existing one)
-    s = stored.select(
-        "event_type",
-        F.col("n").alias("sn"), F.col("cents").alias("sc"),
-        F.col("lo").alias("slo"), F.col("hi").alias("shi"),
-    )
-    merged = s.join(delta, "event_type", "full_outer").select(
-        "event_type",
-        (F.coalesce("sn", F.lit(0)) + F.coalesce("n", F.lit(0))).alias("n"),
-        (F.coalesce("sc", F.lit(0)) + F.coalesce("cents", F.lit(0))).alias(
-            "cents"
-        ),
-        F.least(
-            F.coalesce("slo", F.col("lo")), F.coalesce("lo", F.col("slo"))
-        ).alias("lo"),
-        F.greatest(
-            F.coalesce("shi", F.col("hi")), F.coalesce("hi", F.col("shi"))
-        ).alias("hi"),
-    )
-    return merged.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.col("cents").cast("long").alias("cents"),
-        F.col("lo").cast("long").alias("lo"),
-        F.col("hi").cast("long").alias("hi"),
+    # merge = UNION + re-aggregate with the merge algebra (sum/sum/min/max):
+    # new groups appear, untouched groups pass through, and NULL group keys
+    # collapse correctly — a full-outer join never matches NULL keys, so a
+    # NULL-typed group would emit two partial rows where the oracle's
+    # GROUP BY emits one
+    return (
+        stored.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.min("lo").cast("long").alias("lo"),
+            F.max("hi").cast("long").alias("hi"),
+        )
     )

@@ -3712,20 +3712,37 @@ def q71_grouped_gini(spark: SparkSession, sf: str) -> DataFrame:
     def gini(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        x = np.sort(pdf["cents"].to_numpy(dtype=np.int64))
-        n = len(x)
-        total = int(x.sum())
-        if n > 1:
-            k = np.arange(1, n + 1, dtype=np.int64)
-            sad = int(((2 * k - n - 1) * x).sum()) * 2  # ordered pairs
+        # NULL group keys and NULL measures are legal inputs the oracle
+        # handles with plain SQL semantics — mirror them: n counts ALL
+        # rows, sums/pairs skip NULL cents (SUM over a NULL pair is
+        # skipped while COUNT(*) still counts it)
+        uid = pdf["user_id"].iloc[0]
+        uid = None if pd.isna(uid) else int(uid)
+        n = len(pdf)
+        x = np.sort(pdf["cents"].dropna().to_numpy(dtype=np.int64))
+        nv = len(x)
+        total = int(x.sum()) if nv else None
+        # gini needs ≥2 VALID measures: with nv ≤ 1 every pair has a NULL
+        # side, the oracle's SUM over those pairs is NULL — not 0
+        if nv > 1:
+            # int64 headroom: the prefix form's worst term is ~n·|c|·n —
+            # fail loudly instead of numpy's silent wraparound (DuckDB
+            # widens to HUGEINT, so the engines would diverge silently)
+            if nv * int(np.abs(x).max() or 0) * nv >= 2**62:
+                raise RuntimeError(
+                    "gini int64 overflow risk: group too hot — pre-split "
+                    "the key (q43 salting) or rescale the measure"
+                )
+            k = np.arange(1, nv + 1, dtype=np.int64)
+            sad = int(((2 * k - nv - 1) * x).sum()) * 2  # ordered pairs
             g = sad // (n * (n - 1))
         else:
             g = None
         return pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
+                "user_id": pd.array([uid], dtype="Int64"),
                 "n_events": [n],
-                "total_cents": [total],
+                "total_cents": pd.array([total], dtype="Int64"),
                 "gini_mean_diff_cents": pd.array([g], dtype="Int64"),
             }
         )

@@ -382,9 +382,10 @@ def test_connected_components_labels_are_valid(spark, sf_dir):
     rows = {r.part: r.component for r in spec.spark_fn(spark, sf_dir).collect()}
     assert rows
     assert all(lbl <= node for node, lbl in rows.items())
-    # a component's label must itself carry that label (root self-labels)
-    roots = set(rows.values())
-    assert all(rows.get(lbl) == lbl for lbl in roots)
+    # every label is a real node of the graph (min over reachable ids) —
+    # NOT root self-labeling, which only holds after convergence and the
+    # operator deliberately runs a FIXED round count
+    assert set(rows.values()) <= set(rows.keys())
     rows2 = {r.part: r.component for r in spec.spark_fn(spark, sf_dir).collect()}
     assert rows == rows2
 
@@ -419,8 +420,15 @@ def test_shard_manifest_conserves_docs_and_bytes(spark, sf_dir):
     # contiguous, non-overlapping doc_id ranges in shard order
     for a, b in zip(rows, rows[1:]):
         assert a.last_doc < b.first_doc
-    # exclusive-prefix assignment bounds every shard's START below the budget
-    # line; a shard may overflow by at most its last (straddling) doc
+    # BYTE conservation: shards partition the corpus payload exactly
+    from librarian_spark.operators.multimodal import ingest_binary
+
+    corpus_bytes = (
+        ingest_binary(spark, sf_dir)
+        .selectExpr("sum(meta.n_bytes) AS b")
+        .collect()[0]["b"]
+    )
+    assert sum(r.total_bytes for r in rows) == corpus_bytes
     assert all(r.total_bytes > 0 for r in rows)
 
 
