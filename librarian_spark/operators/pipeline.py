@@ -1960,3 +1960,80 @@ def pipeline_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
             F.max("hi").cast("long").alias("hi"),
         )
     )
+
+
+@query(
+    "pipeline_atomic_multi_sink",
+    oracle="""
+    SELECT 'by_status' AS sink, o_orderstatus AS key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'by_priority', o_orderpriority,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Atomic MULTI-table publish: two derived tables (per-status and "
+    "per-priority rollups of the same source) are written into one hidden "
+    "staging dir, count-verified against the source, and published with a "
+    "SINGLE directory rename — downstream readers see both tables or "
+    "neither, never one (the all-or-nothing contract a two-output job "
+    "needs and per-table _SUCCESS markers cannot give: a crash between "
+    "two independent commits leaves them inconsistent). The same "
+    "staging+marker discipline as compact()'s swap; on object stores the "
+    "rename becomes a transactional catalog swap (Iceberg/Delta multi-"
+    "table txn). The returned frame re-reads BOTH published tables, so "
+    "the oracle match proves the publish path loses nothing.",
+)
+def pipeline_atomic_multi_sink(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("multisink", sf, "orders")
+    _sweep_run_dirs(base, ("run_", ".staging_"))
+    run = f"{base}/run_{uuid.uuid4().hex[:8]}"
+    staging = f"{base}/.staging_{uuid.uuid4().hex[:8]}"  # dot-hidden from Spark
+    o = load_table(spark, sf, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def rollup(key: str):
+        return o.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    rollup("o_orderstatus").write.mode("overwrite").parquet(
+        f"{staging}/by_status"
+    )
+    rollup("o_orderpriority").write.mode("overwrite").parquet(
+        f"{staging}/by_priority"
+    )
+    # verify BEFORE publish: both staged tables must account for every row
+    n_src = o.count()
+    for t in ("by_status", "by_priority"):
+        staged = spark.read.parquet(f"{staging}/{t}")
+        n_agg = staged.agg(F.sum("n")).collect()[0][0]
+        if n_agg != n_src:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"staged sink {t} accounts for {n_agg}/{n_src} rows — "
+                "publish aborted, nothing visible"
+            )
+    os.rename(staging, run)  # ONE atomic publish: both tables or neither
+    parts = [
+        spark.read.parquet(f"{run}/{t}").select(
+            F.lit(t).alias("sink"), "key", "n", "cents"
+        )
+        for t in ("by_status", "by_priority")
+    ]
+    return parts[0].unionByName(parts[1])
