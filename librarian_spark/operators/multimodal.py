@@ -402,10 +402,20 @@ _PHASH_BPS = _PHASH_BLOCKS // _PHASH_SLICES  # bits per slice
 _PHASH_MAX_HAMMING = 12  # verify threshold
 
 _PHASH_ORACLE = f"""
-WITH codes AS (
-  SELECT doc_id, LIST_TRANSFORM(STR_SPLIT(text, ''), c -> ASCII(c)) AS cs,
-         LENGTH(text) AS n
+WITH hx AS (
+  SELECT doc_id, HEX(ENCODE(text)) AS h,
+         OCTET_LENGTH(ENCODE(text)) AS n
   FROM documents),
+codes AS (
+  -- the UTF-8 PAYLOAD bytes (not characters): the Spark side hashes
+  -- np.frombuffer over ingest_binary's encoded payload, so the oracle must
+  -- share byte semantics or any non-ASCII document diverges. DuckDB 1.0
+  -- has no BLOB indexing, so bytes come from the hex transcription.
+  SELECT doc_id, n,
+         LIST_TRANSFORM(RANGE(1, n + 1),
+           i -> (STRPOS('0123456789ABCDEF', SUBSTR(h, 2*i - 1, 1)) - 1) * 16
+              + (STRPOS('0123456789ABCDEF', SUBSTR(h, 2*i, 1)) - 1)) AS cs
+  FROM hx),
 blocks AS (
   SELECT doc_id, n,
          LIST_TRANSFORM(RANGE(0, {_PHASH_BLOCKS}),
@@ -559,7 +569,7 @@ _SHARD_BUCKET = 1_000  # coarse doc_id blocks for the two-level prefix sum
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
       FROM documents
     )
-    SELECT prior // {_SHARD_BUDGET} AS shard_id,
+    SELECT CAST(prior // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(nb) AS BIGINT) AS total_bytes,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

@@ -1530,6 +1530,13 @@ def pipeline_manifest_prune(spark: SparkSession, sf: str) -> DataFrame:
         )
     manifest = footer_file_stats(base, "l_orderkey")
     known = [(lo, hi) for _, lo, hi in manifest if lo is not None]
+    if not known:
+        raise RuntimeError(
+            f"manifest pruning impossible: no parquet file under {base} "
+            "carries footer min/max stats for l_orderkey — rewrite the "
+            "layout (stats are emitted by default; absence means a foreign "
+            "writer or corrupted footers)"
+        )
     gmin = min(lo for lo, _ in known)
     gmax = max(hi for _, hi in known)
     lo_key = gmin + (gmax - gmin) * _MPRUNE_PCT[0] // 100
@@ -1574,6 +1581,10 @@ def pipeline_stream_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     base = _cache_base("sdedup", sf, "events", salt="replay2")
     _sweep_run_dirs("/tmp", ("librarian_sdedup_",))
+    # the keepalive above keeps base's TTL warm forever, so per-run dirs
+    # inside it must be swept here too (a full parquet copy + checkpoint
+    # each) — same discipline as pipeline_checkpoint_restart
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
     in_dir = f"{base}/in"
     ev = load_table(spark, sf, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"

@@ -614,9 +614,9 @@ def q17_window_rank(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        F.row_number().over(w_unique).alias("rn"),
-        F.rank().over(w_val).alias("rnk"),
-        F.dense_rank().over(w_val).alias("drnk"),
+        F.row_number().over(w_unique).cast("long").alias("rn"),
+        F.rank().over(w_val).cast("long").alias("rnk"),
+        F.dense_rank().over(w_val).cast("long").alias("drnk"),
     )
 
 
@@ -1000,7 +1000,8 @@ def q26_struct_map(spark: SparkSession, sf: str) -> DataFrame:
     "q27_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -3114,6 +3115,28 @@ FROM r{_PR_ITERS}
     )
 
 
+def _pr_step(edges: DataFrame, ranks: DataFrame, deg: DataFrame) -> DataFrame:
+    """One PageRank power iteration: shares = rank // degree, fan out along
+    edges via a SHUFFLE-HASH join on the source key, one destination-keyed
+    aggregate. The rank table is O(|nodes|) — it must never be broadcast
+    (tests/test_plans.py pins this with autoBroadcastJoinThreshold=-1)."""
+    rd = ranks.join(deg, ranks["x"] == deg["u"]).select(
+        F.col("x").alias("src"),
+        F.call_function("div", F.col("r"), F.col("d")).alias("share"),
+    )
+    return (
+        edges.join(rd.hint("shuffle_hash"), edges["u"] == rd["src"])
+        .groupBy("v")
+        .agg(
+            (
+                F.lit(_PR_BASE)
+                + F.call_function("div", F.sum("share") * 85, F.lit(100))
+            ).alias("r")
+        )
+        .select(F.col("v").alias("x"), "r")
+    )
+
+
 @query(
     "graph_pagerank",
     oracle=_pr_oracle(),
@@ -3122,8 +3145,10 @@ FROM r{_PR_ITERS}
     "is exact integer division, each in-sum is an exact int64 sum — "
     "order-independent where float PageRank is partition-order-dependent, "
     "so the DuckDB oracle replays every iteration bit-for-bit. Per "
-    "iteration: rank+degree table broadcast to the edge list (map-only "
-    "contributions) + ONE aggregate shuffle on the destination; each "
+    "iteration: the O(|nodes|) rank+degree table joins the edge list via a "
+    "SHUFFLE-HASH join on the source key (never broadcast — at a "
+    "billion-node graph the rank table is tens of GB and a broadcast "
+    "dies on the driver) + ONE aggregate shuffle on the destination; each "
     "iteration's result is localCheckpointed, or the lineage would "
     "re-derive the edge self-join exponentially (the q60/triangle lesson). "
     "The undirected co-purchase graph has no dangling nodes, so no "
@@ -3147,22 +3172,7 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         F.col("u").alias("x"), F.lit(_PR_SCALE).cast("long").alias("r")
     )
     for _ in range(_PR_ITERS):
-        rd = ranks.join(deg, ranks["x"] == deg["u"]).select(
-            F.col("x").alias("src"),
-            F.call_function("div", F.col("r"), F.col("d")).alias("share"),
-        )
-        ranks = (
-            edges.join(F.broadcast(rd), edges["u"] == rd["src"])
-            .groupBy("v")
-            .agg(
-                (
-                    F.lit(_PR_BASE)
-                    + F.call_function("div", F.sum("share") * 85, F.lit(100))
-                ).alias("r")
-            )
-            .select(F.col("v").alias("x"), "r")
-            .localCheckpoint()
-        )
+        ranks = _pr_step(edges, ranks, deg).localCheckpoint()
     return ranks.select(
         F.col("x").alias("part"),
         F.col("r").cast("long").alias("rank_scaled"),
@@ -3417,7 +3427,8 @@ def q67_histogram(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH wk AS (
       SELECT DATE_TRUNC('week', ts) AS week,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_cents
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
       FROM events GROUP BY 1
     ),
     l AS (
@@ -3635,14 +3646,22 @@ def q70_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     q, r = divmod(n, k)
     # exclusive prefix over the distinct-value list (constant-size grid)
     vc = e.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
-    wv = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
-    prior = vc.select(
-        "value", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("prior")
+    # NULLS LAST pins DuckDB's default ORDER BY placement (Spark's asc
+    # default is NULLS FIRST — silent bucket skew on any NULL value)
+    wv = W.orderBy(F.col("value").asc_nulls_last()).rowsBetween(
+        W.unboundedPreceding, -1
     )
-    # within-value rank (parallel: partitioned by value)
+    prior = vc.select(
+        F.col("value").alias("pv"),
+        F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("prior"),
+    )
+    # within-value rank (parallel: partitioned by value); the prior join is
+    # NULL-SAFE so NULL-valued rows keep their (last) bucket instead of
+    # being dropped by an inner equi-join
     ww = W.partitionBy("value").orderBy("event_id")
     ranked = (
-        e.join(F.broadcast(prior), "value")
+        e.join(F.broadcast(prior), e["value"].eqNullSafe(prior["pv"]))
+        .drop("pv")
         .withColumn("rk", F.col("prior") + F.row_number().over(ww))
     )
     # NTILE's bucket rule: buckets 1..r hold q+1 rows, the rest hold q

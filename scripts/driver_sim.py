@@ -22,7 +22,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as ent
-    from oracle import compare, run_oracle
+    from oracle import compare, dtype_mismatches, oracle_types, run_oracle
 
     import time
 
@@ -44,6 +44,12 @@ def main() -> int:
             srows = [tuple(r) for r in df.collect()]
             cols, orows = run_oracle(o[name], sf)
             problems = compare(df.columns, srows, cols, orows)
+            # dtype gate: the driver's hash is dtype-sensitive (DuckDB
+            # HUGEINT from uncast SUMs never matches a Spark BIGINT)
+            problems += [
+                f"dtype: {p}"
+                for p in dtype_mismatches(dict(df.dtypes), oracle_types(o[name], sf))
+            ]
             if problems:
                 failed.append((name, problems[:1]))
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep

@@ -18,7 +18,14 @@ import duckdb
 
 from librarian_spark.sources.batch import TABLES
 
-__all__ = ["run_oracle", "canonical_rows", "compare", "assert_query_matches"]
+__all__ = [
+    "run_oracle",
+    "canonical_rows",
+    "compare",
+    "assert_query_matches",
+    "oracle_types",
+    "dtype_mismatches",
+]
 
 
 def run_oracle(sql: str, sf_dir: str):
@@ -37,6 +44,90 @@ def run_oracle(sql: str, sf_dir: str):
         return cols, rows
     finally:
         con.close()
+
+
+def oracle_types(sql: str, sf_dir: str) -> dict[str, str]:
+    """Bind (not execute) the oracle SQL in DuckDB; return {col: duck_type}.
+
+    Uses the lazy relation API so pipelines/aggregations aren't run — only
+    the binder resolves output types.
+    """
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        rel = con.sql(sql)
+        return {c.lower(): str(t).upper() for c, t in zip(rel.columns, rel.types)}
+    finally:
+        con.close()
+
+
+def _duck_to_spark_dtype(duck: str) -> str:
+    """Map a DuckDB type name to the Spark dtype string it hash-matches.
+
+    HUGEINT maps to a sentinel no Spark dtype equals: DuckDB widens SUM()
+    and SUM() OVER to int128, which the driver's dtype-sensitive hash never
+    matches — oracles must CAST those columns explicitly.
+    """
+    duck = duck.strip().upper()
+    if duck.endswith("[]"):
+        return f"array<{_duck_to_spark_dtype(duck[:-2])}>"
+    if duck.startswith("DECIMAL"):
+        return duck.lower().replace(" ", "")
+    base = {
+        "BIGINT": "bigint",
+        "INTEGER": "int",
+        "SMALLINT": "smallint",
+        "TINYINT": "tinyint",
+        "UBIGINT": "!hugeint-or-unsigned",
+        "UINTEGER": "bigint",
+        "HUGEINT": "!hugeint-or-unsigned",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "VARCHAR": "string",
+        "BOOLEAN": "boolean",
+        "DATE": "date",
+        "BLOB": "binary",
+        "TIMESTAMP": "timestamp",
+        "TIMESTAMP WITH TIME ZONE": "timestamp",
+        "TIMESTAMP_NS": "timestamp",
+    }
+    return base.get(duck, f"?{duck}")
+
+
+def dtype_mismatches(spark_dtypes: dict[str, str], duck_types: dict[str, str]):
+    """Compare Spark df.dtypes against DuckDB binder types; return problems.
+
+    Spark's bigint/int distinction both hash as integers driver-side only
+    when the *width class* matches, so int-vs-bigint is tolerated in neither
+    direction EXCEPT the documented-safe pair (Spark int vs DuckDB INTEGER
+    is exact).  Timestamps compare by family (ltz/ntz both serialize to the
+    same canonical instant in the driver's comparison).
+    """
+    problems = []
+    sd = {k.lower(): v for k, v in spark_dtypes.items()}
+    for col, duck in duck_types.items():
+        if col not in sd:
+            problems.append(f"{col}: only in oracle")
+            continue
+        want = _duck_to_spark_dtype(duck)
+        got = sd[col]
+        if want.startswith("!") or "!" in want:
+            problems.append(f"{col}: oracle type {duck} has no Spark match")
+            continue
+        g, w = got, want
+        if g.startswith("timestamp") and w.startswith("timestamp"):
+            continue
+        if g != w:
+            problems.append(f"{col}: spark={got} oracle={duck}(→{want})")
+    for col in sd:
+        if col not in duck_types:
+            problems.append(f"{col}: only in spark")
+    return problems
 
 
 def _canon_value(v):

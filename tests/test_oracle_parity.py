@@ -48,6 +48,10 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
             # NULL event_type: q64_forward_fill's mask must KEEP this value
             # (NULL != 'error' is NULL — a when(!=)-keeps form masks it)
             (999903, "2024-02-03 00:00:00", 8888, None, 3.0, "{}"),
+            # NULL value: q70's prior join must be null-safe (an inner
+            # equi-join silently drops the row) and its window order must
+            # pin NULLS LAST to match DuckDB's NTILE placement
+            (999904, "2024-02-04 00:00:00", 8888, "view", None, "{}"),
         ],
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
@@ -60,7 +64,7 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
               "lineitem", "documents", "embeddings"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
     for name in ["q47_zscore_anomaly", "q45_funnel", "cdc_apply", "q30_sessionization",
-                 "q64_forward_fill"]:
+                 "q64_forward_fill", "q70_equi_depth_histogram"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
 
@@ -88,6 +92,12 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
             (999905, "", "en", "srcx", 0),
             # an exact 8-token twin of 999903 so the dup path fires too
             (999906, "eight tokens exactly at the span width here", "en", "srcx", 43),
+            # non-ASCII near-twins: multi-byte UTF-8 makes byte length !=
+            # char length, so any oracle hashing CHARACTERS instead of the
+            # encoded payload BYTES diverges here (the mm_phash_dedup bug
+            # class); near-identical so the candidate+verify path fires
+            (999907, "héllo wörld — ünïcode byte sémantics test çorpus", "de", "srcx", 48),
+            (999908, "héllo wörld — ünïcode byte sémantics test çorpu5", "de", "srcx", 48),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -99,6 +109,7 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
               "lineitem", "events", "embeddings"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
     for name in ["dedup_substring", "text_feature_hash_embed",
-                 "text_token_count", "dedup_ngram_jaccard"]:
+                 "text_token_count", "dedup_ngram_jaccard",
+                 "mm_phash_dedup", "mm_shard_manifest"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)

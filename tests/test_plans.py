@@ -415,3 +415,35 @@ def test_tfidf_df_join_broadcasts(spark, specs):
     doc-term table — no shuffle join on the term."""
     df = _df(specs, spark, "text_keyword_tfidf")
     assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_pagerank_iteration_never_broadcasts_ranks(spark, specs):
+    """The per-iteration rank+degree table is O(|nodes|) — at a billion-node
+    graph it is tens of GB, so the edge fan-out join must survive with NO
+    broadcast anywhere: shuffle hash join, no nested loop. Pinned with
+    auto-broadcast disabled, which is exactly the at-scale situation."""
+    from librarian_spark.operators.relational import _PR_SCALE, _pr_step, _t
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = _t(spark, SF, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+        a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+        edges = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("u") != F.col("v"))
+            .select("u", "v")
+            .distinct()
+            .localCheckpoint()
+        )
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        ranks = deg.select(
+            F.col("u").alias("x"), F.lit(_PR_SCALE).cast("long").alias("r")
+        )
+        plan = formatted_plan(_pr_step(edges, ranks, deg))
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert "NestedLoop" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
