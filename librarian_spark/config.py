@@ -60,6 +60,10 @@ class SourceConfig:
     # extensions (not in the reference):
     format: str = "jdbc"
     path: str = ""
+    # extra JDBC reader options (e.g. {"driver": "org.duckdb.DuckDBDriver"});
+    # the reference bakes the driver into the Go binary (database/sql import),
+    # Spark resolves it from the session classpath by name
+    properties: dict = field(default_factory=dict)
     # incremental snapshots: pull only rows where this monotone column exceeds
     # the high watermark persisted by the previous run (the reference re-reads
     # the full query every snapshot — delta pulls are what make periodic
@@ -181,6 +185,7 @@ def load_config_str(text: str) -> LibrarianConfig:
                 format=src.get("format", "jdbc"),
                 path=src.get("path", ""),
                 incremental_column=src.get("incremental_column", ""),
+                properties=dict(src.get("properties", {}) or {}),
             ),
             repository=RepositoryConfig(
                 type=repo.get("type", "local"),

@@ -335,3 +335,125 @@ def cdc_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pgoutput wire-decode E2E (recorded WAL bytes → decode → materialize)
+# --------------------------------------------------------------------------
+
+_PGWAL_TXN = 1000  # rows per recorded transaction/segment
+
+
+@query(
+    "cdc_pgoutput_decode",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+             AS o_orderstatus,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey % 20 = 0 AND o_orderkey % 7 != 0
+    """,
+    doc="Postgres logical-replication ingestion at the WIRE level — the "
+    "reference's live decode path (`pkg/postgres/source.go:181-445`) over "
+    "recorded pgoutput BYTES: a deterministic recorder encodes an orders "
+    "slice as real binary WAL segments (Relation/Begin/Insert/Update/"
+    "Delete/Commit frames — inserts for every row, an update transaction "
+    "restating keys divisible by 3 with status 'X', a delete transaction "
+    "for keys divisible by 7), the `pgoutput` DataSource decodes them "
+    "EXECUTOR-PARALLEL (one partition per self-contained segment), and one "
+    "max_by-per-key aggregate materializes the final table (the cdc_apply "
+    "shape: latest (lsn, seq) wins, trailing deletes drop the key). The "
+    "oracle replays insert∘update∘delete algebraically. Recording collects "
+    "to the driver — honest: a WAL recorder is inherently a single-writer "
+    "slot consumer; the SCALE path is the decode, which fans out per "
+    "segment exactly like the 100 TB backfill would.",
+)
+def cdc_pgoutput_decode(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
+    from librarian_spark.sources import pgoutput as pg
+
+    base = _cache_base("pgwal", sf, "orders", salt=f"txn{_PGWAL_TXN}-m20-u3-d7")
+    _sweep_run_dirs("/tmp", ("librarian_pgwal_",))
+    wal = os.path.join(base, "wal")
+    marker = os.path.join(wal, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(wal, exist_ok=True)
+        src = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        cols = [
+            ("o_orderkey", pg.OID_INT8),
+            ("o_custkey", pg.OID_INT8),
+            ("o_orderstatus", 25),  # text
+            ("o_totalprice", 701),  # float8 — stays text through decode
+        ]
+        rel = pg.encode_relation(61001, "public", "orders", cols)
+
+        def vals(r, status=None):
+            # text-protocol values; repr(float) is the shortest exact form
+            return [
+                str(r.o_orderkey),
+                str(r.o_custkey),
+                status or r.o_orderstatus,
+                repr(float(r.o_totalprice)),
+            ]
+
+        ts0 = 1_700_000_000_000
+        chunks = [src[i : i + _PGWAL_TXN] for i in range(0, len(src), _PGWAL_TXN)]
+        for i, chunk in enumerate(chunks):
+            msgs = [rel, pg.encode_begin(1000 + i, ts0 + i, 10 + i)]
+            msgs += [pg.encode_insert(61001, vals(r)) for r in chunk]
+            msgs.append(pg.encode_commit(1000 + i, 1008 + i, ts0 + i))
+            pg.write_segment(os.path.join(wal, f"seg-{i:04d}.pgwal"), msgs)
+        n = len(chunks)
+        upd = [r for r in src if r.o_orderkey % 3 == 0]
+        msgs = [rel, pg.encode_begin(5000, ts0 + 500, 900)]
+        msgs += [pg.encode_update(61001, vals(r, "X")) for r in upd]
+        msgs.append(pg.encode_commit(5000, 5008, ts0 + 500))
+        pg.write_segment(os.path.join(wal, f"seg-{n:04d}.pgwal"), msgs)
+        dels = [r for r in src if r.o_orderkey % 7 == 0]
+        msgs = [rel, pg.encode_begin(6000, ts0 + 600, 901)]
+        msgs += [
+            pg.encode_delete(61001, [str(r.o_orderkey), None, None, None])
+            for r in dels
+        ]
+        msgs.append(pg.encode_commit(6000, 6008, ts0 + 600))
+        pg.write_segment(os.path.join(wal, f"seg-{n + 1:04d}.pgwal"), msgs)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    pg.register(spark)
+    ev = (
+        spark.read.format("pgoutput")
+        .option("path", wal)
+        .option("db", "appdb")
+        .load()
+    )
+    seq = F.split(F.col("position"), ":").getItem(1).cast("long")
+    keyed = ev.withColumn(
+        "k",
+        F.coalesce(
+            F.get_json_object("after", "$.o_orderkey"),
+            F.get_json_object("before", "$.o_orderkey"),
+        ).cast("long"),
+    ).withColumn("seq", seq)
+    last = keyed.groupBy("k").agg(
+        F.max_by(F.struct("op", "after"), F.struct("lsn", "seq")).alias("last")
+    )
+    return last.filter(F.col("last.op") != "d").select(
+        F.col("k").alias("o_orderkey"),
+        F.get_json_object("last.after", "$.o_custkey")
+        .cast("long")
+        .alias("o_custkey"),
+        F.get_json_object("last.after", "$.o_orderstatus").alias("o_orderstatus"),
+        F.get_json_object("last.after", "$.o_totalprice")
+        .cast("double")
+        .alias("o_totalprice"),
+    )

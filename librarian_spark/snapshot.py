@@ -54,7 +54,10 @@ class Snapshotter:
         src = self.cfg.source
         if src.format == "jdbc":
             return read_jdbc_query(
-                self.spark, src.connection_string, src.effective_query()
+                self.spark,
+                src.connection_string,
+                src.effective_query(),
+                properties=src.properties,
             )
         if src.format in ("parquet", "csv", "json"):
             if not src.path:

@@ -109,14 +109,20 @@ def read_jdbc_query(
     on a single cursor; at scale we split the read across executors on a numeric
     partition column.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    reader = spark.read.format("jdbc").option("url", url)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column:
+        # Spark rejects `query` + `partitionColumn` together; the partitioned
+        # path must wrap the query as a dbtable subselect (each executor then
+        # appends its own `WHERE partition_column BETWEEN ...` stride)
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) jdbc_src")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions or 8)
             .option("lowerBound", lower_bound or 0)
             .option("upperBound", upper_bound or 1 << 31)
         )
+    else:
+        reader = reader.option("query", query)
     return reader.load()

@@ -105,6 +105,19 @@ class Replicator:
             for k, v in cfg.source_options.items():
                 reader = reader.option(k, v)
             return reader.load()
+        elif cfg.source_format == "pgoutput":
+            # raw logical-replication WAL bytes (recorded segments), decoded
+            # executor-side into the same typed CDC rows — the wire-level
+            # boundary the reference's live slot consumer sits at
+            from librarian_spark.sources.pgoutput import register as _reg_pg
+
+            _reg_pg(self.spark)
+            reader = self.spark.readStream.format("pgoutput").option(
+                "path", cfg.source_path
+            )
+            for k, v in cfg.source_options.items():
+                reader = reader.option(k, v)
+            return reader.load()
         else:
             raise ValueError(f"unknown source format: {cfg.source_format!r}")
         if cfg.parse_debezium:
