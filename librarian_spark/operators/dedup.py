@@ -760,7 +760,12 @@ _IDX_QUERY_MOD = 10  # doc_id % 10 == 0 plays the incoming query batch
 _IDX_BUCKETS = 32  # band-signature hash buckets = index partition dirs
 
 
-def build_minhash_index(spark: SparkSession, sf: str, index_dir: str) -> None:
+def build_minhash_index(
+    spark: SparkSession,
+    sf: str,
+    index_dir: str,
+    docs: DataFrame | None = None,
+) -> None:
     """Materialize the LSH index at rest: the exploded band table written
     PARTITIONED BY a band-signature bucket, plus a shingle-hash sidecar for
     exact verification.
@@ -773,7 +778,7 @@ def build_minhash_index(spark: SparkSession, sf: str, index_dir: str) -> None:
     """
     # localCheckpoint: bands + sidecar are two write actions over this
     # lineage — one Python signature pass instead of two
-    feats = minhash_features(spark, sf).localCheckpoint()
+    feats = minhash_features(spark, sf, docs=docs).localCheckpoint()
     bands = feats.select(
         "doc_id", F.posexplode("band_sigs").alias("band", "band_sig")
     ).withColumn(
@@ -905,6 +910,132 @@ def ensure_minhash_index(spark: SparkSession, sf: str) -> str:
     if not os.path.exists(index_dir + "/features/_SUCCESS"):
         build_minhash_index(spark, sf, index_dir)
     return index_dir
+
+
+def minhash_index_add(
+    spark: SparkSession, sf: str, index_dir: str, new_docs: DataFrame
+) -> None:
+    """Grow a persisted LSH index without rebuild: signature the NEW batch
+    only (one map-only pass), append its band rows into the existing bucket
+    partition dirs and its shingle sidecar rows alongside — existing files
+    are never read or rewritten. The hash family and bucketing are frozen
+    constants of the layout (the IVF frozen-quantizer argument,
+    `similarity.py` sim_ivf_incremental_add), so a grown index is
+    content-identical to a one-shot build over the union. Append is NOT
+    idempotent — callers own crash-safety (stage + atomic publish, as
+    ``dedup_index_add`` does)."""
+    feats = minhash_features(spark, sf, docs=new_docs).localCheckpoint()
+    bands = feats.select(
+        "doc_id", F.posexplode("band_sigs").alias("band", "band_sig")
+    ).withColumn(
+        "bucket", F.pmod(F.col("band_sig") + F.col("band"), F.lit(_IDX_BUCKETS))
+    )
+    bands.repartition("bucket").write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(index_dir + "/bands")
+    feats.select("doc_id", "shingle_hashes").coalesce(1).write.mode(
+        "append"
+    ).parquet(index_dir + "/features")
+
+
+def minhash_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Merge the small files accumulated by incremental adds back to the
+    built layout (ONE file per bucket dir): probe cost is file-opens per
+    probed bucket, and every add leaves one more file in every touched
+    bucket — nightly compaction restores build-time probe cost without
+    touching index CONTENT. Rewrite happens in a staging dir and is
+    published by directory swap; maintenance is single-writer by contract
+    (the same assumption every table-format compaction job makes)."""
+    import os
+    import shutil
+    import uuid
+
+    run = uuid.uuid4().hex[:8]
+    for sub, part_col, n in (("bands", "bucket", None), ("features", None, 4)):
+        live = f"{index_dir}/{sub}"
+        tmp = f"{live}.compact-{run}"
+        df = spark.read.parquet(live)
+        if part_col:
+            df.repartition(part_col).write.partitionBy(part_col).mode(
+                "overwrite"
+            ).parquet(tmp)
+        else:
+            df.coalesce(n).write.mode("overwrite").parquet(tmp)
+        old = f"{live}.old-{run}"
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+_IDX_ADD_MOD = 3  # doc_id % 3 == 1 plays the newly ingested batch
+
+
+@query(
+    "dedup_index_add",
+    # full-rebuild equivalence: the grown+compacted index must answer the
+    # SAME probe identically to dedup_minhash_index's one-shot build, so the
+    # same exact all-pairs oracle certifies add + compact end-to-end
+    oracle=f"""
+    SELECT * FROM ({_NGRAM_ORACLE})
+    WHERE doc_id_1 % {_IDX_QUERY_MOD} = 0 OR doc_id_2 % {_IDX_QUERY_MOD} = 0
+    """,
+    doc="LSH index GROWTH + COMPACTION without rebuild: the base index is "
+    f"built over two thirds of the corpus, the rest (doc_id % {_IDX_ADD_MOD} "
+    "== 1 plays a newly ingested batch) is signatured in one map-only pass "
+    "and APPENDED into the existing bucket partition dirs (existing files "
+    "never read), then compaction merges each bucket back to one file — "
+    "the nightly-ingest lifecycle of a dedup index at rest. The whole "
+    "build→add→compact runs in a private staging dir published by one "
+    "atomic rename (append is not idempotent; a crashed run must never "
+    "leave a double-appended index). The oracle is dedup_minhash_index's "
+    "exact all-pairs SQL: hash-equality certifies the grown index is "
+    "content-identical to a one-shot build AND that probes see the added "
+    "documents. Probe-identity across compaction is pinned separately in "
+    "tests (invariant, not parity). At 100 TB: add cost is one pass over "
+    "the new batch; compact cost is one read+write of the band table, "
+    "amortized over every probe it speeds up.",
+)
+def dedup_index_add(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    src = os.path.join(sf, "documents.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    layout = (
+        f"{_IDX_BUCKETS}:{_MINHASH_K}:{_LSH_BANDS}:{_JACCARD_THRESHOLD}"
+        f":add{_IDX_ADD_MOD}:v1"
+    )
+    tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/librarian_mhadd_{tag}"
+    if os.path.isdir(index_dir):
+        try:
+            with open(os.path.join(index_dir, "_keepalive"), "w") as fh:
+                fh.write("")
+        except OSError:
+            pass
+    from librarian_spark.operators.pipeline import _sweep_run_dirs
+
+    _sweep_run_dirs("/tmp", ("librarian_mhadd_",))
+    if not os.path.isdir(index_dir):
+        staging = f"{index_dir}.staging-{uuid.uuid4().hex[:8]}"
+        d = _t(spark, sf, "documents")
+        build_minhash_index(
+            spark, sf, staging, docs=d.filter(F.col("doc_id") % _IDX_ADD_MOD != 1)
+        )
+        minhash_index_add(
+            spark, sf, staging, d.filter(F.col("doc_id") % _IDX_ADD_MOD == 1)
+        )
+        minhash_index_compact(spark, staging)
+        try:
+            os.rename(staging, index_dir)
+        except OSError:  # lost the publish race — use the winner's index
+            shutil.rmtree(staging, ignore_errors=True)
+    queries = _t(spark, sf, "documents").filter(
+        F.col("doc_id") % _IDX_QUERY_MOD == 0
+    )
+    return minhash_index_probe(spark, sf, index_dir, queries)
 
 
 # --------------------------------------------------------------------------

@@ -182,6 +182,10 @@ def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
             source_schema="value string",
             target_format="parquet",
             target_path=out,
+            # drain-style run: an immediate re-trigger lets
+            # processAllAvailable observe no-new-data right after the one
+            # real batch instead of waiting out the 5 s poll interval
+            trigger_processing_time="0 seconds",
         ),
     )
     rep.start()
@@ -1356,6 +1360,7 @@ def pipeline_cdc_fanout(spark: SparkSession, sf: str) -> DataFrame:
             target_format="parquet",
             target_path=out,
             target_partition_by="table",
+            trigger_processing_time="0 seconds",
         ),
     )
     rep.start()

@@ -127,16 +127,34 @@ class _CdcStreamReader(DataSourceStreamReader):
     ``latestOffset`` snapshots the directory; ``partitions(start, end)`` is one
     partition per new segment (executor-parallel); ``commit`` is a no-op because
     segments are retained (replay from any offset — same property the reference
-    gets from Postgres slot retention)."""
+    gets from Postgres slot retention).
+
+    TRUE PAUSE (the reference FSM's suspended state, `fsm.go:50-129`): when
+    the ``pause_marker`` option names a file that exists, ``latestOffset``
+    re-returns its last answer instead of the directory count — the query
+    stays active with its checkpoint and state warm, it simply observes no
+    new data until the marker is removed. The freeze needs one prior poll to
+    know the held position, so pausing applies to a LIVE query; a query
+    restarted under a pre-existing marker polls once before freezing (it
+    can never move the offset backward, which would re-deliver segments)."""
 
     def __init__(self, options):
         self.path = options["path"]
+        self.pause_marker = options.get("pause_marker") or ""
+        self._last: int | None = None
 
     def initialOffset(self) -> dict:
         return {"nfiles": 0}
 
     def latestOffset(self) -> dict:
-        return {"nfiles": len(_segment_files(self.path))}
+        if (
+            self.pause_marker
+            and self._last is not None
+            and os.path.exists(self.pause_marker)
+        ):
+            return {"nfiles": self._last}
+        self._last = len(_segment_files(self.path))
+        return {"nfiles": self._last}
 
     def partitions(self, start: dict, end: dict):
         files = _segment_files(self.path)

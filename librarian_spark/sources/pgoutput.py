@@ -406,17 +406,29 @@ class _PgBatchReader(DataSourceReader):
 
 class _PgStreamReader(DataSourceStreamReader):
     """Micro-batch reader — offset = count of fully-consumed segments, the
-    same contract as ``cdc_jsonl`` (segments immutable once written)."""
+    same contract as ``cdc_jsonl`` (segments immutable once written),
+    including its ``pause_marker`` true-pause protocol: while the marker
+    file exists, ``latestOffset`` holds at its last answer and the live
+    query idles with checkpoint + state warm (no teardown, no re-read)."""
 
     def __init__(self, options):
         self.path = options["path"]
         self.db = options.get("db", "postgres")
+        self.pause_marker = options.get("pause_marker") or ""
+        self._last: int | None = None
 
     def initialOffset(self) -> dict:
         return {"nfiles": 0}
 
     def latestOffset(self) -> dict:
-        return {"nfiles": len(_segment_files(self.path))}
+        if (
+            self.pause_marker
+            and self._last is not None
+            and os.path.exists(self.pause_marker)
+        ):
+            return {"nfiles": self._last}
+        self._last = len(_segment_files(self.path))
+        return {"nfiles": self._last}
 
     def partitions(self, start: dict, end: dict):
         files = _segment_files(self.path)

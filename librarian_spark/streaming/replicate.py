@@ -15,8 +15,12 @@ Parity mapping:
   Kafka — write then commit, `replicator.go:267-275` — exactly-once to files);
 - ``FlushTimeout`` ticker (`replicator.go:206-212`) → ``trigger(processingTime)``;
 - ``EmptyPollInterval`` backoff (`replicator.go:256-259`) → micro-batch scheduler;
-- pause/resume/stop/restart FSM (`fsm.go:50-94`) → ``query.stop()`` + restart
-  from checkpoint (pause ≡ stop-with-checkpoint; Spark has no suspended state);
+- pause/resume/stop/restart FSM (`fsm.go:50-94`) → for the custom sources
+  (cdc_jsonl/pgoutput) pause is a REAL suspended state: the source freezes
+  ``latestOffset`` behind a marker file, the live query idles with state and
+  checkpoint warm, resume is one trigger away. Spark-owned sources
+  (kafka/files) expose no offset-freeze hook, so pause degrades to
+  stop-with-checkpoint + restart there;
 - stats structs + HTTP API (`server.go:57-165`) → :mod:`.stats` listener.
 
 At scale: one replicate query per topic-set; Kafka source parallelism follows
@@ -101,7 +105,7 @@ class Replicator:
             register(self.spark)
             reader = self.spark.readStream.format("cdc_jsonl").option(
                 "path", cfg.source_path
-            )
+            ).option("pause_marker", self.pause_marker)
             for k, v in cfg.source_options.items():
                 reader = reader.option(k, v)
             return reader.load()
@@ -114,7 +118,7 @@ class Replicator:
             _reg_pg(self.spark)
             reader = self.spark.readStream.format("pgoutput").option(
                 "path", cfg.source_path
-            )
+            ).option("pause_marker", self.pause_marker)
             for k, v in cfg.source_options.items():
                 reader = reader.option(k, v)
             return reader.load()
@@ -168,15 +172,63 @@ class Replicator:
         ).start()
         return self.query
 
-    # -- lifecycle (FSM parity: created→streaming→stopped; pause ≡ stop) ----
+    # -- lifecycle (FSM parity: created→streaming⇄paused→stopped) -----------
+    @property
+    def pause_marker(self) -> str:
+        """Marker file the custom stream readers poll for the TRUE-pause
+        protocol; lives inside the checkpoint dir (same durability scope)."""
+        import os
+
+        return os.path.join(self.cfg.checkpoint_dir, "_paused")
+
+    @property
+    def _pausable_live(self) -> bool:
+        return self.cfg.source_format in ("cdc_jsonl", "pgoutput")
+
     @property
     def state(self) -> str:
-        """created | streaming | stopped — the subset of the reference FSM
-        (`fsm.go:14-26`) Spark exposes; reconnecting/error surface as query
-        exceptions, pause is stop-with-checkpoint."""
+        """created | streaming | paused | stopped — the reference FSM
+        (`fsm.go:14-26`); reconnecting/error surface as query exceptions."""
+        import os
+
         if self.query is None:
             return "created"
-        return "streaming" if self.query.isActive else "stopped"
+        if not self.query.isActive:
+            return "stopped"
+        if self._pausable_live and os.path.exists(self.pause_marker):
+            return "paused"
+        return "streaming"
+
+    def pause(self) -> None:
+        """Suspend WITHOUT checkpoint teardown (the reference FSM's real
+        ``paused`` state, `fsm.go:50-129`): for the custom sources the
+        query object stays active and simply observes no new data until
+        resume — state stores and executors stay warm, so resume latency is
+        one trigger, not a cold restart. Sources Spark owns end-to-end
+        (kafka/files) have no offset-freeze hook: there pause degrades to
+        stop-with-checkpoint, the previously documented semantics."""
+        if self._pausable_live:
+            import os
+
+            os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
+            with open(self.pause_marker, "w") as fh:
+                fh.write("")
+        else:
+            self.stop()
+
+    def resume(self) -> StreamingQuery | None:
+        """Inverse of :meth:`pause`: drop the marker (live query picks up on
+        its next trigger) or, after a degraded pause-as-stop, restart from
+        the checkpoint."""
+        import os
+
+        try:
+            os.remove(self.pause_marker)
+        except FileNotFoundError:
+            pass
+        if self.query is not None and self.query.isActive:
+            return self.query
+        return self.restart()
 
     def stop(self) -> None:
         if self.query is not None and self.query.isActive:

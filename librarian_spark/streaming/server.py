@@ -11,10 +11,13 @@ Same routes and JSON shapes here, over :class:`~librarian_spark.streaming.replic
 objects. Signal semantics on Spark (`fsm.go:14-26` parity, documented deltas):
 
 - ``stop``    → ``query.stop()`` (checkpoint retained)
-- ``pause``   → stop-with-checkpoint (Spark has no suspended state; the
-  reference FSM's ``paused`` maps to a stopped query whose checkpoint makes
-  ``resume`` lossless)
-- ``resume``  → restart from checkpoint
+- ``pause``   → TRUE suspend for the custom sources (cdc_jsonl/pgoutput):
+  the live query holds its offset via the pause-marker protocol, state and
+  checkpoint stay warm (`fsm.go:50-129` parity). Spark-owned sources
+  (kafka/files) have no offset-freeze hook, so pause degrades to
+  stop-with-checkpoint there.
+- ``resume``  → drop the marker (live query continues next trigger), or
+  restart from checkpoint after a degraded pause
 - ``restart`` → stop + start from checkpoint
 
 Stdlib ``http.server`` on a daemon thread — the control plane is driver-side
@@ -74,8 +77,10 @@ class ReplicatorServer:
         if sig == "stop":
             rep.stop()
         elif sig == "pause":
-            rep.stop()  # pause ≡ stop-with-checkpoint
-        elif sig in ("resume", "restart"):
+            rep.pause()  # true suspend for custom sources; stop-with-checkpoint else
+        elif sig == "resume":
+            rep.resume()
+        elif sig == "restart":
             rep.restart()
         else:
             raise ValueError(f"unknown signal: {sig}")

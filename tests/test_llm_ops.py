@@ -455,3 +455,51 @@ def test_quarantine_partition_conserves_rows(spark, sf_dir):
     assert len(rows) == load_table(spark, sf_dir, "events").count()
     for r in rows:
         assert (r.status == "quarantined") == (r.reason is not None)
+
+
+def test_minhash_index_add_then_compact_probe_invariant(spark, sf_dir, tmp_path):
+    """Index lifecycle invariants: (1) an incremental add leaves MORE than
+    one file in touched bucket dirs and compaction restores exactly one;
+    (2) probe results are IDENTICAL before and after compaction (compaction
+    moves bytes, never content)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.dedup import (
+        _IDX_QUERY_MOD,
+        build_minhash_index,
+        minhash_index_add,
+        minhash_index_compact,
+        minhash_index_probe,
+    )
+    from librarian_spark.sources.batch import load_table
+
+    idx = str(tmp_path / "mhidx")
+    d = load_table(spark, sf_dir, "documents")
+    build_minhash_index(spark, sf_dir, idx, docs=d.filter(F.col("doc_id") % 3 != 1))
+    minhash_index_add(spark, sf_dir, idx, d.filter(F.col("doc_id") % 3 == 1))
+
+    def files_per_bucket():
+        out = {}
+        for b in glob.glob(f"{idx}/bands/bucket=*"):
+            out[os.path.basename(b)] = len(glob.glob(f"{b}/*.parquet"))
+        return out
+
+    before = files_per_bucket()
+    assert max(before.values()) > 1, before  # the add actually appended
+
+    queries = d.filter(F.col("doc_id") % _IDX_QUERY_MOD == 0)
+    probe_before = sorted(
+        tuple(r) for r in minhash_index_probe(spark, sf_dir, idx, queries).collect()
+    )
+    assert probe_before  # non-degenerate: the probe finds pairs
+
+    minhash_index_compact(spark, idx)
+    after = files_per_bucket()
+    assert after and max(after.values()) == 1, after
+    probe_after = sorted(
+        tuple(r) for r in minhash_index_probe(spark, sf_dir, idx, queries).collect()
+    )
+    assert probe_before == probe_after

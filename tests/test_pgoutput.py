@@ -277,3 +277,56 @@ def test_replicator_pgoutput_source_end_to_end(spark, wal_dir, tmp_path):
     assert {r["op"] for r in got.collect()} == {"c", "u"}
     # decoded rows are fully typed — downstream SCD2/materialize run unchanged
     assert dict(got.dtypes)["lsn"] == "bigint"
+
+
+def test_pause_resume_true_suspend(spark, wal_dir, tmp_path):
+    """Reference-FSM pause parity (`fsm.go:50-129`): pause suspends a LIVE
+    query (no teardown — the query object stays active), events arriving
+    during the pause are neither consumed nor lost, and resume picks them up
+    on the next trigger with exactly-once counts (no re-read of consumed
+    segments — the parquet sink would show duplicate lsns)."""
+    import time
+
+    from librarian_spark.streaming.replicate import ReplicateConfig, Replicator
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rep = Replicator(
+        spark,
+        ReplicateConfig(
+            replicator_id="pg_pause",
+            checkpoint_dir=ckpt,
+            source_format="pgoutput",
+            source_path=wal_dir,
+            source_options={"db": "appdb"},
+            target_format="parquet",
+            target_path=out,
+            trigger_processing_time="0 seconds",
+        ),
+    )
+    q = rep.start()
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 3
+        rep.pause()
+        assert rep.state == "paused"
+        assert q.isActive  # true suspend: the query was NOT torn down
+        # a segment lands mid-pause…
+        _users_segment(
+            os.path.join(wal_dir, "seg-010.pgwal"),
+            900,
+            1_700_000_009_000,
+            [encode_insert(55001, ["9", "eve", None])],
+        )
+        # …and the paused query must not consume it (frozen latestOffset
+        # means processAllAvailable sees nothing pending and returns)
+        q.processAllAvailable()
+        time.sleep(0.5)
+        assert spark.read.parquet(out).count() == 3
+        rep.resume()
+        assert rep.state == "streaming"
+        q.processAllAvailable()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 4  # the paused-era segment, exactly once
+        assert sorted(r["lsn"] for r in rows) == [100, 100, 200, 900]
+    finally:
+        rep.stop()
