@@ -503,3 +503,54 @@ def test_minhash_index_add_then_compact_probe_invariant(spark, sf_dir, tmp_path)
         tuple(r) for r in minhash_index_probe(spark, sf_dir, idx, queries).collect()
     )
     assert probe_before == probe_after
+
+
+def _pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_image_gate_without_pillow():
+    """The optional-dependency gate must be LOUD: no pillow → a
+    NotImplementedError naming the dependency and the fallback, never a
+    silent byte-level fake standing in for pixels."""
+    import pytest as _pytest
+
+    if _pillow_available():
+        _pytest.skip("pillow present — the absence gate is not exercisable")
+    from librarian_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_resize_images_real_path(spark):
+    """Pillow-present twin of mm_resize: real PNGs through the same
+    mapInPandas plumbing — schema, batch shape, and thumbnail bound all
+    hold on actual pixels. Skips where the dependency is absent."""
+    import pytest as _pytest
+
+    if not _pillow_available():
+        _pytest.skip("pillow not installed in this container")
+    import io
+
+    from PIL import Image
+
+    from librarian_spark.operators.multimodal import decode_image, resize_images
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, "PNG")
+        return buf.getvalue()
+
+    rows = [(1, png(640, 480, (200, 10, 10))), (2, png(32, 32, (10, 200, 10)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in resize_images(df, max_px=64).collect()}
+    assert out[1].width == 64 and out[1].height == 48  # aspect preserved
+    assert (out[2].width, out[2].height) == (32, 32)  # never upscaled
+    meta = decode_image(bytes(out[1].thumb))
+    assert (meta["width"], meta["height"]) == (64, 48)
