@@ -375,7 +375,7 @@ def cdc_pgoutput_decode(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
     from librarian_spark.sources import pgoutput as pg
 
-    base = _cache_base("pgwal", sf, "orders", salt=f"txn{_PGWAL_TXN}-m20-u3-d7")
+    base = _cache_base("pgwal", sf, "orders", salt=f"txn{_PGWAL_TXN}-m20-u3-d7-v2")
     _sweep_run_dirs("/tmp", ("librarian_pgwal_",))
     wal = os.path.join(base, "wal")
     marker = os.path.join(wal, "_READY")
@@ -413,18 +413,23 @@ def cdc_pgoutput_decode(spark: SparkSession, sf: str) -> DataFrame:
             msgs.append(pg.encode_commit(1000 + i, 1008 + i, ts0 + i))
             pg.write_segment(os.path.join(wal, f"seg-{i:04d}.pgwal"), msgs)
         n = len(chunks)
+        # update/delete LSNs DERIVED from the chunk count: fixed constants
+        # would collide with the insert LSNs (1000+i) once the recorded
+        # slice grows past them, and max_by(lsn, seq) would then resurrect
+        # deleted keys / prefer stale inserts at large SF
+        u_lsn, d_lsn = 1000 + n, 1001 + n
         upd = [r for r in src if r.o_orderkey % 3 == 0]
-        msgs = [rel, pg.encode_begin(5000, ts0 + 500, 900)]
+        msgs = [rel, pg.encode_begin(u_lsn, ts0 + n + 1, 900)]
         msgs += [pg.encode_update(61001, vals(r, "X")) for r in upd]
-        msgs.append(pg.encode_commit(5000, 5008, ts0 + 500))
+        msgs.append(pg.encode_commit(u_lsn, u_lsn + 8, ts0 + n + 1))
         pg.write_segment(os.path.join(wal, f"seg-{n:04d}.pgwal"), msgs)
         dels = [r for r in src if r.o_orderkey % 7 == 0]
-        msgs = [rel, pg.encode_begin(6000, ts0 + 600, 901)]
+        msgs = [rel, pg.encode_begin(d_lsn, ts0 + n + 2, 901)]
         msgs += [
             pg.encode_delete(61001, [str(r.o_orderkey), None, None, None])
             for r in dels
         ]
-        msgs.append(pg.encode_commit(6000, 6008, ts0 + 600))
+        msgs.append(pg.encode_commit(d_lsn, d_lsn + 8, ts0 + n + 2))
         pg.write_segment(os.path.join(wal, f"seg-{n + 1:04d}.pgwal"), msgs)
         with open(marker, "w") as fh:
             fh.write("ok")

@@ -21,6 +21,8 @@ engine re-run) produces identical signatures.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -760,6 +762,18 @@ _IDX_QUERY_MOD = 10  # doc_id % 10 == 0 plays the incoming query batch
 _IDX_BUCKETS = 32  # band-signature hash buckets = index partition dirs
 
 
+def _point_symlink(index_dir: str, name: str, target: str) -> None:
+    """Atomically (re)point ``index_dir/name`` at the relative ``target``
+    dir: create a uniquely-named link, then ``os.replace`` over the stable
+    name — POSIX rename is atomic, so readers resolve either the old or the
+    new version, never a missing path."""
+    import uuid
+
+    tmp = os.path.join(index_dir, f".{name}.lnk-{uuid.uuid4().hex[:8]}")
+    os.symlink(target, tmp)
+    os.replace(tmp, os.path.join(index_dir, name))
+
+
 def build_minhash_index(
     spark: SparkSession,
     sf: str,
@@ -788,12 +802,19 @@ def build_minhash_index(
     # drops a file into every bucket dir it touches (MEASURED: ~27 small
     # files per bucket; each probe then pays hundreds of file opens) —
     # after, exactly one file per bucket dir
+    # SYMLINK current-pointer layout: data lives in versioned dirs, the
+    # stable names `bands`/`features` are symlinks — compaction can then
+    # publish a rewritten version ATOMICALLY (os.replace on the link), so a
+    # concurrent probe never observes a missing directory
+    os.makedirs(index_dir, exist_ok=True)
     bands.repartition("bucket").write.partitionBy("bucket").mode(
         "overwrite"
-    ).parquet(index_dir + "/bands")
+    ).parquet(index_dir + "/bands-v0")
     feats.select("doc_id", "shingle_hashes").coalesce(4).write.mode(
         "overwrite"
-    ).parquet(index_dir + "/features")
+    ).parquet(index_dir + "/features-v0")
+    for sub in ("bands", "features"):
+        _point_symlink(index_dir, sub, f"{sub}-v0")
 
 
 def minhash_index_probe(
@@ -891,8 +912,9 @@ def ensure_minhash_index(spark: SparkSession, sf: str) -> str:
 
     src = os.path.join(sf, "documents.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    # v2: one-file-per-bucket band layout (repartition before partitionBy)
-    layout = f"{_IDX_BUCKETS}:{_MINHASH_K}:{_LSH_BANDS}:{_JACCARD_THRESHOLD}:v2"
+    # v3: symlink current-pointer layout (atomic compaction publish);
+    # v2 was one-file-per-bucket bands (repartition before partitionBy)
+    layout = f"{_IDX_BUCKETS}:{_MINHASH_K}:{_LSH_BANDS}:{_JACCARD_THRESHOLD}:v3"
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_mhidx_{tag}"
     # keepalive the live index (reads never refresh mtimes), then sweep
@@ -943,28 +965,38 @@ def minhash_index_compact(spark: SparkSession, index_dir: str) -> None:
     built layout (ONE file per bucket dir): probe cost is file-opens per
     probed bucket, and every add leaves one more file in every touched
     bucket — nightly compaction restores build-time probe cost without
-    touching index CONTENT. Rewrite happens in a staging dir and is
-    published by directory swap; maintenance is single-writer by contract
-    (the same assumption every table-format compaction job makes)."""
-    import os
+    touching index CONTENT. The rewrite lands in a fresh versioned dir and
+    is published by an ATOMIC symlink flip (`_point_symlink`), so a
+    concurrent probe always resolves a complete version — old or new,
+    never a missing path; a crash leaves the old version live and the
+    half-written new dir as sweepable garbage. Maintenance (who runs
+    compact) is single-writer by contract, like any table-format
+    compaction job."""
     import shutil
     import uuid
 
     run = uuid.uuid4().hex[:8]
     for sub, part_col, n in (("bands", "bucket", None), ("features", None, 4)):
         live = f"{index_dir}/{sub}"
-        tmp = f"{live}.compact-{run}"
+        if not os.path.islink(live):
+            # legacy real-dir layout (pre-symlink builds): migrate once.
+            # The rename pair below is the only non-atomic window and only
+            # for indexes built by an older version — tags version layouts,
+            # so in practice new indexes are symlinked from birth.
+            os.rename(live, f"{live}-v0")
+            _point_symlink(index_dir, sub, f"{sub}-v0")
+        old_target = os.readlink(live)
+        new_target = f"{sub}-compact-{run}"
+        new_path = os.path.join(index_dir, new_target)
         df = spark.read.parquet(live)
         if part_col:
             df.repartition(part_col).write.partitionBy(part_col).mode(
                 "overwrite"
-            ).parquet(tmp)
+            ).parquet(new_path)
         else:
-            df.coalesce(n).write.mode("overwrite").parquet(tmp)
-        old = f"{live}.old-{run}"
-        os.rename(live, old)
-        os.rename(tmp, live)
-        shutil.rmtree(old, ignore_errors=True)
+            df.coalesce(n).write.mode("overwrite").parquet(new_path)
+        _point_symlink(index_dir, sub, new_target)
+        shutil.rmtree(os.path.join(index_dir, old_target), ignore_errors=True)
 
 
 _IDX_ADD_MOD = 3  # doc_id % 3 == 1 plays the newly ingested batch
@@ -1005,7 +1037,7 @@ def dedup_index_add(spark: SparkSession, sf: str) -> DataFrame:
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     layout = (
         f"{_IDX_BUCKETS}:{_MINHASH_K}:{_LSH_BANDS}:{_JACCARD_THRESHOLD}"
-        f":add{_IDX_ADD_MOD}:v1"
+        f":add{_IDX_ADD_MOD}:v2"
     )
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/librarian_mhadd_{tag}"

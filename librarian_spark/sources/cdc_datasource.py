@@ -28,15 +28,11 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    DataSourceStreamReader,
-    InputPartition,
-)
+from pyspark.sql.datasource import DataSource, DataSourceReader, DataSourceStreamReader
+
+from librarian_spark.sources import segments as _seg
 
 __all__ = ["CdcJsonlDataSource", "CDC_ROW_SCHEMA", "register"]
 
@@ -59,16 +55,6 @@ CDC_ROW_SCHEMA = T.StructType(
         T.StructField("position", T.StringType()),
     ]
 )
-
-
-def _segment_files(path: str) -> list[str]:
-    """Sorted segment list — lexicographic name order IS the stream order
-    (producer names segments monotonically, like WAL segment names)."""
-    if not os.path.isdir(path):
-        return []
-    return sorted(
-        f for f in os.listdir(path) if f.endswith((".jsonl", ".json", ".ndjson"))
-    )
 
 
 def _rows_of(path: str, fname: str):
@@ -103,73 +89,23 @@ def _rows_of(path: str, fname: str):
             )
 
 
-@dataclass
-class _SegmentPartition(InputPartition):
-    fname: str
-
-
-class _CdcBatchReader(DataSourceReader):
+class _CdcBatchReader(_seg.SegmentBatchReader):
     """Full-directory replay (backfill / snapshot-rebuild path)."""
 
-    def __init__(self, options):
-        self.path = options["path"]
+    exts = (".jsonl", ".json", ".ndjson")
 
-    def partitions(self):
-        return [_SegmentPartition(f) for f in _segment_files(self.path)]
-
-    def read(self, partition: _SegmentPartition):
-        yield from _rows_of(self.path, partition.fname)
+    def rows_of(self, path: str, fname: str):
+        yield from _rows_of(path, fname)
 
 
-class _CdcStreamReader(DataSourceStreamReader):
-    """Micro-batch reader: offset = number of fully-consumed segment files.
+class _CdcStreamReader(_seg.SegmentStreamReader):
+    """Micro-batch reader over envelope JSONL segments — offset semantics
+    and the true-pause protocol live in :mod:`.segments`."""
 
-    ``latestOffset`` snapshots the directory; ``partitions(start, end)`` is one
-    partition per new segment (executor-parallel); ``commit`` is a no-op because
-    segments are retained (replay from any offset — same property the reference
-    gets from Postgres slot retention).
+    exts = (".jsonl", ".json", ".ndjson")
 
-    TRUE PAUSE (the reference FSM's suspended state, `fsm.go:50-129`): when
-    the ``pause_marker`` option names a file that exists, ``latestOffset``
-    re-returns its last answer instead of the directory count — the query
-    stays active with its checkpoint and state warm, it simply observes no
-    new data until the marker is removed. The freeze needs one prior poll to
-    know the held position, so pausing applies to a LIVE query; a query
-    restarted under a pre-existing marker polls once before freezing (it
-    can never move the offset backward, which would re-deliver segments)."""
-
-    def __init__(self, options):
-        self.path = options["path"]
-        self.pause_marker = options.get("pause_marker") or ""
-        self._last: int | None = None
-
-    def initialOffset(self) -> dict:
-        return {"nfiles": 0}
-
-    def latestOffset(self) -> dict:
-        if (
-            self.pause_marker
-            and self._last is not None
-            and os.path.exists(self.pause_marker)
-        ):
-            return {"nfiles": self._last}
-        self._last = len(_segment_files(self.path))
-        return {"nfiles": self._last}
-
-    def partitions(self, start: dict, end: dict):
-        files = _segment_files(self.path)
-        return [
-            _SegmentPartition(f) for f in files[start["nfiles"] : end["nfiles"]]
-        ]
-
-    def read(self, partition: _SegmentPartition):
-        yield from _rows_of(self.path, partition.fname)
-
-    def commit(self, end: dict) -> None:
-        pass  # segments retained; Spark's WAL owns the committed offset
-
-    def stop(self) -> None:
-        pass
+    def rows_of(self, path: str, fname: str):
+        yield from _rows_of(path, fname)
 
 
 class CdcJsonlDataSource(DataSource):
@@ -202,5 +138,6 @@ def register(spark) -> None:
 
     from pyspark import cloudpickle
 
+    cloudpickle.register_pickle_by_value(_seg)
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(CdcJsonlDataSource)

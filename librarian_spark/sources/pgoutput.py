@@ -44,13 +44,9 @@ import struct
 from dataclasses import dataclass
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    DataSourceStreamReader,
-    InputPartition,
-)
+from pyspark.sql.datasource import DataSource, DataSourceReader, DataSourceStreamReader
 
+from librarian_spark.sources import segments as _seg
 from librarian_spark.sources.cdc_datasource import CDC_ROW_SCHEMA
 
 __all__ = [
@@ -381,69 +377,26 @@ def decode_segment(path: str, db: str):
 # --------------------------------------------------------------------------
 
 
-def _segment_files(path: str) -> list[str]:
-    if not os.path.isdir(path):
-        return []
-    return sorted(f for f in os.listdir(path) if f.endswith(".pgwal"))
+class _PgReaderMixin:
+    """Per-format bits: the .pgwal extension and the stateful decoder."""
 
+    exts = (".pgwal",)
 
-@dataclass
-class _SegmentPartition(InputPartition):
-    fname: str
-
-
-class _PgBatchReader(DataSourceReader):
-    def __init__(self, options):
-        self.path = options["path"]
+    def _init(self, options) -> None:
         self.db = options.get("db", "postgres")
 
-    def partitions(self):
-        return [_SegmentPartition(f) for f in _segment_files(self.path)]
-
-    def read(self, partition: _SegmentPartition):
-        yield from decode_segment(os.path.join(self.path, partition.fname), self.db)
+    def rows_of(self, path: str, fname: str):
+        yield from decode_segment(os.path.join(path, fname), self.db)
 
 
-class _PgStreamReader(DataSourceStreamReader):
-    """Micro-batch reader — offset = count of fully-consumed segments, the
-    same contract as ``cdc_jsonl`` (segments immutable once written),
-    including its ``pause_marker`` true-pause protocol: while the marker
-    file exists, ``latestOffset`` holds at its last answer and the live
-    query idles with checkpoint + state warm (no teardown, no re-read)."""
+class _PgBatchReader(_PgReaderMixin, _seg.SegmentBatchReader):
+    """Full-WAL replay (backfill path)."""
 
-    def __init__(self, options):
-        self.path = options["path"]
-        self.db = options.get("db", "postgres")
-        self.pause_marker = options.get("pause_marker") or ""
-        self._last: int | None = None
 
-    def initialOffset(self) -> dict:
-        return {"nfiles": 0}
-
-    def latestOffset(self) -> dict:
-        if (
-            self.pause_marker
-            and self._last is not None
-            and os.path.exists(self.pause_marker)
-        ):
-            return {"nfiles": self._last}
-        self._last = len(_segment_files(self.path))
-        return {"nfiles": self._last}
-
-    def partitions(self, start: dict, end: dict):
-        files = _segment_files(self.path)
-        return [
-            _SegmentPartition(f) for f in files[start["nfiles"] : end["nfiles"]]
-        ]
-
-    def read(self, partition: _SegmentPartition):
-        yield from decode_segment(os.path.join(self.path, partition.fname), self.db)
-
-    def commit(self, end: dict) -> None:
-        pass  # segments retained; Spark's WAL owns the committed offset
-
-    def stop(self) -> None:
-        pass
+class _PgStreamReader(_PgReaderMixin, _seg.SegmentStreamReader):
+    """Micro-batch reader over WAL segments — offset semantics and the
+    true-pause protocol live in :mod:`.segments`, shared verbatim with
+    ``cdc_jsonl`` (segments immutable once written)."""
 
 
 class PgOutputDataSource(DataSource):
@@ -470,5 +423,6 @@ def register(spark) -> None:
 
     from pyspark import cloudpickle
 
+    cloudpickle.register_pickle_by_value(_seg)
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(PgOutputDataSource)

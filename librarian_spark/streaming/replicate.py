@@ -131,6 +131,18 @@ class Replicator:
     # -- sink --------------------------------------------------------------
     def start(self) -> StreamingQuery:
         cfg = self.cfg
+        # a pause marker cannot survive into a NEW query: a fresh stream
+        # reader has no held offset, so its first poll would drain the whole
+        # paused-era backlog while `state` still reported "paused" — starting
+        # is an explicit run signal, so pause state is query-scoped and a
+        # pause across process restart degrades to resume-on-start
+        if self._pausable_live:
+            import os
+
+            try:
+                os.remove(self.pause_marker)
+            except FileNotFoundError:
+                pass
         df = self.read_source()
         if self.transform is not None:
             df = self.transform(df)

@@ -28,16 +28,24 @@ __all__ = [
 ]
 
 
+def _connect_views(sf_dir: str):
+    """A DuckDB connection with every testdata table registered as a view —
+    the one registration path shared by the value gate (run_oracle) and the
+    dtype gate (oracle_types), so they can never bind different views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
 def run_oracle(sql: str, sf_dir: str):
     """Run oracle SQL in DuckDB with the testdata tables registered as views."""
-    con = duckdb.connect()
+    con = _connect_views(sf_dir)
     try:
-        for t in TABLES:
-            path = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
@@ -52,14 +60,8 @@ def oracle_types(sql: str, sf_dir: str) -> dict[str, str]:
     Uses the lazy relation API so pipelines/aggregations aren't run — only
     the binder resolves output types.
     """
-    con = duckdb.connect()
+    con = _connect_views(sf_dir)
     try:
-        for t in TABLES:
-            path = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
         rel = con.sql(sql)
         return {c.lower(): str(t).upper() for c, t in zip(rel.columns, rel.types)}
     finally:

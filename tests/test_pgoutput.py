@@ -330,3 +330,49 @@ def test_pause_resume_true_suspend(spark, wal_dir, tmp_path):
         assert sorted(r["lsn"] for r in rows) == [100, 100, 200, 900]
     finally:
         rep.stop()
+
+
+def test_restart_clears_stale_pause_marker(spark, wal_dir, tmp_path):
+    """Regression: a pause marker must not survive into a NEW query — a
+    fresh reader has no held offset, so it would drain the paused-era
+    backlog while `state` still reported "paused". start() clears the
+    marker: after restart the replicator reports streaming and consumes
+    the backlog exactly once."""
+    from librarian_spark.streaming.replicate import ReplicateConfig, Replicator
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rep = Replicator(
+        spark,
+        ReplicateConfig(
+            replicator_id="pg_pause_restart",
+            checkpoint_dir=ckpt,
+            source_format="pgoutput",
+            source_path=wal_dir,
+            source_options={"db": "appdb"},
+            target_format="parquet",
+            target_path=out,
+            trigger_processing_time="0 seconds",
+        ),
+    )
+    q = rep.start()
+    try:
+        q.processAllAvailable()
+        rep.pause()
+        _users_segment(
+            os.path.join(wal_dir, "seg-020.pgwal"),
+            950,
+            1_700_000_010_000,
+            [encode_insert(55001, ["12", "mallory", None])],
+        )
+    finally:
+        rep.stop()
+    assert os.path.exists(rep.pause_marker)  # stop() keeps the marker…
+    q2 = rep.restart()  # …but a new query starts unpaused, by contract
+    try:
+        assert not os.path.exists(rep.pause_marker)
+        assert rep.state == "streaming"
+        q2.processAllAvailable()
+        lsns = sorted(r["lsn"] for r in spark.read.parquet(out).collect())
+        assert lsns == [100, 100, 200, 950]  # backlog exactly once
+    finally:
+        rep.stop()
