@@ -2053,3 +2053,199 @@ def pipeline_atomic_multi_sink(spark: SparkSession, sf: str) -> DataFrame:
         for t in ("by_status", "by_priority")
     ]
     return parts[0].unionByName(parts[1])
+
+
+# --------------------------------------------------------------------------
+# Copy-on-write row-level DELETE (the GDPR/right-to-erasure primitive)
+# --------------------------------------------------------------------------
+
+_RLD_PCT = (48, 52)  # delete the middle 4% of the custkey domain (scale-relative)
+
+
+@query(
+    "pipeline_row_level_delete",
+    oracle=f"""
+    WITH b AS (SELECT MIN(o_custkey) AS gmin, MAX(o_custkey) AS gmax
+               FROM orders)
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, b
+    WHERE NOT (o_custkey BETWEEN gmin + (gmax - gmin) * {_RLD_PCT[0]} // 100
+                             AND gmin + (gmax - gmin) * {_RLD_PCT[1]} // 100)
+    """,
+    doc="Copy-on-write row-level DELETE with file pruning — the GDPR "
+    "right-to-erasure path on an immutable-file table: orders is laid out "
+    "range-clustered on o_custkey (16 files, each owning a tight key "
+    "range), the deletion predicate (a customer-key band, derived "
+    "scale-relatively from footer stats with integer math the oracle "
+    "replays) is intersected against the per-file zone maps, and ONLY the "
+    "files whose range overlaps are rewritten without the deleted rows — "
+    "every other file is untouched (asserted: rewritten < total, and the "
+    "op raises loudly if pruning never bites). This is exactly Delta/"
+    "Iceberg copy-on-write DELETE: at 100 TB erasing one customer "
+    "rewrites a handful of data files, not the table. The layout is "
+    "RUN-PRIVATE (the op mutates it — the vacuum lesson: shared caches "
+    "are only for read-only inputs); the rewrite stages to a temp dir "
+    "and replaces the affected files before the read-back.",
+)
+def pipeline_row_level_delete(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.maintenance import footer_file_stats
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("rld", sf, "orders", salt="cust16")
+    _sweep_run_dirs("/tmp", ("librarian_rld_",))
+    _sweep_run_dirs(base, ("run_",))
+    # clean clustered SOURCE layout (read-only, shared, create-once)
+    layout_src = f"{base}/layout"
+    if not os.path.exists(f"{layout_src}/_SUCCESS"):
+        load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).repartitionByRange(16, "o_custkey").write.mode("overwrite").parquet(
+            layout_src
+        )
+    # run-private working copy — the delete mutates it
+    run = f"{base}/run_{uuid.uuid4().hex[:8]}"
+    os.makedirs(run)
+    table = f"{run}/orders"
+    shutil.copytree(layout_src, table)
+
+    manifest = footer_file_stats(table, "o_custkey")
+    known = [(lo, hi) for _, lo, hi in manifest if lo is not None]
+    if not known:
+        raise RuntimeError(f"no footer stats under {table} — cannot prune")
+    gmin = min(lo for lo, _ in known)
+    gmax = max(hi for _, hi in known)
+    lo_k = gmin + (gmax - gmin) * _RLD_PCT[0] // 100
+    hi_k = gmin + (gmax - gmin) * _RLD_PCT[1] // 100
+    touched = [
+        p
+        for p, lo, hi in manifest
+        if lo is None or hi is None or (lo <= hi_k and hi >= lo_k)
+    ]
+    if not (0 < len(touched) < len(manifest)):
+        raise RuntimeError(
+            f"delete pruning ineffective: {len(touched)}/{len(manifest)} "
+            f"files touched under {table}"
+        )
+    # rewrite ONLY the touched files, minus the deleted rows
+    staging = f"{run}/staging"
+    kept = spark.read.parquet(*touched).filter(
+        ~F.col("o_custkey").between(lo_k, hi_k)
+    )
+    kept.coalesce(max(1, len(touched) // 2)).write.mode("overwrite").parquet(
+        staging
+    )
+    for p in touched:
+        os.remove(p)
+    for i, p in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+        os.replace(p, f"{table}/rewrite-{uuid.uuid4().hex[:6]}-{i:04d}.parquet")
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(table).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# Write–Audit–Publish (the staged-commit quality gate)
+# --------------------------------------------------------------------------
+
+
+def write_audit_publish(spark, df, dest: str, audits) -> str:
+    """WAP: write ``df`` to a staging dir, run every audit against the
+    STAGED FILES (what consumers will actually read — auditing the
+    DataFrame would re-plan and could see different data than what
+    landed), and only then publish by one atomic rename. A failed audit
+    removes the staging dir and raises with the audit's name; the live
+    ``dest`` is never touched until the rename, so consumers see the old
+    version or the new one, never a half-write.
+
+    ``audits`` is a list of ``(name, fn)`` where ``fn(staged_df) -> bool``.
+    Returns ``dest`` on success.
+    """
+    import shutil
+    import uuid
+
+    staging = f"{dest}.staging-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    for name, fn in audits:
+        if not fn(staged):
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"WAP audit {name!r} failed — publish aborted, live table "
+                f"untouched at {dest}"
+            )
+    shutil.rmtree(dest, ignore_errors=True)
+    os.rename(staging, dest)
+    return dest
+
+
+@query(
+    "pipeline_wap",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="Write–Audit–Publish E2E — the staged-commit gate production "
+    "tables sit behind (Iceberg's WAP / dbt's build-then-swap): a "
+    "per-customer rollup is WRITTEN to a staging dir, AUDITED on the "
+    "staged files exactly as a consumer would read them (non-empty, no "
+    "NULL keys, and total cents RECONCILE exactly against an independent "
+    "aggregate of the source — the integer-cents sum makes the "
+    "reconciliation bit-exact instead of float-fuzzy), and only then "
+    "PUBLISHED by one atomic rename; any failed audit aborts with the "
+    "live path untouched (negative path pinned in tests). The returned "
+    "frame is the PUBLISHED read-back, so the oracle match certifies "
+    "write→audit→publish→read, not just the rollup. At 100 TB the audits "
+    "are one extra scan of the staged output — the standard price of "
+    "never publishing a bad partition.",
+)
+def pipeline_wap(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("wap", sf, "orders", salt="rollup1")
+    _sweep_run_dirs("/tmp", ("librarian_wap_",))
+    _sweep_run_dirs(base, ("run_",))
+    run = f"{base}/run_{uuid.uuid4().hex[:8]}"
+    os.makedirs(run)
+    src = load_table(spark, sf, "orders")
+    rollup = src.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    # independent reconciliation total, computed from the SOURCE
+    want_cents = src.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    dest = write_audit_publish(
+        spark,
+        rollup,
+        f"{run}/rollup",
+        audits=[
+            ("non_empty", lambda d: d.count() > 0),
+            (
+                "no_null_keys",
+                lambda d: d.filter(F.col("o_custkey").isNull()).count() == 0,
+            ),
+            (
+                "cents_reconcile",
+                lambda d: d.agg(F.sum("total_cents")).collect()[0][0]
+                == want_cents,
+            ),
+        ],
+    )
+    return spark.read.parquet(dest)

@@ -3771,3 +3771,225 @@ def q71_grouped_gini(spark: SparkSession, sf: str) -> DataFrame:
         schema="user_id long, n_events long, total_cents long, "
         "gini_mean_diff_cents long",
     )
+
+
+# --------------------------------------------------------------------------
+# Q72 as-of join (nearest-earlier match — the timeseries enrichment primitive)
+# --------------------------------------------------------------------------
+
+_Q72_ORACLE = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  -- right side made unique per (key, ts): ASOF semantics are only
+  -- deterministic when at most one candidate exists per instant
+  SELECT user_id, ts,
+         MAX_BY(value, event_id) AS asof_value,
+         CAST(MAX(event_id) AS BIGINT) AS asof_event
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.user_id, l.event_id, r.asof_event, r.asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@query(
+    "q72_asof_join",
+    oracle=_Q72_ORACLE,
+    doc="AS-OF join (for every click, the user's latest view at-or-before "
+    "it — the trade-to-quote / event-to-state enrichment primitive Spark "
+    "has no native operator for), implemented as the scalable MERGE-ASOF: "
+    "tag both sides, UNION, one window per key ordered by (ts, side) "
+    "carrying last(ignorenulls) of the right payload — every left row "
+    "reads the latest right row at-or-before its timestamp in a single "
+    "key-partitioned sort, ONE shuffle total. The naive range join "
+    "(l JOIN r ON key AND r.ts <= l.ts + max-per-group) explodes "
+    "O(|l|·|r|) per key before pruning; the union trick is O(|l|+|r|) "
+    "through the exchange and is exactly how production timeseries stores "
+    "execute it. Right rows are pre-aggregated unique per (key, ts) so "
+    "tie-breaking is deterministic on both engines (side order pins "
+    "right-before-left at equal ts, matching ASOF's >= bound). At 100 TB "
+    "both sides partition by key; per-key state in the sort is one held "
+    "row — no skew amplification beyond the key histogram itself.",
+)
+def q72_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    left = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("r_event"),
+        F.lit(None).cast("double").alias("r_value"),
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("r_event"),
+            F.max_by("value", "event_id").alias("r_value"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("side"),
+            "r_event",
+            "r_value",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = left.unionByName(right)
+    return (
+        u.withColumn("asof_event", F.last("r_event", ignorenulls=True).over(w))
+        .withColumn("asof_value", F.last("r_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("user_id", "event_id", "asof_event", "asof_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q73 exact grouped percentiles (the distribution-profile primitive)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q73_exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.90), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="EXACT grouped percentiles (p25/p50/p90/p99 of value per event "
+    "type) — the latency/size distribution profile every dataset card and "
+    "SLA report needs, where approx_percentile's error bounds are not "
+    "acceptable. Spark's `percentile` is an exact single-pass aggregate "
+    "(per-group value buffer, merged across partitions), matching DuckDB's "
+    "quantile_cont linear interpolation; both are rounded to 4 decimals "
+    "because the interpolation arithmetic ((1-g)·a + g·b) may differ in "
+    "the final ulp between engines. One hash-aggregate shuffle; the "
+    "per-group state is the group's value multiset — exact percentiles "
+    "are inherently memory-proportional to group cardinality, so at "
+    "100 TB this op is for BOUNDED group domains (event types, status "
+    "codes); unbounded domains switch to approx_percentile or t-digest "
+    "(the documented trade, not a silent one).",
+)
+def q73_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    pcts = F.percentile(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pcts.alias("p"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("p")[0], 4).alias("p25"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p90"),
+            F.round(F.col("p")[3], 4).alias("p99"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# graph: link prediction (common-neighbor / Jaccard candidate edges)
+# --------------------------------------------------------------------------
+
+_LP_MIN_COMMON = 3
+
+_LP_ORACLE = f"""
+WITH ed AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  WHERE a.l_orderkey % 25 = 0
+),
+deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY 1),
+cn AS (
+  SELECT e1.u AS a, e2.u AS b, COUNT(*) AS common
+  FROM ed e1 JOIN ed e2 ON e1.v = e2.v AND e1.u < e2.u
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT cn.* FROM cn LEFT JOIN ed ON cn.a = ed.u AND cn.b = ed.v
+  WHERE ed.u IS NULL
+)
+SELECT a, b, CAST(common AS BIGINT) AS common_neighbors,
+       CAST(common * 1000000 // (da.d + db.d - common) AS BIGINT)
+         AS jaccard_ppm
+FROM nonadj JOIN deg da ON a = da.u JOIN deg db ON b = db.u
+WHERE common >= {_LP_MIN_COMMON}
+"""
+
+
+@query(
+    "graph_link_prediction",
+    oracle=_LP_ORACLE,
+    doc="Link prediction on the part co-purchase graph — the "
+    "candidate-edge generator behind entity resolution and "
+    "recommendation: NON-adjacent node pairs ranked by common-neighbor "
+    f"count (≥{_LP_MIN_COMMON}) with an exact integer neighborhood-Jaccard "
+    "in parts-per-million (truncating div — both engines agree on "
+    "negatives and magnitudes; floats would be partition-order-dependent). "
+    "Shape: one wedge join (edges self-joined on the shared endpoint — "
+    "the triangle-count shuffle, O(Σdeg²) pairs), one aggregate on the "
+    "pair, an anti-join against the edge list to drop existing edges, and "
+    "two degree joins. At 100 TB the wedge join is the cost center and is "
+    "bounded the standard way: cap or sample high-degree hubs before the "
+    "self-join (degree-oriented orientation, as graph_triangle_count "
+    "does) — the slice here keeps the oracle honest at test scale.",
+)
+def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()  # feeds wedge join (twice), anti-join, degrees
+    )
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = ed.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    e2 = ed.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    cn = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= _LP_MIN_COMMON)
+    )
+    nonadj = cn.join(
+        ed,
+        (cn["a"] == ed["u"]) & (cn["b"] == ed["v"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    return (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.call_function(
+                "div",
+                F.col("common") * 1_000_000,
+                F.col("da") + F.col("db") - F.col("common"),
+            ).cast("long").alias("jaccard_ppm"),
+        )
+    )

@@ -1760,3 +1760,104 @@ def text_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("pmi_scaled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / scrubbing (the pre-training redaction gate)
+# --------------------------------------------------------------------------
+
+# RE2-and-Java-compatible patterns (no lookaround, no backrefs): both engines
+# must parse them identically or the parity breaks loudly
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH pii_docs AS (
+      -- the corpus is PII-free by construction, so both sides append the
+      -- SAME deterministic synthetic PII (keyed off doc_id) — every match
+      -- and replacement path fires on real spans instead of vacuously
+      -- matching nothing
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact_' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' from 10.' || doc_id % 256 || '.0.' || doc_id % 200
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-867-5309' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+                '{_PII_EMAIL}', '', 'g')) AS BIGINT) > 0 AS has_email,
+           CAST(ARRAY_LENGTH(regexp_extract_all(text, '{_PII_EMAIL}'))
+                AS BIGINT) AS n_emails,
+           CAST(ARRAY_LENGTH(regexp_extract_all(text, '{_PII_IP}'))
+                AS BIGINT) AS n_ips,
+           CAST(ARRAY_LENGTH(regexp_extract_all(text, '{_PII_PHONE}'))
+                AS BIGINT) AS n_phones,
+           CAST(LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
+                '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IP}', '<IP>', 'g'),
+                '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT)
+             AS scrubbed_n_chars
+    FROM pii_docs
+    """,
+    doc="PII detection + redaction — the scrub gate every pre-training "
+    "corpus passes before release: per-document counts of emails / IPv4s / "
+    "phone numbers and the length of the text after replacing each class "
+    "with a typed placeholder (the length, not the scrubbed text itself, "
+    "keeps the oracle comparison scalar; the replacement expression is the "
+    "productized output). Patterns are restricted to the RE2∩Java-regex "
+    "common subset (no lookaround/backrefs) so Spark's JVM regex and "
+    "DuckDB's RE2 match identical spans — a portability constraint any "
+    "cross-engine pipeline must pin, which the hash parity does. Pure "
+    "map-only codegen (regexp_count/regexp_replace): zero shuffles, "
+    "streams at scan speed over 100 TB, the cheapest full-corpus pass "
+    "in the pipeline.",
+)
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    raw = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact_"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                F.col("doc_id") % 256,
+                F.lit(".0."),
+                F.col("doc_id") % 200,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+    )
+    d = raw.select("doc_id", aug.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    n_emails = F.regexp_count("text", F.lit(_PII_EMAIL))
+    return d.select(
+        "doc_id",
+        (n_emails > 0).alias("has_email"),
+        n_emails.cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("scrubbed_n_chars"),
+    )

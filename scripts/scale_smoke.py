@@ -88,7 +88,20 @@ QUERIES = [
     "q70_equi_depth_histogram",  # distinct-value prefix + rank arithmetic
     "sim_binary_hamming_topk",   # fold-pack + xor/popcount scan
     "text_collocations_pmi",     # pair counts + broadcast marginals
+    "q72_asof_join",        # union + single key-window merge-asof
+    "q73_exact_percentiles",  # exact per-group quantile aggregate
+    "text_pii_scrub",       # map-only regex count/replace
+    "graph_link_prediction",  # wedge join + anti-join + degree joins
+    "pipeline_row_level_delete",  # zone-map prune + partial rewrite
+    "pipeline_wap",         # stage + audit scans + atomic publish
+    "mm_content_fingerprint",  # map-only sha2/md5
+    "dedup_index_add",      # build + append + compact + probe
+    "cdc_pgoutput_decode",  # record + executor-parallel wire decode
 ]
+
+if os.environ.get("SMOKE_QUERIES"):
+    _want = set(os.environ["SMOKE_QUERIES"].split(","))
+    QUERIES = [q for q in QUERIES if q in _want]
 
 
 def build_scaled(spark, out_dir: str) -> None:

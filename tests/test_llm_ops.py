@@ -554,3 +554,53 @@ def test_resize_images_real_path(spark):
     assert (out[2].width, out[2].height) == (32, 32)  # never upscaled
     meta = decode_image(bytes(out[1].thumb))
     assert (meta["width"], meta["height"]) == (64, 48)
+
+
+def test_wap_failed_audit_leaves_live_untouched(spark, sf_dir, tmp_path):
+    """WAP negative path: a failing audit must abort the publish, remove its
+    staging dir, and leave the previously-published version byte-identical."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.pipeline import write_audit_publish
+    from librarian_spark.sources.batch import load_table
+
+    dest = str(tmp_path / "table")
+    d = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    write_audit_publish(spark, d, dest, audits=[("ok", lambda x: x.count() > 0)])
+    published = sorted(os.listdir(dest))
+    n0 = spark.read.parquet(dest).count()
+
+    with _pytest.raises(RuntimeError, match="always_fails"):
+        write_audit_publish(
+            spark,
+            d.filter(F.col("o_orderkey") % 2 == 0),  # a would-be v2
+            dest,
+            audits=[("always_fails", lambda x: False)],
+        )
+    assert sorted(os.listdir(dest)) == published  # live version untouched
+    assert spark.read.parquet(dest).count() == n0
+    assert not glob.glob(f"{dest}.staging-*")  # staging cleaned up
+
+
+def test_row_level_delete_rewrites_only_touched_files(spark, sf_dir):
+    """Copy-on-write delete invariant: files outside the deleted key band
+    keep their original names (never rewritten); only intersecting files
+    are replaced, and the deleted band is gone from the read-back."""
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.sources.batch import load_table
+
+    df = load_all()["pipeline_row_level_delete"].spark_fn(spark, sf_dir)
+    files = df.inputFiles()
+    originals = [f for f in files if "/rewrite-" not in f]
+    rewrites = [f for f in files if "/rewrite-" in f]
+    assert originals, files  # pruning spared most files
+    assert rewrites, files  # and the touched band was actually rewritten
+    assert len(rewrites) < len(originals)
+    n_after = df.count()
+    n_src = load_table(spark, sf_dir, "orders").count()
+    assert 0 < n_after < n_src  # something deleted, table not emptied
