@@ -462,3 +462,128 @@ def cdc_pgoutput_decode(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("o_totalprice"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mongo change-stream decode E2E (recorded events → decode → materialize)
+# --------------------------------------------------------------------------
+
+_MCS_MOD = 10  # c_custkey % 10 == 0 plays the watched collection
+
+
+@query(
+    "cdc_mongo_changestream",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 3 = 0 THEN -1.0 ELSE c_acctbal END
+             AS c_acctbal
+    FROM customer
+    WHERE c_custkey % {_MCS_MOD} = 0 AND c_custkey % 7 != 0
+    """,
+    doc="MongoDB change-stream ingestion at the EVENT level — the "
+    "reference's second live CDC source (`pkg/mongo/source.go:49-234`) "
+    "over recorded change-stream documents: a deterministic recorder "
+    "writes relaxed-Extended-JSON events (insert for every customer in "
+    "the watched slice, a replace wave flooring c_acctbal to -1.0 for "
+    "keys divisible by 3, a delete wave — documentKey only, as streams "
+    "without pre-images emit — for keys divisible by 7) into .cstream "
+    "segments; the `mongo_changestream` DataSource decodes them "
+    "executor-parallel with the reference's op mapping (insert→c, "
+    "update/replace→u, delete→d) and Extended-JSON unwrapping "
+    "($numberLong/$numberDouble/$oid/$timestamp); one max_by-per-key "
+    "aggregate materializes final state ordered by (clusterTime, resume "
+    "token). The oracle replays insert∘replace∘delete algebraically. "
+    "Same honesty split as cdc_pgoutput_decode: recording is a "
+    "single-writer stream consumer; the decode side fans out per "
+    "segment, which is the 100 TB path.",
+)
+def cdc_mongo_changestream(spark: SparkSession, sf: str) -> DataFrame:
+    import json
+    import os
+
+    from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
+    from librarian_spark.sources import mongo_changestream as mcs
+
+    base = _cache_base("mcs", sf, "customer", salt=f"m{_MCS_MOD}-u3-d7-v1")
+    _sweep_run_dirs("/tmp", ("librarian_mcs_",))
+    seg_dir = os.path.join(base, "stream")
+    marker = os.path.join(seg_dir, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(seg_dir, exist_ok=True)
+        src = (
+            _t(spark, sf, "customer")
+            .filter(F.col("c_custkey") % _MCS_MOD == 0)
+            .select("c_custkey", "c_name", "c_acctbal")
+            .orderBy("c_custkey")
+            .collect()
+        )
+
+        def ev(i, t_s, op, key, full=None):
+            doc = {
+                "_id": {"_data": f"{i:012d}"},
+                "operationType": op,
+                "clusterTime": {"$timestamp": {"t": t_s, "i": i % 1000}},
+                "ns": {"db": "appdb", "coll": "customers"},
+                "documentKey": {"_id": {"$numberLong": str(key)}},
+            }
+            if full is not None:
+                doc["fullDocument"] = full
+            return json.dumps(doc, separators=(",", ":"))
+
+        def full_doc(r, acctbal=None):
+            return {
+                "_id": {"$numberLong": str(r.c_custkey)},
+                "name": r.c_name,
+                "acctbal": float(r.c_acctbal if acctbal is None else acctbal),
+            }
+
+        t0, i = 1_700_000_000, 0
+        lines = []
+        for r in src:
+            lines.append(ev(i, t0, "insert", r.c_custkey, full_doc(r)))
+            i += 1
+        mcs_write = os.path.join(seg_dir, "seg-0000.cstream")
+        with open(mcs_write + ".tmp", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(mcs_write + ".tmp", mcs_write)
+        lines = []
+        for r in src:
+            if r.c_custkey % 3 == 0:
+                lines.append(
+                    ev(i, t0 + 100, "replace", r.c_custkey, full_doc(r, -1.0))
+                )
+                i += 1
+        for r in src:
+            if r.c_custkey % 7 == 0:
+                lines.append(ev(i, t0 + 200, "delete", r.c_custkey))
+                i += 1
+        p2 = os.path.join(seg_dir, "seg-0001.cstream")
+        with open(p2 + ".tmp", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(p2 + ".tmp", p2)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    mcs.register(spark)
+    evs = (
+        spark.read.format("mongo_changestream").option("path", seg_dir).load()
+    )
+    keyed = evs.withColumn(
+        "k",
+        F.coalesce(
+            F.get_json_object("after", "$._id"),
+            F.get_json_object("before", "$._id"),
+        ).cast("long"),
+    )
+    last = keyed.groupBy("k").agg(
+        F.max_by(F.struct("op", "after"), F.struct("ts_ms", "position")).alias(
+            "last"
+        )
+    )
+    return last.filter(F.col("last.op") != "d").select(
+        F.col("k").alias("c_custkey"),
+        F.get_json_object("last.after", "$.name").alias("c_name"),
+        F.get_json_object("last.after", "$.acctbal")
+        .cast("double")
+        .alias("c_acctbal"),
+    )

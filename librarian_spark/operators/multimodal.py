@@ -729,3 +729,114 @@ def mm_content_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(payload).alias("content_md5"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scene segmentation (video shot-detection access pattern)
+# --------------------------------------------------------------------------
+
+_SCENE_FRAME = 64  # bytes per "frame"
+# per-BYTE mean-energy delta that starts a new scene, compared by exact
+# integer cross-multiplication so the short final frame is weighted by its
+# true length (a raw-sum threshold would cut at every tail frame)
+_SCENE_DELTA = 2
+
+
+@query(
+    "mm_scene_segments",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id, HEX(ENCODE(text)) AS h,
+             OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id,
+             UNNEST(RANGE(0, CAST(CEIL(n * 1.0 / {_SCENE_FRAME}) AS BIGINT)))
+               AS fi,
+             h, n
+      FROM hx
+    ),
+    sums AS (
+      SELECT doc_id, fi,
+             CAST(LEAST((fi + 1) * {_SCENE_FRAME}, n)
+                  - fi * {_SCENE_FRAME} AS BIGINT) AS flen,
+             COALESCE(LIST_SUM(LIST_TRANSFORM(
+               RANGE(CAST(fi * {_SCENE_FRAME} + 1 AS BIGINT),
+                     CAST(LEAST((fi + 1) * {_SCENE_FRAME}, n) + 1 AS BIGINT)),
+               i -> (STRPOS('0123456789ABCDEF', SUBSTR(h, 2*i - 1, 1)) - 1)
+                    * 16
+                  + (STRPOS('0123456789ABCDEF', SUBSTR(h, 2*i, 1)) - 1))), 0)
+               AS fsum
+      FROM frames
+    ),
+    cuts AS (
+      SELECT doc_id, fi, fsum,
+             CASE WHEN fi = 0 THEN 1
+                  WHEN ABS(fsum * LAG(flen) OVER w - LAG(fsum) OVER w * flen)
+                       > {_SCENE_DELTA} * flen * LAG(flen) OVER w THEN 1
+                  ELSE 0 END AS is_cut
+      FROM sums WINDOW w AS (PARTITION BY doc_id ORDER BY fi)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(is_cut) AS BIGINT) AS n_scenes
+    FROM cuts GROUP BY doc_id
+    """,
+    doc=f"Scene segmentation over binary payloads — the video "
+    "shot-detection access pattern with the codec stubbed to byte-block "
+    f"energy: {_SCENE_FRAME}-byte frames, a new scene wherever the "
+    f"per-BYTE mean energy shifts by more than {_SCENE_DELTA} — compared "
+    "via exact integer cross-multiplication (|sᵢ·lⱼ − sⱼ·lᵢ| > Δ·lᵢ·lⱼ), "
+    "so the short final frame weighs by its true length and no float "
+    "division enters (bit-identical across engines and partition orders; "
+    "a real detector swaps byte energy for histogram distance inside the "
+    "same batch fn). Arrow-batched mapInPandas computes each document's scene "
+    "count in one numpy pass over its own payload — map-only, no "
+    "shuffle, per-row memory bounded by the payload. The oracle rebuilds "
+    "frames/energies/cuts in SQL over the hex-transcribed UTF-8 bytes "
+    "(the mm_phash byte-semantics discipline). At 100 TB: payload-local "
+    "compute, output one row per item — the cheapest shape there is.",
+)
+def mm_scene_segments(spark: SparkSession, sf: str) -> DataFrame:
+    df = ingest_binary(spark, sf).select("doc_id", "payload")
+    fb, delta = _SCENE_FRAME, _SCENE_DELTA
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nf, ns = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = (
+                    np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                    if payload is not None
+                    else np.zeros(0, dtype=np.int64)
+                )
+                n = arr.size
+                n_frames = (n + fb - 1) // fb
+                if n_frames == 0:
+                    # zero-byte payload: the oracle's RANGE(0, 0) emits no
+                    # frame rows, so the doc has no output row there either
+                    continue
+                pad = np.zeros(n_frames * fb, dtype=np.int64)
+                pad[:n] = arr
+                fsum = pad.reshape(n_frames, fb).sum(axis=1)
+                flen = np.full(n_frames, fb, dtype=np.int64)
+                flen[-1] = n - (n_frames - 1) * fb
+                # exact cross-multiplied per-byte delta (no float division):
+                # |s_i·l_{i-1} − s_{i-1}·l_i| > Δ·l_i·l_{i-1}
+                lhs = np.abs(fsum[1:] * flen[:-1] - fsum[:-1] * flen[1:])
+                cuts = 1 + int((lhs > delta * flen[1:] * flen[:-1]).sum())
+                ids.append(doc_id)
+                nf.append(n_frames)
+                ns.append(cuts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "n_scenes": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(op, schema="doc_id long, n_frames long, n_scenes long")

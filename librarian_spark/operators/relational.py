@@ -3993,3 +3993,124 @@ def graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q74 key-skew diagnostics (the pre-join report behind every salting choice)
+# --------------------------------------------------------------------------
+
+_SKEW_TOP = 20
+
+
+@query(
+    "q74_key_skew_report",
+    oracle=f"""
+    WITH f AS (SELECT l_suppkey AS key, COUNT(*) AS cnt
+               FROM lineitem GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt
+          FROM f),
+    top AS (SELECT key, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn
+            FROM f)
+    SELECT t.key, CAST(t.cnt AS BIGINT) AS cnt, CAST(t.rn AS BIGINT) AS rn,
+           s.n_keys, s.n_rows,
+           CAST(t.cnt * 1000000 // s.n_rows AS BIGINT) AS share_ppm,
+           CAST(s.max_cnt * s.n_keys * 1000 // s.n_rows AS BIGINT)
+             AS skew_x1000
+    FROM top t, s WHERE t.rn <= {_SKEW_TOP}
+    """,
+    doc=f"Join-key skew diagnostics — the report you run BEFORE choosing a "
+    "shuffle strategy (salt? AQE skew join? broadcast?): per-key "
+    "frequencies of lineitem.l_suppkey, the top-"
+    f"{_SKEW_TOP} heaviest keys with their exact integer row share "
+    "(parts-per-million, truncating div) and the global skew factor "
+    "max/avg ×1000 — all integer arithmetic, so the ranking and ratios "
+    "hash-match exactly. Plan: ONE map-side-combining count aggregate "
+    "(the shuffle carries one row per key per partition), a |keys|-row "
+    "scalar summary joined back as a 1-row broadcast, and a top-k over "
+    "|keys| rows. At 100 TB this is a metadata-cost query over any key "
+    "column — the frequencies ARE the decision input for salting factor "
+    "and AQE skew thresholds.",
+)
+def q74_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    f = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    ).collect()[0]
+    w = W.orderBy(F.col("cnt").desc(), F.col("key"))
+    top = (
+        f.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _SKEW_TOP)
+    )
+    return top.select(
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        "rn",
+        F.lit(int(s.n_keys)).cast("long").alias("n_keys"),
+        F.lit(int(s.n_rows)).cast("long").alias("n_rows"),
+        F.call_function("div", F.col("cnt") * 1_000_000, F.lit(int(s.n_rows)))
+        .cast("long")
+        .alias("share_ppm"),
+        F.lit(int(s.max_cnt * s.n_keys * 1000 // s.n_rows))
+        .cast("long")
+        .alias("skew_x1000"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q75 salted skew join (result-identical to the plain join, by construction)
+# --------------------------------------------------------------------------
+
+_SALT_N = 8
+
+
+@query(
+    "q75_salted_join",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events JOIN region ON user_id % 5 = r_regionkey
+    GROUP BY r_name
+    """,
+    doc=f"SALTED skew join, proven result-identical to the plain join: the "
+    "fact side (events keyed by user_id % 5 — five hot keys, the "
+    "pathological shuffle-join distribution) gets a uniform salt "
+    f"(event_id % {_SALT_N}); the dimension side is exploded ×{_SALT_N} "
+    "with every salt value; the join key becomes (hot key, salt), so "
+    "each hot key's rows spread across "
+    f"{_SALT_N} reducers instead of one straggler. The shuffle join is "
+    "FORCED (shuffle_hash hint) because a 5-row dim would broadcast and "
+    "hide the mechanism — this is the drill for the real case where the "
+    "dim is too big to broadcast and one key owns 20% of the fact table. "
+    "The oracle is the PLAIN join: hash equality certifies salting "
+    "changed the distribution, never the result. Post-join the aggregate "
+    "re-combines across salts (group by the dim attribute only). At "
+    "100 TB: salt factor ≈ ceil(max key share × reducers), chosen from "
+    "q74_key_skew_report's output.",
+)
+def q75_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").select(
+        (F.col("user_id") % 5).alias("hk"),
+        (F.col("event_id") % _SALT_N).cast("int").alias("salt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    r = _t(spark, sf, "region").select(
+        F.col("r_regionkey").cast("long").alias("hk"), "r_name"
+    )
+    salted_dim = r.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)]))
+    )
+    joined = e.join(salted_dim.hint("shuffle_hash"), ["hk", "salt"])
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

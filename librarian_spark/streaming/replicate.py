@@ -41,6 +41,14 @@ from librarian_spark.streaming.envelope import kafka_key, parse_envelope
 
 __all__ = ["ReplicateConfig", "Replicator"]
 
+# custom segment-directory DataSources: format name → module under
+# librarian_spark.sources (all share the offset + true-pause protocol)
+_CUSTOM_SOURCES = {
+    "cdc_jsonl": "cdc_datasource",
+    "pgoutput": "pgoutput",
+    "mongo_changestream": "mongo_changestream",
+}
+
 
 @dataclass
 class ReplicateConfig:
@@ -97,28 +105,23 @@ class Replicator:
                 reader = reader.schema(cfg.source_schema)
             df = reader.format("text").load(cfg.source_path)
             df = df.select(F.col("value").cast("string").alias("value"))
-        elif cfg.source_format == "cdc_jsonl":
-            # direct-CDC custom Python DataSource (no Kafka hop): rows arrive
-            # already typed per CDC_ROW_SCHEMA — no envelope parse needed
-            from librarian_spark.sources.cdc_datasource import register
+        elif cfg.source_format in _CUSTOM_SOURCES:
+            # direct-CDC custom Python DataSources (no Kafka hop): envelope
+            # JSONL segments, raw pgoutput WAL bytes, or recorded Mongo
+            # change-stream documents — all decode executor-side into the
+            # same typed CDC_ROW_SCHEMA rows, so no envelope parse is needed
+            # and the whole downstream runs unchanged
+            from importlib import import_module
 
-            register(self.spark)
-            reader = self.spark.readStream.format("cdc_jsonl").option(
-                "path", cfg.source_path
-            ).option("pause_marker", self.pause_marker)
-            for k, v in cfg.source_options.items():
-                reader = reader.option(k, v)
-            return reader.load()
-        elif cfg.source_format == "pgoutput":
-            # raw logical-replication WAL bytes (recorded segments), decoded
-            # executor-side into the same typed CDC rows — the wire-level
-            # boundary the reference's live slot consumer sits at
-            from librarian_spark.sources.pgoutput import register as _reg_pg
-
-            _reg_pg(self.spark)
-            reader = self.spark.readStream.format("pgoutput").option(
-                "path", cfg.source_path
-            ).option("pause_marker", self.pause_marker)
+            mod = import_module(
+                f"librarian_spark.sources.{_CUSTOM_SOURCES[cfg.source_format]}"
+            )
+            mod.register(self.spark)
+            reader = (
+                self.spark.readStream.format(cfg.source_format)
+                .option("path", cfg.source_path)
+                .option("pause_marker", self.pause_marker)
+            )
             for k, v in cfg.source_options.items():
                 reader = reader.option(k, v)
             return reader.load()
@@ -195,7 +198,7 @@ class Replicator:
 
     @property
     def _pausable_live(self) -> bool:
-        return self.cfg.source_format in ("cdc_jsonl", "pgoutput")
+        return self.cfg.source_format in _CUSTOM_SOURCES
 
     @property
     def state(self) -> str:

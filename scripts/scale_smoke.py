@@ -97,6 +97,11 @@ QUERIES = [
     "mm_content_fingerprint",  # map-only sha2/md5
     "dedup_index_add",      # build + append + compact + probe
     "cdc_pgoutput_decode",  # record + executor-parallel wire decode
+    "sim_mips_topk",        # un-normalized block matmul + local top-k
+    "q74_key_skew_report",  # map-combining key counts + tiny top-k
+    "q75_salted_join",      # salted shuffle-hash join + re-combine agg
+    "mm_scene_segments",    # payload-local numpy frame-energy pass
+    "cdc_mongo_changestream",  # record + executor-parallel event decode
 ]
 
 if os.environ.get("SMOKE_QUERIES"):

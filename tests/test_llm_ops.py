@@ -604,3 +604,24 @@ def test_row_level_delete_rewrites_only_touched_files(spark, sf_dir):
     n_after = df.count()
     n_src = load_table(spark, sf_dir, "orders").count()
     assert 0 < n_after < n_src  # something deleted, table not emptied
+
+
+def test_mips_norm_augmentation_reduction():
+    """The docstring-level MIPS→cosine reduction sim_mips_topk relies on for
+    indexing at scale, pinned numerically: augmenting corpus vectors with
+    sqrt(M²−‖x‖²) (queries with 0) makes nearest-by-L2 in the augmented
+    space identical to maximum-inner-product in the original space."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    corpus = rng.normal(size=(200, 16)) * rng.uniform(0.2, 3.0, size=(200, 1))
+    queries = rng.normal(size=(10, 16))
+    norms = np.linalg.norm(corpus, axis=1)
+    m = norms.max()
+    aug_c = np.hstack([corpus, np.sqrt(m * m - norms**2)[:, None]])
+    aug_q = np.hstack([queries, np.zeros((len(queries), 1))])
+    for qi in range(len(queries)):
+        by_dot = np.argsort(-(corpus @ queries[qi]), kind="stable")
+        d2 = ((aug_c - aug_q[qi]) ** 2).sum(axis=1)
+        by_l2 = np.argsort(d2, kind="stable")
+        assert (by_dot[:10] == by_l2[:10]).all()
