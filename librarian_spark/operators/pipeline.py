@@ -2249,3 +2249,100 @@ def pipeline_wap(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     return spark.read.parquet(dest)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState E2E)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom STATEFUL streaming operator E2E — the applyInPandasWithState "
+    "surface (arbitrary per-key state Spark's built-in aggregations can't "
+    "express: counters, fraud windows, CDC materialization): per-user "
+    "running (cents-total, count) state updated across micro-batches "
+    "(maxFilesPerTrigger forces several, so state genuinely crosses batch "
+    "boundaries), every batch EMITTING the key's current state (update "
+    "mode). The final answer per user is the emission with the highest "
+    "running count — monotone by construction, so batch boundaries cannot "
+    "change it — and totals accumulate in exact integer cents, so "
+    "arrival order cannot either: that is what makes a cross-batch "
+    "stateful stream oracle-checkable at all against plain batch SQL. "
+    "State is 16 bytes per user under the state store — billions of keys "
+    "at 100 TB; the update fn is self-contained (executors never import "
+    "this repo).",
+)
+def pipeline_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("statetot", sf, "events", salt="cents-v1")
+    _sweep_run_dirs("/tmp", ("librarian_statetot_",))
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        load_table(spark, sf, "events").select(
+            "event_id", "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        ).repartition(8).write.mode("overwrite").parquet(in_dir)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        total, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += int(pdf["cents"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_cents": [total], "n": [n]}
+        )
+
+    run_id = uuid.uuid4().hex[:8]
+    name = f"statetot_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, cents long")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(in_dir)
+    )
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, total_cents long, n long",
+        stateStructType="total_cents long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    try:
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    emitted = spark.table(name)
+    # the run's answer: per user, the emission with the largest running n
+    # (monotone — emissions only grow), i.e. the final state
+    final = emitted.groupBy("user_id").agg(
+        F.max_by(F.struct("total_cents", "n"), "n").alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.total_cents").alias("total_cents"),
+        F.col("s.n").alias("n"),
+    )

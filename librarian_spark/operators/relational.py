@@ -4114,3 +4114,154 @@ def q75_salted_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q76 time-weighted average (TWAP — the step-function integral primitive)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q76_time_weighted_average",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS tms, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, cents, tms,
+             LEAD(tms) OVER w - tms AS dur_ms
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(tms) - MIN(tms) AS BIGINT) AS span_ms,
+           CAST(COALESCE(SUM(cents * dur_ms), 0) AS BIGINT)
+             AS weighted_cents_ms,
+           CAST(CASE WHEN MAX(tms) > MIN(tms)
+                     THEN COALESCE(SUM(cents * dur_ms), 0)
+                          // (MAX(tms) - MIN(tms)) END AS BIGINT)
+             AS twap_cents
+    FROM d GROUP BY user_id
+    """,
+    doc="Time-WEIGHTED average per user (TWAP): each observation holds until "
+    "the next one, so the mean is the step-function integral ÷ span — the "
+    "metric finance quotes and monitoring systems bill on, which the "
+    "plain AVG silently misstates whenever sampling is irregular. All "
+    "arithmetic is exact integer (cents × millisecond durations — "
+    "products bounded ~2.6e14, sums well inside int64; the final rate is "
+    "truncating integer division both engines implement identically), so "
+    "the hash matches bit-for-bit where a float integral would be "
+    "partition-order-dependent. One key-partitioned window (LEAD) and "
+    "one aggregate sharing the same shuffle; the open last interval "
+    "contributes zero by the NULL-skipping SUM on both engines. At "
+    "100 TB this is a single pass per key — the canonical downsample-"
+    "correct aggregation for irregular telemetry.",
+)
+def q76_time_weighted_average(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("tms"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("tms", "event_id")
+    d = e.withColumn("dur_ms", F.lead("tms").over(w) - F.col("tms"))
+    span = F.max("tms") - F.min("tms")
+    weighted = F.coalesce(F.sum(F.col("cents") * F.col("dur_ms")), F.lit(0))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        span.cast("long").alias("span_ms"),
+        weighted.cast("long").alias("weighted_cents_ms"),
+        F.when(span > 0, F.call_function("div", weighted, span))
+        .cast("long")
+        .alias("twap_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q77 exact sliding-window distinct (trailing 7-day active users)
+# --------------------------------------------------------------------------
+
+_SD_W = 7  # window width in days
+
+
+@query(
+    "q77_sliding_distinct_exact",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(RANGE((SELECT MIN(day) FROM du),
+                          (SELECT MAX(day) FROM du) + 1,
+                          INTERVAL 1 DAY)) AS d
+    )
+    SELECT CAST(d AS DATE) AS day,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM du
+                 WHERE du.day BETWEEN CAST(d AS DATE) - {_SD_W - 1}
+                                  AND CAST(d AS DATE)) AS BIGINT) AS u7
+    FROM spine
+    """,
+    doc=f"EXACT trailing-{_SD_W}-day distinct users per day — the rolling "
+    "MAU/WAU metric, which has no windowed COUNT DISTINCT in any engine. "
+    "The oracle brute-forces one correlated distinct per day (honest at "
+    "its scale); the Spark side is the SCALABLE exact algorithm: a user "
+    "contributes to day d iff d falls in [a_i, a_i+"
+    f"{_SD_W - 1}] for some activity day a_i — so per user, activity "
+    f"days merge into runs wherever gaps ≤ {_SD_W - 1} (one lag window + "
+    "running flag-sum per user), each merged run becomes a ±1 boundary "
+    "pair, and one prefix sum over the DAY SPINE yields every day's "
+    "exact count. Work: one distinct on (user, day), one per-user "
+    "window, one |days|-row ordered scan — O(activity) total, where the "
+    "naive per-day distinct is O(days × activity). The only unpartitioned "
+    "window runs over the calendar spine (|days| rows — bounded by time, "
+    "not data; the q70/mm_shard argument). This is how exact rolling "
+    "uniques stay feasible at 100 TB when sketches (the HLL operator) "
+    "aren't acceptable.",
+)
+def q77_sliding_distinct_exact(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    du = (
+        e.select(
+            "user_id", F.unix_date(F.col("ts").cast("date")).alias("d")
+        ).distinct()
+    )
+    wu = W.partitionBy("user_id").orderBy("d")
+    runs = (
+        du.withColumn("gap", F.col("d") - F.lag("d").over(wu))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("gap").isNull() | (F.col("gap") > _SD_W - 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(wu.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    iv = runs.groupBy("user_id", "run_id").agg(
+        F.min("d").alias("a"), (F.max("d") + F.lit(_SD_W - 1)).alias("b")
+    )
+    deltas = iv.select(F.col("a").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select((F.col("b") + 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    day_delta = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+    bounds = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+    spine = spark.range(bounds.lo, bounds.hi + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    ws = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(day_delta, "d", "left")
+        .withColumn("u7", F.sum(F.coalesce("delta", F.lit(0))).over(ws))
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d")).alias(
+                "day"
+            ),
+            F.col("u7").cast("long").alias("u7"),
+        )
+    )

@@ -102,6 +102,9 @@ QUERIES = [
     "q75_salted_join",      # salted shuffle-hash join + re-combine agg
     "mm_scene_segments",    # payload-local numpy frame-energy pass
     "cdc_mongo_changestream",  # record + executor-parallel event decode
+    "pipeline_stateful_totals",  # applyInPandasWithState cross-batch drain
+    "q76_time_weighted_average",  # shared key window + aggregate
+    "q77_sliding_distinct_exact",  # interval merge + day-spine sweep
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
