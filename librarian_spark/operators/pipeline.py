@@ -2165,23 +2165,45 @@ def write_audit_publish(spark, df, dest: str, audits) -> str:
     version or the new one, never a half-write.
 
     ``audits`` is a list of ``(name, fn)`` where ``fn(staged_df) -> bool``.
-    Returns ``dest`` on success.
+    Returns ``dest`` on success. ``dest`` is maintained as a SYMLINK
+    current-pointer over versioned dirs (the dedup-index primitive), so the
+    publish is one atomic link replace — a reader resolves the old version
+    or the new one at every instant, and a crash mid-publish leaves the old
+    version live with the staged dir as sweepable garbage, never a missing
+    table.
     """
     import shutil
     import uuid
 
-    staging = f"{dest}.staging-{uuid.uuid4().hex[:8]}"
+    from librarian_spark.operators.dedup import _point_symlink
+
+    parent, name_ = os.path.split(dest.rstrip("/"))
+    run = uuid.uuid4().hex[:8]
+    target = f"{name_}.v-{run}"
+    staging = os.path.join(parent, target)
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
-    for name, fn in audits:
-        if not fn(staged):
-            shutil.rmtree(staging, ignore_errors=True)
-            raise RuntimeError(
-                f"WAP audit {name!r} failed — publish aborted, live table "
-                f"untouched at {dest}"
-            )
-    shutil.rmtree(dest, ignore_errors=True)
-    os.rename(staging, dest)
+    try:
+        for name, fn in audits:
+            if not fn(staged):
+                raise RuntimeError(
+                    f"WAP audit {name!r} failed — publish aborted, live "
+                    f"table untouched at {dest}"
+                )
+    except BaseException:
+        # failed OR raising audits both abort without leaking the staging dir
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    old_target = os.readlink(dest) if os.path.islink(dest) else None
+    if old_target is None and os.path.isdir(dest):
+        # pre-symlink layout (a real dir): migrate by demoting it to a
+        # versioned dir first; the flip below is then atomic
+        legacy = f"{name_}.v-legacy-{run}"
+        os.rename(dest, os.path.join(parent, legacy))
+        old_target = legacy
+    _point_symlink(parent, name_, target)
+    if old_target:
+        shutil.rmtree(os.path.join(parent, old_target), ignore_errors=True)
     return dest
 
 

@@ -3815,13 +3815,17 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 )
 def q72_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
+    # the right payload rides as ONE struct so last(ignorenulls) always
+    # returns a single matched row whole — two independent per-field
+    # windows would skip a NULL r_value but not its r_event and stitch
+    # fields from DIFFERENT right rows (caught by the NULL-value
+    # degenerate corpus)
     left = e.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
         "event_id",
         F.lit(1).alias("side"),
-        F.lit(None).cast("long").alias("r_event"),
-        F.lit(None).cast("double").alias("r_value"),
+        F.lit(None).cast("struct<r_event:bigint,r_value:double>").alias("r"),
     )
     right = (
         e.filter(F.col("event_type") == "view")
@@ -3835,8 +3839,7 @@ def q72_asof_join(spark: SparkSession, sf: str) -> DataFrame:
             "ts",
             F.lit(None).cast("long").alias("event_id"),
             F.lit(0).alias("side"),
-            "r_event",
-            "r_value",
+            F.struct("r_event", "r_value").alias("r"),
         )
     )
     w = (
@@ -3846,10 +3849,14 @@ def q72_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     u = left.unionByName(right)
     return (
-        u.withColumn("asof_event", F.last("r_event", ignorenulls=True).over(w))
-        .withColumn("asof_value", F.last("r_value", ignorenulls=True).over(w))
+        u.withColumn("m", F.last("r", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
-        .select("user_id", "event_id", "asof_event", "asof_value")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("m.r_event").alias("asof_event"),
+            F.col("m.r_value").alias("asof_value"),
+        )
     )
 
 
@@ -4036,8 +4043,13 @@ _SKEW_TOP = 20
 )
 def q74_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
-    f = li.groupBy(F.col("l_suppkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # localCheckpoint: the summary collect AND the top-k window both consume
+    # this aggregate — without materialization the full lineitem scan +
+    # count runs twice (the op's dominant cost, paid once per consumer)
+    f = (
+        li.groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     s = f.agg(
         F.count(F.lit(1)).alias("n_keys"),

@@ -79,8 +79,13 @@ def unwrap_extended_json(v):
 
 
 def decode_change_event(doc: dict, seq: int):
-    """One change-stream document → one CDC_ROW_SCHEMA tuple (or None for
-    event types the reference skips, e.g. invalidate/drop)."""
+    """One change-stream document → one CDC_ROW_SCHEMA tuple.
+
+    Non-CRUD event types (invalidate, drop, …) are EMITTED as op ``r`` rows
+    with whatever fields they carry — the reference's default branch does
+    exactly this (`source.go:199-200` maps unknown types to OpRead and
+    returns the event), so filtering is the downstream consumer's choice,
+    not the decoder's."""
     op = OP_MAP.get(doc.get("operationType"), "r")
     ns = doc.get("ns") or {}
     db = ns.get("db")
@@ -121,9 +126,7 @@ def decode_segment(path: str, fname: str):
             line = line.strip()
             if not line:
                 continue
-            row = decode_change_event(json.loads(line), lineno)
-            if row is not None:
-                yield row
+            yield decode_change_event(json.loads(line), lineno)
 
 
 class _MongoReaderMixin:

@@ -109,6 +109,10 @@ QUERIES = [
 
 if os.environ.get("SMOKE_QUERIES"):
     _want = set(os.environ["SMOKE_QUERIES"].split(","))
+    _unknown = _want - set(QUERIES)
+    if _unknown:
+        # a typo'd name must fail loudly, not run zero queries and exit green
+        raise SystemExit(f"SMOKE_QUERIES not in the smoke list: {sorted(_unknown)}")
     QUERIES = [q for q in QUERIES if q in _want]
 
 

@@ -584,7 +584,25 @@ def test_wap_failed_audit_leaves_live_untouched(spark, sf_dir, tmp_path):
         )
     assert sorted(os.listdir(dest)) == published  # live version untouched
     assert spark.read.parquet(dest).count() == n0
-    assert not glob.glob(f"{dest}.staging-*")  # staging cleaned up
+    # the only version dir left is the live symlink's target — the failed
+    # publish's staging was cleaned up, and the publish itself is an atomic
+    # link flip (dest is a current-pointer symlink)
+    assert os.path.islink(dest)
+    live_target = os.readlink(dest)
+    others = [p for p in glob.glob(f"{dest}.v-*")
+              if os.path.basename(p) != live_target]
+    assert not others, others
+
+    # an audit that RAISES (not just returns False) must also clean up
+    with _pytest.raises(ValueError, match="boom"):
+        write_audit_publish(
+            spark, d, dest,
+            audits=[("raiser", lambda x: (_ for _ in ()).throw(ValueError("boom")))],
+        )
+    others = [p for p in glob.glob(f"{dest}.v-*")
+              if os.path.basename(p) != live_target]
+    assert not others, others
+    assert spark.read.parquet(dest).count() == n0
 
 
 def test_row_level_delete_rewrites_only_touched_files(spark, sf_dir):

@@ -52,6 +52,11 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
             # equi-join silently drops the row) and its window order must
             # pin NULLS LAST to match DuckDB's NTILE placement
             (999904, "2024-02-04 00:00:00", 8888, "view", None, "{}"),
+            # a click AFTER the NULL-value view: q72's as-of match is that
+            # view, and its (event, value) must come from the SAME row —
+            # independent per-field windows would skip the NULL value and
+            # stitch in an older view's value (the confirmed stitch bug)
+            (999905, "2024-02-05 00:00:00", 8888, "click", 2.0, "{}"),
         ],
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
@@ -64,7 +69,13 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
               "lineitem", "documents", "embeddings"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
     for name in ["q47_zscore_anomaly", "q45_funnel", "cdc_apply", "q30_sessionization",
-                 "q64_forward_fill", "q70_equi_depth_histogram"]:
+                 "q64_forward_fill", "q70_equi_depth_histogram",
+                 # NULL-semantics coverage for the round-5 ops: q72's matched
+                 # right row must stay WHOLE when its value is NULL (the
+                 # two-window stitch bug class), the others must agree with
+                 # the oracle's NULL-skipping aggregates
+                 "q72_asof_join", "q73_exact_percentiles",
+                 "q76_time_weighted_average", "q77_sliding_distinct_exact"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
 
@@ -110,6 +121,7 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
     for name in ["dedup_substring", "text_feature_hash_embed",
                  "text_token_count", "dedup_ngram_jaccard",
-                 "mm_phash_dedup", "mm_shard_manifest"]:
+                 "mm_phash_dedup", "mm_shard_manifest",
+                 "mm_scene_segments", "mm_content_fingerprint"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
