@@ -447,3 +447,36 @@ def test_pagerank_iteration_never_broadcasts_ranks(spark, specs):
         assert "NestedLoop" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_join_is_union_window_not_range_join(spark, specs):
+    """q72: the merge-asof must plan as (right pre-agg + one key window) —
+    two exchanges, NO join operator at all: the naive range join explodes
+    O(|l|·|r|) per key and the global gate would flag its nested loop."""
+    df = _df(specs, spark, "q72_asof_join")
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_salted_join_shuffle_hash_no_broadcast(spark, specs):
+    """q75: the drill is the big-dim case, so the plan must carry a
+    ShuffledHashJoin and no broadcast — a broadcast would make the salt
+    dead machinery."""
+    plan = formatted_plan(_df(specs, spark, "q75_salted_join"))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_twap_single_shuffle(spark, specs):
+    """q76: the LEAD window and the per-user aggregate must share ONE
+    user_id exchange — the shared-shuffle claim in the docstring."""
+    df = _df(specs, spark, "q76_time_weighted_average")
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_mips_same_shape_as_cosine(spark, specs):
+    """sim_mips_topk inherits the block-matmul shape: fan-out repartition +
+    one final ranking exchange, nothing else."""
+    df = _df(specs, spark, "sim_mips_topk")
+    assert shuffle_count(df) <= 2, formatted_plan(df)
