@@ -4277,3 +4277,206 @@ def q77_sliding_distinct_exact(spark: SparkSession, sf: str) -> DataFrame:
             F.col("u7").cast("long").alias("u7"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q78 retention cohorts (the product-analytics staple)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q78_retention_cohorts",
+    oracle="""
+    WITH ua AS (
+      SELECT o_custkey, CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mo
+      FROM orders GROUP BY 1, 2
+    ),
+    ch AS (SELECT o_custkey, MIN(mo) AS cohort FROM ua GROUP BY 1)
+    SELECT cohort,
+           CAST((EXTRACT(YEAR FROM ua.mo) - EXTRACT(YEAR FROM cohort)) * 12
+                + (EXTRACT(MONTH FROM ua.mo) - EXTRACT(MONTH FROM cohort))
+                AS BIGINT) AS months_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM ua JOIN ch USING (o_custkey) GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix — the product-analytics staple: customers "
+    "grouped by FIRST-order month (their cohort), counted in every later "
+    "month they ordered again, keyed (cohort, months-since) — the decay "
+    "curves product and growth teams read daily. Month distance is exact "
+    "integer year/month arithmetic (identical on both engines, no "
+    "date-diff rounding ambiguity). Plan: one distinct on (customer, "
+    "month), a min-aggregate for cohorts, one equi-join back (both sides "
+    "partition on the customer — a single co-keyed shuffle pair), one "
+    "count aggregate. At 100 TB: activity is O(customer-months), cohorts "
+    "O(customers) — nothing quadratic, no windows at all.",
+)
+def q78_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    ua = (
+        o.select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mo"),
+        ).distinct()
+    )
+    ch = ua.groupBy("o_custkey").agg(F.min("mo").alias("cohort"))
+    months_since = (
+        (F.year("mo") - F.year("cohort")) * 12
+        + (F.month("mo") - F.month("cohort"))
+    )
+    return (
+        ua.join(ch, "o_custkey")
+        .groupBy("cohort", months_since.cast("long").alias("months_since"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q79 RFM segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q79_rfm_segmentation",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST((SELECT MAX(o_orderdate) FROM orders) AS DATE)
+               - CAST(MAX(o_orderdate) AS DATE) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                AS BIGINT) AS m_score
+    FROM m
+    """,
+    doc="RFM segmentation — recency/frequency/monetary quintiles per "
+    "customer, the classic CRM scoring: per-customer aggregates in one "
+    "pass (days since last order relative to the corpus max date, order "
+    "count, exact integer cents), then NTILE(5) per metric with a "
+    "customer-key tiebreak so bucket assignment is total-ordered and "
+    "hash-stable on both engines. The three NTILEs run over the "
+    "CUSTOMER-level table (|customers| rows — already 3-4 orders smaller "
+    "than the fact table), which is the standard shape: scores are a "
+    "dimension refresh, not a fact-table scan; at larger customer counts "
+    "each NTILE becomes the q70 prefix-sum construction. One aggregate "
+    "shuffle + the scoring windows.",
+)
+def q79_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    max_date = o.agg(F.max("o_orderdate")).collect()[0][0]
+    m = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(max_date).cast("date"), F.max("o_orderdate"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    wr = W.orderBy("recency_days", "o_custkey")
+    wf = W.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = W.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+    return m.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q80 market-basket association rules (support / confidence / lift)
+# --------------------------------------------------------------------------
+
+_MB_MIN_BOTH = 2
+
+
+@query(
+    "q80_market_basket",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    item AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS nboth
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, CAST(nboth AS BIGINT) AS nboth,
+           CAST(nboth * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+           CAST(nboth * 1000000 // i1.cnt AS BIGINT) AS confidence_ppm,
+           CAST(nboth * n.n_orders * 1000000 // (i1.cnt * i2.cnt) AS BIGINT)
+             AS lift_ppm
+    FROM pair JOIN item i1 ON p1 = i1.l_partkey
+              JOIN item i2 ON p2 = i2.l_partkey, n
+    WHERE nboth >= {_MB_MIN_BOTH}
+    """,
+    doc="Market-basket association rules — co-purchase pair mining with "
+    f"support/confidence/lift (pairs in ≥{_MB_MIN_BOTH} baskets), all "
+    "three metrics as EXACT integer parts-per-million (truncating div — "
+    "float ratios would be fine numerically but the integer forms "
+    "hash-certify the counts themselves). Shape: one distinct on "
+    "(basket, item), a wedge self-join on the basket id (the "
+    "triangle/link-prediction shuffle — O(Σ basket²) pairs, bounded in "
+    "practice by basket size, and the min-support filter prunes the "
+    "long tail BEFORE the metric joins), then two broadcast-sized joins "
+    "against the item-frequency table and a 1-row total. This is apriori's "
+    "first level as pure relational algebra — at 100 TB the same plan "
+    "runs with baskets bucketed by basket id and hub items capped, "
+    "exactly like the graph operators.",
+)
+def q80_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_orders = b.select("l_orderkey").distinct().count()
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("c.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("nboth"))
+        .filter(F.col("nboth") >= _MB_MIN_BOTH)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))
+    return (
+        pair.join(i1, "p1")
+        .join(i2, "p2")
+        .select(
+            "p1",
+            "p2",
+            F.col("nboth").cast("long").alias("nboth"),
+            F.call_function("div", F.col("nboth") * 1_000_000, F.lit(n_orders))
+            .cast("long")
+            .alias("support_ppm"),
+            F.call_function("div", F.col("nboth") * 1_000_000, F.col("cnt1"))
+            .cast("long")
+            .alias("confidence_ppm"),
+            F.call_function(
+                "div",
+                F.col("nboth") * n_orders * 1_000_000,
+                F.col("cnt1") * F.col("cnt2"),
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )

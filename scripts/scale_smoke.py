@@ -105,6 +105,10 @@ QUERIES = [
     "pipeline_stateful_totals",  # applyInPandasWithState cross-batch drain
     "q76_time_weighted_average",  # shared key window + aggregate
     "q77_sliding_distinct_exact",  # interval merge + day-spine sweep
+    "q78_retention_cohorts",  # co-keyed distinct + min + join + count
+    "q79_rfm_segmentation",   # one aggregate + customer-level NTILEs
+    "q80_market_basket",      # basket wedge join + min-support prune
+    "pipeline_bloom_index",   # distributed bloom build + file-skip probe
 ]
 
 if os.environ.get("SMOKE_QUERIES"):

@@ -643,3 +643,17 @@ def test_mips_norm_augmentation_reduction():
         d2 = ((aug_c - aug_q[qi]) ** 2).sum(axis=1)
         by_l2 = np.argsort(d2, kind="stable")
         assert (by_dot[:10] == by_l2[:10]).all()
+
+
+def test_bloom_index_scans_fewer_files(spark, sf_dir):
+    """Bloom sidecar invariant: the probe's scan plans over a strict subset
+    of the 16-file layout (the op itself raises if pruning never bites),
+    and every probed key is found exactly once."""
+    from librarian_spark.operators.registry import load_all
+
+    df = load_all()["pipeline_bloom_index"].spark_fn(spark, sf_dir)
+    assert 0 < len(df.inputFiles()) < 16, df.inputFiles()
+    rows = df.collect()
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys))  # no duplicates through the probe
+    assert 0 < len(keys) <= 8
