@@ -92,6 +92,12 @@ class RepositoryConfig:
     endpoint: str = ""
     force_path_style: bool = False
     partition_by: list[str] = field(default_factory=list)
+    # s3 write path: "hadoop" = s3a:// via hadoop-aws jars (executors stream
+    # directly — the big-snapshot path); "sdk" = local staging + boto3
+    # object uploads, the reference's own S3 writer behavior
+    # (`internal/s3/repository.go:60-115`) and the only path that works
+    # without the hadoop-aws filesystem on the cluster
+    upload: str = "hadoop"
 
     def spark_path(self) -> str:
         """Resolve to a Hadoop-FS URI: local dir or s3a://bucket/prefix.
@@ -195,6 +201,7 @@ def load_config_str(text: str) -> LibrarianConfig:
                 prefix=s3.get("prefix", ""),
                 endpoint=s3.get("endpoint", ""),
                 force_path_style=bool(s3.get("force_path_style", False)),
+                upload=str(repo.get("upload") or s3.get("upload") or "hadoop"),
                 # accepted at the repository level or nested under the
                 # concrete repo block — both read naturally in YAML
                 partition_by=list(

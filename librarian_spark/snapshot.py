@@ -150,7 +150,32 @@ class Snapshotter:
             },
         )
         df = self.read_source()
-        out_path = self.cfg.repository.spark_path()
+        repo_cfg = self.cfg.repository
+        sdk_repo = None
+        if repo_cfg.type == "s3" and repo_cfg.upload == "sdk":
+            # reference-parity S3 path (`internal/s3/repository.go:60-115`):
+            # Spark commits to LOCAL staging, the repository uploads the
+            # committed objects through the AWS SDK — no hadoop-aws needed
+            import tempfile
+
+            from librarian_spark.s3_repo import S3SdkRepository
+
+            if src.incremental_column:
+                raise ValueError(
+                    "incremental snapshots need repository.upload: hadoop "
+                    "(s3a) — the SDK path re-stages locally per run and "
+                    "would lose append state"
+                )
+            out_path = tempfile.mkdtemp(prefix="librarian_s3stage_")
+            sdk_repo = S3SdkRepository(
+                bucket=repo_cfg.bucket,
+                prefix=repo_cfg.prefix,
+                region=repo_cfg.region,
+                endpoint=repo_cfg.endpoint,
+                force_path_style=repo_cfg.force_path_style,
+            )
+        else:
+            out_path = repo_cfg.spark_path()
 
         append = False
         wm = None
@@ -205,7 +230,19 @@ class Snapshotter:
             record.num_source_records = df.count()
             processed = self.write(df, out_path)
             record.finish(processed)
-        if self.cfg.repository.type == "local":
+        if sdk_repo is not None:
+            import shutil
+
+            # catalog rides next to the data objects, like the local layout
+            write_catalog(record, out_path)
+            uploaded = sdk_repo.upload_snapshot_dir(out_path)
+            if uploaded == 0:
+                raise RuntimeError(
+                    f"s3 sdk upload moved 0 objects from {out_path} to "
+                    f"s3://{repo_cfg.bucket}/{repo_cfg.prefix}"
+                )
+            shutil.rmtree(out_path, ignore_errors=True)
+        elif self.cfg.repository.type == "local":
             write_catalog(record, out_path)
         return record
 
