@@ -167,6 +167,15 @@ def _field_from_dict(d: dict) -> FieldConfig:
     )
 
 
+def _valid_upload(v: str) -> str:
+    """An unknown upload mode must fail at config load (like spark_path()
+    does for unknown repository types) — a typo would otherwise silently
+    route to the s3a path the operator explicitly chose to avoid."""
+    if v not in ("hadoop", "sdk"):
+        raise ValueError(f"repository.upload must be 'hadoop' or 'sdk', got {v!r}")
+    return v
+
+
 def load_config_str(text: str) -> LibrarianConfig:
     raw = yaml.safe_load(text) or {}
     arch = raw.get("archiver", {}) or {}
@@ -201,7 +210,9 @@ def load_config_str(text: str) -> LibrarianConfig:
                 prefix=s3.get("prefix", ""),
                 endpoint=s3.get("endpoint", ""),
                 force_path_style=bool(s3.get("force_path_style", False)),
-                upload=str(repo.get("upload") or s3.get("upload") or "hadoop"),
+                upload=_valid_upload(
+                    str(repo.get("upload") or s3.get("upload") or "hadoop")
+                ),
                 # accepted at the repository level or nested under the
                 # concrete repo block — both read naturally in YAML
                 partition_by=list(

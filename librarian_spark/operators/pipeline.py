@@ -2416,16 +2416,24 @@ def _bloom_m(rows_per_file: int) -> int:
 )
 def pipeline_bloom_index(spark: SparkSession, sf: str) -> DataFrame:
     import json
+    import shutil
+    import uuid
 
     from pyspark.sql import functions as F
 
     from librarian_spark.sources.batch import load_table
 
-    base = _cache_base("bloomidx", sf, "orders", salt=f"rr16-k{_BLOOM_K}-v1")
+    base = _cache_base("bloomidx", sf, "orders", salt=f"rr16-k{_BLOOM_K}-v2")
     _sweep_run_dirs("/tmp", ("librarian_bloomidx_",))
-    layout = f"{base}/layout"
-    sidecar = f"{base}/_bloom.json"
-    if not os.path.exists(sidecar):
+    # layout + sidecar build in a PRIVATE staging dir, published by ONE
+    # atomic rename: a concurrent first-run builds its own copy and
+    # discards it on losing the race — a shared-dir overwrite would delete
+    # part files out from under another process's live probe, and the
+    # sidecar names exactly those files
+    pub = f"{base}/published"
+    if not os.path.isdir(pub):
+        stage = f"{base}/stage-{uuid.uuid4().hex[:8]}"
+        layout = f"{stage}/layout"
         src = load_table(spark, sf, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         )
@@ -2442,25 +2450,34 @@ def pipeline_bloom_index(spark: SparkSession, sf: str) -> DataFrame:
             )
             for i in range(_BLOOM_K)
         ]
-        hashed = files_df.select("f", *pos_cols)
-        stacked = hashed.selectExpr(
+        stacked = files_df.select("f", *pos_cols).selectExpr(
             "f",
             "stack({}, {}) AS pos".format(
                 _BLOOM_K, ", ".join(f"p{i}" for i in range(_BLOOM_K))
             ),
         )
-        bits = (
-            stacked.groupBy("f")
-            .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+        # pack DISTRIBUTEDLY into 64-bit words (bit_or per word) so only
+        # O(m/64) rows per file — true metadata — ever reach the driver;
+        # collecting raw positions would be O(rows·k)
+        words = (
+            stacked.withColumn("w", F.expr("CAST(pos DIV 64 AS INT)"))
+            .withColumn("b", F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))"))
+            .groupBy("f", "w")
+            .agg(F.bit_or("b").alias("bits"))
             .collect()
         )
-        blob = {"m": m, "files": {r.f: r.bits for r in bits}}
-        tmp = sidecar + ".tmp"
-        with open(tmp, "w") as fh:
+        blob: dict = {"m": m, "files": {}}
+        for r in words:
+            blob["files"].setdefault(r.f, {})[str(r.w)] = r.bits
+        with open(f"{stage}/_bloom.json", "w") as fh:
             json.dump(blob, fh)
-        os.replace(tmp, sidecar)
+        try:
+            os.rename(stage, pub)
+        except OSError:  # lost the publish race — use the winner's copy
+            shutil.rmtree(stage, ignore_errors=True)
+    layout = f"{pub}/layout"
 
-    with open(sidecar) as fh:
+    with open(f"{pub}/_bloom.json") as fh:
         blob = json.load(fh)
     m = blob["m"]
     # probe keys: deterministic, data-derived, replayed by the oracle
@@ -2484,11 +2501,16 @@ def pipeline_bloom_index(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(_BLOOM_K)
         ],
     ).collect()
+
+    def _hit(words: dict, pos: int) -> bool:
+        # bit k of the two's-complement word: arithmetic shift + mask is
+        # exact in python for any signed 64-bit value
+        return (words.get(str(pos // 64), 0) >> (pos % 64)) & 1 == 1
+
     candidates = []
-    for fname, bits in blob["files"].items():
-        bset = set(bits)
+    for fname, words in blob["files"].items():
         if any(
-            all(getattr(r, f"p{i}") in bset for i in range(_BLOOM_K))
+            all(_hit(words, getattr(r, f"p{i}")) for i in range(_BLOOM_K))
             for r in pos_rows
         ):
             candidates.append(os.path.join(layout, fname))

@@ -16,8 +16,9 @@ Two write paths therefore exist for ``repository.type: s3``:
 * ``upload: sdk`` — this module; reference-parity behavior, no Hadoop S3
   filesystem needed, right-sized for snapshot-grade object counts (the
   reference uploads a handful of batched parquet files per snapshot —
-  `internal/parquet/preserver.go:79-83`). Incremental state (the high
-  watermark) lives in the bucket next to the data.
+  `internal/parquet/preserver.go:79-83`). Full snapshots only: the
+  pipeline rejects incremental configs on this path (it re-stages
+  locally per run; append state needs the s3a path).
 
 Driven end-to-end against a local moto S3 server in tests — the in-process
 equivalent of the reference's compose/localstack dev environment (`dev/`).
@@ -25,7 +26,6 @@ equivalent of the reference's compose/localstack dev environment (`dev/`).
 
 from __future__ import annotations
 
-import json
 import os
 
 __all__ = ["S3SdkRepository"]
@@ -81,12 +81,19 @@ class S3SdkRepository:
         return k
 
     def read_bytes(self, key: str) -> bytes | None:
+        """Object bytes, or None ONLY for genuine not-found — access errors,
+        throttling, and wrong-region responses propagate (mapping them to
+        None would make 'state missing' indistinguishable from 'state
+        unreadable' and silently restart stateful callers from scratch)."""
+        from botocore.exceptions import ClientError
+
         try:
             r = self.client.get_object(Bucket=self.bucket, Key=self._key(key))
-        except self.client.exceptions.NoSuchKey:
-            return None
-        except self.client.exceptions.ClientError:
-            return None
+        except ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            if code in ("NoSuchKey", "404"):
+                return None
+            raise
         return r["Body"].read()
 
     def list_keys(self, key_prefix: str = "") -> list[str]:
@@ -103,27 +110,32 @@ class S3SdkRepository:
                 return sorted(out)
             token = r.get("NextContinuationToken")
 
+    def delete_prefix(self, key_prefix: str = "") -> int:
+        """Delete every object under the prefix (the overwrite semantics of
+        the local/hadoop paths' mode('overwrite')); returns objects deleted."""
+        keys = self.list_keys(key_prefix)
+        for i in range(0, len(keys), 1000):  # DeleteObjects batch limit
+            self.client.delete_objects(
+                Bucket=self.bucket,
+                Delete={"Objects": [{"Key": k} for k in keys[i : i + 1000]]},
+            )
+        return len(keys)
+
     # -- snapshot layout ---------------------------------------------------
     def upload_snapshot_dir(self, local_dir: str, dest: str = "") -> int:
-        """Upload a committed local snapshot dir (part files + sidecars,
-        skipping Spark's _SUCCESS/_committed markers) under ``dest``;
-        returns the number of data objects uploaded."""
+        """Upload a committed local snapshot dir RECURSIVELY (part files,
+        sidecars, and hive-partitioned subdirectories, skipping Spark's
+        _SUCCESS/_committed markers), preserving relative paths under
+        ``dest``; returns the number of data objects uploaded."""
         n = 0
-        for name in sorted(os.listdir(local_dir)):
-            p = os.path.join(local_dir, name)
-            if not os.path.isfile(p) or name.startswith(("_SUCCESS", ".")):
-                continue
-            self.write_file(p, f"{dest}/{name}" if dest else name)
-            n += 1
+        for root, _dirs, files in os.walk(local_dir):
+            rel_root = os.path.relpath(root, local_dir)
+            for name in sorted(files):
+                if name.startswith(("_SUCCESS", ".")):
+                    continue
+                rel = name if rel_root == "." else f"{rel_root}/{name}"
+                self.write_file(
+                    os.path.join(root, name), f"{dest}/{rel}" if dest else rel
+                )
+                n += 1
         return n
-
-    # -- incremental watermark state (parity with the local sidecar) ------
-    def load_watermark(self, dest: str = "") -> dict | None:
-        raw = self.read_bytes(f"{dest}/_watermark.json" if dest else "_watermark.json")
-        return json.loads(raw) if raw else None
-
-    def save_watermark(self, wm: dict, dest: str = "") -> None:
-        self.write_bytes(
-            json.dumps(wm).encode(),
-            f"{dest}/_watermark.json" if dest else "_watermark.json",
-        )

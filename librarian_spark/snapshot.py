@@ -233,15 +233,22 @@ class Snapshotter:
         if sdk_repo is not None:
             import shutil
 
-            # catalog rides next to the data objects, like the local layout
-            write_catalog(record, out_path)
-            uploaded = sdk_repo.upload_snapshot_dir(out_path)
-            if uploaded == 0:
-                raise RuntimeError(
-                    f"s3 sdk upload moved 0 objects from {out_path} to "
-                    f"s3://{repo_cfg.bucket}/{repo_cfg.prefix}"
-                )
-            shutil.rmtree(out_path, ignore_errors=True)
+            try:
+                # catalog rides next to the data objects, like the local layout
+                write_catalog(record, out_path)
+                # overwrite semantics, matching the local/hadoop paths'
+                # mode("overwrite"): a re-run must not leave the previous
+                # run's uuid-named part files accumulating under the prefix
+                sdk_repo.delete_prefix()
+                uploaded = sdk_repo.upload_snapshot_dir(out_path)
+                if uploaded == 0:
+                    raise RuntimeError(
+                        f"s3 sdk upload moved 0 objects from {out_path} to "
+                        f"s3://{repo_cfg.bucket}/{repo_cfg.prefix}"
+                    )
+            finally:
+                # never leak a snapshot-sized staging copy on a failed upload
+                shutil.rmtree(out_path, ignore_errors=True)
         elif self.cfg.repository.type == "local":
             write_catalog(record, out_path)
         return record

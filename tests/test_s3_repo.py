@@ -56,9 +56,21 @@ def test_sdk_repository_object_round_trip(s3_endpoint, tmp_path):
     assert key == "unit/rt/obj.bin"
     assert repo.read_bytes("obj.bin") == b"payload-bytes"
     assert repo.read_bytes("missing.bin") is None
-    repo.save_watermark({"column": "ts", "value": "7", "type": "long"})
-    assert repo.load_watermark() == {"column": "ts", "value": "7", "type": "long"}
-    assert "unit/rt/_watermark.json" in repo.list_keys()
+
+    # recursive snapshot upload preserves hive-partition subdirs (a flat
+    # walk silently uploaded ZERO data objects for partitioned layouts)
+    part = tmp_path / "snap" / "status=O"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"pq0")
+    (tmp_path / "snap" / "_SUCCESS").write_bytes(b"")
+    n = repo.upload_snapshot_dir(str(tmp_path / "snap"), dest="v1")
+    assert n == 1
+    assert repo.read_bytes("v1/status=O/part-0.parquet") == b"pq0"
+
+    # delete_prefix gives the overwrite semantics of the other write paths
+    deleted = repo.delete_prefix()
+    assert deleted >= 2
+    assert repo.list_keys() == []
 
 
 def test_snapshot_pipeline_to_live_s3(spark, s3_endpoint):
@@ -123,6 +135,76 @@ archiver:
         t = pq.read_table(io.BytesIO(body))
         n += t.num_rows
         assert set(t.column_names) == {"o_orderkey", "o_custkey", "o_totalprice"}
+    assert n == rec.num_source_records
+
+    # RE-RUN the same config: overwrite semantics — the prefix must hold
+    # exactly one snapshot's rows, not accumulate the previous run's
+    # uuid-named part files (the confirmed duplication bug)
+    rec2 = run_snapshot_config(spark, load_config_str(cfg))
+    assert rec2.success
+    keys2 = [
+        o["Key"]
+        for o in client.list_objects_v2(
+            Bucket=_BUCKET, Prefix="snaps/orders/"
+        )["Contents"]
+    ]
+    n2 = sum(
+        pq.read_table(
+            io.BytesIO(client.get_object(Bucket=_BUCKET, Key=k)["Body"].read())
+        ).num_rows
+        for k in keys2
+        if k.endswith(".parquet")
+    )
+    assert n2 == rec2.num_source_records
+
+
+def test_snapshot_pipeline_partitioned_to_live_s3(spark, s3_endpoint):
+    """Partitioned snapshot + SDK upload: the hive subdirectories must land
+    as objects (the confirmed silent-zero-objects bug class)."""
+    import io as _io
+
+    import pyarrow.parquet as _pq
+
+    from librarian_spark.config import load_config_str
+    from librarian_spark.snapshot import run_snapshot_config
+
+    cfg = f"""
+archiver:
+  name: s3-snap-part
+  source:
+    format: parquet
+    path: /root/testdata/sf0.001/orders.parquet
+    query: "SELECT o_orderkey, o_orderstatus FROM source"
+  repository:
+    type: s3
+    upload: sdk
+    partition_by: [o_orderstatus]
+    s3:
+      bucket: {_BUCKET}
+      prefix: snaps/part
+      region: us-east-1
+      endpoint: {s3_endpoint}
+      force_path_style: true
+"""
+    rec = run_snapshot_config(spark, load_config_str(cfg))
+    assert rec.success and rec.num_source_records > 0
+    client = boto3.client(
+        "s3", endpoint_url=s3_endpoint, region_name="us-east-1"
+    )
+    keys = [
+        o["Key"]
+        for o in client.list_objects_v2(Bucket=_BUCKET, Prefix="snaps/part/")[
+            "Contents"
+        ]
+    ]
+    parts = [k for k in keys if k.endswith(".parquet")]
+    assert any("o_orderstatus=" in k for k in parts), keys
+    n = sum(
+        _pq.read_table(
+            _io.BytesIO(client.get_object(Bucket=_BUCKET, Key=k)["Body"].read())
+        ).num_rows
+        for k in parts
+    )
     assert n == rec.num_source_records
 
 
