@@ -4480,3 +4480,250 @@ def q80_market_basket(spark: SparkSession, sf: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q81 gaps & islands (contiguous activity runs)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q81_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE ts IS NOT NULL
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    )
+    SELECT user_id, MIN(d) AS island_start, MAX(d) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM grp GROUP BY user_id, anchor
+    """,
+    doc="Gaps-and-islands — maximal runs of CONSECUTIVE active days per "
+    "user, the classic streak/uptime analysis: distinct (user, day), "
+    "then the anchor trick (day minus per-user row_number is constant "
+    "exactly within a consecutive run — no self-join, no recursion), "
+    "then one group-by per island. The reference's engine would need "
+    "either a correlated subquery or MATCH_RECOGNIZE for this; the "
+    "window+anchor form is two shuffles total (distinct, then the "
+    "per-user window shares the groupBy exchange). Every window is "
+    "partitioned by user_id — no global sort, no driver state — so the "
+    "plan is unchanged at a billion users; AQE handles the skewed "
+    "power-user tail.",
+)
+def q81_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    # NULL ts would order NULLS FIRST in Spark windows vs NULLS LAST in the
+    # oracle, shifting every row_number — excluded identically on both sides
+    days = (
+        e.filter(F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return grp.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("island_start"),
+        F.max("d").alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).drop("anchor")
+
+
+# --------------------------------------------------------------------------
+# Q82 exact rolling median (order-statistic sliding window)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q82_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(MEDIAN(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_median
+    FROM events WHERE ts IS NOT NULL
+    """,
+    doc="Exact rolling median — the order-statistic sliding window that "
+    "mean/EWMA smoothing (q54) cannot express: per user, the true median "
+    "of the trailing 7 observations (ties broken by event_id so the "
+    "frame is total-ordered and engine-independent). Spark has no "
+    "median window function; the Spark-first form collects the O(1)-"
+    "bounded frame with collect_list over the same ROWS frame, "
+    "array_sorts it, and picks/averages the middle order statistics — "
+    "all inside whole-stage codegen, no UDF. The frame bound (7) makes "
+    "per-row state constant, so the window is a single per-user "
+    "partition pass; ROUND(,4) on both engines absorbs the last-ulp "
+    "difference of the even-frame midpoint average. Null values are "
+    "skipped identically (collect_list and MEDIAN both ignore NULLs).",
+)
+def q82_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    # NULL ts excluded on both sides (Spark NULLS FIRST vs DuckDB NULLS LAST
+    # would misalign the frames); NULL values inside a frame are fine — both
+    # collect_list and MEDIAN skip them
+    e = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    med = F.expr(
+        """
+        CASE WHEN size(frame) = 0 THEN NULL
+             WHEN size(frame) % 2 = 1
+               THEN element_at(frame, CAST((size(frame) + 1) DIV 2 AS INT))
+             ELSE (element_at(frame, CAST(size(frame) DIV 2 AS INT))
+                   + element_at(frame, CAST(size(frame) DIV 2 + 1 AS INT))) / 2
+        END
+        """
+    )
+    return (
+        e.select("event_id", "user_id", "ts", arr.alias("frame"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(med, 4).alias("rolling_median"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q83 sequence-gap detection (missing-key ranges)
+# --------------------------------------------------------------------------
+
+_Q83_BLOCK = 1024
+
+
+@query(
+    "q83_sequence_gaps",
+    oracle="""
+    WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    nxt AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
+    SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+           CAST(nk - k - 1 AS BIGINT) AS n_missing
+    FROM nxt WHERE nk > k + 1
+    """,
+    doc="Sequence-gap detection — every maximal missing-key range in a "
+    "filtered key sequence (finalized orders), the audit that catches "
+    "lost batches in an append-only ingest. The naive form is a single "
+    "global LEAD window = one partition holding the whole table; this "
+    "implementation is the two-level shape (mm_shard_manifest's prefix "
+    "pattern): keys bucket into fixed blocks of 1024, LEAD runs "
+    "per-block (partitioned window, fully parallel), and only the "
+    "per-block (min,max) summary — 1024x smaller — crosses blocks in a "
+    "second tiny window, stitching boundary gaps. Union of the two gap "
+    "sets is exactly the global answer. At 10^12 keys the summary is "
+    "10^9 rows and recurses once more; nothing ever single-partitions "
+    "the fact table.",
+)
+def q83_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    k = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .withColumn(
+            "blk", F.call_function("div", F.col("k"), F.lit(_Q83_BLOCK))
+        )
+    )
+    w1 = W.partitionBy("blk").orderBy("k")
+    within = (
+        k.withColumn("nk", F.lead("k").over(w1))
+        .filter(F.col("nk") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nk") - 1).alias("gap_end"),
+            (F.col("nk") - F.col("k") - 1).cast("long").alias("n_missing"),
+        )
+    )
+    summ = k.groupBy("blk").agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+    # the summary is |keys|/1024 rows; its window is documented small and
+    # would recurse the same two-level split at extreme scale
+    w2 = W.orderBy("blk")
+    cross = (
+        summ.withColumn("nmn", F.lead("mn").over(w2))
+        .filter(F.col("nmn") > F.col("mx") + 1)
+        .select(
+            (F.col("mx") + 1).alias("gap_start"),
+            (F.col("nmn") - 1).alias("gap_end"),
+            (F.col("nmn") - F.col("mx") - 1).cast("long").alias("n_missing"),
+        )
+    )
+    return within.unionAll(cross)
+
+
+# --------------------------------------------------------------------------
+# Q84 audience overlap via bitmap AND (exact distinct intersections)
+# --------------------------------------------------------------------------
+
+_Q84_MIN_EVENTS = 15
+
+
+@query(
+    "q84_audience_overlap",
+    oracle=f"""
+    WITH act AS (
+      SELECT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_Q84_MIN_EVENTS}
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common_users
+    FROM act a JOIN act b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="Audience-overlap matrix — for every pair of event types, the "
+    f"EXACT count of users with ≥{_Q84_MIN_EVENTS} events of each type "
+    "(segment intersection sizes, the input to every audience-overlap / "
+    "co-engagement report). The oracle is the naive user-level wedge "
+    "self-join; the Spark plan is the scale answer: per-segment user "
+    "sets compress into 63-bit bitmap words (q65's bit_or construction "
+    "— one groupBy), pairs of segments then join on WORD INDEX and "
+    "intersect with a single AND+popcount — the shuffled data is "
+    "|segments| x |users|/63 words, 63x smaller than the id-level join, "
+    "and the pair blow-up happens on words, never on raw user rows. "
+    "This is exactly how roaring-bitmap audience engines (Druid, "
+    "ClickHouse groupBitmapAnd) run the query at billions of users.",
+)
+def q84_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    act = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _Q84_MIN_EVENTS)
+    )
+    words = act.groupBy(
+        "event_type",
+        F.call_function("div", F.col("user_id"), F.lit(63)).alias("w"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(user_id % 63 as int))")
+        ).alias("bits")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "w", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "w", F.col("bits").alias("bb")
+    )
+    return (
+        a.join(b, "w")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("long")
+            .alias("n_common_users")
+        )
+        .filter(F.col("n_common_users") > 0)
+    )

@@ -75,7 +75,12 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
                  # two-window stitch bug class), the others must agree with
                  # the oracle's NULL-skipping aggregates
                  "q72_asof_join", "q73_exact_percentiles",
-                 "q76_time_weighted_average", "q77_sliding_distinct_exact"]:
+                 "q76_time_weighted_average", "q77_sliding_distinct_exact",
+                 # round-5 part 2: q82's trailing frame must skip the NULL
+                 # value like MEDIAN does; q84 must drop the NULL event_type
+                 # on both sides; q81's islands ignore both NULL columns
+                 "q81_gaps_islands", "q82_rolling_median",
+                 "q84_audience_overlap"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
 

@@ -480,3 +480,58 @@ def test_mips_same_shape_as_cosine(spark, specs):
     one final ranking exchange, nothing else."""
     df = _df(specs, spark, "sim_mips_topk")
     assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_gaps_islands_windows_partitioned_by_user(spark, specs):
+    """q81: the anchor window must be PARTITIONED by user_id — no exchange to
+    a single partition anywhere (the naive islands query over a global
+    row_number is the scale bug), and distinct + window + final group-by
+    share the user_id hash exchange where possible."""
+    df = _df(specs, spark, "q81_gaps_islands")
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_rolling_median_stays_in_partitioned_window(spark, specs):
+    """q82: the exact rolling median is ONE per-user window (collect_list
+    over a constant frame) + map-side order statistics — one exchange, no
+    single-partition window, no UDF (the array math is all codegen)."""
+    df = _df(specs, spark, "q82_rolling_median")
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+    assert "pythonUDF" not in plan.lower(), plan
+
+
+def test_sequence_gaps_row_windows_are_block_partitioned(spark, specs):
+    """q83: the row-level LEAD must run inside block partitions; the only
+    unpartitioned window may carry the 1024x-smaller block summary (the
+    mm_shard_manifest two-level contract)."""
+    import re
+
+    df = _df(specs, spark, "q83_sequence_gaps")
+    plan = formatted_plan(df)
+    win_args = re.findall(
+        r"\(\d+\) Window[^\n]*\n(?:Input[^\n]*\n)?Arguments: ([^\n]*)", plan
+    )
+    assert win_args, plan
+    # windows carrying the per-row LEAD must be partitioned by blk; the
+    # summary window (lead over block mins) orders by blk alone
+    for a in win_args:
+        if "mn#" in a:  # summary window (lead over block mins)
+            continue
+        assert "blk" in a, a
+
+
+def test_audience_overlap_joins_words_not_users(spark, specs):
+    """q84: the pair intersection must be an equi hash join on the bitmap
+    WORD index — never a nested loop over user rows — and the bitmap
+    construction partial-aggregates map-side before its exchange."""
+    df = _df(specs, spark, "q84_audience_overlap")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+    assert has_partial_aggregate(df), plan
