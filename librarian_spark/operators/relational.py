@@ -4727,3 +4727,55 @@ def q84_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_common_users") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Q85 ML lag/trailing feature generation (the feature-store shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q85_lag_features",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(value, 1) OVER w AS lag1_value,
+           LAG(value, 2) OVER w AS lag2_value,
+           ROUND(AVG(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS trail_mean_7,
+           CAST(COUNT(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT
+                ROW) AS BIGINT) AS trail_n_7,
+           CAST(EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER w AS BIGINT)
+             AS micros_since_prev
+    FROM events WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Point-in-time lag/trailing feature generation — the feature-store "
+    "materialization every training pipeline runs before a model sees a "
+    "row: per entity (user), strictly-past lags (1-step, 2-step), a "
+    "trailing-7 mean and observation count, and the exact µs recency gap "
+    "(unix_micros, not second-truncated unix_timestamp — sub-second "
+    "recency is a real feature). All five features ride ONE per-user "
+    "window specification, so the whole row of features costs a single "
+    "user_id exchange + one sorted pass — the plan test pins one shuffle. "
+    "Strictly-past frames mean no label leakage by construction (the "
+    "point-in-time-correctness property feature stores advertise); at "
+    "100 TB this is a map-side sort within user partitions, and adding "
+    "features widens the projection without adding passes. NULL values "
+    "are carried by the lags but excluded from mean/count — identical "
+    "skip semantics on both engines.",
+)
+def q85_lag_features(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-6, W.currentRow)
+    um = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value", 1).over(w).alias("lag1_value"),
+        F.lag("value", 2).over(w).alias("lag2_value"),
+        F.round(F.avg("value").over(wf), 4).alias("trail_mean_7"),
+        F.count("value").over(wf).cast("long").alias("trail_n_7"),
+        (um - F.lag(um, 1).over(w)).cast("long").alias("micros_since_prev"),
+    )

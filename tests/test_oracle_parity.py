@@ -80,7 +80,10 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
                  # value like MEDIAN does; q84 must drop the NULL event_type
                  # on both sides; q81's islands ignore both NULL columns
                  "q81_gaps_islands", "q82_rolling_median",
-                 "q84_audience_overlap"]:
+                 "q84_audience_overlap",
+                 # q85: the NULL value must flow through the lags untouched
+                 # while the trailing mean/count skip it on both engines
+                 "q85_lag_features"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
 

@@ -535,3 +535,13 @@ def test_audience_overlap_joins_words_not_users(spark, specs):
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan
     assert has_partial_aggregate(df), plan
+
+
+def test_lag_features_single_window_shuffle(spark, specs):
+    """q85: all five features must share ONE per-user window spec — a single
+    user_id exchange, no single-partition window, pure codegen."""
+    df = _df(specs, spark, "q85_lag_features")
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+    assert "pythonUDF" not in plan.lower(), plan
