@@ -128,13 +128,19 @@ def cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _APPLY_ORACLE = """
-WITH ranked AS (
+WITH src AS (
+  -- a change without a key or commit timestamp is malformed and excluded
+  -- identically on both sides (NULL keys would also diverge: GROUP BY keeps
+  -- a NULL group, JOIN USING drops it)
+  SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+ranked AS (
   SELECT user_id, event_id, ts, event_type, value,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  FROM src
 ),
-cnt AS (SELECT user_id, COUNT(*) AS n_changes FROM events GROUP BY user_id)
+cnt AS (SELECT user_id, COUNT(*) AS n_changes FROM src GROUP BY user_id)
 SELECT r.user_id,
        r.event_id AS last_event_id,
        r.ts AS last_ts,
@@ -161,7 +167,11 @@ WHERE r.rn = 1 AND r.event_type != 'error'
     "shuffle and a skewed sort.",
 )
 def cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
+    # malformed changes (no key / no commit ts) excluded — mirrors the
+    # oracle's src CTE; see the oracle comment for the divergence this avoids
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     last = e.groupBy("user_id").agg(
         F.max_by(
             F.struct("event_id", "ts", "event_type", "value"),

@@ -2601,27 +2601,30 @@ def pipeline_idempotent_sink(spark: SparkSession, sf: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
 
-    result = spark.read.parquet(data_dir).select(
-        "event_id", "user_id", "event_type", "value"
-    )
-    n_before = result.count()
+    def _batch0_files() -> dict[str, tuple[int, int]]:
+        d = f"{data_dir}/batch=0"
+        return {
+            f: (s.st_size, s.st_mtime_ns)
+            for f in sorted(os.listdir(d))
+            for s in [os.stat(os.path.join(d, f))]
+        }
+
+    files_before = _batch0_files()
     # deliberate redelivery of batch 0 — the crash-between-write-and-
-    # checkpoint scenario; the commit log must absorb it (the replayed rows
-    # are batch 0's own, re-read from its sink dir — same delivery payload)
-    sink(spark.read.parquet(f"{data_dir}/batch=0"), 0)
+    # checkpoint scenario; the commit log must absorb it. The replayed rows
+    # are batch 0's own payload, MATERIALIZED (localCheckpoint) so the
+    # delivery carries rows, not a lazy read of the sink path — were the
+    # marker ever missing, the re-write path must not read-from-written
+    replay = spark.read.parquet(f"{data_dir}/batch=0").localCheckpoint()
+    sink(replay, 0)
     if skips["n"] != 1:
         raise RuntimeError(
             f"idempotent sink: expected exactly 1 redelivery skip, saw {skips['n']}"
         )
-    n_after = (
-        spark.read.parquet(data_dir)
-        .select("event_id", "user_id", "event_type", "value")
-        .count()
-    )
-    if n_after != n_before:
-        raise RuntimeError(
-            f"idempotent sink: redelivery changed the sink ({n_before} -> {n_after})"
-        )
+    # byte-identity, not just cardinality: every batch-0 file must be the
+    # same file (name, size, mtime) after the redelivery
+    if _batch0_files() != files_before:
+        raise RuntimeError("idempotent sink: redelivery rewrote batch-0 files")
     return spark.read.parquet(data_dir).select(
         "event_id", "user_id", "event_type", "value"
     )

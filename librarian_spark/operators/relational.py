@@ -3276,6 +3276,28 @@ def graph_connected_components(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _bitmap_words(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """Compress a non-negative integer ``key`` column into 63-bit bitmap
+    words per group: one row per (group, word index) with a ``bits`` long.
+
+    THE single encoding convention for every bitmap operator (q65 distinct,
+    q84 intersection): word = key div 63, bit = key % 63 — 63 not 64 because
+    engines differ on sign-bit shifts, and `div` (not /cast) stays exact at
+    all magnitudes. Keep both queries on this helper so the convention can
+    never fork.
+    """
+    return df.groupBy(
+        *group_cols,
+        F.call_function("div", F.col(key), F.lit(63)).alias("w"),
+    ).agg(
+        # F.shiftleft only takes a literal shift amount; the SQL form
+        # accepts a column
+        F.bit_or(F.expr(f"shiftleft(1L, cast({key} % 63 as int))")).alias(
+            "bits"
+        )
+    )
+
+
 @query(
     "q65_bitmap_distinct",
     oracle="""
@@ -3300,19 +3322,7 @@ def graph_connected_components(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q65_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
-    words = (
-        li.groupBy(
-            "l_partkey",
-            F.call_function("div", F.col("l_suppkey"), F.lit(63)).alias("w"),
-        )
-        .agg(
-            # F.shiftleft only takes a literal shift amount; the SQL form
-            # accepts a column
-            F.bit_or(
-                F.expr("shiftleft(1L, cast(l_suppkey % 63 as int))")
-            ).alias("bits")
-        )
-    )
+    words = _bitmap_words(li, "l_suppkey", ["l_partkey"])
     return words.groupBy("l_partkey").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("n_supp")
     )
@@ -4204,7 +4214,7 @@ _SD_W = 7  # window width in days
     oracle=f"""
     WITH du AS (
       SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     spine AS (
       SELECT UNNEST(RANGE((SELECT MIN(day) FROM du),
@@ -4235,7 +4245,13 @@ _SD_W = 7  # window width in days
     "aren't acceptable.",
 )
 def q77_sliding_distinct_exact(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
+    # a NULL user is not a user and a NULL ts has no day: the oracle's
+    # COUNT(DISTINCT) skips the former implicitly — exclude both explicitly
+    # on both sides so the sweep-line's groupBy (which WOULD keep a NULL
+    # group) agrees
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     du = (
         e.select(
             "user_id", F.unix_date(F.col("ts").cast("date")).alias("d")
@@ -4702,14 +4718,7 @@ def q84_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _Q84_MIN_EVENTS)
     )
-    words = act.groupBy(
-        "event_type",
-        F.call_function("div", F.col("user_id"), F.lit(63)).alias("w"),
-    ).agg(
-        F.bit_or(
-            F.expr("shiftleft(1L, cast(user_id % 63 as int))")
-        ).alias("bits")
-    )
+    words = _bitmap_words(act, "user_id", ["event_type"])
     a = words.select(
         F.col("event_type").alias("type_a"), "w", F.col("bits").alias("ba")
     )

@@ -90,6 +90,29 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
+# Registry queries whose SinglePartition exchange is REVIEWED AND BOUNDED:
+# either the standard final reduce of already-partial-aggregated rows (one
+# row per upstream partition — how every global aggregate ends) or a window
+# over a provably tiny domain, documented in the query's own docstring. Any
+# OTHER registry query that plans a SinglePartition exchange fails the
+# global plan gate (tests/test_plans.py) — that is the accidental
+# global-window-over-the-fact-table scale bug this list exists to catch.
+TINY_DOMAIN_SINGLE_PARTITION = {
+    "q07_approx_distinct": "final reduce of per-partition HLL partials",
+    "q07_count_distinct": "final reduce of distinct-agg partials",
+    "q15_subquery_scalar": "scalar subquery's 1-row aggregate",
+    "q42_hll_sketch": "final merge of mergeable sketch partials",
+    "q68_period_over_period": "window over calendar weeks (tiny domain)",
+    "q69_not_in_null_semantics": "1-row NULL-existence aggregate",
+    "q70_equi_depth_histogram": "window over distinct-value prefix table",
+    "q77_sliding_distinct_exact": "sweep over bounded event-day boundaries",
+    "q79_rfm_segmentation": "NTILE over the customer dimension (docstring: "
+    "becomes the q70 prefix-sum construction at larger customer counts)",
+    "q83_sequence_gaps": "window over the 1024x-smaller block summary",
+    "mm_shard_manifest": "window over the block list (two-level prefix sum)",
+}
+
+
 def plan_fingerprint(df: DataFrame) -> dict:
     """One-line scale summary of a plan — the shared backend of ``cli
     explain`` and ``scripts/gen_plans_md.py`` (one implementation, so the two
@@ -106,7 +129,11 @@ def plan_fingerprint(df: DataFrame) -> dict:
         hazards.append("cartesian")
     if "BroadcastNestedLoopJoin" in plan:
         hazards.append("nested-loop")
-    if "Exchange SinglePartition" in plan:
+    # formatted-mode explain never prints "Exchange SinglePartition" on one
+    # line — the node prints "Exchange (N)" in the tree and its spec as
+    # "Arguments: SinglePartition" in the detail block (the literal grep was
+    # silently dead and PLANS.md under-reported this hazard class)
+    if "Exchange SinglePartition" in plan or "Arguments: SinglePartition" in plan:
         hazards.append("single-partition")
     return {
         "exchanges": shuffle_count(df),

@@ -12,7 +12,10 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from librarian_spark.operators.registry import load_all  # noqa: E402
-from librarian_spark.plans.introspect import plan_fingerprint  # noqa: E402
+from librarian_spark.plans.introspect import (  # noqa: E402
+    TINY_DOMAIN_SINGLE_PARTITION,
+    plan_fingerprint,
+)
 from librarian_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
@@ -28,11 +31,17 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             rows.append((name, "-", "-", "-", "-", f"BUILD-ERROR {type(e).__name__}"))
             continue
+        hazards = [
+            h + "(bounded)"
+            if h == "single-partition" and name in TINY_DOMAIN_SINGLE_PARTITION
+            else h
+            for h in fp["hazards"]
+        ]
         rows.append(
             (name, fp["exchanges"], fp["codegen_stages"],
              "y" if fp["pushed_filters"] else "",
              "y" if fp["broadcast_join"] else "",
-             ",".join(fp["hazards"]) or "")
+             ",".join(hazards) or "")
         )
     lines = [
         "# Plan fingerprints (auto-generated; scripts/gen_plans_md.py)",
@@ -44,8 +53,13 @@ def main() -> None:
         "single-partition exchange). NB: AQE prints non-finalized plans without",
         "codegen annotations, so 0 codegen stages means 'not shown', not",
         "'interpreted'.",
-        "All hazard cells are empty by construction; the plan gate fails any",
-        "future query that introduces one.",
+        "Hazard cells are empty except `single-partition(bounded)` rows: those",
+        "SinglePartition exchanges are reviewed-and-bounded (the final reduce of",
+        "aggregate partials, or a window over a documented tiny domain — the",
+        "allowlist with per-query reasons lives in",
+        "`librarian_spark/plans/introspect.py::TINY_DOMAIN_SINGLE_PARTITION`).",
+        "The global plan gate fails any future query that plans a cartesian,",
+        "a nested loop, or an UNLISTED single-partition exchange.",
         "",
         "| query | exchanges | codegen stages | pushed filters | broadcast join | hazards |",
         "|---|---|---|---|---|---|",

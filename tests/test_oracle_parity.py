@@ -57,6 +57,14 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
             # independent per-field windows would skip the NULL value and
             # stitch in an older view's value (the confirmed stitch bug)
             (999905, "2024-02-05 00:00:00", 8888, "click", 2.0, "{}"),
+            # NULL ts: Spark windows order NULLS FIRST, DuckDB NULLS LAST —
+            # every ts-ordered window op must exclude (or pin) these rows
+            # identically on both sides (q81/q82/q85's ts IS NOT NULL guard)
+            (999906, None, 6666, "view", 4.0, "{}"),
+            # NULL user_id: q84's activity filter must drop it on both
+            # sides (the oracle's join drops NULL keys implicitly; the
+            # Spark bitmap would otherwise encode a NULL word)
+            (999907, "2024-02-06 00:00:00", None, "view", 2.5, "{}"),
         ],
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",

@@ -222,8 +222,14 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, specs, tmp_path_fa
 
 def test_no_registry_query_plans_a_nested_loop(spark, specs):
     """Global scale gate: NO registry query may plan BroadcastNestedLoopJoin or
-    CartesianProduct — the two O(N·M) shapes that die at 100 TB. Any future
-    operator that slips into one fails here, not in production."""
+    CartesianProduct — the two O(N·M) shapes that die at 100 TB — and any
+    SinglePartition exchange must be on the reviewed-and-bounded allowlist
+    (final reduce of aggregate partials, or a documented tiny-domain window).
+    An unlisted SinglePartition exchange is the accidental global-window-over-
+    the-fact-table bug. Any future operator that slips into either fails
+    here, not in production."""
+    from librarian_spark.plans.introspect import TINY_DOMAIN_SINGLE_PARTITION
+
     offenders = {}
     for name, spec in specs.items():
         plan = formatted_plan(spec.spark_fn(spark, SF))
@@ -233,6 +239,11 @@ def test_no_registry_query_plans_a_nested_loop(spark, specs):
                 for ln in plan.splitlines()
                 if "NestedLoop" in ln or "Cartesian" in ln
             ]
+        if (
+            "Arguments: SinglePartition" in plan
+            or "Exchange SinglePartition" in plan
+        ) and name not in TINY_DOMAIN_SINGLE_PARTITION:
+            offenders[name] = ["unlisted SinglePartition exchange"]
     assert not offenders, offenders
 
 
