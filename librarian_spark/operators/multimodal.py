@@ -240,23 +240,37 @@ def mm_ingest(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "mm_feature_extract",
     oracle="""
-    WITH ch AS (SELECT doc_id, STR_SPLIT(text, '') AS cs FROM documents)
+    WITH hx AS (SELECT doc_id, HEX(ENCODE(text)) AS h,
+                       OCTET_LENGTH(ENCODE(text)) AS n
+                FROM documents),
+    codes AS (
+      -- UTF-8 PAYLOAD bytes via hex transcription; the high nibble (the
+      -- odd hex positions) IS the 16-bucket histogram key (byte >> 4)
+      SELECT doc_id, n,
+             LIST_TRANSFORM(RANGE(1, n + 1),
+               i -> (STRPOS('0123456789ABCDEF',
+                            SUBSTR(h, CAST(2*i - 1 AS BIGINT), 1)) - 1) * 16
+                  + (STRPOS('0123456789ABCDEF',
+                            SUBSTR(h, CAST(2*i AS BIGINT), 1)) - 1)) AS cs,
+             LIST_TRANSFORM(RANGE(1, n + 1),
+               i -> STRPOS('0123456789ABCDEF',
+                           SUBSTR(h, CAST(2*i - 1 AS BIGINT), 1)) - 1) AS hi
+      FROM hx)
     SELECT doc_id,
-           CAST(LEN(cs) AS BIGINT) AS n_bytes,
-           CASE WHEN LEN(cs) > 0
-                THEN LIST_SUM(LIST_TRANSFORM(cs, c -> ASCII(c))) * 1.0 / LEN(cs)
-           END AS byte_mean,
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN n > 0 THEN LIST_SUM(cs) * 1.0 / n END AS byte_mean,
            ARRAY_TO_STRING(
              LIST_TRANSFORM(RANGE(0, 16),
-                            i -> CAST(LEN(LIST_FILTER(cs, c -> ASCII(c) // 16 = i))
-                                      AS BIGINT)), ',') AS byte_hist,
+               i -> CAST(COALESCE(LEN(LIST_FILTER(hi, x -> x = i)), 0)
+                         AS BIGINT)), ',') AS byte_hist,
            'stub-v1' AS decoder
-    FROM ch
+    FROM codes
     """,
     doc="mapInPandas feature extraction through the stubbed decoder: real Arrow "
-    "batch flow, fake codec. The corpus is pure ASCII (verified), so the "
-    "byte-level stats the stub computes are exactly re-derivable character-wise "
-    "in SQL — integer-exact sums, one final IEEE divide — giving the "
+    "batch flow, fake codec. The oracle re-derives the stub's statistics over "
+    "the UTF-8 payload BYTES via hex transcription (never characters — "
+    "non-ASCII docs would diverge; parity is pinned by the degenerate-docs "
+    "test) — integer-exact sums, one final IEEE divide — giving the "
     "distributed Arrow path a full value oracle, not just a rows check. The "
     "histogram is emitted comma-joined (scalar column) because the comparison "
     "harness sorts on every output column and chokes on list values.",
@@ -399,24 +413,34 @@ _AUDIO_FRAME = 64  # bytes per "audio frame"
 @query(
     "mm_audio_rms",
     oracle=f"""
-    WITH frames AS (
-      SELECT doc_id, text,
-             UNNEST(RANGE(0, CAST(CEIL(LENGTH(text) / {_AUDIO_FRAME}.0)
-                                  AS BIGINT))) AS frame_idx
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(frame_idx AS BIGINT) AS frame_idx,
-           CAST(LENGTH(SUBSTRING(text, CAST(frame_idx * {_AUDIO_FRAME} + 1
-                                            AS BIGINT),
-                                 {_AUDIO_FRAME})) AS BIGINT) AS n_samples,
+    WITH hx AS (
+      SELECT doc_id, HEX(ENCODE(text)) AS h,
+             OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents),
+    codes AS (
+      -- UTF-8 PAYLOAD bytes via hex transcription (the mm_phash_dedup
+      -- idiom): the Spark side frames ingest_binary's encoded bytes, so a
+      -- character-based oracle would diverge on any non-ASCII document
+      SELECT doc_id, n,
+             LIST_TRANSFORM(RANGE(1, n + 1),
+               i -> (STRPOS('0123456789ABCDEF',
+                            SUBSTR(h, CAST(2*i - 1 AS BIGINT), 1)) - 1) * 16
+                  + (STRPOS('0123456789ABCDEF',
+                            SUBSTR(h, CAST(2*i AS BIGINT), 1)) - 1)) AS cs
+      FROM hx),
+    frames AS (
+      SELECT doc_id, n, cs,
+             UNNEST(RANGE(0, (n + {_AUDIO_FRAME} - 1) // {_AUDIO_FRAME}))
+               AS fi
+      FROM codes)
+    SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST(LEAST((fi+1)*{_AUDIO_FRAME}, n) - fi*{_AUDIO_FRAME} AS BIGINT)
+             AS n_samples,
            SQRT(LIST_SUM(LIST_TRANSFORM(
-                  STR_SPLIT(SUBSTRING(text, CAST(frame_idx * {_AUDIO_FRAME} + 1
-                                                 AS BIGINT), {_AUDIO_FRAME}), ''),
-                  ch -> ASCII(ch) * ASCII(ch)))
-                * 1.0
-                / LENGTH(SUBSTRING(text, CAST(frame_idx * {_AUDIO_FRAME} + 1
-                                              AS BIGINT), {_AUDIO_FRAME})))
+                  cs[CAST(fi*{_AUDIO_FRAME} + 1 AS BIGINT) :
+                     CAST(LEAST((fi+1)*{_AUDIO_FRAME}, n) AS BIGINT)],
+                  c -> c*c)) * 1.0
+                / (LEAST((fi+1)*{_AUDIO_FRAME}, n) - fi*{_AUDIO_FRAME}))
              AS rms
     FROM frames
     """,
@@ -425,7 +449,9 @@ _AUDIO_FRAME = 64  # bytes per "audio frame"
     "PCM samples, the codec stub for librosa/soundfile). The sum of squared "
     "byte values is computed in exact int64 (no float accumulation), so one "
     "final divide + sqrt is bit-identical in Spark, numpy, and the SQL "
-    "oracle regardless of summation order. Arrow-batched mapInPandas: "
+    "oracle regardless of summation order. The oracle frames the UTF-8 "
+    "payload BYTES (hex transcription), not characters — non-ASCII parity "
+    "is pinned by the degenerate-docs test. Arrow-batched mapInPandas: "
     "map-only, output ≈ |payload|/frame rows produced executor-side.",
 )
 def mm_audio_rms(spark: SparkSession, sf: str) -> DataFrame:

@@ -4788,3 +4788,635 @@ def q85_lag_features(spark: SparkSession, sf: str) -> DataFrame:
         F.count("value").over(wf).cast("long").alias("trail_n_7"),
         (um - F.lag(um, 1).over(w)).cast("long").alias("micros_since_prev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q86 referential-integrity audit (FK orphans + childless parents)
+# --------------------------------------------------------------------------
+
+_Q86_EDGE_SQL = """
+  SELECT '{name}' AS fk_edge,
+         CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+         CAST(COUNT(cnt) AS BIGINT) AS n_child_keys,
+         CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN cnt END), 0) AS BIGINT)
+           AS n_orphan_rows,
+         CAST(COUNT(CASE WHEN p IS NULL THEN 1 END) AS BIGINT)
+           AS n_orphan_keys,
+         CAST(COUNT(p) AS BIGINT) AS n_parents,
+         CAST(COUNT(CASE WHEN cnt IS NULL THEN 1 END) AS BIGINT)
+           AS n_childless_parents
+  FROM (SELECT {ckey} AS k, COUNT(*) AS cnt FROM {child}
+        WHERE {ckey} IS NOT NULL GROUP BY 1) c
+  FULL OUTER JOIN (SELECT {pkey} AS k, 1 AS p FROM {parent}) pp USING (k)
+"""
+
+_Q86_EDGES = [
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+@query(
+    "q86_fk_integrity",
+    oracle=" UNION ALL ".join(
+        _Q86_EDGE_SQL.format(name=n, child=c, ckey=ck, parent=p, pkey=pk)
+        for n, c, ck, p, pk in _Q86_EDGES
+    ),
+    doc="Referential-integrity audit over the star schema — the data-quality "
+    "sweep every warehouse runs before publishing: for each declared FK "
+    "edge, orphan child rows/keys (child keys with no parent) AND "
+    "childless parents (dimension rows never referenced — dead-dimension "
+    "bloat). The shape that scales: child keys are pre-aggregated to "
+    "(key, count) — a map-side-combining groupBy, so the join sees one "
+    "row per DISTINCT key, not per child row — then ONE full-outer hash "
+    "join per edge against the parent key column and a single aggregate "
+    "pass classifies all six audit counters at once (no separate "
+    "anti-join per counter: the full-outer join's NULL sides ARE the "
+    "orphan/childless classifications). Each edge's final 1-row reduce "
+    "is the standard SinglePartition collapse of already-partial "
+    "aggregates (allowlisted). At 100 TB each edge is one shuffle on its "
+    "own key; edges are independent and run in parallel under the union.",
+)
+def q86_fk_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    out = None
+    for name, child, ckey, parent, pkey in _Q86_EDGES:
+        ck = (
+            _t(spark, sf, child)
+            .filter(F.col(ckey).isNotNull())
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pk = _t(spark, sf, parent).select(
+            F.col(pkey).alias("k"), F.lit(1).alias("p")
+        )
+        edge = (
+            ck.join(pk, "k", "full_outer")
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+                F.count("cnt").cast("long").alias("n_child_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("p").isNull(), F.col("cnt"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_orphan_rows"),
+                F.count(F.when(F.col("p").isNull(), 1))
+                .cast("long")
+                .alias("n_orphan_keys"),
+                F.count("p").cast("long").alias("n_parents"),
+                F.count(F.when(F.col("cnt").isNull(), 1))
+                .cast("long")
+                .alias("n_childless_parents"),
+            )
+            .select(F.lit(name).alias("fk_edge"), "*")
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q87 exact grouped ROC-AUC (Mann-Whitney rank-sum, two-level prefix sum)
+# --------------------------------------------------------------------------
+
+_Q87_BINS = 64  # range bins for the distributed rank construction
+
+
+@query(
+    "q87_roc_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(user_id % 4 AS BIGINT) AS cohort, value AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    ranked AS (
+      -- doubled average rank stays integer under ties:
+      -- 2*avg_rank = 2*RANK + (#ties) - 1
+      SELECT cohort, y,
+             2*RANK() OVER (PARTITION BY cohort ORDER BY s)
+               + COUNT(*) OVER (PARTITION BY cohort, s) - 1 AS r2
+      FROM scored
+    ),
+    agg AS (
+      SELECT cohort,
+             CAST(SUM(r2) FILTER (WHERE y = 1) AS BIGINT) AS sum2_pos,
+             CAST(SUM(y) AS BIGINT) AS npos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nneg
+      FROM ranked GROUP BY cohort
+    )
+    SELECT cohort, npos, nneg,
+           (sum2_pos - npos*(npos+1)) * 500000 // (npos*nneg) AS auc_ppm
+    FROM agg WHERE npos > 0 AND nneg > 0
+    """,
+    doc="EXACT grouped ROC-AUC — the model-evaluation primitive every "
+    "training pipeline runs on billions of scored rows (label: event is a "
+    "purchase; score: event value; cohorts: user buckets). AUC is the "
+    "Mann-Whitney U statistic, i.e. a function of the rank-sum of "
+    "positive scores — but a global ORDER BY to rank is exactly the "
+    "single-partition sort that dies at scale. The distributed "
+    "construction: (1) collapse rows to DISTINCT (cohort, score) with "
+    "count/positive-count — map-side combining, ties handled "
+    "algebraically from the counts via the doubled-average-rank identity "
+    "2*avg_rank = 2*rows_below + ties + 1 (all-integer, bit-exact, no "
+    "0.5s); (2) a two-level prefix sum recovers rows_below without any "
+    "global sort — range-bin each score (bins from a per-cohort min/max "
+    "broadcast), prefix over the tiny bin table, then a partitioned "
+    "window WITHIN each (cohort, bin). The same q70 construction, so "
+    "rank work is spread across cohort x bin partitions. Fixed-point "
+    "ppm output; the oracle replays the naive single-window ranking — "
+    "construction-independent agreement is the test. At ~1e12 rows per "
+    "cohort the *500000 product approaches int64 limits: normalize "
+    "counts first or widen to decimal at that scale (documented, not "
+    "hit at any test SF).",
+)
+def q87_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    scored = e.select(
+        (F.col("user_id") % 4).cast("long").alias("cohort"),
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    d = scored.groupBy("cohort", "s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    mm = d.groupBy("cohort").agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    b = _Q87_BINS
+    d2 = d.join(F.broadcast(mm), "cohort").withColumn(
+        "bin",
+        F.least(
+            F.lit(b - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("s") - F.col("lo"))
+                    * b
+                    / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+                ),
+            ),
+        ).cast("int"),
+    )
+    binsum = d2.groupBy("cohort", "bin").agg(F.sum("cnt").alias("bn"))
+    wb = W.partitionBy("cohort").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = binsum.select(
+        "cohort",
+        "bin",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("below_bins"),
+    )
+    win = W.partitionBy("cohort", "bin").orderBy("s").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    r = (
+        d2.join(offs, ["cohort", "bin"])
+        .withColumn(
+            "below_in_bin", F.coalesce(F.sum("cnt").over(win), F.lit(0))
+        )
+        .withColumn(
+            "r2",
+            2 * (F.col("below_bins") + F.col("below_in_bin"))
+            + F.col("cnt")
+            + 1,
+        )
+    )
+    agg = r.groupBy("cohort").agg(
+        F.sum(F.col("pos") * F.col("r2")).cast("long").alias("sum2_pos"),
+        F.sum("pos").cast("long").alias("npos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("nneg"),
+    )
+    return agg.filter((F.col("npos") > 0) & (F.col("nneg") > 0)).select(
+        "cohort",
+        "npos",
+        "nneg",
+        F.call_function(
+            "div",
+            (F.col("sum2_pos") - F.col("npos") * (F.col("npos") + 1))
+            * 500000,
+            F.col("npos") * F.col("nneg"),
+        ).alias("auc_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q88 Benford first-digit audit
+# --------------------------------------------------------------------------
+
+# expected first-significant-digit distribution, ppm: round(log10(1+1/d)*1e6)
+_Q88_EXPECTED = [
+    (1, 301030),
+    (2, 176091),
+    (3, 124939),
+    (4, 96910),
+    (5, 79181),
+    (6, 66947),
+    (7, 57992),
+    (8, 51153),
+    (9, 45757),
+]
+
+
+@query(
+    "q88_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(LEFT(CAST(CAST(TRUNC(o_totalprice) AS BIGINT) AS VARCHAR),
+                       1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    ob AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d),
+    exp AS (SELECT * FROM (VALUES
+      {",".join(f"({d},{p})" for d, p in _Q88_EXPECTED)}) v(d, exp_ppm)),
+    j AS (
+      SELECT CAST(e.d AS BIGINT) AS d,
+             CAST(COALESCE(ob.n_obs, 0) AS BIGINT) AS n_obs,
+             CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+             CAST(SUM(COALESCE(ob.n_obs, 0)) OVER () AS BIGINT) AS t
+      FROM exp e LEFT JOIN ob ON ob.d = e.d
+    )
+    SELECT d, n_obs,
+           CAST(n_obs * 1000000 // t AS BIGINT) AS obs_ppm,
+           exp_ppm,
+           CAST((n_obs*1000000//t - exp_ppm) * (n_obs*1000000//t - exp_ppm)
+                // exp_ppm AS BIGINT) AS chi2_ppm
+    FROM j
+    """,
+    doc="Benford first-significant-digit audit of order totals — the "
+    "classic forensic-accounting / synthetic-data-detection screen. One "
+    "map-side-combining groupBy over first digits (extracted via exact "
+    "integer-to-string truncation, never float log10 — engines' log "
+    "rounding differs at digit boundaries), then a 9-row join against "
+    "the expected Benford ppm table (literal constants, so no float "
+    "log10 at runtime at all) and fixed-point per-digit chi-square "
+    "contributions via truncating integer division. The single-partition "
+    "window computes the grand total over exactly 9 rows (allowlisted "
+    "tiny domain). At 100 TB the scan+partial-agg is the entire cost; "
+    "everything after the groupBy touches 9 rows.",
+)
+def q88_benford(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    ob = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    exp = spark.createDataFrame(_Q88_EXPECTED, "d long, exp_ppm long")
+    j = exp.join(ob, "d", "left").select(
+        "d",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        "exp_ppm",
+        F.sum(F.coalesce("n_obs", F.lit(0)))
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("t"),
+    )
+    obs_ppm = F.call_function("div", F.col("n_obs") * 1000000, F.col("t"))
+    return j.select(
+        "d",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        obs_ppm.alias("obs_ppm"),
+        F.col("exp_ppm").cast("long").alias("exp_ppm"),
+        F.call_function(
+            "div",
+            (obs_ppm - F.col("exp_ppm")) * (obs_ppm - F.col("exp_ppm")),
+            F.col("exp_ppm"),
+        ).alias("chi2_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q89 exact weighted median
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q89_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, v,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    )
+    SELECT flag, MIN(v) AS weighted_median,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2*cw >= tw GROUP BY flag
+    """,
+    doc="Exact weighted median of extended price, weighted by quantity, per "
+    "return flag — the robust-statistics primitive (weighted quantiles "
+    "have no Spark built-in; approxQuantile ignores weights). "
+    "Construction: one partitioned window pass accumulates running "
+    "weight in VALUE order with a RANGE frame (peers collapse together, "
+    "so duplicate prices are order-independent — bit-deterministic on "
+    "both engines), then the smallest value whose doubled running weight "
+    "crosses total weight IS the weighted median (returned verbatim from "
+    "the data, no interpolation arithmetic → exact double equality "
+    "cross-engine). Weights ride as exact integers. One exchange on the "
+    "group key; at 100 TB each group is a sorted within-partition scan, "
+    "and skewed groups fall back to the q70 two-level prefix-sum "
+    "construction (documented escape hatch, same algebra).",
+)
+def q89_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    w0 = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    cum_w = W.partitionBy("flag").orderBy("v").rangeBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = w0.select(
+        "flag",
+        "v",
+        F.sum("wt").over(cum_w).alias("cw"),
+        F.sum("wt").over(W.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q90 cohort lifetime value (cumulative revenue by cohort age)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q90_cohort_ltv",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS f
+      FROM orders
+    ),
+    keyed AS (
+      SELECT CAST(DATE_TRUNC('month', f) AS DATE) AS cohort_month,
+             CAST((EXTRACT(YEAR FROM o_orderdate) - EXTRACT(YEAR FROM f)) * 12
+                + (EXTRACT(MONTH FROM o_orderdate) - EXTRACT(MONTH FROM f))
+                AS BIGINT) AS age_m,
+             o_custkey, cents
+      FROM base
+    ),
+    m AS (
+      SELECT cohort_month, age_m,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM keyed GROUP BY cohort_month, age_m
+    )
+    SELECT cohort_month, age_m, n_active,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+                                     ORDER BY age_m) AS BIGINT)
+             AS cum_rev_cents
+    FROM m
+    """,
+    doc="Cohort lifetime value — cumulative revenue by acquisition cohort "
+    "and cohort age in months, the growth-analytics companion to "
+    "q78_retention_cohorts (which counts activity; this accumulates "
+    "value). First-order date comes from a per-customer window (ONE hash "
+    "exchange on o_custkey — no self-join), month arithmetic is exact "
+    "integer year*12+month deltas (never months_between, whose "
+    "fractional day handling differs cross-engine), and revenue rides as "
+    "exact integer cents (the repo's standing ROUND(x*100) idiom, "
+    "hash-match proven). The cumulative window per cohort runs over the "
+    "months domain — dozens of rows per cohort, bounded by calendar not "
+    "data. At 100 TB: one exchange on customer, one re-exchange on the "
+    "(cohort, age) aggregate, then window work on a tiny table.",
+)
+def q90_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.min("o_orderdate")
+        .over(W.partitionBy("o_custkey"))
+        .alias("f"),
+    )
+    keyed = base.select(
+        F.date_trunc("month", F.col("f")).cast("date").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") - F.year("f")) * 12
+            + (F.month("o_orderdate") - F.month("f"))
+        )
+        .cast("long")
+        .alias("age_m"),
+        "o_custkey",
+        "cents",
+    )
+    m = keyed.groupBy("cohort_month", "age_m").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    wc = W.partitionBy("cohort_month").orderBy("age_m")
+    return m.select(
+        "cohort_month",
+        "age_m",
+        "n_active",
+        F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph: label propagation communities (synchronous, fixed-step)
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+_LPA_MIN_SIZE = 3
+_LPA_EDGE_MOD = 20
+
+
+def _lpa_oracle() -> str:
+    blocks = [
+        f"""ed AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+      WHERE a.l_orderkey % {_LPA_EDGE_MOD} = 0
+    )""",
+        "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM ed)",
+    ]
+    for i in range(_LPA_ITERS):
+        blocks.append(f"""l{i + 1} AS (
+      SELECT node, lab FROM (
+        SELECT e.u AS node, l.lab,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                                  ORDER BY COUNT(*) DESC, l.lab) AS rn
+        FROM ed e JOIN l{i} l ON e.v = l.node
+        GROUP BY e.u, l.lab
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_ITERS} GROUP BY 1 HAVING COUNT(*) >= {_LPA_MIN_SIZE}"""
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Community detection by synchronous label propagation on the part "
+    "co-purchase graph: every node starts as its own label; each of "
+    f"{_LPA_ITERS} SYNCHRONOUS rounds relabels every node to its "
+    "neighbors' most frequent label, ties broken by smallest label — "
+    "fully deterministic (async LPA's order-dependence is exactly what "
+    "a distributed engine cannot promise, so the synchronous fixed-step "
+    "variant is the one that hash-matches across engines; the oracle "
+    "unrolls the rounds as chained CTEs). Each round is one shuffle "
+    "join (edges x labels on the neighbor endpoint) + one "
+    "map-side-combining count + one window ranked WITHIN node "
+    "partitions — no global sort, no broadcast of the O(|V|) label "
+    "table (the pagerank de-broadcast lesson applied from the start). "
+    "localCheckpoint per round keeps the plan linear in rounds. Output "
+    f"is communities of >= {_LPA_MIN_SIZE} nodes.",
+)
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") % _LPA_EDGE_MOD == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()  # reused every round
+    )
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        nb = (
+            ed.join(labels, ed["v"] == labels["node"])
+            .groupBy(ed["u"].alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wn = W.partitionBy("node").orderBy(F.col("c").desc(), "lab")
+        labels = (
+            nb.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .filter(F.col("n_nodes") >= _LPA_MIN_SIZE)
+    )
+
+
+# --------------------------------------------------------------------------
+# graph: k-core decomposition (iterative peeling)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 8
+_KCORE_PEELS = 8  # oracle unroll depth: converged at every test SF
+_KCORE_MAX_ROUNDS = 8  # Spark safety cap: rounds of 2 peels each
+
+
+def _kcore_oracle() -> str:
+    blocks = [
+        f"""c0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+      WHERE a.l_orderkey % {_LPA_EDGE_MOD} = 0
+    )"""
+    ]
+    for i in range(_KCORE_PEELS):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+        # reference, and each peel references its predecessor three times —
+        # an un-materialized chain re-expands the base self-join 3^peels
+        # times (measured: a hang at sf0.01; 0.09 s materialized)
+        blocks.append(f"""c{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM c{i} e
+      JOIN (SELECT u FROM c{i} GROUP BY u
+            HAVING COUNT(*) >= {_KCORE_K}) ka ON e.u = ka.u
+      JOIN (SELECT u FROM c{i} GROUP BY u
+            HAVING COUNT(*) >= {_KCORE_K}) kb ON e.v = kb.u
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM c{_KCORE_PEELS} GROUP BY 1"""
+    )
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"{_KCORE_K}-core decomposition of the part co-purchase graph by "
+    "iterative peeling — the standard dense-subgraph/influence filter "
+    "(and the spam-ring detector in web-graph pipelines): repeatedly "
+    f"drop every node with degree < {_KCORE_K} until a fixed point; what "
+    "survives is the maximal subgraph where everyone keeps >= k "
+    "neighbors. Each peel is one map-side-combining degree count + two "
+    "semi-join filters on the edge list — all hash exchanges on node "
+    "ids, nothing global. The Spark loop runs TWO peels per "
+    "localCheckpoint (halving the per-action overhead that dominates an "
+    "iterative operator's wall-clock) and EARLY-EXITS on the fixed "
+    "point: edge count is monotonically nonincreasing, so an unchanged "
+    "count across a double peel proves convergence — peeling a fixed "
+    "point is the identity, which is also why the early-exited result "
+    f"equals the oracle's fixed {_KCORE_PEELS}-peel unroll. A loud "
+    "RuntimeError fires if the safety cap is hit before the fixed point "
+    "(the round count is data-dependent; the guard keeps the cap "
+    "honest). At 100 TB peeling runs O(peak-coreness) rounds "
+    "worst-case; production engines bound it exactly this way and "
+    "checkpoint between rounds.",
+)
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") % _LPA_EDGE_MOD == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = edges.count()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        for _ in range(2):  # two lazy peels per materialization
+            deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
+            edges = edges.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+        edges = edges.localCheckpoint()
+        n = edges.count()
+        if n == prev:  # no edge dropped in two peels => fixed point
+            break
+        prev = n
+    else:
+        raise RuntimeError(
+            f"k-core: no fixed point within {2 * _KCORE_MAX_ROUNDS} peels; "
+            "raise _KCORE_MAX_ROUNDS for this data scale"
+        )
+    return edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

@@ -109,6 +109,8 @@ TINY_DOMAIN_SINGLE_PARTITION = {
     "q79_rfm_segmentation": "NTILE over the customer dimension (docstring: "
     "becomes the q70 prefix-sum construction at larger customer counts)",
     "q83_sequence_gaps": "window over the 1024x-smaller block summary",
+    "q86_fk_integrity": "per-edge 1-row reduce of audit-aggregate partials",
+    "q88_benford": "window over the 9-digit expected table",
     "mm_shard_manifest": "window over the block list (two-level prefix sum)",
 }
 

@@ -138,6 +138,7 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
     for name in ["dedup_substring", "text_feature_hash_embed",
                  "text_token_count", "dedup_ngram_jaccard",
                  "mm_phash_dedup", "mm_shard_manifest",
-                 "mm_scene_segments", "mm_content_fingerprint"]:
+                 "mm_scene_segments", "mm_content_fingerprint",
+                 "mm_audio_rms", "mm_feature_extract"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
