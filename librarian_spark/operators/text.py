@@ -1861,3 +1861,72 @@ def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
         F.length(scrubbed).cast("long").alias("scrubbed_n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch / Flesch-Kincaid, fixed-point)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_readability",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             LEN(regexp_extract_all(text, '[^ \t\n\r]+')) AS nw,
+             GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+             LEN(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS sy
+      FROM documents)
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(ns AS BIGINT) AS n_sentences,
+           CAST(sy AS BIGINT) AS n_syllables,
+           CASE WHEN nw > 0 THEN CAST(206835 - (1015*nw)//ns - (84600*sy)//nw
+                                      AS BIGINT) END AS flesch_milli,
+           CASE WHEN nw > 0 THEN CAST((390*nw)//ns + (11800*sy)//nw - 15590
+                                      AS BIGINT) END AS fkgl_milli
+    FROM c
+    """,
+    doc="Readability scoring — Flesch reading ease and Flesch-Kincaid "
+    "grade level per document, the classic text-quality feature for "
+    "corpus curation (filter too-hard/too-trivial docs, stratify "
+    "training mixes by difficulty). Syllables use the standard "
+    "vowel-group heuristic (runs of [aeiouy]), words are "
+    "whitespace-delimited runs, sentences count [.!?]+ terminators "
+    "(floored at 1). All three counters are single regexp_count "
+    "expressions — map-only, whole-stage-codegen, zero shuffles, and "
+    "the patterns stay in the RE2∩Java subset (explicit character "
+    "classes, no lookaround) so both engines count identically. Scores "
+    "are fixed-point milli-units via truncating integer division — "
+    "exact cross-engine, no float formula drift. Empty docs emit NULL "
+    "scores, never a divide-by-zero (ANSI mode crashes on those).",
+)
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    c = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[^ \t\n\r]+")).alias("nw"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("ns"),
+        F.regexp_count("text", F.lit("[AEIOUYaeiouy]+")).alias("sy"),
+    )
+    nw, ns, sy = F.col("nw"), F.col("ns"), F.col("sy")
+    div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    return c.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        ns.cast("long").alias("n_sentences"),
+        sy.cast("long").alias("n_syllables"),
+        F.when(
+            nw > 0,
+            F.lit(206835) - div(1015 * nw, ns) - div(84600 * sy, nw),
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+        F.when(
+            nw > 0, div(390 * nw, ns) + div(11800 * sy, nw) - F.lit(15590)
+        )
+        .cast("long")
+        .alias("fkgl_milli"),
+    )
