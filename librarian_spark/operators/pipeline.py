@@ -2628,3 +2628,139 @@ def pipeline_idempotent_sink(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(data_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming late-data accounting (watermark drop metrics)
+# --------------------------------------------------------------------------
+
+_LATE_PCT = 10  # late slice: first N% of the event-time span (exact µs math)
+_LATE_DELAY = "5 days"  # watermark delay; span is ~30 days at every SF
+
+
+@query(
+    "pipeline_late_data_metrics",
+    oracle=f"""
+    WITH src AS (SELECT ts FROM events WHERE ts IS NOT NULL),
+    b AS (SELECT MIN(EPOCH_US(ts)) AS lo, MAX(EPOCH_US(ts)) AS hi FROM src)
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM src, b
+    WHERE EPOCH_US(ts) >= lo + (hi - lo) * {_LATE_PCT} // 100
+    GROUP BY 1
+    """,
+    doc="Streaming late-data accounting — the watermark-drop observability "
+    "every production stream needs (how much data arrived too late to "
+    "count?): the input stream delivers the bulk of the corpus first, "
+    "then a REPLAYED-LATE slice (the oldest "
+    f"{_LATE_PCT}% of the event-time span, cut with exact integer µs "
+    "arithmetic the oracle replays) whose event times sit far below the "
+    f"already-advanced watermark (delay {_LATE_DELAY}; the margin is "
+    "~21 days, so the drop decision is nowhere near a boundary), and "
+    "finally a watermark-advancing sentinel that flushes every real "
+    "window out of append-mode state. Accounting: the run reconciles the "
+    "engine's own per-batch numInputRows against the sink's emitted "
+    "event total and ASSERTS the shortfall equals the late-slice count "
+    "EXACTLY (NB: stateOperators' numRowsDroppedByWatermark reads 0 "
+    "here — Catalyst filters late rows BEFORE the stateful operator, so "
+    "input/output reconciliation is the accounting that actually works; "
+    "verified against the silent 27→6 state eviction). Returns the sink "
+    "read-back of per-day counts = corpus minus the dropped slice. Per "
+    "batch: one shuffle sized to batch volume; state is one row per "
+    "open day-window. At 100 TB the same reconciliation (broker offsets "
+    "in vs sink rows out) is the pipeline's data-loss audit.",
+)
+def pipeline_late_data_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("latemetrics", sf, "events", salt="v2")
+    _sweep_run_dirs("/tmp", ("librarian_latemetrics_",))
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
+    in_dir = f"{base}/in"
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts")
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    cut = lo + (hi - lo) * _LATE_PCT // 100  # same truncating math as oracle
+    n_late = ev.filter(F.unix_micros("ts") < cut).count()
+    if not os.path.exists(os.path.join(in_dir, "_f4marker")):
+        # Watermark EVICTION lags one batch (state is trimmed at the START
+        # of the batch AFTER the one that advanced the watermark), and late
+        # rows whose window is STILL IN STATE are absorbed, not dropped
+        # (measured: a 3-file layout dropped nothing). Hence four files, one
+        # batch each, mtime-ordered by appending:
+        #   file 1: on-time bulk minus the max-ts row(s) — advances the
+        #           watermark to ~max-delay at commit
+        #   file 2: the max-ts row(s), a NUDGE batch during which the
+        #           now-advanced watermark evicts every closed window
+        #   file 3: the late slice — its windows are gone from state, so
+        #           append semantics force the engine to DROP every row
+        #   file 4: future sentinel flushing the remaining open windows
+        um = F.unix_micros("ts")
+        ev.filter((um >= cut) & (um < hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(in_dir)
+        ev.filter(um == hi).coalesce(1).write.mode("append").parquet(in_dir)
+        ev.filter(um < cut).coalesce(1).write.mode("append").parquet(in_dir)
+        sentinel_ts = dt.datetime.utcfromtimestamp(hi / 1e6) + dt.timedelta(
+            days=40
+        )
+        spark.createDataFrame(
+            [(-1, sentinel_ts)], "event_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        with open(os.path.join(in_dir, "_f4marker"), "w") as fh:
+            fh.write("ok")
+
+    run_id = uuid.uuid4().hex[:8]
+    out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", _LATE_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # per-BATCH volume
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        total_in = sum(p.numInputRows for p in q.recentProgress)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sink_total = (
+        spark.read.parquet(out).agg(F.sum("n_events")).collect()[0][0] or 0
+    )
+    # -1: the sentinel enters the stream but its window is never emitted
+    dropped = total_in - 1 - sink_total
+    if dropped != n_late:
+        raise RuntimeError(
+            "late-data accounting mismatch: input/sink reconciliation "
+            f"shows {dropped} rows lost to the watermark, late slice is "
+            f"{n_late} (input {total_in}, sink {sink_total})"
+        )
+    return spark.read.parquet(out).select(
+        F.col("w.start").cast("date").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
