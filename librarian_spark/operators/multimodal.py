@@ -943,23 +943,17 @@ def mm_silence_segments(spark: SparkSession, sf: str) -> DataFrame:
                     np.arange(0, n, fb) + fb, n
                 ) - np.arange(0, n, fb)
                 silent = sq < t * lens
-                run_start = prev = None
-                for i, s in enumerate(silent):
-                    if s:
-                        if run_start is None:
-                            run_start = i
-                        prev = i
-                    elif run_start is not None:
-                        ids.append(doc_id)
-                        st.append(run_start)
-                        en.append(prev)
-                        nf.append(prev - run_start + 1)
-                        run_start = None
-                if run_start is not None:
-                    ids.append(doc_id)
-                    st.append(run_start)
-                    en.append(prev)
-                    nf.append(prev - run_start + 1)
+                # vectorized run extraction (no per-frame Python loop — a
+                # 10 MB payload is ~160k frames): run edges are the sign
+                # changes of the padded silent mask
+                edges = np.flatnonzero(
+                    np.diff(np.concatenate(([False], silent, [False])))
+                )
+                starts, ends = edges[0::2], edges[1::2] - 1
+                ids.extend([doc_id] * starts.size)
+                st.extend(starts.tolist())
+                en.extend(ends.tolist())
+                nf.extend((ends - starts + 1).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

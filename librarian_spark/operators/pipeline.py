@@ -2694,7 +2694,7 @@ def pipeline_late_data_metrics(spark: SparkSession, sf: str) -> DataFrame:
     lo, hi = bounds["lo"], bounds["hi"]
     cut = lo + (hi - lo) * _LATE_PCT // 100  # same truncating math as oracle
     n_late = ev.filter(F.unix_micros("ts") < cut).count()
-    if not os.path.exists(os.path.join(in_dir, "_f4marker")):
+    if not os.path.isdir(in_dir):
         # Watermark EVICTION lags one batch (state is trimmed at the START
         # of the batch AFTER the one that advanced the watermark), and late
         # rows whose window is STILL IN STATE are absorbed, not dropped
@@ -2707,20 +2707,30 @@ def pipeline_late_data_metrics(spark: SparkSession, sf: str) -> DataFrame:
         #   file 3: the late slice — its windows are gone from state, so
         #           append semantics force the engine to DROP every row
         #   file 4: future sentinel flushing the remaining open windows
+        # Built in a run-private staging dir, published by ATOMIC rename
+        # (a 4-write sequence behind a marker would let a concurrent
+        # invocation's overwrite corrupt the cache mid-build; rename
+        # preserves the per-file mtime order the source relies on).
+        import shutil
+        import uuid as _uuid
+
+        stage = f"{base}/in_stage_{_uuid.uuid4().hex[:8]}"
         um = F.unix_micros("ts")
         ev.filter((um >= cut) & (um < hi)).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(in_dir)
-        ev.filter(um == hi).coalesce(1).write.mode("append").parquet(in_dir)
-        ev.filter(um < cut).coalesce(1).write.mode("append").parquet(in_dir)
-        sentinel_ts = dt.datetime.utcfromtimestamp(hi / 1e6) + dt.timedelta(
-            days=40
-        )
+        ).parquet(stage)
+        ev.filter(um == hi).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(um < cut).coalesce(1).write.mode("append").parquet(stage)
+        sentinel_ts = dt.datetime.fromtimestamp(
+            hi / 1e6, tz=dt.timezone.utc
+        ) + dt.timedelta(days=40)
         spark.createDataFrame(
             [(-1, sentinel_ts)], "event_id long, ts timestamp"
-        ).coalesce(1).write.mode("append").parquet(in_dir)
-        with open(os.path.join(in_dir, "_f4marker"), "w") as fh:
-            fh.write("ok")
+        ).coalesce(1).write.mode("append").parquet(stage)
+        try:
+            os.rename(stage, in_dir)
+        except OSError:  # a concurrent build won the publish — use theirs
+            shutil.rmtree(stage, ignore_errors=True)
 
     run_id = uuid.uuid4().hex[:8]
     out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"

@@ -1903,13 +1903,20 @@ def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_readability(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
+    # counters widened to long BEFORE the score arithmetic: 84600*sy in
+    # 32-bit overflows at ~25k vowel groups (~150 KB of text) — an ANSI
+    # crash on any realistically-sized pre-training document
     c = d.select(
         "doc_id",
-        F.regexp_count("text", F.lit(r"[^ \t\n\r]+")).alias("nw"),
-        F.greatest(
-            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
-        ).alias("ns"),
-        F.regexp_count("text", F.lit("[AEIOUYaeiouy]+")).alias("sy"),
+        F.regexp_count("text", F.lit(r"[^ \t\n\r]+"))
+        .cast("long")
+        .alias("nw"),
+        F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("ns"),
+        F.regexp_count("text", F.lit("[AEIOUYaeiouy]+"))
+        .cast("long")
+        .alias("sy"),
     )
     nw, ns, sy = F.col("nw"), F.col("ns"), F.col("sy")
     div = lambda a, b: F.call_function("div", a, b)  # noqa: E731
