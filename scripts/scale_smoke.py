@@ -109,6 +109,16 @@ QUERIES = [
     "q79_rfm_segmentation",   # one aggregate + customer-level NTILEs
     "q80_market_basket",      # basket wedge join + min-support prune
     "pipeline_bloom_index",   # distributed bloom build + file-skip probe
+    "q86_fk_integrity",       # per-edge full-outer key join + 1-row reduce
+    "q87_roc_auc",            # distinct-score agg + two-level prefix sum
+    "q88_benford",            # map-combining digit agg + 9-row tail
+    "q89_weighted_median",    # per-group RANGE-frame cumulative weights
+    "q90_cohort_ltv",         # customer window + cohort-age agg
+    "graph_label_propagation",  # rounds x (edge-label join + mode window)
+    "graph_kcore",            # double-peel rounds w/ early exit
+    "text_readability",       # map-only regexp_count trio
+    "mm_silence_segments",    # payload-local reduceat + vectorized runs
+    "pipeline_late_data_metrics",  # 4-batch watermark drain + reconcile
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
