@@ -1969,3 +1969,190 @@ def sim_mips_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= _TOPK)
         .withColumn("rn", F.col("rn").cast("long"))
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified top-k (maximal marginal relevance re-ranking)
+# --------------------------------------------------------------------------
+
+_MMR_QUERIES = 4  # queries = vec_id < 4
+_MMR_CANDS = 20  # relevance shortlist per query
+_MMR_K = 5  # diversified picks per query
+_MMR_LAMBDA = 0.7  # relevance weight
+# the diversity weight is a LITERAL, never computed as 1.0-λ: the float
+# 1.0-0.7 is 0.30000000000000004, one ulp off the oracle's CAST(0.3 AS
+# DOUBLE) — enough to fail the hash compare on the emitted objective
+_MMR_MU = 0.3
+
+
+def _mmr_oracle() -> str:
+    lam, mu = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
+    blocks = [
+        f"""unit AS MATERIALIZED (
+      SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings)""",
+        f"""cand AS MATERIALIZED (
+      SELECT query_id, cand_id, rel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROUND({_o_dot('q.u', 'c.u')}, 6) AS rel,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_o_dot('q.u', 'c.u')}, 6) DESC, c.vec_id)
+                 AS rn
+        FROM unit q JOIN unit c
+          ON q.vec_id < {_MMR_QUERIES} AND c.vec_id != q.vec_id)
+      WHERE rn <= {_MMR_CANDS})""",
+        f"""psim AS MATERIALIZED (
+      SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+             ROUND({_o_dot('ua.u', 'ub.u')}, 6) AS sim
+      FROM cand a JOIN cand b ON a.query_id = b.query_id
+      JOIN unit ua ON ua.vec_id = a.cand_id
+      JOIN unit ub ON ub.vec_id = b.cand_id)""",
+        f"""sel1 AS MATERIALIZED (
+      SELECT query_id, cand_id, 1 AS pick_rank, {lam} * rel AS mmr
+      FROM (SELECT query_id, cand_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, cand_id) AS rn FROM cand)
+      WHERE rn = 1)""",
+    ]
+    for r in range(2, _MMR_K + 1):
+        blocks.append(f"""s{r} AS MATERIALIZED (
+      SELECT query_id, cand_id, {r} AS pick_rank, mmr FROM (
+        SELECT c.query_id, c.cand_id,
+               {lam}*c.rel - {mu}*MAX(p.sim) AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+                 {lam}*c.rel - {mu}*MAX(p.sim) DESC, c.cand_id) AS rn
+        FROM cand c
+        JOIN sel{r - 1} s ON s.query_id = c.query_id
+        JOIN psim p ON p.query_id = c.query_id AND p.ca = c.cand_id
+                   AND p.cb = s.cand_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s2
+                          WHERE s2.query_id = c.query_id
+                            AND s2.cand_id = c.cand_id)
+        GROUP BY c.query_id, c.cand_id, c.rel)
+      WHERE rn = 1)""")
+        blocks.append(f"""sel{r} AS MATERIALIZED (
+      SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r})""")
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT query_id, cand_id AS vec_id,
+           CAST(pick_rank AS BIGINT) AS pick_rank, mmr
+    FROM sel{_MMR_K}"""
+    )
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=_mmr_oracle(),
+    doc=f"Maximal-marginal-relevance diversified top-{_MMR_K} — the "
+    "re-ranking step between retrieval and a RAG/recommendation surface "
+    "(plain top-k returns near-duplicates; MMR greedily picks the next "
+    "result maximizing λ·relevance − (1−λ)·max-similarity-to-picks, "
+    f"λ={_MMR_LAMBDA}, ties to smallest id). Stage 1 is the distributed "
+    "part and the only stage that touches the corpus: the broadcast "
+    "query block scores every candidate partition with BLAS and "
+    f"pre-prunes to a local top-{_MMR_CANDS}, exactly the "
+    "sim_cosine_topk shape — O(|corpus|) work, shuffle bounded by "
+    "queries x shortlist x partitions. Stage 2 (greedy selection over "
+    f"{_MMR_QUERIES} shortlists of {_MMR_CANDS}) is O(k·|C|²) on ~80 "
+    "rows — the bounded iterative-driver shape (BPE-merge precedent); "
+    "at any scale the shortlist, not the corpus, is what MMR iterates "
+    "over. Relevance and pair similarities round to 6 digits before "
+    "selection (the family's BLAS-vs-fold grain); the mmr objective "
+    "itself is then deterministic IEEE arithmetic on both engines. The "
+    "oracle unrolls the greedy rounds as MATERIALIZED CTEs (argmax via "
+    "window over a per-round max-sim aggregate).",
+)
+def sim_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qpdf = e.filter(F.col("vec_id") < _MMR_QUERIES).toPandas()
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qb = spark.sparkContext.broadcast((q_ids, qm))
+    nc = _MMR_CANDS
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, qm = qb.value
+        for b in batches:
+            if not len(b):
+                continue
+            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            c = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
+            scores = np.round(qm @ c.T, 6)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                s = scores[qi]
+                idx = np.nonzero(c_ids != q_ids[qi])[0]
+                if not len(idx):
+                    continue
+                top = idx[np.lexsort((c_ids[idx], -s[idx]))][:nc]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(c_ids[top].tolist())
+                out_s.extend(s[top].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "cand_id": pd.Series(out_n, dtype="int64"),
+                    "rel": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    pruned = fan_out(e).mapInPandas(
+        op, schema="query_id long, cand_id long, rel double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    shortlist = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nc)
+        .select("query_id", "cand_id", "rel")
+        .collect()  # bounded: queries x shortlist rows
+    )
+    cand_ids = sorted({r["cand_id"] for r in shortlist})
+    cv = (
+        e.filter(F.col("vec_id").isin(cand_ids))
+        .toPandas()  # bounded: <= queries x shortlist distinct vectors
+    )
+    vid = cv["vec_id"].to_numpy(dtype=np.int64)
+    vm = np.stack(cv["embedding"].to_numpy()).astype(np.float64)
+    vm /= np.sqrt((vm * vm).sum(axis=1, keepdims=True))
+    pos = {int(v): i for i, v in enumerate(vid)}
+
+    lam, mu = _MMR_LAMBDA, _MMR_MU
+    out = []
+    for qv in sorted({r["query_id"] for r in shortlist}):
+        rows = sorted(
+            (r for r in shortlist if r["query_id"] == qv),
+            key=lambda r: (-r["rel"], r["cand_id"]),
+        )
+        cids = np.array([r["cand_id"] for r in rows], dtype=np.int64)
+        crel = np.array([r["rel"] for r in rows], dtype=np.float64)
+        cm = vm[[pos[int(i)] for i in cids]]
+        csim = np.round(cm @ cm.T, 6)
+        picked: list[int] = []
+        for rank in range(1, _MMR_K + 1):
+            best = None
+            for j in range(len(cids)):
+                if j in picked:
+                    continue
+                mmr = (
+                    lam * crel[j]
+                    if not picked
+                    else lam * crel[j] - mu * max(csim[j, p] for p in picked)
+                )
+                key = (-mmr, int(cids[j]))
+                if best is None or key < best[0]:
+                    best = (key, j, mmr)
+            picked.append(best[1])
+            out.append((int(qv), int(cids[best[1]]), rank, float(best[2])))
+    return spark.createDataFrame(
+        out, "query_id long, vec_id long, pick_rank long, mmr double"
+    )
