@@ -5420,3 +5420,137 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
+
+
+# --------------------------------------------------------------------------
+# Q91 share-of-total (ratio-to-report) revenue hierarchy
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q91_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS region_share_ppm,
+           CAST(cents * 1000000 // SUM(cents) OVER () AS BIGINT)
+             AS global_share_ppm,
+           CAST(RANK() OVER (PARTITION BY region ORDER BY cents DESC)
+                AS BIGINT) AS rank_in_region
+    FROM rev
+    """,
+    doc="Share-of-total (ratio-to-report) revenue hierarchy: each nation's "
+    "exact-integer-cents revenue with its ppm share of the region, ppm "
+    "share of the world, and rank within region — the nested "
+    "percent-of-total every BI rollup renders. The fact scan reduces "
+    "FIRST (one map-side-combining aggregate down to ~|nations| rows); "
+    "all three window passes then run over that tiny aggregate, so the "
+    "global-total window's SinglePartition exchange touches 25 rows "
+    "(allowlisted), never the fact table — the difference between this "
+    "shape and a naive window-over-facts is the whole 100 TB story. "
+    "Dimension joins broadcast. Shares are truncating integer ppm "
+    "(exact cross-engine); revenue rides the standing ROUND(x*100) "
+    "cents idiom.",
+)
+def q91_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = W.partitionBy("region")
+    wg = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.call_function("div", F.col("cents") * 1000000, F.sum("cents").over(wr))
+        .alias("region_share_ppm"),
+        F.call_function("div", F.col("cents") * 1000000, F.sum("cents").over(wg))
+        .alias("global_share_ppm"),
+        F.rank()
+        .over(W.partitionBy("region").orderBy(F.col("cents").desc()))
+        .cast("long")
+        .alias("rank_in_region"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q92 label-mix entropy (segment balance audit)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q92_mix_entropy",
+    oracle="""
+    WITH seg AS (
+      SELECT CAST(user_id % 10 AS BIGINT) AS segment, event_type
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cnt AS (SELECT segment, event_type, COUNT(*) AS n FROM seg GROUP BY 1, 2),
+    tot AS (SELECT segment, SUM(n) AS t, COUNT(*) AS k FROM cnt GROUP BY 1)
+    SELECT c.segment,
+           CAST(MIN(t.t) AS BIGINT) AS n_events,
+           CAST(MIN(t.k) AS BIGINT) AS n_types,
+           ROUND(-SUM((n * 1.0 / t.t) * LN(n * 1.0 / t.t)), 4) AS entropy_nats,
+           CASE WHEN MIN(t.k) > 1
+                THEN ROUND(-SUM((n * 1.0 / t.t) * LN(n * 1.0 / t.t))
+                           / LN(MIN(t.k)), 4) END AS balance
+    FROM cnt c JOIN tot t ON c.segment = t.segment
+    GROUP BY c.segment
+    """,
+    doc="Label-mix entropy per segment — the class-balance audit a training "
+    "pipeline runs before stratified sampling (a segment whose event mix "
+    "collapsed to one type is a data bug; `balance` = entropy normalized "
+    "by ln(k) is the 0..1 evenness score). Two map-side-combining "
+    "aggregates (segment x type counts, then per-segment reduce) — the "
+    "only rows that ever shuffle are the |segments| x |types| count "
+    "table. Probabilities and logs are float, so the output rounds to 4 "
+    "digits (the exact-percentiles precedent: libm and summation-order "
+    "noise live ~11 orders below that grain); the single-type edge case "
+    "emits NULL balance on BOTH engines rather than an ANSI "
+    "divide-by-zero.",
+)
+def q92_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cnt = e.groupBy(
+        (F.col("user_id") % 10).cast("long").alias("segment"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("segment").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") * 1.0 / F.col("t")
+    ent = -F.sum(p * F.log(p))
+    return (
+        cnt.join(tot, "segment")
+        .groupBy("segment")
+        .agg(
+            F.min("t").cast("long").alias("n_events"),
+            F.min("k").cast("long").alias("n_types"),
+            F.round(ent, 4).alias("entropy_nats"),
+            F.when(F.min("k") > 1, F.round(ent / F.log(F.min("k")), 4))
+            .alias("balance"),
+        )
+    )

@@ -111,6 +111,8 @@ TINY_DOMAIN_SINGLE_PARTITION = {
     "q83_sequence_gaps": "window over the 1024x-smaller block summary",
     "q86_fk_integrity": "per-edge 1-row reduce of audit-aggregate partials",
     "q88_benford": "window over the 9-digit expected table",
+    "q91_share_of_total": "global-total window over the ~25-row nation "
+    "aggregate (facts reduce first)",
     "mm_shard_manifest": "window over the block list (two-level prefix sum)",
 }
 

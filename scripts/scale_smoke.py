@@ -119,6 +119,9 @@ QUERIES = [
     "text_readability",       # map-only regexp_count trio
     "mm_silence_segments",    # payload-local reduceat + vectorized runs
     "pipeline_late_data_metrics",  # 4-batch watermark drain + reconcile
+    "sim_mmr_diversify",      # shortlist matmul + bounded greedy rerank
+    "q91_share_of_total",     # facts-first reduce + tiny ratio windows
+    "q92_mix_entropy",        # two map-combining aggs + log reduce
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
