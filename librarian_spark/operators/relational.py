@@ -5554,3 +5554,96 @@ def q92_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
             .alias("balance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q93 ABC (Pareto) inventory classification
+# --------------------------------------------------------------------------
+
+_ABC_A_PPM = 700000  # cumulative-share boundaries, ppm
+_ABC_B_PPM = 900000
+
+
+@query(
+    "q93_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r.r_name AS region, l.l_partkey AS partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT region, partkey, cents,
+             SUM(cents) OVER (PARTITION BY region
+                              ORDER BY cents DESC, partkey
+                              ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cents) OVER (PARTITION BY region) AS tw
+      FROM rev
+    )
+    SELECT region,
+           CASE WHEN cw * 1000000 // tw <= {_ABC_A_PPM} THEN 'A'
+                WHEN cw * 1000000 // tw <= {_ABC_B_PPM} THEN 'B'
+                ELSE 'C' END AS klass,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM cum GROUP BY 1, 2
+    """,
+    doc="ABC (Pareto 80/20) inventory classification per region: parts "
+    "ranked by exact-integer-cents revenue; a part is class A while the "
+    f"cumulative share is <= {_ABC_A_PPM // 10000}%, B to "
+    f"{_ABC_B_PPM // 10000}%, else C — the classification behind every "
+    "stock-priority / catalog-curation decision. The fact table reduces "
+    "FIRST (one map-side-combining (region, part) aggregate); the "
+    "cumulative window then runs per region over the part aggregate with "
+    "a UNIQUE ordering (revenue desc, partkey) so the ROWS frame is "
+    "deterministic, and shares are truncating integer ppm — exact "
+    "cross-engine at every boundary. Dimension joins broadcast. At "
+    "100 TB the per-region sort covers the PARTS dimension, not facts; "
+    "if one region's catalog outgrows a task, the q70/q87 two-level "
+    "prefix-sum construction replaces the window (same algebra, "
+    "documented escape hatch).",
+)
+def q93_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wc = (
+        W.partitionBy("region")
+        .orderBy(F.col("cents").desc(), "partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    share = F.call_function(
+        "div",
+        F.sum("cents").over(wc) * 1000000,
+        F.sum("cents").over(W.partitionBy("region")),
+    )
+    cum = rev.select("region", "cents", share.alias("share_ppm"))
+    klass = (
+        F.when(F.col("share_ppm") <= _ABC_A_PPM, "A")
+        .when(F.col("share_ppm") <= _ABC_B_PPM, "B")
+        .otherwise("C")
+    )
+    return cum.groupBy("region", klass.alias("klass")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+    )

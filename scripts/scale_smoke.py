@@ -122,6 +122,7 @@ QUERIES = [
     "sim_mmr_diversify",      # shortlist matmul + bounded greedy rerank
     "q91_share_of_total",     # facts-first reduce + tiny ratio windows
     "q92_mix_entropy",        # two map-combining aggs + log reduce
+    "q93_abc_classification",  # facts-first reduce + per-region cum window
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
