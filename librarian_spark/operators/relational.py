@@ -5647,3 +5647,136 @@ def q93_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum("cents").cast("long").alias("class_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q94 conversion time (first view -> first subsequent purchase)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q94_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS v
+      FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    conv AS (
+      SELECT fv.user_id,
+             (EPOCH_US(MIN(e.ts)) - EPOCH_US(MIN(fv.v))) // 1000000 AS delta_s
+      FROM fv JOIN events e
+        ON e.user_id = fv.user_id AND e.event_type = 'purchase'
+       AND e.ts > fv.v
+      GROUP BY 1
+    )
+    SELECT CAST(user_id % 5 AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_converters,
+           MEDIAN(delta_s) AS median_delta_s,
+           ROUND(QUANTILE_CONT(delta_s, 0.90), 4) AS p90_delta_s
+    FROM conv GROUP BY 1
+    """,
+    doc="Time-to-convert: for each user, the exact integer seconds between "
+    "the first 'view' and the first 'purchase' STRICTLY AFTER it, "
+    "summarized per user segment (converter count, median, p90) — the "
+    "conversion-latency report behind funnel SLAs. Two "
+    "map-side-combining aggregates and one keyed join (first-view table "
+    "joins back to purchases; the strictly-after predicate rides the "
+    "join, so non-converters drop out before any window). Deltas are "
+    "truncating integer seconds from unix_micros; the median of "
+    "integers interpolates two middles in exact halves on both engines, "
+    "and p90 rounds at the exact-percentiles grain (interpolation ulp). "
+    "At 100 TB: two shuffles on user_id and a join that carries only "
+    "converting users.",
+)
+def q94_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        fv.join(p, "user_id")
+        .filter(F.col("pts") > F.col("v"))
+        .groupBy("user_id", "v")
+        .agg(F.min("pts").alias("fp"))
+        .select(
+            "user_id",
+            F.call_function(
+                "div",
+                F.unix_micros("fp") - F.unix_micros("v"),
+                F.lit(1000000),
+            ).alias("delta_s"),
+        )
+    )
+    return conv.groupBy(
+        (F.col("user_id") % 5).cast("long").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        F.median("delta_s").alias("median_delta_s"),
+        F.round(F.percentile("delta_s", F.lit(0.90)), 4).alias(
+            "p90_delta_s"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q95 new vs returning daily actives
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q95_new_vs_returning",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    f AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS first_day
+      FROM d
+    )
+    SELECT day,
+           CAST(COUNT(*) FILTER (WHERE day = first_day) AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (WHERE day > first_day) AS BIGINT)
+             AS n_returning
+    FROM f GROUP BY 1
+    """,
+    doc="New-vs-returning daily actives — the growth-accounting split on "
+    "every product dashboard: a user counts as NEW on their first active "
+    "day and RETURNING on every later active day. One distinct "
+    "(user, day) reduction (map-side combining — the raw event volume "
+    "never shuffles twice), one per-user window for the first active "
+    "day, one day-level aggregate. All joins/windows key on user_id or "
+    "day — at 100 TB this is two hash exchanges, no global anything; "
+    "the same first-seen window feeds q78's retention matrix, and the "
+    "(new + returning) column sums to daily actives by construction.",
+)
+def q95_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    f = d.select(
+        "user_id",
+        "day",
+        F.min("day").over(W.partitionBy("user_id")).alias("first_day"),
+    )
+    return f.groupBy("day").agg(
+        F.count(F.when(F.col("day") == F.col("first_day"), 1))
+        .cast("long")
+        .alias("n_new"),
+        F.count(F.when(F.col("day") > F.col("first_day"), 1))
+        .cast("long")
+        .alias("n_returning"),
+    )

@@ -123,6 +123,8 @@ QUERIES = [
     "q91_share_of_total",     # facts-first reduce + tiny ratio windows
     "q92_mix_entropy",        # two map-combining aggs + log reduce
     "q93_abc_classification",  # facts-first reduce + per-region cum window
+    "q94_time_to_convert",    # two keyed aggs + converter-only join
+    "q95_new_vs_returning",   # distinct (user, day) + first-seen window
 ]
 
 if os.environ.get("SMOKE_QUERIES"):

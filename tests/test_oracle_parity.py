@@ -94,7 +94,10 @@ def test_degenerate_groups_match_oracle(spark, tmp_path):
                  "q85_lag_features",
                  # q87/q92 must drop NULL user_id (and q92 NULL event_type)
                  # rows identically on both sides before bucketing
-                 "q87_roc_auc", "q92_mix_entropy"]:
+                 "q87_roc_auc", "q92_mix_entropy",
+                 # q94/q95 must drop NULL user_id/ts identically before the
+                 # first-seen aggregation on both sides
+                 "q94_time_to_convert", "q95_new_vs_returning"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
 
