@@ -5441,9 +5441,9 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT region, nation, cents,
-           CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY region)
-                AS BIGINT) AS region_share_ppm,
-           CAST(cents * 1000000 // SUM(cents) OVER () AS BIGINT)
+           CAST(FLOOR(cents * 1000000.0 / SUM(cents) OVER (PARTITION BY
+                region)) AS BIGINT) AS region_share_ppm,
+           CAST(FLOOR(cents * 1000000.0 / SUM(cents) OVER ()) AS BIGINT)
              AS global_share_ppm,
            CAST(RANK() OVER (PARTITION BY region ORDER BY cents DESC)
                 AS BIGINT) AS rank_in_region
@@ -5484,9 +5484,15 @@ def q91_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
         "region",
         "nation",
         "cents",
-        F.call_function("div", F.col("cents") * 1000000, F.sum("cents").over(wr))
+        # shares via float-floor, not cents*1e6 integer div: the int64
+        # product overflows under ANSI once a nation's revenue passes
+        # ~9.2e12 cents (~sf10); the double pipeline is identical IEEE on
+        # both engines, overflow-free, and FLOOR pins the last digit
+        F.floor(F.col("cents") * 1000000.0 / F.sum("cents").over(wr))
+        .cast("long")
         .alias("region_share_ppm"),
-        F.call_function("div", F.col("cents") * 1000000, F.sum("cents").over(wg))
+        F.floor(F.col("cents") * 1000000.0 / F.sum("cents").over(wg))
+        .cast("long")
         .alias("global_share_ppm"),
         F.rank()
         .over(W.partitionBy("region").orderBy(F.col("cents").desc()))
@@ -5512,10 +5518,14 @@ def q91_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
     SELECT c.segment,
            CAST(MIN(t.t) AS BIGINT) AS n_events,
            CAST(MIN(t.k) AS BIGINT) AS n_types,
-           ROUND(-SUM((n * 1.0 / t.t) * LN(n * 1.0 / t.t)), 4) AS entropy_nats,
+           -- +0.0 normalizes IEEE -0.0 (single-type segment: -SUM(1*ln 1))
+           -- to +0.0; Spark's BigDecimal round already returns +0.0 and the
+           -- parity harness compares float repr, where '-0.0' != '0.0'
+           ROUND(-SUM((n * 1.0 / t.t) * LN(n * 1.0 / t.t)), 4) + 0.0
+             AS entropy_nats,
            CASE WHEN MIN(t.k) > 1
                 THEN ROUND(-SUM((n * 1.0 / t.t) * LN(n * 1.0 / t.t))
-                           / LN(MIN(t.k)), 4) END AS balance
+                           / LN(MIN(t.k)), 4) + 0.0 END AS balance
     FROM cnt c JOIN tot t ON c.segment = t.segment
     GROUP BY c.segment
     """,
@@ -5549,9 +5559,10 @@ def q92_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.min("t").cast("long").alias("n_events"),
             F.min("k").cast("long").alias("n_types"),
-            F.round(ent, 4).alias("entropy_nats"),
-            F.when(F.min("k") > 1, F.round(ent / F.log(F.min("k")), 4))
-            .alias("balance"),
+            (F.round(ent, 4) + F.lit(0.0)).alias("entropy_nats"),
+            F.when(
+                F.min("k") > 1, F.round(ent / F.log(F.min("k")), 4) + F.lit(0.0)
+            ).alias("balance"),
         )
     )
 
@@ -5586,8 +5597,8 @@ _ABC_B_PPM = 900000
       FROM rev
     )
     SELECT region,
-           CASE WHEN cw * 1000000 // tw <= {_ABC_A_PPM} THEN 'A'
-                WHEN cw * 1000000 // tw <= {_ABC_B_PPM} THEN 'B'
+           CASE WHEN FLOOR(cw * 1000000.0 / tw) <= {_ABC_A_PPM} THEN 'A'
+                WHEN FLOOR(cw * 1000000.0 / tw) <= {_ABC_B_PPM} THEN 'B'
                 ELSE 'C' END AS klass,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
            CAST(SUM(cents) AS BIGINT) AS class_cents
@@ -5614,7 +5625,9 @@ def q93_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region")
     rev = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        # supplier is NOT broadcast-hinted: unlike nation/region it grows
+        # with scale (10k rows/SF) — the planner decides per stats
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(
@@ -5632,11 +5645,14 @@ def q93_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cents").desc(), "partkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    share = F.call_function(
-        "div",
-        F.sum("cents").over(wc) * 1000000,
-        F.sum("cents").over(W.partitionBy("region")),
-    )
+    # float-floor, not an int64 cents*1e6 product: that overflows under
+    # ANSI at ~sf2 of cumulative revenue; the double pipeline is identical
+    # IEEE on both engines and overflow-free
+    share = F.floor(
+        F.sum("cents").over(wc)
+        * 1000000.0
+        / F.sum("cents").over(W.partitionBy("region"))
+    ).cast("long")
     cum = rev.select("region", "cents", share.alias("share_ppm"))
     klass = (
         F.when(F.col("share_ppm") <= _ABC_A_PPM, "A")

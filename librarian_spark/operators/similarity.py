@@ -2151,6 +2151,8 @@ def sim_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
                 key = (-mmr, int(cids[j]))
                 if best is None or key < best[0]:
                     best = (key, j, mmr)
+            if best is None:  # shortlist exhausted (< K candidates) — the
+                break  # oracle's later rounds are empty too, not an error
             picked.append(best[1])
             out.append((int(qv), int(cids[best[1]]), rank, float(best[2])))
     return spark.createDataFrame(
