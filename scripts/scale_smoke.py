@@ -125,6 +125,7 @@ QUERIES = [
     "q93_abc_classification",  # facts-first reduce + per-region cum window
     "q94_time_to_convert",    # two keyed aggs + converter-only join
     "q95_new_vs_returning",   # distinct (user, day) + first-seen window
+    "dedup_semantic_clusters",  # broadcast assign + per-cell pair matmul
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
