@@ -1937,3 +1937,79 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("fkgl_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Byte-entropy quality signal (compression-ratio proxy)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_byte_entropy",
+    oracle="""
+    WITH hx AS (SELECT doc_id, HEX(ENCODE(text)) AS h,
+                       OCTET_LENGTH(ENCODE(text)) AS n FROM documents),
+    codes AS (SELECT doc_id, n, UNNEST(LIST_TRANSFORM(RANGE(1, n+1),
+            i -> (STRPOS('0123456789ABCDEF',
+                         SUBSTR(h, CAST(2*i-1 AS BIGINT), 1)) - 1) * 16
+               + (STRPOS('0123456789ABCDEF',
+                         SUBSTR(h, CAST(2*i AS BIGINT), 1)) - 1))) AS b
+      FROM hx),
+    cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM codes GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS k FROM cnt GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(MIN(t.n) AS BIGINT) AS n_bytes,
+           CAST(MIN(t.k) AS BIGINT) AS n_distinct_bytes,
+           ROUND(-SUM((c.c * 1.0 / t.n) * LN(c.c * 1.0 / t.n)), 4) + 0.0
+             AS entropy_nats
+    FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY 1
+    """,
+    doc="Per-document byte entropy — the compression-ratio proxy quality "
+    "filters use to catch both degenerate repetition (entropy ≪ "
+    "natural-text ~4.2 nats: boilerplate, repeated tokens, padding) and "
+    "already-compressed/binary junk (entropy → ln 256): Shannon entropy "
+    "of the UTF-8 byte histogram per doc. The Spark side is ONE "
+    "map-only Arrow pass (np.bincount + p·ln p per batch row — nothing "
+    "shuffles, the 100 TB shape for any per-doc statistic); the oracle "
+    "rebuilds the histogram relationally from the hex transcription "
+    "(byte semantics, the phash idiom). ROUND-4 grain absorbs libm and "
+    "summation-order noise; +0.0 normalizes IEEE -0.0 for single-byte "
+    "docs. Empty docs are omitted by BOTH sides (no bytes, no "
+    "distribution).",
+)
+def text_byte_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def op(batches):
+        for pdf in batches:
+            ids, nb, nd, ent = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                cnt = np.bincount(arr, minlength=256)
+                p = cnt[cnt > 0] / arr.size
+                ids.append(doc_id)
+                nb.append(arr.size)
+                nd.append(int((cnt > 0).sum()))
+                ent.append(float(np.round(-(p * np.log(p)).sum(), 4)) + 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "n_distinct_bytes": pd.Series(nd, dtype="int64"),
+                    "entropy_nats": pd.Series(ent, dtype="float64"),
+                }
+            )
+
+    return fan_out(d).mapInPandas(
+        op,
+        schema="doc_id long, n_bytes long, n_distinct_bytes long, "
+        "entropy_nats double",
+    )

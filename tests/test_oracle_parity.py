@@ -146,6 +146,7 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
                  "mm_phash_dedup", "mm_shard_manifest",
                  "mm_scene_segments", "mm_content_fingerprint",
                  "mm_audio_rms", "mm_feature_extract",
-                 "mm_silence_segments", "text_readability"]:
+                 "mm_silence_segments", "text_readability",
+                 "text_byte_entropy"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
