@@ -1451,11 +1451,10 @@ _SEM_THRESHOLD = 0.32  # cosine near-dup threshold within a cell
         FROM unit e, cent c)
       WHERE r = 1),
     dup AS (
-      SELECT b.vec_id, COUNT(*) AS n_smaller
+      SELECT DISTINCT b.vec_id
       FROM assign a JOIN assign b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE ROUND({_o_dot('a.u', 'b.u')}, 6) >= {_SEM_THRESHOLD}
-      GROUP BY 1)
+      WHERE ROUND({_o_dot('a.u', 'b.u')}, 6) >= {_SEM_THRESHOLD})
     SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cluster_id,
            d.vec_id IS NULL AS keep
     FROM assign s LEFT JOIN dup d ON s.vec_id = d.vec_id
@@ -1482,6 +1481,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     cpdf = e.filter(F.col("vec_id") < _SEM_CLUSTERS).toPandas()
+    if not len(cpdf):  # no centroid rows: the oracle yields zero rows too
+        return spark.createDataFrame(
+            [], "vec_id long, cluster_id long, keep boolean"
+        )
     order = np.argsort(cpdf["vec_id"].to_numpy())
     cm = np.stack(cpdf["embedding"].to_numpy())[order].astype(np.float64)
     cm /= np.sqrt((cm * cm).sum(axis=1, keepdims=True))

@@ -1949,7 +1949,7 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH hx AS (SELECT doc_id, HEX(ENCODE(text)) AS h,
                        OCTET_LENGTH(ENCODE(text)) AS n FROM documents),
-    codes AS (SELECT doc_id, n, UNNEST(LIST_TRANSFORM(RANGE(1, n+1),
+    codes AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, n+1),
             i -> (STRPOS('0123456789ABCDEF',
                          SUBSTR(h, CAST(2*i-1 AS BIGINT), 1)) - 1) * 16
                + (STRPOS('0123456789ABCDEF',
