@@ -657,3 +657,37 @@ def test_bloom_index_scans_fewer_files(spark, sf_dir):
     keys = [r.o_orderkey for r in rows]
     assert len(keys) == len(set(keys))  # no duplicates through the probe
     assert 0 < len(keys) <= 8
+
+
+def test_semantic_clusters_empty_centroids_returns_empty(spark, tmp_path):
+    """Degenerate-embeddings guard: with no vec_id below the centroid cut
+    the operator must return an empty frame (matching the oracle's zero
+    rows), not crash on np.stack of an empty centroid table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.dedup import _SEM_CLUSTERS
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.sources.batch import load_table
+
+    tmp = str(tmp_path / "no_centroids")
+    import glob
+    import os
+
+    os.makedirs(tmp)
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "vec_id", F.col("vec_id") + _SEM_CLUSTERS  # shift past the cut
+    )
+    staging = f"{tmp}/_staging"
+    e.coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(
+        glob.glob(f"{staging}/part-*.parquet")[0], f"{tmp}/embeddings.parquet"
+    )
+    shutil.rmtree(staging)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
+    df = load_all()["dedup_semantic_clusters"].spark_fn(spark, tmp)
+    assert df.count() == 0
+    assert df.columns == ["vec_id", "cluster_id", "keep"]
