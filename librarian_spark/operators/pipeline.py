@@ -2100,14 +2100,24 @@ def pipeline_row_level_delete(spark: SparkSession, sf: str) -> DataFrame:
     base = _cache_base("rld", sf, "orders", salt="cust16")
     _sweep_run_dirs("/tmp", ("librarian_rld_",))
     _sweep_run_dirs(base, ("run_",))
-    # clean clustered SOURCE layout (read-only, shared, create-once)
+    # clean clustered SOURCE layout (read-only, shared, create-once) —
+    # built in a run-private staging dir and published by ONE atomic
+    # rename: two concurrent first-runs would both pass a _SUCCESS
+    # existence check and overwrite the shared dir under each other (the
+    # pipeline_bloom_index race class); the loser here just discards its
+    # copy and uses the winner's
     layout_src = f"{base}/layout"
-    if not os.path.exists(f"{layout_src}/_SUCCESS"):
+    if not os.path.isdir(layout_src):
+        stage = f"{base}/layout-stage-{uuid.uuid4().hex[:8]}"
         load_table(spark, sf, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         ).repartitionByRange(16, "o_custkey").write.mode("overwrite").parquet(
-            layout_src
+            stage
         )
+        try:
+            os.rename(stage, layout_src)
+        except OSError:  # lost the publish race — use the winner's copy
+            shutil.rmtree(stage, ignore_errors=True)
     # run-private working copy — the delete mutates it
     run = f"{base}/run_{uuid.uuid4().hex[:8]}"
     os.makedirs(run)

@@ -96,8 +96,18 @@ class S3SdkRepository:
             raise
         return r["Body"].read()
 
-    def list_keys(self, key_prefix: str = "") -> list[str]:
+    def _boundary(self, key_prefix: str = "") -> str:
+        """Directory-style listing prefix: '/'-terminated when non-empty, so
+        prefix ``snaps/orders`` can never match a sibling key like
+        ``snaps/orders-v2/...`` (raw string-prefix listing would — and
+        delete_prefix() would then delete the sibling's objects)."""
         kp = self._key(key_prefix) if key_prefix else (self.prefix or "")
+        if kp and not kp.endswith("/"):
+            kp += "/"
+        return kp
+
+    def list_keys(self, key_prefix: str = "") -> list[str]:
+        kp = self._boundary(key_prefix)
         out: list[str] = []
         token = None
         while True:
@@ -110,10 +120,8 @@ class S3SdkRepository:
                 return sorted(out)
             token = r.get("NextContinuationToken")
 
-    def delete_prefix(self, key_prefix: str = "") -> int:
-        """Delete every object under the prefix (the overwrite semantics of
-        the local/hadoop paths' mode('overwrite')); returns objects deleted."""
-        keys = self.list_keys(key_prefix)
+    def delete_keys(self, keys: list[str]) -> int:
+        """Delete the given absolute keys in DeleteObjects batches."""
         for i in range(0, len(keys), 1000):  # DeleteObjects batch limit
             self.client.delete_objects(
                 Bucket=self.bucket,
@@ -121,21 +129,40 @@ class S3SdkRepository:
             )
         return len(keys)
 
+    def delete_prefix(
+        self, key_prefix: str = "", allow_bucket_root: bool = False
+    ) -> int:
+        """Delete every object under the '/'-bounded prefix (the overwrite
+        semantics of the local/hadoop paths' mode('overwrite')); returns
+        objects deleted. An empty EFFECTIVE prefix means "every object in
+        the bucket" — that requires the explicit ``allow_bucket_root`` opt-in
+        so a blank config prefix can't silently wipe a shared bucket."""
+        if not self._boundary(key_prefix) and not allow_bucket_root:
+            raise ValueError(
+                "delete_prefix with an empty effective prefix would delete "
+                "the ENTIRE bucket; pass allow_bucket_root=True if that is "
+                "really intended"
+            )
+        return self.delete_keys(self.list_keys(key_prefix))
+
     # -- snapshot layout ---------------------------------------------------
-    def upload_snapshot_dir(self, local_dir: str, dest: str = "") -> int:
+    def upload_snapshot_dir(self, local_dir: str, dest: str = "") -> list[str]:
         """Upload a committed local snapshot dir RECURSIVELY (part files,
         sidecars, and hive-partitioned subdirectories, skipping Spark's
         _SUCCESS/_committed markers), preserving relative paths under
-        ``dest``; returns the number of data objects uploaded."""
-        n = 0
+        ``dest``; returns the absolute object keys uploaded. Catalog
+        sidecars upload LAST so a reader that sees the new catalog can rely
+        on the data objects it describes already being present."""
+        uploads: list[tuple[str, str]] = []
         for root, _dirs, files in os.walk(local_dir):
             rel_root = os.path.relpath(root, local_dir)
             for name in sorted(files):
                 if name.startswith(("_SUCCESS", ".")):
                     continue
                 rel = name if rel_root == "." else f"{rel_root}/{name}"
-                self.write_file(
-                    os.path.join(root, name), f"{dest}/{rel}" if dest else rel
-                )
-                n += 1
-        return n
+                uploads.append((os.path.join(root, name), rel))
+        uploads.sort(key=lambda lr: (lr[1].endswith("_catalog.json"), lr[1]))
+        keys = []
+        for local, rel in uploads:
+            keys.append(self.write_file(local, f"{dest}/{rel}" if dest else rel))
+        return keys

@@ -236,16 +236,22 @@ class Snapshotter:
             try:
                 # catalog rides next to the data objects, like the local layout
                 write_catalog(record, out_path)
-                # overwrite semantics, matching the local/hadoop paths'
-                # mode("overwrite"): a re-run must not leave the previous
-                # run's uuid-named part files accumulating under the prefix
-                sdk_repo.delete_prefix()
+                # UPLOAD-THEN-DELETE, never delete-then-upload: the new
+                # run's uuid-named part files cannot collide with the old
+                # run's, so the fresh snapshot lands completely (catalog
+                # last) BEFORE the stale objects go — a crash or S3 error
+                # mid-upload leaves the previous snapshot fully intact
+                # instead of an empty prefix. The final delete gives the
+                # same overwrite semantics as the local/hadoop paths'
+                # mode("overwrite"): exactly one snapshot under the prefix.
+                old_keys = set(sdk_repo.list_keys())
                 uploaded = sdk_repo.upload_snapshot_dir(out_path)
-                if uploaded == 0:
+                if not uploaded:
                     raise RuntimeError(
                         f"s3 sdk upload moved 0 objects from {out_path} to "
                         f"s3://{repo_cfg.bucket}/{repo_cfg.prefix}"
                     )
+                sdk_repo.delete_keys(sorted(old_keys - set(uploaded)))
             finally:
                 # never leak a snapshot-sized staging copy on a failed upload
                 shutil.rmtree(out_path, ignore_errors=True)

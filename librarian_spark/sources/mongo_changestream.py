@@ -70,8 +70,15 @@ def unwrap_extended_json(v):
             if k == "$date":
                 return unwrap_extended_json(inner)
             if k == "$timestamp":
-                # oplog timestamp {t: seconds, i: ordinal} → epoch millis
-                return int(inner["t"]) * 1000
+                # oplog timestamp {t: seconds, i: ordinal} → epoch millis,
+                # folding the ordinal into the sub-second field so two
+                # events in the same oplog second keep their order (dropping
+                # i would tie them on ts_ms and force downstream
+                # max_by(struct(ts_ms, ...)) onto lexicographic comparison
+                # of opaque resume-token strings). i is clamped at 999 —
+                # >999 ops in one second would still tie, which matches the
+                # millisecond grain the column promises.
+                return int(inner["t"]) * 1000 + min(int(inner["i"]), 999)
         return {k: unwrap_extended_json(x) for k, x in v.items()}
     if isinstance(v, list):
         return [unwrap_extended_json(x) for x in v]

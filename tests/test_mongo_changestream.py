@@ -42,8 +42,13 @@ def test_extended_json_unwrap():
     assert unwrap_extended_json({"$oid": "65f0a1b2c3d4e5f6a7b8c9d0"}) == (
         "65f0a1b2c3d4e5f6a7b8c9d0"
     )
+    # the oplog ordinal folds into the sub-second field (clamped at 999)
+    # so same-second events keep their order through ts_ms
     assert unwrap_extended_json({"$timestamp": {"t": 1700000000, "i": 7}}) == (
-        1_700_000_000_000
+        1_700_000_000_007
+    )
+    assert unwrap_extended_json({"$timestamp": {"t": 1700000000, "i": 5000}}) == (
+        1_700_000_000_999
     )
     nested = {"a": [{"$numberLong": "1"}, {"b": {"$numberInt": "2"}}]}
     assert unwrap_extended_json(nested) == {"a": [1, {"b": 2}]}
@@ -59,7 +64,7 @@ def test_decode_op_mapping_and_images():
         _ev(1, 1_700_000_000, "insert", 5, {"_id": {"$numberLong": "5"}, "n": "a"}),
         0,
     )
-    assert ins[0] == "c" and ins[1] == 1_700_000_000_000
+    assert ins[0] == "c" and ins[1] == 1_700_000_000_001
     assert (ins[2], ins[3], ins[4], ins[5]) == ("appdb", "users", "users", None)
     assert ins[7] == '{"_id":5,"n":"a"}' and ins[6] is None
     assert ins[8] == "000000000001"

@@ -63,14 +63,63 @@ def test_sdk_repository_object_round_trip(s3_endpoint, tmp_path):
     part.mkdir(parents=True)
     (part / "part-0.parquet").write_bytes(b"pq0")
     (tmp_path / "snap" / "_SUCCESS").write_bytes(b"")
-    n = repo.upload_snapshot_dir(str(tmp_path / "snap"), dest="v1")
-    assert n == 1
+    keys = repo.upload_snapshot_dir(str(tmp_path / "snap"), dest="v1")
+    assert keys == ["unit/rt/v1/status=O/part-0.parquet"]
     assert repo.read_bytes("v1/status=O/part-0.parquet") == b"pq0"
 
     # delete_prefix gives the overwrite semantics of the other write paths
     deleted = repo.delete_prefix()
     assert deleted >= 2
     assert repo.list_keys() == []
+
+
+def test_prefix_boundary_and_root_guard(s3_endpoint):
+    """Prefix matching is '/'-bounded — deleting under 'unit/bnd' must not
+    touch the sibling 'unit/bnd-v2' — and an empty effective prefix refuses
+    to delete without the explicit bucket-root opt-in."""
+    from librarian_spark.s3_repo import S3SdkRepository
+
+    mk = lambda prefix: S3SdkRepository(
+        bucket=_BUCKET,
+        prefix=prefix,
+        region="us-east-1",
+        endpoint=s3_endpoint,
+        force_path_style=True,
+    )
+    repo, sibling = mk("unit/bnd"), mk("unit/bnd-v2")
+    repo.write_bytes(b"a", "part-1")
+    sibling.write_bytes(b"b", "part-1")
+    assert repo.list_keys() == ["unit/bnd/part-1"]  # no sibling bleed
+    repo.delete_prefix()
+    assert repo.list_keys() == []
+    assert sibling.read_bytes("part-1") == b"b"  # sibling untouched
+    with pytest.raises(ValueError, match="ENTIRE bucket"):
+        mk("").delete_prefix()
+    sibling.delete_prefix()
+
+
+def test_sdk_upload_is_upload_then_delete(s3_endpoint, tmp_path):
+    """Crash-safety ordering: new objects (catalog last) land before stale
+    ones are removed, so a failed upload leaves the old snapshot intact."""
+    from librarian_spark.s3_repo import S3SdkRepository
+
+    repo = S3SdkRepository(
+        bucket=_BUCKET,
+        prefix="unit/ord",
+        region="us-east-1",
+        endpoint=s3_endpoint,
+        force_path_style=True,
+    )
+    snap = tmp_path / "snap2"
+    snap.mkdir()
+    (snap / "part-b.parquet").write_bytes(b"pb")
+    (snap / "part-a.parquet").write_bytes(b"pa")
+    (snap / "x_catalog.json").write_bytes(b"{}")
+    keys = repo.upload_snapshot_dir(str(snap))
+    # catalog uploads last even though it sorts first lexicographically
+    assert keys[-1] == "unit/ord/x_catalog.json"
+    assert keys[:2] == ["unit/ord/part-a.parquet", "unit/ord/part-b.parquet"]
+    repo.delete_prefix()
 
 
 def test_snapshot_pipeline_to_live_s3(spark, s3_endpoint):
