@@ -4377,38 +4377,98 @@ def q78_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     doc="RFM segmentation — recency/frequency/monetary quintiles per "
     "customer, the classic CRM scoring: per-customer aggregates in one "
     "pass (days since last order relative to the corpus max date, order "
-    "count, exact integer cents), then NTILE(5) per metric with a "
-    "customer-key tiebreak so bucket assignment is total-ordered and "
-    "hash-stable on both engines. The three NTILEs run over the "
-    "CUSTOMER-level table (|customers| rows — already 3-4 orders smaller "
-    "than the fact table), which is the standard shape: scores are a "
-    "dimension refresh, not a fact-table scan; at larger customer counts "
-    "each NTILE becomes the q70 prefix-sum construction. One aggregate "
-    "shuffle + the scoring windows.",
+    "count, exact integer cents), then an EXACT NTILE(5) per metric with "
+    "a customer-key tiebreak so bucket assignment is total-ordered and "
+    "hash-stable on both engines. Customers scale with the corpus, so "
+    "the oracle's global NTILE windows are replayed WITHOUT any "
+    "single-partition sort: each metric range-partitions on the full "
+    "(metric, custkey) sort key — unique keys, so RangePartitioner "
+    "sampling cannot skew on ties — per-partition counts (one row per "
+    "partition, cluster-bounded, corpus-independent) prefix-sum on the "
+    "driver into partition rank offsets, a broadcast joins the offsets "
+    "back, and global rank = offset + within-partition row_number feeds "
+    "NTILE's literal bucket formula as map-side arithmetic (the q70 "
+    "construction generalized from a distinct-value grid to partition "
+    "granularity). Every sort is partition-local; no stage ever holds "
+    "more than |customers|/P rows in one task.",
 )
 def q79_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     max_date = o.agg(F.max("o_orderdate")).collect()[0][0]
-    m = o.groupBy("o_custkey").agg(
-        F.datediff(F.lit(max_date).cast("date"), F.max("o_orderdate"))
-        .cast("long")
-        .alias("recency_days"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-            "monetary_cents"
-        ),
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(max_date).cast("date"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .localCheckpoint()  # consumed by three scoring passes + count
     )
-    wr = W.orderBy("recency_days", "o_custkey")
-    wf = W.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = W.orderBy(F.col("monetary_cents").desc(), "o_custkey")
-    return m.select(
+    n = m.count()
+    k = 5
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def ntile_exact(df: DataFrame, order_cols, alias: str) -> DataFrame:
+        # range-shuffle on the UNIQUE (metric, custkey) composite, pin the
+        # partition layout (localCheckpoint: the per-partition count action
+        # and the ranking pass must see identical sampled boundaries)
+        ranged = (
+            df.repartitionByRange(n_parts, *order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        counts = sorted(
+            ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        offs, acc = [], 0
+        for row in counts:  # partition ids are emitted in range order
+            offs.append((row._pid, acc))
+            acc += row.c
+        offdf = df.sparkSession.createDataFrame(
+            offs, "_pid int, _off long"
+        )
+        w = W.partitionBy("_pid").orderBy(*order_cols)
+        rk = F.col("_off") + F.row_number().over(w)
+        # NTILE's bucket rule: buckets 1..r hold q+1 rows, the rest hold q
+        bucket = F.when(
+            rk <= F.lit(big),
+            F.call_function("div", rk - 1, F.lit(q + 1)) + 1,
+        ).otherwise(
+            F.lit(r)
+            + F.call_function("div", rk - 1 - F.lit(big), F.lit(max(q, 1)))
+            + 1
+        )
+        return (
+            ranged.join(F.broadcast(offdf), "_pid")
+            .withColumn(alias, bucket.cast("long"))
+            .drop("_pid", "_off")
+        )
+
+    scored = ntile_exact(
+        m, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score"
+    )
+    scored = ntile_exact(
+        scored, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score"
+    )
+    scored = ntile_exact(
+        scored,
+        [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
+        "m_score",
+    )
+    return scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(wr).cast("long").alias("r_score"),
-        F.ntile(5).over(wf).cast("long").alias("f_score"),
-        F.ntile(5).over(wm).cast("long").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -4633,12 +4693,14 @@ _Q83_BLOCK = 1024
     "global LEAD window = one partition holding the whole table; this "
     "implementation is the two-level shape (mm_shard_manifest's prefix "
     "pattern): keys bucket into fixed blocks of 1024, LEAD runs "
-    "per-block (partitioned window, fully parallel), and only the "
-    "per-block (min,max) summary — 1024x smaller — crosses blocks in a "
-    "second tiny window, stitching boundary gaps. Union of the two gap "
-    "sets is exactly the global answer. At 10^12 keys the summary is "
-    "10^9 rows and recurses once more; nothing ever single-partitions "
-    "the fact table.",
+    "per-block (partitioned window, fully parallel), and the per-block "
+    "(min,max) summary — 1024x smaller but still corpus-scaling — is "
+    "stitched WITHOUT a global window: it range-partitions on block id, "
+    "LEAD runs per range partition, and only the P partition-boundary "
+    "summaries (one first/last pair per partition — cluster-bounded, "
+    "corpus-INDEPENDENT) reach the driver to close the partition seams. "
+    "Union of the three gap sets is exactly the global answer; no stage "
+    "at any level holds a corpus-scaling row count in one task.",
 )
 def q83_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
@@ -4660,11 +4722,19 @@ def q83_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     summ = k.groupBy("blk").agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
-    # the summary is |keys|/1024 rows; its window is documented small and
-    # would recurse the same two-level split at extreme scale
-    w2 = W.orderBy("blk")
+    # the summary is |keys|/1024 rows — corpus-scaling, so its own LEAD is
+    # range-partitioned too (blk is unique per summary row, so sampling
+    # cannot skew); the layout is pinned so the boundary collect and the
+    # in-partition window see identical partition assignments
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    summ_r = (
+        summ.repartitionByRange(n_parts, "blk")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w2 = W.partitionBy("_pid").orderBy("blk")
     cross = (
-        summ.withColumn("nmn", F.lead("mn").over(w2))
+        summ_r.withColumn("nmn", F.lead("mn").over(w2))
         .filter(F.col("nmn") > F.col("mx") + 1)
         .select(
             (F.col("mx") + 1).alias("gap_start"),
@@ -4672,7 +4742,25 @@ def q83_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("nmn") - F.col("mx") - 1).cast("long").alias("n_missing"),
         )
     )
-    return within.unionAll(cross)
+    # partition seams: ONE (first, last) summary pair per partition — P rows,
+    # cluster-bounded and corpus-independent — stitched on the driver
+    bounds = sorted(
+        summ_r.groupBy("_pid")
+        .agg(
+            F.min_by(F.struct("mn", "mx"), F.col("blk")).alias("first"),
+            F.max_by(F.struct("mn", "mx"), F.col("blk")).alias("last"),
+        )
+        .collect()
+    )
+    seam_rows = []
+    for prev, nxt in zip(bounds, bounds[1:]):
+        lo, hi = prev.last.mx, nxt.first.mn
+        if hi > lo + 1:
+            seam_rows.append((lo + 1, hi - 1, hi - lo - 1))
+    seams = spark.createDataFrame(
+        seam_rows, "gap_start long, gap_end long, n_missing long"
+    )
+    return within.unionAll(cross).unionAll(seams)
 
 
 # --------------------------------------------------------------------------

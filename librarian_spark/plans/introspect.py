@@ -106,9 +106,6 @@ TINY_DOMAIN_SINGLE_PARTITION = {
     "q69_not_in_null_semantics": "1-row NULL-existence aggregate",
     "q70_equi_depth_histogram": "window over distinct-value prefix table",
     "q77_sliding_distinct_exact": "sweep over bounded event-day boundaries",
-    "q79_rfm_segmentation": "NTILE over the customer dimension (docstring: "
-    "becomes the q70 prefix-sum construction at larger customer counts)",
-    "q83_sequence_gaps": "window over the 1024x-smaller block summary",
     "q86_fk_integrity": "per-edge 1-row reduce of audit-aggregate partials",
     "q88_benford": "window over the 9-digit expected table",
     "q91_share_of_total": "global-total window over the ~25-row nation "

@@ -126,6 +126,7 @@ QUERIES = [
     "q94_time_to_convert",    # two keyed aggs + converter-only join
     "q95_new_vs_returning",   # distinct (user, day) + first-seen window
     "dedup_semantic_clusters",  # broadcast assign + per-cell pair matmul
+    "q83_sequence_gaps",      # per-block LEAD + range-partitioned stitch
     "text_byte_entropy",      # map-only bincount + p*ln p per doc
 ]
 
