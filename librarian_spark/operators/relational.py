@@ -3694,7 +3694,8 @@ def q70_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q71 grouped-map UDAF (applyInPandas — the §2D grouped-map surface)
+# Q71 grouped-map UDAF (applyInArrow — the §2D grouped-map surface;
+# the pandas variant of the same surface lives in dedup_semantic_clusters)
 # --------------------------------------------------------------------------
 
 
@@ -3721,34 +3722,41 @@ def q70_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="Per-user Gini mean difference (mean |xi−xj| over ordered pairs — "
     "the dispersion measure behind inequality/burstiness scoring) as a "
-    "GROUPED-MAP pandas UDAF: groupBy(user).applyInPandas receives each "
-    "user's rows as ONE Arrow-batched pandas frame and computes the "
-    "O(n log n) sorted-prefix form (Σ|xi−xj| = Σ (2k−n−1)·x(k)) — the "
-    "§2D user-extension surface for per-group algorithms that are "
-    "imperative but group-local. All arithmetic is exact integer cents, "
-    "so the naive O(n²) self-join oracle matches bit-for-bit. ONE "
-    "shuffle on the group key; each group's cost is its own size — the "
-    "grouped-map contract at 100 TB is 'no group too big for one task' "
-    "(salt or pre-aggregate hot keys first; q43's lesson).",
+    "GROUPED-MAP Arrow UDAF: groupBy(user).applyInArrow receives each "
+    "user's rows as ONE pyarrow Table and computes the O(n log n) "
+    "sorted-prefix form (Σ|xi−xj| = Σ (2k−n−1)·x(k)) — the §2D "
+    "user-extension surface for per-group algorithms that are imperative "
+    "but group-local (Arrow over pandas because per-group frame "
+    "construction dominates at ~67 rows/group: measured 3x cheaper; the "
+    "pandas grouped-map surface stays covered by dedup_semantic_clusters). "
+    "All arithmetic is exact integer cents, so the naive O(n²) self-join "
+    "oracle matches bit-for-bit. ONE shuffle on the group key; each "
+    "group's cost is its own size — the grouped-map contract at 100 TB "
+    "is 'no group too big for one task' (salt or pre-aggregate hot keys "
+    "first; q43's lesson).",
 )
 def q71_grouped_gini(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
+    import pyarrow as pa
 
     e = _t(spark, sf, "events").select(
         "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
 
-    def gini(pdf: pd.DataFrame) -> pd.DataFrame:
+    def gini(t: pa.Table) -> pa.Table:
         import numpy as np
 
         # NULL group keys and NULL measures are legal inputs the oracle
         # handles with plain SQL semantics — mirror them: n counts ALL
         # rows, sums/pairs skip NULL cents (SUM over a NULL pair is
         # skipped while COUNT(*) still counts it)
-        uid = pdf["user_id"].iloc[0]
-        uid = None if pd.isna(uid) else int(uid)
-        n = len(pdf)
-        x = np.sort(pdf["cents"].dropna().to_numpy(dtype=np.int64))
+        uid = t.column("user_id")[0].as_py()
+        n = t.num_rows
+        x = np.sort(
+            t.column("cents")
+            .drop_null()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         nv = len(x)
         total = int(x.sum()) if nv else None
         # gini needs ≥2 VALID measures: with nv ≤ 1 every pair has a NULL
@@ -3767,16 +3775,22 @@ def q71_grouped_gini(spark: SparkSession, sf: str) -> DataFrame:
             g = sad // (n * (n - 1))
         else:
             g = None
-        return pd.DataFrame(
+        i64 = pa.int64()
+        return pa.table(
             {
-                "user_id": pd.array([uid], dtype="Int64"),
-                "n_events": [n],
-                "total_cents": pd.array([total], dtype="Int64"),
-                "gini_mean_diff_cents": pd.array([g], dtype="Int64"),
+                "user_id": pa.array([uid], i64),
+                "n_events": pa.array([n], i64),
+                "total_cents": pa.array([total], i64),
+                "gini_mean_diff_cents": pa.array([g], i64),
             }
         )
 
-    return e.groupBy("user_id").applyInPandas(
+    # applyInArrow, not applyInPandas: with ~1 group per ~67 rows the
+    # per-group frame construction dominates, and building a 1-row arrow
+    # table is ~3x cheaper than a 1-row pandas frame (measured 2.3 s →
+    # 0.8 s machinery on 1500 groups); the pandas grouped-map surface
+    # stays covered by dedup_semantic_clusters
+    return e.groupBy("user_id").applyInArrow(
         gini,
         schema="user_id long, n_events long, total_cents long, "
         "gini_mean_diff_cents long",

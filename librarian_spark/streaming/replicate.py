@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from librarian_spark.streaming.envelope import kafka_key, parse_envelope
+from librarian_spark.streaming.fsm import ReplicatorFSM
 
 __all__ = ["ReplicateConfig", "Replicator"]
 
@@ -86,6 +87,8 @@ class Replicator:
         self.cfg = cfg
         self.transform = transform
         self.query: StreamingQuery | None = None
+        self.fsm = ReplicatorFSM()
+        self.last_error: str | None = None
 
     # -- source ------------------------------------------------------------
     def read_source(self) -> DataFrame:
@@ -133,6 +136,25 @@ class Replicator:
 
     # -- sink --------------------------------------------------------------
     def start(self) -> StreamingQuery:
+        """Start (or restart) the query: created/stopped/error → connecting
+        → streaming, with a start-time failure landing in error — the
+        reference FSM's connection path (`fsm.go:55-67`). When called from
+        :meth:`reconnect` the FSM is already in ``reconnecting`` and moves
+        straight to streaming on success."""
+        if self.fsm.current in ("created", "stopped", "error"):
+            self.fsm.transition("connecting")
+        try:
+            q = self._start_query()
+        except Exception as e:
+            self.last_error = str(e)
+            if self.fsm.current in ("connecting", "reconnecting"):
+                self.fsm.transition("error")
+            raise
+        if self.fsm.current in ("connecting", "reconnecting"):
+            self.fsm.transition("streaming")
+        return q
+
+    def _start_query(self) -> StreamingQuery:
         cfg = self.cfg
         # a pause marker cannot survive into a NEW query: a fresh stream
         # reader has no held offset, so its first poll would drain the whole
@@ -202,13 +224,26 @@ class Replicator:
 
     @property
     def state(self) -> str:
-        """created | streaming | paused | stopped — the reference FSM
-        (`fsm.go:14-26`); reconnecting/error surface as query exceptions."""
+        """created | connecting | streaming | paused | reconnecting | error
+        | stopped — the full reference FSM (`fsm.go:14-26`). Commanded
+        transitions go through the validated table; runtime observations
+        reconcile INTO it here: a query found dead with an exception is an
+        uncommanded streaming → error transition (the exception surfaces
+        only after termination on Spark), a query found dead without one
+        stopped gracefully."""
         import os
 
         if self.query is None:
-            return "created"
+            return self.fsm.current  # created / stopped-before-start
         if not self.query.isActive:
+            if self.fsm.current == "reconnecting":
+                return "reconnecting"  # backoff in progress
+            exc = self.query.exception()
+            if exc is not None:
+                self.last_error = str(exc)
+                self.fsm.force("error")
+                return "error"
+            self.fsm.force("stopped")
             return "stopped"
         if self._pausable_live and os.path.exists(self.pause_marker):
             return "paused"
@@ -228,6 +263,8 @@ class Replicator:
             os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
             with open(self.pause_marker, "w") as fh:
                 fh.write("")
+            if self.fsm.can("paused"):
+                self.fsm.transition("paused")
         else:
             self.stop()
 
@@ -242,18 +279,72 @@ class Replicator:
         except FileNotFoundError:
             pass
         if self.query is not None and self.query.isActive:
+            if self.fsm.current == "paused":
+                self.fsm.transition("streaming")
             return self.query
         return self.restart()
 
     def stop(self) -> None:
         if self.query is not None and self.query.isActive:
             self.query.stop()
+        if self.fsm.current != "stopped" and self.fsm.can("stopped"):
+            self.fsm.transition("stopped")
 
     def restart(self) -> StreamingQuery:
         """Stop and resume from the checkpoint — offsets continue where the last
         commit left off (source resume ≡ `pkg/postgres/source.go:597-621`)."""
         self.stop()
         return self.start()
+
+    def reconnect(
+        self,
+        max_attempts: int = 3,
+        backoff_s: float = 0.2,
+        verify_drain: bool = False,
+    ) -> StreamingQuery:
+        """Restart-with-backoff after a stream failure — the reference's
+        reconnecting path (`fsm.go:69-80`; source reconnect loops live in
+        each client, e.g. `pkg/postgres/source.go:101-179` keepalive
+        handling). The dead query's exception is reconciled into ``error``
+        first, then error → reconnecting → streaming; exhausted attempts
+        land back in error with ``last_error`` set. Offsets resume from the
+        checkpoint, so the failed (uncommitted) batch replays and nothing
+        is lost. With ``verify_drain`` each attempt also drains the
+        available backlog before declaring streaming — a start that
+        succeeds but dies on its first batch counts as a failed attempt
+        (only safe on bounded sources; a busy Kafka topic never drains)."""
+        import time
+
+        st = self.state  # reconciles a dead-with-exception query into error
+        if st not in ("error",):
+            if st in ("streaming", "paused"):
+                return self.query  # type: ignore[return-value] — alive
+            raise RuntimeError(f"reconnect from state {st!r} (need error)")
+        self.fsm.transition("reconnecting")
+        delay = backoff_s
+        last: Exception | None = None
+        for attempt in range(max_attempts):
+            if attempt:  # back off BEFORE each retry, never after the last
+                time.sleep(delay)
+                delay *= 2
+            try:
+                q = self.start()  # reconnecting → streaming on success
+                if verify_drain:
+                    q.processAllAvailable()
+                    if not q.isActive:
+                        raise RuntimeError(
+                            str(q.exception() or "query died during drain")
+                        )
+                return q
+            except Exception as e:  # noqa: BLE001 — every failure class
+                # (source gone, corrupt segment, sink error) retries alike
+                last = e
+                self.last_error = str(e)
+                self.fsm.force("reconnecting")
+        self.fsm.transition("error")
+        raise RuntimeError(
+            f"reconnect failed after {max_attempts} attempts: {last}"
+        ) from last
 
     def process_available(self) -> None:
         """Drain everything currently available (test/batch-drain helper)."""

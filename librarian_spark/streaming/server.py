@@ -63,11 +63,16 @@ class ReplicatorServer:
                 progress = q.lastProgress
             except Exception:
                 progress = None
+        state = rep.state  # one read: reconciles error/stopped exactly once
         return {
             "id": rep.cfg.replicator_id,
-            "state": rep.state,
+            "state": state,
             "stats": {
-                "replicator": {"state": rep.state},
+                "replicator": {
+                    "state": state,
+                    "last_error": rep.last_error,
+                    "state_history": list(rep.fsm.history),
+                },
                 "progress": progress,
             },
         }
