@@ -5898,3 +5898,264 @@ def q95_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_returning"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q96 CUBE / grouping sets (multi-level aggregation with grouping ids)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q96_cube_grouping",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregation — all four grouping sets of (status, priority) in "
+    "one pass with GROUPING() ids disambiguating rolled-up NULLs, the "
+    "OLAP summary surface (ROLLUP/CUBE/GROUPING SETS) the registry was "
+    "missing. Spark's cube() expands to a single Expand + hash aggregate: "
+    "partial aggregation still combines map-side per grouping set, so the "
+    "shuffle carries |sets| x |group domain| rows, not the fact table. "
+    "grouping_id() bit order (first column = MSB) matches DuckDB's "
+    "GROUPING(a, b). Exact integer cents; one shuffle.",
+)
+def q96_cube_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q97 IQR outlier fences (exact quartiles -> Tukey fences -> outlier shares)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q97_outlier_fences",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM c GROUP BY 1
+    )
+    SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+           s.q1 AS q1_cents, s.q3 AS q3_cents,
+           CAST(COUNT(*) FILTER (WHERE cents < s.q1 - 1.5 * (s.q3 - s.q1)
+                              OR cents > s.q3 + 1.5 * (s.q3 - s.q1))
+                AS BIGINT) AS n_outliers,
+           CAST(FLOOR(COUNT(*) FILTER (WHERE cents < s.q1 - 1.5 * (s.q3 - s.q1)
+                                   OR cents > s.q3 + 1.5 * (s.q3 - s.q1))
+                      * 1000000.0 / s.n) AS BIGINT) AS outlier_ppm
+    FROM c JOIN s USING (event_type)
+    GROUP BY s.event_type, s.n, s.q1, s.q3
+    """,
+    doc="Tukey-fence outlier profile per event type — exact quartiles over "
+    "integer cents, 1.5 IQR fences, outlier count + ppm share: the "
+    "anomaly-rate report behind data-quality monitors. Determinism by "
+    "construction: quartile interpolation at g in {0,.25,.5,.75} over "
+    "integers is EXACT in binary floating point (quarter-fractions and "
+    "integer products never round), so fences and comparisons are "
+    "bit-identical across engines — no ROUND truce needed, unlike q73's "
+    "arbitrary-percentile interpolation. Two passes over events (one "
+    "grouped quantile aggregate, one fence-count join against the "
+    "broadcast 5-row stats table); exact-quantile state is "
+    "group-cardinality-bounded, the documented q73 trade.",
+)
+def q97_outlier_fences(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("cents", F.array(F.lit(0.25), F.lit(0.75))).alias("qq"),
+    ).select(
+        F.col("event_type").alias("et"),
+        "n",
+        F.col("qq")[0].alias("q1"),
+        F.col("qq")[1].alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    out = F.count(
+        F.when((F.col("cents") < lo) | (F.col("cents") > hi), 1)
+    )
+    return (
+        c.join(F.broadcast(s), c["event_type"] == F.col("et"))
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(out.alias("n_outliers"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            F.floor(
+                F.col("n_outliers") * F.lit(1000000.0) / F.col("n")
+            ).cast("long").alias("outlier_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q98 ordered funnel (strict min-time cascade over event steps)
+# --------------------------------------------------------------------------
+
+_Q98_STEPS = ["signup", "view", "click", "purchase"]
+
+
+@query(
+    "q98_funnel_steps",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    s1 AS (SELECT user_id, MIN(ts) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+    s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+    n AS (
+      SELECT 1 AS step, 'signup' AS step_name, COUNT(*) AS c FROM s1
+      UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+    ),
+    base AS (SELECT c AS c0 FROM n WHERE step = 1)
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+           CAST(c AS BIGINT) AS n_users,
+           CAST(FLOOR(c * 1000000.0 / c0) AS BIGINT) AS conv_ppm
+    FROM n, base
+    """,
+    doc="Ordered conversion funnel (signup -> view -> click -> purchase) "
+    "with STRICT ordering: step k counts a user only if their earliest "
+    "step-k event falls strictly after their step-(k-1) time — the "
+    "min-time cascade, not mere event existence (q66's regex funnel "
+    "checks patterns; this one yields per-step user counts + conversion "
+    "ppm, the growth-team shape). Each step is one keyed aggregate plus "
+    "one hash join on user_id against the previous step's (user, t) "
+    "table — k steps = k co-partitioned shuffles, nothing global; the "
+    "step-count assembly is a 4-group aggregate and the base count is a "
+    "1-row bounded driver read (bm25 stats-row discipline).",
+)
+def q98_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+        .localCheckpoint()  # consumed once per funnel step
+    )
+    steps = []
+    prev = None
+    for step_name in _Q98_STEPS:
+        cur = e.filter(F.col("event_type") == step_name)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("user_id", F.col("t").alias("pt")), "user_id"
+            ).filter(F.col("ts") > F.col("pt"))
+        prev = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        steps.append(prev)
+    tagged = None
+    for i, (sdf, nm) in enumerate(zip(steps, _Q98_STEPS), start=1):
+        d = sdf.select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(nm).alias("step_name"),
+            "user_id",
+        )
+        tagged = d if tagged is None else tagged.unionByName(d)
+    counts = tagged.groupBy("step", "step_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    base = steps[0].count()  # 1-row scalar, inlined (bm25 pattern)
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.floor(F.col("n_users") * F.lit(1000000.0) / F.lit(base))
+        .cast("long")
+        .alias("conv_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q99 day-of-week seasonality index (epoch-day arithmetic, engine-neutral)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q99_dow_seasonality",
+    oracle="""
+    WITH c AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-05') % 7 AS dow,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    d AS (SELECT dow, COUNT(*) AS n, SUM(cents) AS sum_cents
+          FROM c GROUP BY 1),
+    t AS (SELECT SUM(sum_cents) AS total FROM d)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n_orders,
+           CAST(sum_cents AS BIGINT) AS sum_cents,
+           CAST(FLOOR(CAST(sum_cents AS DOUBLE) * 7000000.0 / t.total)
+                AS BIGINT) AS index_ppm
+    FROM d, t
+    """,
+    doc="Day-of-week revenue seasonality — per-weekday order volume, exact "
+    "cents, and a seasonality index (share of revenue x 7, in ppm; 1e6 = "
+    "a flat weekday). The weekday derives from pure EPOCH-DAY INTEGER "
+    "arithmetic (days since Monday 1970-01-05, mod 7 -> 0=Monday) because "
+    "the engines' native dayofweek functions disagree on week start — "
+    "datediff is the one date primitive with identical semantics. The "
+    "index multiplies in DOUBLE (the ppm-overflow lesson: int64 "
+    "cents*7e6 overflows around sf100 while DuckDB silently widens to "
+    "HUGEINT; the double product is IEEE-identical on both engines). "
+    "One map-side-combining aggregate to 7 rows; the total is a 1-row "
+    "driver read inlined as a literal.",
+)
+def q99_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = o.select(
+        F.pmod(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-05").cast("date")),
+            F.lit(7),
+        ).alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d = c.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    ).localCheckpoint()  # 7 rows; consumed by the total read AND the result
+    total = d.agg(F.sum("sum_cents")).collect()[0][0]
+    return d.select(
+        F.col("dow").cast("long").alias("dow"),
+        "n_orders",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.floor(
+            F.col("sum_cents").cast("double") * F.lit(7000000.0) / F.lit(float(total))
+        ).cast("long").alias("index_ppm"),
+    )

@@ -23,6 +23,7 @@ from librarian_spark.functions.textfns import (
     STOPWORDS,
     fingerprint,
     o_fingerprint,
+    o_shingles,
     shingles_of_tokens,
     tokens,
 )
@@ -2012,4 +2013,135 @@ def text_byte_entropy(spark: SparkSession, sf: str) -> DataFrame:
         op,
         schema="doc_id long, n_bytes long, n_distinct_bytes long, "
         "entropy_nats double",
+    )
+
+
+# --------------------------------------------------------------------------
+# Hapax-legomena ratio (within-document vocabulary concentration)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, UNNEST(STR_SPLIT(TRIM(LOWER(text)), ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w
+           WHERE tok <> '' GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           CAST(FLOOR(COUNT(*) FILTER (WHERE c = 1) * 1000000.0 / SUM(c))
+                AS BIGINT) AS hapax_ppm
+    FROM tc GROUP BY doc_id
+    """,
+    doc="Hapax-legomena profile per document — token count, type count, "
+    "and the share of tokens that appear exactly once IN THAT document "
+    "(ppm): high hapax share signals generative/organic text, low share "
+    "signals template/boilerplate repetition — a standard lexical-"
+    "diversity quality signal next to text_repetition's top-token gate. "
+    "One explode + one (doc, token) hash aggregate (map-side combining "
+    "inside each doc's partition) + one doc-level reduce; everything "
+    "keys on doc_id, nothing global. Exact integers + one FLOOR'd IEEE "
+    "division.",
+)
+def text_hapax_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    w = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
+        F.floor(
+            F.count(F.when(F.col("c") == 1, 1))
+            * F.lit(1000000.0)
+            / F.sum("c")
+        )
+        .cast("long")
+        .alias("hapax_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law empirics, global-sort-free)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents
+    ),
+    bg AS (SELECT doc_id, UNNEST({o_shingles('w', 2)}) AS tok FROM tk),
+    fo AS (SELECT tok, MIN(doc_id) AS first_doc FROM bg GROUP BY 1),
+    nd AS (SELECT first_doc AS doc_id, COUNT(*) AS new_types
+           FROM fo GROUP BY 1)
+    SELECT doc_id, CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER (ORDER BY doc_id) AS BIGINT)
+             AS cum_vocab
+    FROM nd
+    """,
+    doc="Vocabulary growth curve (Heaps'-law empirics) over BIGRAM types "
+    "(the unigram vocabulary of this corpus saturates within a handful "
+    "of documents — bigrams keep the curve informative, and the "
+    "construction is identical at any n): for each document that "
+    "introduces vocabulary, how many types appear there for the FIRST "
+    "time in doc_id order, and the running vocabulary size — "
+    "the curve that decides tokenizer vocab budgets and detects corpus "
+    "staleness (a flattening curve means new data adds no new language). "
+    "First-occurrence = min(doc_id) per token (one token-keyed "
+    "aggregate); the cumulative sum NEVER runs a global window — the "
+    "per-doc new-type counts range-partition on doc_id, P per-partition "
+    "sums (cluster-bounded) prefix-sum on the driver into offsets, and "
+    "the running total = offset + within-partition cumulative window "
+    "(the q79 construction on a SUM instead of a rank). The oracle's "
+    "global window is honest at its scale.",
+)
+def text_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf, "documents")
+    tk = d.select("doc_id", tokens("text").alias("w"))
+    w = tk.select(
+        "doc_id", F.explode(shingles_of_tokens("w", 2)).alias("tok")
+    )
+    fo = w.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    nd = fo.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    n_parts = int(
+        d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        nd.repartitionByRange(n_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin layout: offset collect + window must agree
+    )
+    parts = sorted(
+        ranged.groupBy("_pid").agg(F.sum("new_types").alias("s")).collect()
+    )
+    offs, acc = [], 0
+    for row in parts:  # partition ids are emitted in range order
+        offs.append((row._pid, acc))
+        acc += row.s
+    offdf = d.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    cum = W.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        ranged.join(F.broadcast(offdf), "_pid")
+        .select(
+            "doc_id",
+            F.col("new_types").cast("long").alias("new_types"),
+            (F.col("_off") + F.sum("new_types").over(cum))
+            .cast("long")
+            .alias("cum_vocab"),
+        )
     )
