@@ -1,0 +1,282 @@
+"""MongoDB change-stream wire client — the NETWORK half of the Mongo source.
+
+:mod:`.mongo_changestream` implements change-EVENT decoding (op mapping,
+Extended-JSON unwrap, resume-token ordering) over recorded documents; this
+module implements the protocol that delivers them, per the public MongoDB
+specifications ("MongoDB Wire Protocol" OP_MSG + the BSON spec):
+
+* OP_MSG framing: little-endian header (messageLength, requestID,
+  responseTo, opCode=2013), uint32 flagBits, section kind 0 carrying one
+  BSON command document;
+* a BSON codec for the subset change-stream traffic uses (double, string,
+  document, array, bool, null, int32, int64, uint64 cursor ids, and the
+  0x11 timestamp type, which decodes to the ``{"$timestamp": {t, i}}``
+  Extended-JSON shape :func:`..mongo_changestream.unwrap_extended_json`
+  already understands);
+* the change-stream cursor protocol: an ``aggregate`` command whose
+  pipeline starts with ``$changeStream`` (``resumeAfter`` when resuming)
+  opens the cursor, ``getMore`` with ``maxTimeMS`` polls it — exactly what
+  the reference's driver call expands to
+  (`/root/reference/pkg/mongo/source.go:71-96`: ``coll.Watch`` with
+  ``SetMaxAwaitTime(5s)`` and ``SetResumeAfter`` from the checkpoint).
+
+Checkpoint parity with the reference (`source.go:76-82,180`): the position
+is the BASE64 of the raw resume-token BSON document, persisted atomically
+(tmp+rename) after each processed batch; ``watch()`` decodes it back into
+``resumeAfter``. The wire conversation runs over any connected socket — a
+mock mongod in tests (no Mongo in the sandbox), a real server's socket in
+production (after the hello/auth exchange, which is out of scope here).
+
+Decoded change documents feed :func:`..mongo_changestream.decode_change_event`
+unchanged, so everything downstream (CDC rows, envelope, replicate drain)
+is shared with the recorded-segment path.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import struct
+
+from librarian_spark.sources.mongo_changestream import decode_change_event
+
+__all__ = [
+    "bson_encode",
+    "bson_decode",
+    "encode_op_msg",
+    "read_op_msg",
+    "MongoChangeStreamClient",
+]
+
+
+# --------------------------------------------------------------------------
+# BSON (subset) — little-endian throughout, per the public BSON spec
+# --------------------------------------------------------------------------
+
+
+def _enc_value(v) -> tuple[int, bytes]:
+    """→ (type byte, payload)."""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return 0x08, b"\x01" if v else b"\x00"
+    if isinstance(v, float):
+        return 0x01, struct.pack("<d", v)
+    if isinstance(v, str):
+        b = v.encode("utf-8") + b"\x00"
+        return 0x02, struct.pack("<i", len(b)) + b
+    if isinstance(v, dict):
+        if set(v) == {"$timestamp"}:  # Extended-JSON shape → BSON 0x11
+            t, i = int(v["$timestamp"]["t"]), int(v["$timestamp"]["i"])
+            return 0x11, struct.pack("<II", i, t)
+        return 0x03, bson_encode(v)
+    if isinstance(v, (list, tuple)):
+        return 0x04, bson_encode({str(i): x for i, x in enumerate(v)})
+    if v is None:
+        return 0x0A, b""
+    if isinstance(v, int):
+        if -(2**31) <= v < 2**31:
+            return 0x10, struct.pack("<i", v)
+        return 0x12, struct.pack("<q", v)
+    raise TypeError(f"unsupported BSON value: {type(v).__name__}")
+
+
+def bson_encode(doc: dict) -> bytes:
+    body = b""
+    for k, v in doc.items():
+        t, payload = _enc_value(v)
+        body += bytes([t]) + k.encode("utf-8") + b"\x00" + payload
+    return struct.pack("<i", len(body) + 5) + body + b"\x00"
+
+
+def _dec_value(t: int, buf: bytes, pos: int):
+    if t == 0x01:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == 0x02:
+        (n,) = struct.unpack_from("<i", buf, pos)
+        s = buf[pos + 4 : pos + 4 + n - 1].decode("utf-8")
+        return s, pos + 4 + n
+    if t in (0x03, 0x04):
+        (n,) = struct.unpack_from("<i", buf, pos)
+        inner = bson_decode(buf[pos : pos + n])
+        if t == 0x04:
+            return [inner[str(i)] for i in range(len(inner))], pos + n
+        return inner, pos + n
+    if t == 0x08:
+        return buf[pos] != 0, pos + 1
+    if t == 0x0A:
+        return None, pos
+    if t == 0x10:
+        return struct.unpack_from("<i", buf, pos)[0], pos + 4
+    if t == 0x11:  # timestamp: uint32 increment, then uint32 seconds
+        i, s = struct.unpack_from("<II", buf, pos)
+        return {"$timestamp": {"t": s, "i": i}}, pos + 8
+    if t == 0x12:
+        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    raise ValueError(f"unsupported BSON type 0x{t:02x}")
+
+
+def bson_decode(buf: bytes) -> dict:
+    (total,) = struct.unpack_from("<i", buf, 0)
+    if total != len(buf):
+        raise ValueError(f"BSON length {total} != buffer {len(buf)}")
+    out: dict = {}
+    pos = 4
+    while buf[pos] != 0:
+        t = buf[pos]
+        pos += 1
+        end = buf.index(b"\x00", pos)
+        key = buf[pos:end].decode("utf-8")
+        pos = end + 1
+        out[key], pos = _dec_value(t, buf, pos)
+    return out
+
+
+# --------------------------------------------------------------------------
+# OP_MSG framing
+# --------------------------------------------------------------------------
+
+OP_MSG = 2013
+
+
+def encode_op_msg(doc: dict, request_id: int, response_to: int = 0) -> bytes:
+    body = struct.pack("<I", 0) + b"\x00" + bson_encode(doc)  # flags, kind 0
+    return (
+        struct.pack("<iiii", len(body) + 16, request_id, response_to, OP_MSG)
+        + body
+    )
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("connection closed mid-message")
+        buf += chunk
+    return buf
+
+
+def read_op_msg(sock) -> tuple[int, int, dict]:
+    """→ (request_id, response_to, command document)."""
+    length, req, resp, op = struct.unpack("<iiii", _recv_exact(sock, 16))
+    body = _recv_exact(sock, length - 16)
+    if op != OP_MSG:
+        raise ConnectionError(f"unsupported opCode {op}")
+    if body[4:5] != b"\x00":
+        raise ConnectionError("only OP_MSG section kind 0 is supported")
+    return req, resp, bson_decode(body[5:])
+
+
+# --------------------------------------------------------------------------
+# The client
+# --------------------------------------------------------------------------
+
+
+class MongoChangeStreamClient:
+    """``coll.Watch`` at the wire level: aggregate($changeStream) opens the
+    cursor, getMore polls it, the resume token checkpoints as base64 raw
+    BSON after each batch (`source.go:76-82,180` parity)."""
+
+    def __init__(self, sock, db: str, collection: str,
+                 checkpoint_path: str | None = None,
+                 max_await_ms: int = 5000):
+        self.sock = sock
+        self.db = db
+        self.collection = collection
+        self.checkpoint_path = checkpoint_path
+        self.max_await_ms = max_await_ms  # SetMaxAwaitTime(5s) default
+        self.cursor_id = 0
+        self.resume_token: dict | None = None
+        self._req = 0
+        self._seq = 0
+
+    # -- checkpoint --------------------------------------------------------
+    def load_checkpoint(self) -> dict | None:
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            with open(self.checkpoint_path, encoding="utf-8") as fh:
+                return bson_decode(base64.b64decode(fh.read().strip()))
+        return None
+
+    def save_checkpoint(self) -> None:
+        if not self.checkpoint_path or self.resume_token is None:
+            return
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(
+                base64.b64encode(bson_encode(self.resume_token)).decode()
+            )
+        os.replace(tmp, self.checkpoint_path)
+
+    # -- wire --------------------------------------------------------------
+    def _command(self, doc: dict) -> dict:
+        self._req += 1
+        self.sock.sendall(encode_op_msg(doc, self._req))
+        _req, resp, reply = read_op_msg(self.sock)
+        if resp != self._req:
+            raise ConnectionError(
+                f"responseTo {resp} does not match request {self._req}"
+            )
+        if reply.get("ok") != 1.0:
+            raise ConnectionError(f"server error: {reply}")
+        return reply
+
+    def watch(self) -> None:
+        """Open the change-stream cursor, resuming from the checkpointed
+        token when one exists (`coll.Watch` + SetResumeAfter)."""
+        stage: dict = {"$changeStream": {}}
+        token = self.load_checkpoint()
+        if token is not None:
+            stage["$changeStream"]["resumeAfter"] = token
+            self.resume_token = token
+        reply = self._command(
+            {
+                "aggregate": self.collection,
+                "pipeline": [stage],
+                "cursor": {},
+                "$db": self.db,
+            }
+        )
+        cur = reply["cursor"]
+        self.cursor_id = cur["id"]
+        self._batch = cur.get("firstBatch", [])
+
+    def events(self, max_batches: int | None = None):
+        """Yield CDC rows batch by batch; each drained batch advances the
+        resume-token checkpoint. Ends when the server closes the cursor
+        (id 0) or after ``max_batches`` (the bounded-drain hook)."""
+        batches = 0
+        batch = getattr(self, "_batch", [])
+        while True:
+            for doc in batch:
+                self._seq += 1
+                yield decode_change_event(doc, self._seq)
+                self.resume_token = doc.get("_id")
+            if batch:
+                self.save_checkpoint()
+            batches += 1
+            if self.cursor_id == 0:
+                return
+            if max_batches is not None and batches >= max_batches:
+                return
+            reply = self._command(
+                {
+                    "getMore": self.cursor_id,
+                    "collection": self.collection,
+                    "$db": self.db,
+                    "maxTimeMS": self.max_await_ms,
+                }
+            )
+            cur = reply["cursor"]
+            self.cursor_id = cur["id"]
+            batch = cur.get("nextBatch", [])
+
+    def close(self) -> None:
+        """killCursors — the Watch close (`source.go:120-127`)."""
+        if self.cursor_id:
+            self._command(
+                {
+                    "killCursors": self.collection,
+                    "cursors": [self.cursor_id],
+                    "$db": self.db,
+                }
+            )
+            self.cursor_id = 0

@@ -1,0 +1,176 @@
+"""Mongo change-stream WIRE client against a mock mongod speaking OP_MSG:
+aggregate($changeStream) cursor open, getMore polling, killCursors, and
+base64-BSON resume-token checkpointing with resume — the reference's
+``coll.Watch`` connection semantics (`pkg/mongo/source.go:71-96,180`)
+minus the hello/auth exchange.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+from librarian_spark.sources.mongo_wire import (
+    MongoChangeStreamClient,
+    bson_decode,
+    bson_encode,
+    encode_op_msg,
+    read_op_msg,
+)
+
+
+def _ev(i, t_s, op, key, full=None):
+    doc = {
+        "_id": {"_data": f"{i:012d}"},
+        "operationType": op,
+        "clusterTime": {"$timestamp": {"t": t_s, "i": i}},
+        "ns": {"db": "appdb", "coll": "users"},
+        "documentKey": {"_id": key},
+    }
+    if full is not None:
+        doc["fullDocument"] = full
+    return doc
+
+
+EVENTS = [
+    _ev(1, 1_700_000_000, "insert", 1, {"_id": 1, "name": "alice"}),
+    _ev(2, 1_700_000_000, "insert", 2, {"_id": 2, "name": "bob"}),
+    _ev(3, 1_700_000_001, "replace", 1, {"_id": 1, "name": "alice2"}),
+    _ev(4, 1_700_000_002, "delete", 2),
+    _ev(5, 1_700_000_003, "insert", 3, {"_id": 3, "name": "carol"}),
+]
+
+
+def test_bson_round_trip():
+    doc = {
+        "s": "text",
+        "i32": 5,
+        "i64": 2**40,
+        "neg": -7,
+        "f": 2.5,
+        "b": True,
+        "z": None,
+        "ts": {"$timestamp": {"t": 1_700_000_000, "i": 3}},
+        "sub": {"k": "v", "arr": [1, "two", {"x": False}]},
+    }
+    assert bson_decode(bson_encode(doc)) == doc
+
+
+def test_op_msg_round_trip():
+    c, s = socket.socketpair()
+    try:
+        c.sendall(encode_op_msg({"ping": 1, "$db": "admin"}, 42, 7))
+        req, resp, doc = read_op_msg(s)
+        assert (req, resp) == (42, 7)
+        assert doc == {"ping": 1, "$db": "admin"}
+    finally:
+        c.close()
+        s.close()
+
+
+class MockMongod:
+    """One change-stream session per connection: aggregate opens cursor 77
+    over the events AFTER any resumeAfter token, getMore pages through in
+    batches of 2, the final page closes the cursor (id 0)."""
+
+    def __init__(self, events, batch=2):
+        self.events = events
+        self.batch = batch
+        self.commands: list[dict] = []
+
+    def serve(self, sock) -> None:
+        pending: list[dict] = []
+        try:
+            while True:
+                req, _resp, cmd = read_op_msg(sock)
+                self.commands.append(cmd)
+                if "aggregate" in cmd:
+                    stage = cmd["pipeline"][0]["$changeStream"]
+                    after = (stage.get("resumeAfter") or {}).get("_data")
+                    pending = [
+                        e for e in self.events
+                        if after is None or e["_id"]["_data"] > after
+                    ]
+                    first, pending = pending[: self.batch], pending[self.batch:]
+                    reply = {
+                        "cursor": {
+                            "firstBatch": first,
+                            "id": 77 if pending else 0,
+                            "ns": f"{cmd['$db']}.{cmd['aggregate']}",
+                        },
+                        "ok": 1.0,
+                    }
+                elif "getMore" in cmd:
+                    nxt, pending = pending[: self.batch], pending[self.batch:]
+                    reply = {
+                        "cursor": {
+                            "nextBatch": nxt,
+                            "id": 77 if pending else 0,
+                            "ns": f"{cmd['$db']}.{cmd['collection']}",
+                        },
+                        "ok": 1.0,
+                    }
+                elif "killCursors" in cmd:
+                    reply = {"cursorsKilled": cmd["cursors"], "ok": 1.0}
+                else:
+                    reply = {"ok": 0.0, "errmsg": f"unknown command {cmd}"}
+                sock.sendall(encode_op_msg(reply, 1000 + req, req))
+        except (ConnectionError, OSError):
+            return
+
+
+def _session(server: MockMongod, ckpt: str):
+    c, s = socket.socketpair()
+    t = threading.Thread(target=server.serve, args=(s,), daemon=True)
+    t.start()
+    client = MongoChangeStreamClient(
+        c, db="appdb", collection="users", checkpoint_path=ckpt
+    )
+    return client, (c, s)
+
+
+def test_watch_stream_and_op_mapping(tmp_path):
+    srv = MockMongod(EVENTS)
+    client, socks = _session(srv, str(tmp_path / "tok.ckpt"))
+    client.watch()
+    rows = list(client.events())
+    client.close()
+    for s in socks:
+        s.close()
+    assert [r[0] for r in rows] == ["c", "c", "u", "d", "c"]
+    assert rows[2][7] == '{"_id":1,"name":"alice2"}'
+    assert rows[3][6] == '{"_id":2}'  # documentKey as the delete before-image
+    # ordinal-folded ts_ms (same-second events keep order)
+    assert [r[1] for r in rows[:2]] == [1_700_000_000_001, 1_700_000_000_002]
+    # the first aggregate carried no resumeAfter; getMore polls with the
+    # reference's 5 s await window
+    agg = srv.commands[0]
+    assert "resumeAfter" not in agg["pipeline"][0]["$changeStream"]
+    gm = next(c for c in srv.commands if "getMore" in c)
+    assert gm["maxTimeMS"] == 5000
+    # checkpoint = base64 BSON of the LAST token
+    assert client.load_checkpoint() == {"_data": "000000000005"}
+
+
+def test_resume_after_checkpoint_no_loss_no_dup(tmp_path):
+    ckpt = str(tmp_path / "tok.ckpt")
+    srv1 = MockMongod(EVENTS)
+    c1, socks1 = _session(srv1, ckpt)
+    c1.watch()
+    rows1 = list(c1.events(max_batches=1))  # connection cut after batch 1
+    for s in socks1:
+        s.close()
+    assert len(rows1) == 2
+    assert c1.load_checkpoint() == {"_data": "000000000002"}
+
+    srv2 = MockMongod(EVENTS)
+    c2, socks2 = _session(srv2, ckpt)
+    c2.watch()
+    rows2 = list(c2.events())
+    for s in socks2:
+        s.close()
+    # the resume carried the checkpointed token; only later events streamed
+    stage = srv2.commands[0]["pipeline"][0]["$changeStream"]
+    assert stage["resumeAfter"] == {"_data": "000000000002"}
+    seen = [r[8] for r in rows1 + rows2]  # positions = token _data strings
+    assert seen == [f"{i:012d}" for i in range(1, 6)]  # no loss, no dup
