@@ -239,18 +239,17 @@ class MongoChangeStreamClient:
         self.cursor_id = cur["id"]
         self._batch = cur.get("firstBatch", [])
 
-    def events(self, max_batches: int | None = None):
-        """Yield CDC rows batch by batch; each drained batch advances the
-        resume-token checkpoint. Ends when the server closes the cursor
-        (id 0) or after ``max_batches`` (the bounded-drain hook)."""
+    def batches(self, max_batches: int | None = None):
+        """Yield raw change-document batches; the resume-token checkpoint
+        advances AFTER the consumer returns from each yield (so a recorder
+        persists the batch before the token moves). Ends when the server
+        closes the cursor (id 0) or after ``max_batches``."""
         batches = 0
         batch = getattr(self, "_batch", [])
         while True:
-            for doc in batch:
-                self._seq += 1
-                yield decode_change_event(doc, self._seq)
-                self.resume_token = doc.get("_id")
             if batch:
+                yield batch
+                self.resume_token = batch[-1].get("_id")
                 self.save_checkpoint()
             batches += 1
             if self.cursor_id == 0:
@@ -268,6 +267,13 @@ class MongoChangeStreamClient:
             cur = reply["cursor"]
             self.cursor_id = cur["id"]
             batch = cur.get("nextBatch", [])
+
+    def events(self, max_batches: int | None = None):
+        """Yield CDC rows (decoded batch by batch — the Watch consumer)."""
+        for batch in self.batches(max_batches):
+            for doc in batch:
+                self._seq += 1
+                yield decode_change_event(doc, self._seq)
 
     def close(self) -> None:
         """killCursors — the Watch close (`source.go:120-127`)."""

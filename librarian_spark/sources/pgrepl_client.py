@@ -214,11 +214,23 @@ class ReplicationSlotClient:
             ),
         )
 
-    def stream(self, max_rows: int | None = None):
-        """Yield CDC rows until the server ends the copy stream (or
-        ``max_rows`` is reached — the test/bounded-drain hook). Keepalives
-        are answered inline; the checkpoint advances on every Commit."""
-        yielded = 0
+    def commit_ack(self, commit_payload: bytes) -> None:
+        """Acknowledge a DELIVERED-AND-DURABLE Commit: advance the flushed
+        LSN to its end LSN, persist the checkpoint, send the standby
+        status. CONSUMER-driven, not automatic: the recorder calls this
+        only after the segment holding the transaction is on disk —
+        acking inside the frame loop would let the server discard WAL the
+        consumer had only buffered (silent loss on crash)."""
+        (_flags, _clsn, end_lsn) = struct.unpack_from(">BQQ", commit_payload, 1)
+        self.flushed_lsn = max(self.flushed_lsn, end_lsn)
+        self.save_checkpoint()
+        self.ack()
+
+    def frames(self):
+        """Yield raw pgoutput message payloads (the bytes inside XLogData)
+        until the server ends the copy stream. Keepalives are answered
+        inline at the CURRENT flushed LSN; advancing it is the consumer's
+        job via :meth:`commit_ack` once the data is safe."""
         while True:
             tag, body = read_backend_message(self.sock)
             if tag == b"E":
@@ -239,17 +251,19 @@ class ReplicationSlotClient:
                 continue
             wal_start, wal_end, _ts = struct.unpack(">QQq", body[1:25])
             self.received_lsn = max(self.received_lsn, wal_end)
-            payload = body[25:]
+            yield body[25:]
+
+    def stream(self, max_rows: int | None = None):
+        """Yield decoded CDC rows (``max_rows`` is the bounded-drain hook);
+        rows ARE the durable product here, so every Commit acks as soon as
+        its rows have been handed to the caller."""
+        yielded = 0
+        for payload in self.frames():
             for row in self.decoder.feed(payload) or ():
                 yielded += 1
                 yield row
                 if max_rows is not None and yielded >= max_rows:
                     self.save_checkpoint()
                     return
-            # a Commit closes the transaction: everything at or below its
-            # end LSN is now safe to acknowledge and persist
             if payload[:1] == b"C":
-                (_flags, _clsn, end_lsn) = struct.unpack_from(">BQQ", payload, 1)
-                self.flushed_lsn = max(self.flushed_lsn, end_lsn)
-                self.save_checkpoint()
-                self.ack()
+                self.commit_ack(payload)

@@ -1,0 +1,126 @@
+"""Segment recorders — the bridge from the wire clients to the Spark sources.
+
+The reference's architecture is a single-writer network consumer feeding a
+replicated store; this repo's Spark-first equivalent splits the same work
+at the segment boundary:
+
+    wire client (driver-side, single-writer, ordered)
+        → immutable segment files (lexicographic name order = stream order)
+            → custom Spark DataSource (one input partition per segment,
+              executor-PARALLEL decode, streaming offsets + checkpoint)
+
+The recorders here are the middle arrow. Each drains its protocol client
+into the exact segment layout its DataSource consumes, with the
+crash-safety ordering both layers already promise:
+
+* segments are written atomically (tmp+rename, so a concurrently polling
+  stream reader never sees a half-written file) and named monotonically;
+* the client's checkpoint (flushed LSN / resume token) only advances
+  AFTER the segment holding that data is durable — a crash between the
+  two replays the tail into a fresh segment, and the decoders' keyed
+  downstream (LSN/position) makes the replay idempotent;
+* ``.pgwal`` segments are SELF-CONTAINED: every segment is prefixed with
+  the Relation messages its rows reference (a WAL sender re-sends
+  Relation on every new stream; the recorder caches and replays them at
+  every rotation), which is what lets Spark decode segments in parallel
+  with no cross-segment state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from librarian_spark.sources import pgoutput as _pg
+
+__all__ = ["PgWalRecorder", "ChangeStreamRecorder"]
+
+
+class PgWalRecorder:
+    """Drain :class:`..pgrepl_client.ReplicationSlotClient` frames into
+    self-contained ``.pgwal`` segments, rotating every N transactions."""
+
+    def __init__(self, out_dir: str, txns_per_segment: int = 1):
+        self.out_dir = out_dir
+        self.txns_per_segment = txns_per_segment
+        os.makedirs(out_dir, exist_ok=True)
+        self.relations: dict[int, bytes] = {}  # rel_id → latest 'R' bytes
+        self._buf: list[bytes] = []
+        self._txns = 0
+        existing = [
+            f for f in os.listdir(out_dir) if f.endswith(".pgwal")
+        ]
+        self._next_seg = len(existing)  # resume numbering after a restart
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        name = os.path.join(self.out_dir, f"seg-{self._next_seg:08d}.pgwal")
+        # self-contained: prefix the relation registry this buffer needs
+        _pg.write_segment(name, list(self.relations.values()) + self._buf)
+        self._next_seg += 1
+        self._buf = []
+        self._txns = 0
+
+    def record(self, client, max_txns: int | None = None) -> int:
+        """Consume ``client.frames()`` until the stream ends (or
+        ``max_txns`` transactions landed); returns transactions recorded.
+        Durable-before-ack: ``client.commit_ack`` fires only AFTER the
+        segment holding that commit is flushed — a crash in between
+        replays the un-acked tail into a fresh segment, and the LSN-keyed
+        positions keep the replay idempotent downstream."""
+        recorded = 0
+        pending_commit: bytes | None = None
+        for payload in client.frames():
+            tag = payload[:1]
+            if tag == b"R":
+                rel = _pg.parse_message(payload)["relation"]
+                self.relations[rel.rel_id] = payload
+                continue  # replayed at every rotation, not buffered inline
+            self._buf.append(payload)
+            if tag == b"C":
+                self._txns += 1
+                recorded += 1
+                pending_commit = payload  # highest buffered commit
+                if self._txns >= self.txns_per_segment:
+                    self._flush()
+                    client.commit_ack(pending_commit)
+                    pending_commit = None
+                if max_txns is not None and recorded >= max_txns:
+                    break
+        self._flush()  # tail (possibly an uncommitted fragment on abort)
+        if pending_commit is not None:
+            client.commit_ack(pending_commit)
+        return recorded
+
+
+class ChangeStreamRecorder:
+    """Drain :class:`..mongo_wire.MongoChangeStreamClient` batches into
+    ``.cstream`` segments (JSONL change documents) — one segment per
+    non-empty cursor batch."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        existing = [
+            f for f in os.listdir(out_dir) if f.endswith(".cstream")
+        ]
+        self._next_seg = len(existing)
+
+    def record(self, client, max_batches: int | None = None) -> int:
+        """Consume ``client.batches()``; returns documents recorded. The
+        segment is durable before the yield returns, so the resume-token
+        checkpoint (which advances after the yield) never outruns disk."""
+        docs = 0
+        for batch in client.batches(max_batches):
+            name = os.path.join(
+                self.out_dir, f"seg-{self._next_seg:08d}.cstream"
+            )
+            tmp = name + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for doc in batch:
+                    fh.write(json.dumps(doc, separators=(",", ":")) + "\n")
+            os.replace(tmp, name)
+            self._next_seg += 1
+            docs += len(batch)
+        return docs
