@@ -9,9 +9,11 @@ specifications ("MongoDB Wire Protocol" OP_MSG + the BSON spec):
   responseTo, opCode=2013), uint32 flagBits, section kind 0 carrying one
   BSON command document;
 * a BSON codec for the subset change-stream traffic uses (double, string,
-  document, array, bool, null, int32, int64, uint64 cursor ids, and the
-  0x11 timestamp type, which decodes to the ``{"$timestamp": {t, i}}``
-  Extended-JSON shape :func:`..mongo_changestream.unwrap_extended_json`
+  document, array, bool, null, int32, int64, ObjectId, UTC datetime,
+  binary, and the 0x11 timestamp type — ObjectId/datetime/binary decode
+  to their Extended-JSON wrappers (``{"$oid"}``/``{"$date"}``/
+  ``{"$binary"}``), and the timestamp to the ``{"$timestamp": {t, i}}``
+  shape :func:`..mongo_changestream.unwrap_extended_json`
   already understands);
 * the change-stream cursor protocol: an ``aggregate`` command whose
   pipeline starts with ``$changeStream`` (``resumeAfter`` when resuming)
@@ -67,6 +69,14 @@ def _enc_value(v) -> tuple[int, bytes]:
         if set(v) == {"$timestamp"}:  # Extended-JSON shape → BSON 0x11
             t, i = int(v["$timestamp"]["t"]), int(v["$timestamp"]["i"])
             return 0x11, struct.pack("<II", i, t)
+        if set(v) == {"$oid"}:  # ObjectId → 0x07 (12 raw bytes)
+            return 0x07, bytes.fromhex(v["$oid"])
+        if set(v) == {"$date"}:  # UTC datetime → 0x09 (int64 epoch ms)
+            return 0x09, struct.pack("<q", int(v["$date"]))
+        if set(v) == {"$binary"}:  # → 0x05 (len, subtype byte, bytes)
+            raw = base64.b64decode(v["$binary"]["base64"])
+            sub = int(v["$binary"]["subType"], 16)
+            return 0x05, struct.pack("<iB", len(raw), sub) + raw
         return 0x03, bson_encode(v)
     if isinstance(v, (list, tuple)):
         return 0x04, bson_encode({str(i): x for i, x in enumerate(v)})
@@ -100,8 +110,22 @@ def _dec_value(t: int, buf: bytes, pos: int):
         if t == 0x04:
             return [inner[str(i)] for i in range(len(inner))], pos + n
         return inner, pos + n
+    if t == 0x05:  # binary → Extended-JSON wrapper
+        (n,) = struct.unpack_from("<i", buf, pos)
+        sub = buf[pos + 4]
+        raw = buf[pos + 5 : pos + 5 + n]
+        return {
+            "$binary": {
+                "base64": base64.b64encode(raw).decode(),
+                "subType": f"{sub:02x}",
+            }
+        }, pos + 5 + n
+    if t == 0x07:  # ObjectId — the default _id type on a real server
+        return {"$oid": buf[pos : pos + 12].hex()}, pos + 12
     if t == 0x08:
         return buf[pos] != 0, pos + 1
+    if t == 0x09:  # UTC datetime → {"$date": epoch_ms}
+        return {"$date": struct.unpack_from("<q", buf, pos)[0]}, pos + 8
     if t == 0x0A:
         return None, pos
     if t == 0x10:
@@ -204,6 +228,8 @@ class MongoChangeStreamClient:
             fh.write(
                 base64.b64encode(bson_encode(self.resume_token)).decode()
             )
+            fh.flush()
+            os.fsync(fh.fileno())  # the token is a durability promise
         os.replace(tmp, self.checkpoint_path)
 
     # -- wire --------------------------------------------------------------
@@ -246,6 +272,9 @@ class MongoChangeStreamClient:
         closes the cursor (id 0) or after ``max_batches``."""
         batches = 0
         batch = getattr(self, "_batch", [])
+        self._batch = []  # consume: a later batches() call must not replay
+        # the firstBatch (duplicate rows + a checkpoint REGRESSION to its
+        # token) — the buffer is single-shot
         while True:
             if batch:
                 yield batch

@@ -180,6 +180,8 @@ class ReplicationSlotClient:
         tmp = self.checkpoint_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(lsn_str(self.flushed_lsn))
+            fh.flush()
+            os.fsync(fh.fileno())  # the LSN is a durability promise
         os.replace(tmp, self.checkpoint_path)
 
     # -- protocol ----------------------------------------------------------

@@ -33,7 +33,24 @@ import os
 
 from librarian_spark.sources import pgoutput as _pg
 
-__all__ = ["PgWalRecorder", "ChangeStreamRecorder"]
+__all__ = ["PgWalRecorder", "ChangeStreamRecorder", "fsync_file_and_dir"]
+
+
+def fsync_file_and_dir(path: str) -> None:
+    """Force the file AND its directory entry to stable storage — an
+    os.replace alone leaves both in the page cache, and acking the server
+    on page-cache-only data means a power loss loses transactions the
+    server has already discarded."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 class PgWalRecorder:
@@ -50,7 +67,11 @@ class PgWalRecorder:
         existing = [
             f for f in os.listdir(out_dir) if f.endswith(".pgwal")
         ]
-        self._next_seg = len(existing)  # resume numbering after a restart
+        # max+1, NOT len(): a retention gap in the sequence would make
+        # len() collide with (and atomically clobber) a live segment
+        self._next_seg = 1 + max(
+            (int(f.split("-")[1].split(".")[0]) for f in existing), default=-1
+        )
 
     def _flush(self) -> None:
         if not self._buf:
@@ -58,6 +79,7 @@ class PgWalRecorder:
         name = os.path.join(self.out_dir, f"seg-{self._next_seg:08d}.pgwal")
         # self-contained: prefix the relation registry this buffer needs
         _pg.write_segment(name, list(self.relations.values()) + self._buf)
+        fsync_file_and_dir(name)  # durable BEFORE the caller acks
         self._next_seg += 1
         self._buf = []
         self._txns = 0
@@ -75,6 +97,15 @@ class PgWalRecorder:
             tag = payload[:1]
             if tag == b"R":
                 rel = _pg.parse_message(payload)["relation"]
+                if self.relations.get(rel.rel_id) not in (None, payload) \
+                        and self._buf:
+                    # schema CHANGE mid-buffer: rotate first, else already-
+                    # buffered DML would decode against the newer Relation
+                    # version (misaligned tuples after an ALTER TABLE)
+                    self._flush()
+                    if pending_commit is not None:
+                        client.commit_ack(pending_commit)
+                        pending_commit = None
                 self.relations[rel.rel_id] = payload
                 continue  # replayed at every rotation, not buffered inline
             self._buf.append(payload)
@@ -105,7 +136,9 @@ class ChangeStreamRecorder:
         existing = [
             f for f in os.listdir(out_dir) if f.endswith(".cstream")
         ]
-        self._next_seg = len(existing)
+        self._next_seg = 1 + max(
+            (int(f.split("-")[1].split(".")[0]) for f in existing), default=-1
+        )
 
     def record(self, client, max_batches: int | None = None) -> int:
         """Consume ``client.batches()``; returns documents recorded. The
@@ -120,7 +153,10 @@ class ChangeStreamRecorder:
             with open(tmp, "w", encoding="utf-8") as fh:
                 for doc in batch:
                     fh.write(json.dumps(doc, separators=(",", ":")) + "\n")
+                fh.flush()
+                os.fsync(fh.fileno())
             os.replace(tmp, name)
+            fsync_file_and_dir(name)  # durable BEFORE the token advances
             self._next_seg += 1
             docs += len(batch)
         return docs

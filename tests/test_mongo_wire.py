@@ -52,6 +52,11 @@ def test_bson_round_trip():
         "z": None,
         "ts": {"$timestamp": {"t": 1_700_000_000, "i": 3}},
         "sub": {"k": "v", "arr": [1, "two", {"x": False}]},
+        # the types a REAL server sends that the mock corpus doesn't:
+        # default ObjectId _ids, Date fields, binary payloads
+        "oid": {"$oid": "65f0a1b2c3d4e5f6a7b8c9d0"},
+        "dt": {"$date": 1_700_000_000_123},
+        "bin": {"$binary": {"base64": "cGF5bG9hZA==", "subType": "00"}},
     }
     assert bson_decode(bson_encode(doc)) == doc
 
