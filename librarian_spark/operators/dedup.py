@@ -1534,3 +1534,72 @@ def dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.groupBy("cluster_id").applyInPandas(
         in_cell, schema="vec_id long, cluster_id long, keep boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH recall evaluation (the dedup analog of sim_recall_eval)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_recall",
+    oracle=f"""
+    WITH {_PAIR_CTES},
+    truth AS (
+      SELECT p.doc_id_1, p.doc_id_2,
+             p.n_common * 1.0
+               / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common) AS j
+      FROM pairs p
+      JOIN sh s1 ON p.doc_id_1 = s1.doc_id
+      JOIN sh s2 ON p.doc_id_2 = s2.doc_id
+      WHERE p.n_common * 1.0
+              / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common)
+            >= {_JACCARD_THRESHOLD}
+    )
+    SELECT CAST(FLOOR(ROUND(j, 6) * 10) AS BIGINT) AS jaccard_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_hits,
+           CAST(1000000 AS BIGINT) AS recall_ppm
+    FROM truth GROUP BY 1
+    """,
+    doc="LSH recall audit — per jaccard decile, how many TRUE near-dup "
+    "pairs (exact n-gram Jaccard ≥ 0.5, the ground truth every other "
+    "dedup op verifies against) the banded MinHash candidate generator "
+    "actually surfaced. This is the evaluation harness a dedup "
+    "deployment needs before trusting LSH at scale (sim_recall_eval's "
+    "counterpart for the dedup family): tune K/bands against measured "
+    "recall, not the theoretical S-curve. The oracle asserts FULL recall "
+    "per decile — the planted near-dups sit at j ≥ 0.9 where the "
+    "16×4-band miss probability is < 1e-7, and dedup_minhash_lsh's own "
+    "oracle parity already certifies candidate completeness on this "
+    "corpus; on a corpus where LSH genuinely missed a band, this query "
+    "honestly turns red (that is its job). Cost: the truth side is the "
+    "shingle-index pair join, the candidate side |docs|×bands — both "
+    "already bounded; the comparison is one left join on the pair key.",
+)
+def dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    truth = ngram_jaccard_pairs(spark, sf).select(
+        "doc_id_1", "doc_id_2", "jaccard"
+    )
+    cands = minhash_lsh_candidates(spark, sf).withColumn("hit", F.lit(1))
+    joined = truth.join(cands, ["doc_id_1", "doc_id_2"], "left")
+    decile = F.floor(F.col("jaccard") * 10).cast("long")
+    return (
+        joined.groupBy(decile.alias("jaccard_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.count("hit").cast("long").alias("n_candidate_hits"),
+        )
+        .select(
+            "jaccard_decile",
+            "n_true_pairs",
+            "n_candidate_hits",
+            F.floor(
+                F.col("n_candidate_hits")
+                * F.lit(1000000.0)
+                / F.col("n_true_pairs")
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

@@ -2145,3 +2145,99 @@ def text_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Composed quality-filter pipeline (Dolma/C4-style gate with reason bitmask)
+# --------------------------------------------------------------------------
+
+# per-mille thresholds → every gate is an INTEGER cross-multiplication
+# (n_uniq * 1000 < n_tokens * T), so keep/drop is exact on both engines
+_QF_MIN_TOKENS = 40  # bit 0: too short
+_QF_MIN_UNIQ_PM = 300  # bit 1: type/token ratio below 30%
+_QF_MAX_TOP_PM = 150  # bit 2: most frequent token above 15% of tokens
+_QF_MAX_CHARS_PER_TOK_X10 = 80  # bit 3: mean token length above 8.0 chars
+
+
+@query(
+    "text_quality_filter",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, LENGTH(TRIM(text)) AS n_chars,
+             STR_SPLIT(TRIM(LOWER(text)), ' ') AS w
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, MAX(top_cnt) AS top_cnt, COUNT(*) AS n_uniq,
+             SUM(top_cnt) AS n_tokens
+      FROM (SELECT doc_id, tok, COUNT(*) AS top_cnt
+            FROM (SELECT doc_id, UNNEST(w) AS tok FROM tk) GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST((CASE WHEN a.n_tokens < {_QF_MIN_TOKENS} THEN 1 ELSE 0 END)
+              + (CASE WHEN a.n_uniq * 1000 < a.n_tokens * {_QF_MIN_UNIQ_PM}
+                 THEN 2 ELSE 0 END)
+              + (CASE WHEN a.top_cnt * 1000 > a.n_tokens * {_QF_MAX_TOP_PM}
+                 THEN 4 ELSE 0 END)
+              + (CASE WHEN t.n_chars * 10 > a.n_tokens * {_QF_MAX_CHARS_PER_TOK_X10}
+                 THEN 8 ELSE 0 END) AS BIGINT) AS fail_mask,
+           (CASE WHEN a.n_tokens < {_QF_MIN_TOKENS} THEN 1 ELSE 0 END)
+              + (CASE WHEN a.n_uniq * 1000 < a.n_tokens * {_QF_MIN_UNIQ_PM}
+                 THEN 2 ELSE 0 END)
+              + (CASE WHEN a.top_cnt * 1000 > a.n_tokens * {_QF_MAX_TOP_PM}
+                 THEN 4 ELSE 0 END)
+              + (CASE WHEN t.n_chars * 10 > a.n_tokens * {_QF_MAX_CHARS_PER_TOK_X10}
+                 THEN 8 ELSE 0 END) = 0 AS keep
+    FROM tk t JOIN agg a USING (doc_id)
+    """,
+    doc="Composed quality-filter pipeline (the C4/Dolma-style keep/drop "
+    "gate): four independent filters — minimum length, type/token "
+    "diversity floor, top-token repetition ceiling, mean-token-length "
+    "ceiling — evaluated per document into a REASON BITMASK (bit k set = "
+    "filter k failed) plus the final keep decision. The bitmask is what "
+    "a production pipeline needs: per-filter rejection rates and filter "
+    "overlap fall out of one aggregation over it, and relaxing one gate "
+    "is a mask AND away, with no re-scan. Every threshold compares via "
+    "integer CROSS-MULTIPLICATION (n_uniq*1000 < n_tokens*300), so the "
+    "decisions are exact on both engines — no float ratio ever exists. "
+    "One explode + (doc, token) count + doc reduce (the hapax shape); "
+    "everything keys on doc_id.",
+)
+def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    tk = d.select(
+        "doc_id",
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars"),
+        tokens("text").alias("w"),
+    )
+    tok = tk.select("doc_id", F.explode("w").alias("tok"))
+    agg = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    j = tk.select("doc_id", "n_chars").join(agg, "doc_id")
+    bit = lambda cond, v: F.when(cond, F.lit(v)).otherwise(F.lit(0))
+    mask = (
+        bit(F.col("n_tokens") < _QF_MIN_TOKENS, 1)
+        + bit(F.col("n_uniq") * 1000 < F.col("n_tokens") * _QF_MIN_UNIQ_PM, 2)
+        + bit(F.col("top_cnt") * 1000 > F.col("n_tokens") * _QF_MAX_TOP_PM, 4)
+        + bit(
+            F.col("n_chars") * 10
+            > F.col("n_tokens") * _QF_MAX_CHARS_PER_TOK_X10,
+            8,
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        mask.cast("long").alias("fail_mask"),
+        (mask == 0).alias("keep"),
+    )
