@@ -597,3 +597,154 @@ def cdc_mongo_changestream(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("c_acctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Live wire replication E2E (socket → slot client → recorder → decode)
+# --------------------------------------------------------------------------
+
+_WIRE_TXN = 5  # suppliers per insert transaction
+
+
+@query(
+    "cdc_wire_replication",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 3 = 0 THEN -1.0
+                ELSE CAST(s_acctbal AS DOUBLE) END AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey % 5 != 0
+    """,
+    doc="The FULL live replication loop at the wire level, end to end in "
+    "one query: an in-process WAL sender (the dev-Postgres analog) "
+    "serves the supplier table as pgoutput transactions over a real "
+    "socket speaking the streaming-replication protocol; the "
+    "ReplicationSlotClient drains it through the START_REPLICATION "
+    "handshake with keepalive acks; the PgWalRecorder lands "
+    "self-contained .pgwal segments with durable-before-ack ordering; "
+    "the connection then DROPS mid-stream and a second session resumes "
+    "from the checkpointed LSN (update txn restating keys divisible by "
+    "3 with acctbal -1.0, delete txn for keys divisible by 5 — the "
+    "server re-streams only past the acknowledged LSN); finally the "
+    "pgoutput DataSource decodes all segments EXECUTOR-PARALLEL and one "
+    "max_by-per-key aggregate materializes the final table. The oracle "
+    "replays insert∘update∘delete algebraically. Recording is "
+    "driver-side single-writer (honest: that is what a slot consumer "
+    "IS); the scale path is the per-segment parallel decode.",
+)
+def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
+    from librarian_spark.sources import pgoutput as pg
+    from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
+    from librarian_spark.sources.pgrepl_mock import MockWalSender
+    from librarian_spark.sources.recorders import PgWalRecorder
+
+    base = _cache_base("pgwire", sf, "supplier", salt=f"txn{_WIRE_TXN}-u3-d5-v1")
+    _sweep_run_dirs("/tmp", ("librarian_pgwire_",))
+    wal = os.path.join(base, "wal")
+    marker = os.path.join(wal, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(wal, exist_ok=True)
+        src = (
+            _t(spark, sf, "supplier")
+            .select("s_suppkey", "s_name", "s_acctbal")
+            .orderBy("s_suppkey")
+            .collect()
+        )
+        cols = [
+            ("s_suppkey", pg.OID_INT8),
+            ("s_name", 25),  # text
+            ("s_acctbal", 701),  # float8 — stays text through decode
+        ]
+        rel = pg.encode_relation(71001, "public", "supplier", cols)
+
+        def vals(r, acctbal=None):
+            return [
+                str(r.s_suppkey),
+                r.s_name,
+                repr(float(r.s_acctbal if acctbal is None else acctbal)),
+            ]
+
+        ts0 = 1_700_000_000_000
+        chunks = [src[i : i + _WIRE_TXN] for i in range(0, len(src), _WIRE_TXN)]
+        txns = []
+        for i, chunk in enumerate(chunks):
+            lsn = 1000 + i * 16
+            msgs = [pg.encode_begin(lsn, ts0 + i, 10 + i)]
+            msgs += [pg.encode_insert(71001, vals(r)) for r in chunk]
+            msgs.append(pg.encode_commit(lsn, lsn + 8, ts0 + i))
+            txns.append((lsn + 8, msgs))
+        cut_lsn = txns[len(txns) // 2][0]  # the connection drops HERE
+        n = len(chunks)
+        u_lsn, d_lsn = 1000 + n * 16, 1016 + n * 16
+        upd = [r for r in src if r.s_suppkey % 3 == 0]
+        msgs = [pg.encode_begin(u_lsn, ts0 + n + 1, 900)]
+        msgs += [pg.encode_update(71001, vals(r, -1.0)) for r in upd]
+        msgs.append(pg.encode_commit(u_lsn, u_lsn + 8, ts0 + n + 1))
+        txns.append((u_lsn + 8, msgs))
+        dels = [r for r in src if r.s_suppkey % 5 == 0]
+        msgs = [pg.encode_begin(d_lsn, ts0 + n + 2, 901)]
+        msgs += [
+            pg.encode_delete(71001, [str(r.s_suppkey), None, None])
+            for r in dels
+        ]
+        msgs.append(pg.encode_commit(d_lsn, d_lsn + 8, ts0 + n + 2))
+        txns.append((d_lsn + 8, msgs))
+
+        ckpt = os.path.join(wal, "_lsn.ckpt")
+        # session 1: drops after the mid-stream cut
+        srv1 = MockWalSender(txns, relations=[rel], upto=cut_lsn)
+        sock1, t1 = srv1.connect()
+        client1 = ReplicationSlotClient(
+            sock1, slot="librarian", publication="pub", db="appdb",
+            checkpoint_path=ckpt,
+        )
+        client1.start()
+        PgWalRecorder(wal, txns_per_segment=2).record(client1)
+        t1.join(timeout=10)
+        sock1.close()
+        # session 2: resume from the checkpoint — only the tail streams
+        srv2 = MockWalSender(txns, relations=[rel])
+        sock2, t2 = srv2.connect()
+        client2 = ReplicationSlotClient(
+            sock2, slot="librarian", publication="pub", db="appdb",
+            checkpoint_path=ckpt,
+        )
+        resumed_from = client2.start()
+        if resumed_from != cut_lsn:
+            raise RuntimeError(
+                f"resume LSN {resumed_from} != session-1 cut {cut_lsn}"
+            )
+        PgWalRecorder(wal, txns_per_segment=2).record(client2)
+        t2.join(timeout=10)
+        sock2.close()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    pg.register(spark)
+    ev = (
+        spark.read.format("pgoutput")
+        .option("path", wal)
+        .option("db", "appdb")
+        .load()
+    )
+    seq = F.split(F.col("position"), ":").getItem(1).cast("long")
+    keyed = ev.withColumn(
+        "k",
+        F.coalesce(
+            F.get_json_object("after", "$.s_suppkey"),
+            F.get_json_object("before", "$.s_suppkey"),
+        ).cast("long"),
+    ).withColumn("seq", seq)
+    last = keyed.groupBy("k").agg(
+        F.max_by(F.struct("op", "after"), F.struct("lsn", "seq")).alias("last")
+    )
+    return last.filter(F.col("last.op") != "d").select(
+        F.col("k").alias("s_suppkey"),
+        F.get_json_object("last.after", "$.s_name").alias("s_name"),
+        F.get_json_object("last.after", "$.s_acctbal")
+        .cast("double")
+        .alias("s_acctbal"),
+    )

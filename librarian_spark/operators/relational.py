@@ -6242,3 +6242,156 @@ def graph_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
         F.col("common").cast("long").alias("common_neighbors"),
         F.col("ra_score_e9").cast("long").alias("ra_score_e9"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q100 Lorenz/Gini concentration of customer spend (exact, global-sort-free)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q100_lorenz_gini",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS k FROM m),
+    s AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS t,
+                 SUM(CAST(k AS HUGEINT) * x) AS sk
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS BIGINT) AS total_cents,
+           CAST(FLOOR((2.0 * CAST(sk AS DOUBLE) - (n + 1) * CAST(t AS DOUBLE))
+                      * 1000000.0 / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)))
+                AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+    doc="Corpus-level Gini coefficient of customer spend (the Lorenz "
+    "concentration number behind whale-revenue and data-skew reporting) "
+    "via the rank identity G = (2·Σk·x₍k₎)/(n·Σx) − (n+1)/n — EXACT "
+    "ranks over all customers with no global sort: the q79 "
+    "range-partition construction assigns k = partition offset + "
+    "within-partition row_number (P driver-side rows, cluster-bounded). "
+    "Σk·x accumulates in DECIMAL(38,0) — int64 overflows around sf100 "
+    "while DuckDB silently widens to HUGEINT (the ppm-divergence class); "
+    "decimal sums are exact integer arithmetic on both engines, and the "
+    "final ratio converts the same exact integers to DOUBLE identically. "
+    "One aggregate + one range shuffle + a 1-row reduce.",
+)
+def q100_lorenz_gini(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        m.repartitionByRange(
+            n_parts, F.col("x").asc(), F.col("o_custkey").asc()
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin layout between the count action and ranking
+    )
+    counts = sorted(
+        ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offs, acc = [], 0
+    for row in counts:
+        offs.append((row._pid, acc))
+        acc += row.c
+    offdf = spark.createDataFrame(offs, "_pid int, _off long")
+    w = W.partitionBy("_pid").orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = ranged.join(F.broadcast(offdf), "_pid").withColumn(
+        "k", F.col("_off") + F.row_number().over(w)
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("t"),
+        F.sum(
+            F.col("k").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("sk"),
+    )
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t").cast("long").alias("total_cents"),
+        F.floor(
+            (F.lit(2.0) * F.col("sk").cast("double") - (nd + 1) * td)
+            * F.lit(1000000.0)
+            / (nd * td)
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q101 ANALYZE-style column statistics (the CBO/catalog-stats collection pass)
+# --------------------------------------------------------------------------
+
+_Q101_COLS = ["l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"]
+
+
+@query(
+    "q101_column_stats",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', COUNT(*), COUNT(*) - COUNT(l_suppkey),
+           COUNT(DISTINCT l_suppkey),
+           CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate),
+           CAST(CAST(l_min AS DATE) AS VARCHAR), CAST(CAST(l_max AS DATE) AS VARCHAR)
+    FROM (SELECT *, MIN(l_shipdate) OVER () AS l_min,
+                 MAX(l_shipdate) OVER () AS l_max FROM lineitem)
+    GROUP BY l_min, l_max
+    """,
+    doc="ANALYZE-style column statistics — per column: row count, null "
+    "count, EXACT distinct count, min/max rendered as text — the "
+    "catalog-stats collection pass every cost-based optimizer and data "
+    "catalog runs after ingest (Spark's own ANALYZE TABLE ... COMPUTE "
+    "STATISTICS FOR COLUMNS shape, materialized as a queryable result). "
+    "One pass per column family: Spark plans the multi-distinct "
+    "aggregate via Expand (each distinct column gets its own partial "
+    "dedup, map-side combined) — no join, no window; at 100 TB swap "
+    "exact ndv for HLL (q42's sketch) per the documented trade. "
+    "Dates/keys render identically on both engines (ISO dates, plain "
+    "integers) — no float formatting exists.",
+)
+def q101_column_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    out = None
+    for c in _Q101_COLS:
+        is_date = c == "l_shipdate"
+        col = F.col(c).cast("date") if is_date else F.col(c)
+        d = li.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_null"),
+            F.countDistinct(col).cast("long").alias("ndv"),
+            F.min(col).cast("string").alias("min_s"),
+            F.max(col).cast("string").alias("max_s"),
+        ).select(
+            F.lit(c).alias("col_name"),
+            "n_rows",
+            "n_null",
+            "ndv",
+            "min_s",
+            "max_s",
+        )
+        out = d if out is None else out.unionByName(d)
+    return out

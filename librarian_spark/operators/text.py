@@ -2241,3 +2241,65 @@ def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
         mask.cast("long").alias("fail_mask"),
         (mask == 0).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Top-K vocabulary coverage curve (tokenizer-budget planning)
+# --------------------------------------------------------------------------
+
+_VC_TOP = 100  # ranked head size (fixed constant — bounded by design)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+      SELECT UNNEST(STR_SPLIT(TRIM(LOWER(text)), ' ')) AS tok FROM documents
+    ),
+    tc AS (SELECT tok, COUNT(*) AS c FROM w WHERE tok <> '' GROUP BY 1),
+    tot AS (SELECT SUM(c) AS t FROM tc),
+    top AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM tc
+      QUALIFY r <= {_VC_TOP}
+    ),
+    cum AS (SELECT r, SUM(c) OVER (ORDER BY r) AS cov FROM top)
+    SELECT CAST(r AS BIGINT) AS k, CAST(cov AS BIGINT) AS covered_tokens,
+           CAST(FLOOR(cov * 1000000.0 / t) AS BIGINT) AS coverage_ppm
+    FROM cum, tot WHERE r % 10 = 0
+    """,
+    doc=f"Vocabulary coverage curve — what share of ALL token occurrences "
+    f"the top-k most frequent types cover, for k = 10..{_VC_TOP} step 10: "
+    "the curve that sizes tokenizer vocabularies and byte-fallback "
+    "budgets (a head-heavy curve means a small vocab suffices). Token "
+    "counts are one map-side-combining aggregate; the ranked head comes "
+    "via TakeOrderedAndProject (top-{_VC_TOP} on (count DESC, token) — "
+    "never a global sort of the vocabulary, which scales with the "
+    "corpus); the cumulative sum runs DRIVER-SIDE over those fixed "
+    f"{_VC_TOP} rows (a bounded constant, not a corpus-dependent "
+    "domain). The total is a 1-row scalar inlined as a literal.",
+)
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    w = d.select(F.explode(tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tc = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    total = tc.agg(F.sum("c")).collect()[0][0]
+    head = (
+        tc.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_VC_TOP)
+        .collect()
+    )
+    import math
+
+    rows, cov = [], 0
+    for r, row in enumerate(head, start=1):
+        cov += row.c
+        if r % 10 == 0:
+            # math.floor(a / b) replays the oracle's FLOOR(double division)
+            # operation-for-operation (float floordiv a // b is NOT the
+            # same primitive and can land 1 ulp away)
+            rows.append((r, cov, math.floor(cov * 1000000.0 / total)))
+    return spark.createDataFrame(
+        rows, "k long, covered_tokens long, coverage_ppm long"
+    )

@@ -7,9 +7,7 @@ checkpoint resume — the reference's connection loop
 
 from __future__ import annotations
 
-import re
 import socket
-import struct
 import threading
 
 from librarian_spark.sources.pgoutput import (
@@ -21,17 +19,18 @@ from librarian_spark.sources.pgoutput import (
 )
 from librarian_spark.sources.pgrepl_client import (
     ReplicationSlotClient,
-    encode_keepalive,
-    encode_xlogdata,
     lsn_str,
     parse_lsn,
-    parse_standby_status,
-    read_backend_message,
-    send_frontend_message,
     start_replication_query,
 )
+from librarian_spark.sources.pgrepl_mock import MockWalSender as _BaseSender
 
 REL = encode_relation(9001, "public", "users", [("id", OID_INT4), ("name", 25)])
+
+
+def MockWalSender(txns, upto=None):
+    """The shared package fixture, pre-loaded with this suite's Relation."""
+    return _BaseSender(txns, relations=[REL], upto=upto)
 
 
 def _txn(lsn: int, rows: list[list[str]]) -> tuple[int, list[bytes]]:
@@ -47,54 +46,6 @@ TXNS = [
     _txn(200, [["3", "carol"], ["4", "dave"]]),
     _txn(300, [["5", "erin"]]),
 ]
-
-
-class MockWalSender:
-    """Serves one replication session per connection: parses the
-    START_REPLICATION command, streams the transactions with commit LSN
-    above the requested start (a real sender re-sends Relation messages on
-    every new stream), interleaves a reply-requested keepalive, and
-    records every standby-status ack it receives."""
-
-    def __init__(self, txns, upto: int | None = None):
-        self.txns = txns
-        self.upto = upto  # serve only txns with end_lsn <= upto (session cut)
-        self.acks: list[dict] = []
-        self.start_cmds: list[str] = []
-
-    def serve(self, sock) -> None:
-        tag, body = read_backend_message(sock)
-        assert tag == b"Q"
-        sql = body.rstrip(b"\x00").decode()
-        self.start_cmds.append(sql)
-        m = re.search(r"LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)", sql)
-        start = parse_lsn(m.group(1))
-        send_frontend_message(sock, b"W", struct.pack(">BH", 0, 0))
-        # reply-requested keepalive before any data (source.go:132-152)
-        send_frontend_message(sock, b"d", encode_keepalive(start, True))
-        tag, body = read_backend_message(sock)  # the forced ack
-        assert tag == b"d"
-        self.acks.append(parse_standby_status(body))
-        send_frontend_message(sock, b"d", encode_xlogdata(0, 0, REL))
-        for end_lsn, msgs in self.txns:
-            if end_lsn <= start:
-                continue  # already acknowledged by this client
-            if self.upto is not None and end_lsn > self.upto:
-                break
-            for msg in msgs:
-                send_frontend_message(
-                    sock, b"d", encode_xlogdata(end_lsn - 8, end_lsn, msg)
-                )
-        # drain the per-commit acks (buffered), then end the copy stream
-        send_frontend_message(sock, b"c", b"")
-        sock.settimeout(2.0)
-        try:
-            while True:
-                tag, body = read_backend_message(sock)
-                if tag == b"d" and body[:1] == b"r":
-                    self.acks.append(parse_standby_status(body))
-        except (TimeoutError, ConnectionError, OSError):
-            pass
 
 
 def _session(server: MockWalSender, ckpt: str):
