@@ -16,7 +16,7 @@ scale/precision/length — mapped to a Spark ``StructType`` by
 :mod:`librarian_spark.schema`.
 
 Extensions beyond the reference (clearly additive, defaulting off):
-``source.format`` (parquet/csv/json/jdbc — the reference is JDBC-only),
+``source.format`` (parquet/csv/json/orc/jdbc — the reference is JDBC-only),
 ``source.path`` for file sources, and ``repository.partition_by``.
 """
 

@@ -2784,3 +2784,242 @@ def pipeline_late_data_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.col("w.start").cast("date").alias("day"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "pipeline_orc_snapshot",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+    doc="Snapshot pipeline over an ORC source (format breadth alongside "
+    "parquet/CSV/JSONL): an ORC export of orders is read through the "
+    "same configured-query snapshot path (`format: orc` in the librarian "
+    "YAML — additive extension, the reference is JDBC-only) and committed "
+    "via the shared batched-parquet + catalog writer. ORC is typed, so "
+    "no cast-at-ingest is needed; the oracle compares against the "
+    "ORIGINAL parquet values, so the hash match proves the "
+    "parquet→ORC→parquet round trip (int64, double, µs timestamp) is "
+    "value-exact. Scale: ORC scan, query, and write are all distributed "
+    "and map-only; ORC is the other columnar format a 100 TB lake "
+    "actually contains, and predicate pushdown / column pruning work "
+    "through Spark's native ORC reader the same way they do for parquet.",
+)
+def pipeline_orc_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.config import load_config_str
+    from librarian_spark.snapshot import run_snapshot_config
+    from librarian_spark.sources.batch import load_table
+
+    src = os.path.join(sf, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    base = f"/tmp/librarian_bench_orcsnap_{tag}"
+    orc_dir = f"{base}/orc"
+    if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .write.mode("overwrite")
+            .orc(orc_dir)
+        )
+    out = f"{base}/out"
+    cfg = load_config_str(
+        f"""
+name: bench-orc-snapshot
+archiver:
+  source:
+    format: orc
+    path: {orc_dir}
+    query: "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+            FROM source"
+  preserver:
+    batch_size_num_records: 100000
+  repository:
+    local:
+      path: {out}
+"""
+    )
+    rec = run_snapshot_config(spark, cfg)
+    if not rec.success or rec.num_source_records != rec.num_records_processed:
+        raise RuntimeError(f"orc snapshot count parity failed: {rec}")
+    return spark.read.parquet(out)
+
+
+@query(
+    "pipeline_stream_outer_join",
+    oracle="""
+    WITH v AS (
+      SELECT event_id AS view_id, ts AS vts, user_id
+      FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, ts AS pts, user_id
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    )
+    SELECT v.view_id, p.purchase_id
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.pts >= v.vts AND p.pts < v.vts + INTERVAL 2 HOUR
+    """,
+    doc="LEFT-OUTER stream-stream join with watermark-driven null "
+    "emission — the semantics pipeline_stream_join (inner) cannot show: "
+    "an unmatched view is emitted with a NULL purchase only once the "
+    "watermark proves no in-window purchase can still arrive. Staging "
+    "replays events as two DISJOINT ascending time slices (one file "
+    "per trigger, mtime-ordered — the late_data_metrics construction), "
+    "so no row is ever behind the watermark; a far-future sentinel pair "
+    "(one per side, user -1, filtered post-join) then pushes BOTH "
+    "watermarks past every view's expiry so state drains fully, with a "
+    "bounded nudge loop absorbing the engine's eviction-lags-one-batch "
+    "behavior. Oracle = the equivalent batch LEFT JOIN — the hash match "
+    "proves the incremental outer join converges to the batch answer. "
+    "Scale: state is bounded by the 2 h join window × watermark delay "
+    "per user key (Spark derives state eviction from the time-range "
+    "condition); the join shuffles once on user_id per micro-batch.",
+)
+def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    import json
+
+    base = _cache_base("soutjoin", sf, "events", salt="v2")
+    _sweep_run_dirs(base, ("out_", "ckpt_", "in_"))
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+    # slice staging is cached (shared, create-once behind atomic rename);
+    # the bounds/count scalars ride along in a meta file so repeat runs pay
+    # zero batch jobs before the stream starts
+    slices_dir, meta_path = f"{base}/slices", f"{base}/slices/_meta.json"
+    if not os.path.exists(meta_path):
+        bounds = ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("nv"),
+        ).collect()[0]
+        stage = f"{base}/slices_stage_{uuid.uuid4().hex[:8]}"
+        um = F.unix_micros("ts")
+        mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+        # two DISJOINT ascending time slices — one micro-batch each; slice 2
+        # holds the unmatched tail plus cross-batch matches of slice-1 views
+        ev.filter(um < mid).coalesce(1).write.mode("append").parquet(stage)
+        ev.filter(um >= mid).coalesce(1).write.mode("append").parquet(stage)
+        with open(f"{stage}/_meta.json", "w") as fh:
+            json.dump({"hi": bounds["hi"], "n_views": bounds["nv"]}, fh)
+        try:
+            os.rename(stage, slices_dir)
+        except OSError:  # concurrent build won — use theirs
+            shutil.rmtree(stage, ignore_errors=True)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    hi, n_views = meta["hi"], meta["n_views"]
+
+    run_id = uuid.uuid4().hex[:8]
+    # the input dir is RUN-PRIVATE (hardlinks into the shared slice cache):
+    # the nudge loop appends sentinel files mid-run, which must never race
+    # another run; links preserve slice mtimes, so sentinel files written
+    # now always sort AFTER them in the source's mtime order
+    in_dir, out, ckpt = (
+        f"{base}/in_{run_id}",
+        f"{base}/out_{run_id}",
+        f"{base}/ckpt_{run_id}",
+    )
+    os.makedirs(in_dir, exist_ok=True)
+    for fn in os.listdir(slices_dir):
+        if fn.endswith(".parquet") and not fn.startswith("."):
+            os.link(os.path.join(slices_dir, fn), os.path.join(in_dir, fn))
+
+    def _sentinel(days: int) -> None:
+        sent_ts = dt.datetime.fromtimestamp(
+            hi / 1e6, tz=dt.timezone.utc
+        ) + dt.timedelta(days=days)
+        spark.createDataFrame(
+            [(-1, sent_ts, -1, "view"), (-2, sent_ts, -1, "purchase")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    _sentinel(40)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def _side(kind: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "30 minutes")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("user_id").alias(f"{alias}_user"),
+            )
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # per-BATCH volume
+    try:
+        # Sentinel rows must flow THROUGH the stream: any sentinel-excluding
+        # filter here gets pushed below the watermark operator all the way to
+        # the parquet scan (Catalyst pushes deterministic filters through
+        # stream-stream joins and EventTimeWatermark), so the watermark would
+        # never see the sentinel's event time and state would never drain —
+        # observed as per-source offsets advancing with numInputRows=0.
+        # Sentinels are excluded at the final BATCH read instead.
+        joined = (
+            _side("view", "view")
+            .join(
+                _side("purchase", "purchase"),
+                (F.col("view_user") == F.col("purchase_user"))
+                & (F.col("purchase_ts") >= F.col("view_ts"))
+                & (
+                    F.col("purchase_ts")
+                    < F.col("view_ts") + F.expr("INTERVAL 2 HOURS")
+                ),
+                "leftOuter",
+            )
+            .select(
+                F.col("view_id").cast("long").alias("view_id"),
+                F.col("purchase_id").cast("long").alias("purchase_id"),
+            )
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        emitted = 0
+        for attempt in range(4):
+            q.processAllAvailable()
+            emitted = (
+                spark.read.schema("view_id long, purchase_id long")
+                .parquet(out)
+                .filter(F.col("view_id") >= 0)
+                .select("view_id")
+                .distinct()
+                .count()
+            )
+            if emitted >= n_views:
+                break
+            # eviction lags one batch — nudge with a further sentinel pair
+            _sentinel(80 + 40 * attempt)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if emitted != n_views:
+        raise RuntimeError(
+            f"outer join did not drain: {emitted} of {n_views} views emitted"
+        )
+    shutil.rmtree(in_dir, ignore_errors=True)
+    return (
+        spark.read.schema("view_id long, purchase_id long")
+        .parquet(out)
+        .filter(F.col("view_id") >= 0)
+    )

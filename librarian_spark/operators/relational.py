@@ -6395,3 +6395,191 @@ def q101_column_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = d if out is None else out.unionByName(d)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q102 mergeable log-bucket quantile sketch (DDSketch-style, γ=2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q102_log_quantile_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(LENGTH(BIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)))
+                  AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, bucket,
+             SUM(n) OVER (PARTITION BY flag ORDER BY bucket) AS cn,
+             SUM(n) OVER (PARTITION BY flag) AS tot
+      FROM h
+    ),
+    g AS (
+      SELECT flag,
+             MIN(CASE WHEN cn >= CEIL(CAST(0.5 AS DOUBLE) * tot)
+                      THEN bucket END) AS p50,
+             MIN(CASE WHEN cn >= CEIL(CAST(0.9 AS DOUBLE) * tot)
+                      THEN bucket END) AS p90,
+             MIN(CASE WHEN cn >= CEIL(CAST(0.99 AS DOUBLE) * tot)
+                      THEN bucket END) AS p99,
+             CAST(MIN(tot) AS BIGINT) AS total
+      FROM c GROUP BY flag
+    )
+    SELECT flag, 'p50' AS q_label, CAST(p50 AS BIGINT) AS bucket,
+           1.5 * POWER(2, p50 - 1) AS est_cents, total FROM g
+    UNION ALL
+    SELECT flag, 'p90', CAST(p90 AS BIGINT),
+           1.5 * POWER(2, p90 - 1), total FROM g
+    UNION ALL
+    SELECT flag, 'p99', CAST(p99 AS BIGINT),
+           1.5 * POWER(2, p99 - 1), total FROM g
+    """,
+    doc="Mergeable quantile sketch: a DDSketch with γ=2 — bucket index is "
+    "the integer-cents MSB position, computed EXACTLY on both engines as "
+    "LENGTH(BIN(cents)) (no floating log, so no ULP divergence at bucket "
+    "edges; relative error is bounded by the bucket ratio, ≤2×). The "
+    "sketch IS the (flag, bucket)→count map: a map-side-combining "
+    "aggregate of ≤63 buckets per group, mergeable across partitions / "
+    "days / reruns by adding counts — the property exact percentiles "
+    "(q73) lack and the reason every 100 TB telemetry pipeline ships "
+    "sketches, not sorted values. Quantile lookup = first bucket whose "
+    "cumulative count crosses ceil(q·total), a window over the ≤63-row "
+    "bucket domain per flag (corpus-INDEPENDENT bound: int64 has 63 MSB "
+    "positions). The estimate 1.5·2^(b-1) is a power of two times 1.5 — "
+    "IEEE-exact on both engines. Complements q33 (approx percentile), "
+    "q73 (exact), q70 (equi-depth): this is the only mergeable one.",
+)
+def q102_log_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.length(
+                F.expr("bin(CAST(ROUND(l_extendedprice * 100) AS BIGINT))")
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("flag", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    c = h.select(
+        "flag",
+        "bucket",
+        F.sum("n")
+        .over(W.partitionBy("flag").orderBy("bucket"))
+        .alias("cn"),
+        F.sum("n").over(W.partitionBy("flag")).alias("tot"),
+    )
+
+    def _pick(q: float):
+        return F.min(
+            F.when(
+                F.col("cn") >= F.ceil(F.lit(q) * F.col("tot")), F.col("bucket")
+            )
+        )
+
+    g = c.groupBy("flag").agg(
+        _pick(0.5).alias("p50"),
+        _pick(0.9).alias("p90"),
+        _pick(0.99).alias("p99"),
+        F.min("tot").cast("long").alias("total"),
+    )
+    # quantile lookup is conditional aggregation + an unpivot — never a
+    # non-equi join (a broadcast theta join would plan BroadcastNestedLoopJoin)
+    return g.select(
+        "flag",
+        F.expr(
+            "stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (q_label, bucket)"
+        ),
+        "total",
+    ).select(
+        "flag",
+        "q_label",
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.lit(1.5) * F.pow(F.lit(2.0), F.col("bucket") - 1)).alias(
+            "est_cents"
+        ),
+        "total",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q103 JSON schema inference (semi-structured column profiling)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q103_json_schema_infer",
+    oracle="""
+    WITH kv AS (
+      SELECT u.key AS key,
+             json_extract_string(props, '$.' || u.key) AS val
+      FROM events, UNNEST(json_keys(props)) AS u(key)
+    ),
+    typed AS (
+      SELECT key,
+             CASE
+               WHEN val IS NULL THEN 'null'
+               WHEN regexp_full_match(val, '-?[0-9]+') THEN 'integer'
+               WHEN regexp_full_match(
+                 val, '-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?') THEN 'number'
+               WHEN val IN ('true', 'false') THEN 'boolean'
+               WHEN val LIKE '[%' THEN 'array'
+               WHEN val LIKE '{%' THEN 'object'
+               ELSE 'string'
+             END AS inferred_type,
+             val
+      FROM kv
+    )
+    SELECT key, inferred_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv
+    FROM typed GROUP BY key, inferred_type
+    """,
+    doc="JSON schema inference over a semi-structured column — the "
+    "profiling pass every ingest of event/CDC payloads runs before "
+    "declaring a typed schema: explode each document's keys "
+    "(json_object_keys), extract each value as text, classify its JSON "
+    "type by REGEX ON THE EXTRACTED TEXT (identical classification "
+    "expression on both engines — never the engines' own type "
+    "inference, which disagrees on int-vs-decimal promotion), and "
+    "aggregate (key, type) → occurrence count + distinct values. The "
+    "test corpus's props is deliberately homogeneous (one integer key) "
+    "— the operator is generic over any document shape; heterogeneous "
+    "keys simply yield more rows. Scale: explode is map-only, the "
+    "aggregate map-side combines on (key, type) whose cardinality is "
+    "the vocabulary of the schema, not the corpus — the 100 TB shape "
+    "is a full scan plus a tiny shuffle. Caveat (shared by both "
+    "engines, so hash-stable): a JSON string whose text looks numeric "
+    "classifies as numeric — type-by-value, not type-by-token.",
+)
+def q103_json_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    kv = e.select(
+        F.explode(F.json_object_keys("props")).alias("key"), "props"
+    ).select(
+        "key",
+        F.expr("get_json_object(props, concat('$.', key))").alias("val"),
+    )
+    v = F.col("val")
+    typed = kv.select(
+        "key",
+        F.when(v.isNull(), "null")
+        .when(v.rlike("^-?[0-9]+$"), "integer")
+        .when(v.rlike("^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$"), "number")
+        .when(v.isin("true", "false"), "boolean")
+        .when(v.startswith("["), "array")
+        .when(v.startswith("{"), "object")
+        .otherwise("string")
+        .alias("inferred_type"),
+        "val",
+    )
+    return typed.groupBy("key", "inferred_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("val").cast("long").alias("ndv"),
+    )

@@ -59,7 +59,7 @@ class Snapshotter:
                 src.effective_query(),
                 properties=src.properties,
             )
-        if src.format in ("parquet", "csv", "json"):
+        if src.format in ("parquet", "csv", "json", "orc"):
             if not src.path:
                 raise ValueError(f"{src.format} source requires a path")
             reader = self.spark.read
@@ -67,6 +67,8 @@ class Snapshotter:
                 df = reader.option("header", "true").csv(src.path)
             elif src.format == "json":
                 df = reader.json(src.path)
+            elif src.format == "orc":
+                df = reader.orc(src.path)
             else:
                 df = reader.parquet(src.path)
             # file sources register the table then run the configured query

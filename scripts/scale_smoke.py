@@ -128,6 +128,10 @@ QUERIES = [
     "dedup_semantic_clusters",  # broadcast assign + per-cell pair matmul
     "q83_sequence_gaps",      # per-block LEAD + range-partitioned stitch
     "text_byte_entropy",      # map-only bincount + p*ln p per doc
+    "q102_log_quantile_sketch",  # map-combining log-bucket sketch + 3-row agg
+    "q103_json_schema_infer",  # map-only key explode + (key,type) agg
+    "pipeline_orc_snapshot",  # ORC scan -> batched parquet commit
+    "pipeline_stream_outer_join",  # 3-batch symmetric hash join drain
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
