@@ -63,6 +63,52 @@ def _sweep_run_dirs(base: str, prefixes: tuple[str, ...]) -> None:
 
 
 
+_EVENT_STREAM_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _stream_event_side(
+    spark: SparkSession, in_dir: str, kind: str, alias: str, *,
+    watermark: str, max_files: int,
+) -> DataFrame:
+    """One leg of a stream-stream event join: a typed file stream over the
+    staged events dir, filtered to one event_type, watermarked, and aliased
+    ``<alias>_id/_ts/_user``. Shared by pipeline_stream_join (inner) and
+    pipeline_stream_outer_join so the leg construction can never drift."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == kind)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col("ts").alias(f"{alias}_ts"),
+            F.col("user_id").alias(f"{alias}_user"),
+        )
+    )
+
+
+def _user_window_join(
+    left: DataFrame, right: DataFrame, la: str, ra: str, hours: int, how: str
+) -> DataFrame:
+    """Same-user time-window join predicate shared by the stream joins:
+    right event lands in [left_ts, left_ts + hours)."""
+    from pyspark.sql import functions as F
+
+    return left.join(
+        right,
+        (F.col(f"{la}_user") == F.col(f"{ra}_user"))
+        & (F.col(f"{ra}_ts") >= F.col(f"{la}_ts"))
+        & (
+            F.col(f"{ra}_ts")
+            < F.col(f"{la}_ts") + F.expr(f"INTERVAL {hours} HOURS")
+        ),
+        how,
+    )
+
+
 def _cache_base(prefix: str, sf: str, table: str, salt: str = "") -> str:
     """Shared tag-keyed cache dir under /tmp for a (source table, layout
     constants) identity — the create-once-behind-_SUCCESS input caches.
@@ -893,7 +939,6 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
     run_id = uuid.uuid4().hex[:8]
     out = f"{base}/out_{run_id}"
-    schema = "event_id long, ts timestamp, user_id long, event_type string"
 
     # Streaming state partitioning is FIXED at the query's first run, and the
     # per-batch cost of the symmetric-hash join is dominated by state-store
@@ -905,29 +950,14 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     # rows, and repartitioning a checkpoint requires a fresh one.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
-    def _side(kind: str, alias: str) -> DataFrame:
-        return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(in_dir)
-            .filter(F.col("event_type") == kind)
-            .withWatermark("ts", "400 days")
-            .select(
-                F.col("event_id").alias(f"{alias}_id"),
-                F.col("ts").alias(f"{alias}_ts"),
-                F.col("user_id").alias(f"{alias}_user"),
-            )
-        )
-
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    views, buys = _side("view", "view"), _side("purchase", "purchase")
-    joined = views.join(
-        buys,
-        (F.col("view_user") == F.col("purchase_user"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
-        "inner",
-    ).select(
+    views = _stream_event_side(
+        spark, in_dir, "view", "view", watermark="400 days", max_files=2
+    )
+    buys = _stream_event_side(
+        spark, in_dir, "purchase", "purchase", watermark="400 days", max_files=2
+    )
+    joined = _user_window_join(views, buys, "view", "purchase", 6, "inner").select(
         "view_id",
         "purchase_id",
         F.col("view_user").alias("user_id"),
@@ -2803,23 +2833,32 @@ def pipeline_late_data_metrics(spark: SparkSession, sf: str) -> DataFrame:
     "through Spark's native ORC reader the same way they do for parquet.",
 )
 def pipeline_orc_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import uuid
+
     from librarian_spark.config import load_config_str
     from librarian_spark.snapshot import run_snapshot_config
     from librarian_spark.sources.batch import load_table
 
-    src = os.path.join(sf, "orders.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_orcsnap_{tag}"
+    base = _cache_base("orcsnap", sf, "orders")
+    _sweep_run_dirs("/tmp", ("librarian_orcsnap_",))
+    _sweep_run_dirs(base, ("orc_stage_", "out_"))
     orc_dir = f"{base}/orc"
-    if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
+    if not os.path.isdir(orc_dir):
+        # build-in-stage + atomic rename: two concurrent cold starts must
+        # never overwrite the same shared cache dir mid-write
+        stage = f"{base}/orc_stage_{uuid.uuid4().hex[:8]}"
         (
             load_table(spark, sf, "orders")
             .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
             .write.mode("overwrite")
-            .orc(orc_dir)
+            .orc(stage)
         )
-    out = f"{base}/out"
+        try:
+            os.rename(stage, orc_dir)
+        except OSError:  # concurrent build won the publish — use theirs
+            shutil.rmtree(stage, ignore_errors=True)
+    out = f"{base}/out_{uuid.uuid4().hex[:8]}"
     cfg = load_config_str(
         f"""
 name: bench-orc-snapshot
@@ -2886,7 +2925,8 @@ def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     import json
 
     base = _cache_base("soutjoin", sf, "events", salt="v2")
-    _sweep_run_dirs(base, ("out_", "ckpt_", "in_"))
+    _sweep_run_dirs("/tmp", ("librarian_soutjoin_",))
+    _sweep_run_dirs(base, ("out_", "ckpt_", "in_", "slices_stage_"))
     ev = (
         load_table(spark, sf, "events")
         .filter(F.col("ts").isNotNull() & F.col("event_type").isin("view", "purchase"))
@@ -2945,21 +2985,6 @@ def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
         ).coalesce(1).write.mode("append").parquet(in_dir)
 
     _sentinel(40)
-    schema = "event_id long, ts timestamp, user_id long, event_type string"
-
-    def _side(kind: str, alias: str) -> DataFrame:
-        return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
-            .filter(F.col("event_type") == kind)
-            .withWatermark("ts", "30 minutes")
-            .select(
-                F.col("event_id").alias(f"{alias}_id"),
-                F.col("ts").alias(f"{alias}_ts"),
-                F.col("user_id").alias(f"{alias}_user"),
-            )
-        )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")  # per-BATCH volume
@@ -2971,22 +2996,18 @@ def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
         # never see the sentinel's event time and state would never drain —
         # observed as per-source offsets advancing with numInputRows=0.
         # Sentinels are excluded at the final BATCH read instead.
-        joined = (
-            _side("view", "view")
-            .join(
-                _side("purchase", "purchase"),
-                (F.col("view_user") == F.col("purchase_user"))
-                & (F.col("purchase_ts") >= F.col("view_ts"))
-                & (
-                    F.col("purchase_ts")
-                    < F.col("view_ts") + F.expr("INTERVAL 2 HOURS")
-                ),
-                "leftOuter",
-            )
-            .select(
-                F.col("view_id").cast("long").alias("view_id"),
-                F.col("purchase_id").cast("long").alias("purchase_id"),
-            )
+        views = _stream_event_side(
+            spark, in_dir, "view", "view", watermark="30 minutes", max_files=1
+        )
+        buys = _stream_event_side(
+            spark, in_dir, "purchase", "purchase",
+            watermark="30 minutes", max_files=1,
+        )
+        joined = _user_window_join(
+            views, buys, "view", "purchase", 2, "leftOuter"
+        ).select(
+            F.col("view_id").cast("long").alias("view_id"),
+            F.col("purchase_id").cast("long").alias("purchase_id"),
         )
         q = (
             joined.writeStream.format("parquet")

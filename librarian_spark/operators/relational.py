@@ -6522,41 +6522,51 @@ def q102_log_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
       FROM events, UNNEST(json_keys(props)) AS u(key)
     ),
     typed AS (
-      SELECT key,
+      SELECT key, val, TRY_CAST(val AS DOUBLE) AS d,
              CASE
                WHEN val IS NULL THEN 'null'
-               WHEN regexp_full_match(val, '-?[0-9]+') THEN 'integer'
-               WHEN regexp_full_match(
-                 val, '-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?') THEN 'number'
                WHEN val IN ('true', 'false') THEN 'boolean'
+               WHEN TRY_CAST(val AS DOUBLE) IS NOT NULL THEN
+                 CASE WHEN ABS(TRY_CAST(val AS DOUBLE)) <= 9007199254740992.0
+                       AND TRY_CAST(val AS DOUBLE) % 1.0 = 0.0
+                      THEN 'integer' ELSE 'number' END
                WHEN val LIKE '[%' THEN 'array'
                WHEN val LIKE '{%' THEN 'object'
                ELSE 'string'
-             END AS inferred_type,
-             val
+             END AS inferred_type
       FROM kv
     )
     SELECT key, inferred_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv
+           CAST(COUNT(DISTINCT CASE WHEN d IS NOT NULL THEN d + 0.0 END)
+              + COUNT(DISTINCT CASE WHEN d IS NULL THEN val END)
+              AS BIGINT) AS ndv
     FROM typed GROUP BY key, inferred_type
     """,
     doc="JSON schema inference over a semi-structured column — the "
     "profiling pass every ingest of event/CDC payloads runs before "
     "declaring a typed schema: explode each document's keys "
     "(json_object_keys), extract each value as text, classify its JSON "
-    "type by REGEX ON THE EXTRACTED TEXT (identical classification "
-    "expression on both engines — never the engines' own type "
-    "inference, which disagrees on int-vs-decimal promotion), and "
-    "aggregate (key, type) → occurrence count + distinct values. The "
-    "test corpus's props is deliberately homogeneous (one integer key) "
-    "— the operator is generic over any document shape; heterogeneous "
-    "keys simply yield more rows. Scale: explode is map-only, the "
-    "aggregate map-side combines on (key, type) whose cardinality is "
-    "the vocabulary of the schema, not the corpus — the 100 TB shape "
-    "is a full scan plus a tiny shuffle. Caveat (shared by both "
-    "engines, so hash-stable): a JSON string whose text looks numeric "
-    "classifies as numeric — type-by-value, not type-by-token.",
+    "type, and aggregate (key, type) → occurrence count + distinct "
+    "values. Classification is VALUE-based (TRY_CAST to double + "
+    "2^53-bounded fmod integrality — FLOOR would be BIGINT-typed and "
+    "ANSI-overflow in Spark while staying DOUBLE in DuckDB), never "
+    "raw-text regex: the engines do "
+    "not extract identical text for numbers (DuckDB json_extract_string "
+    "normalizes 1e3 → '1000.0' and >53-bit ints to lossy double text; "
+    "Spark's get_json_object preserves Jackson's rendering), but both "
+    "texts parse to the SAME IEEE double, so the cast-based class and "
+    "the double-valued ndv are hash-stable where text comparison is "
+    "not. ndv splits per row kind: distinct doubles for numerics (+0.0 "
+    "folds -0.0) plus distinct raw text otherwise — inside one (key, "
+    "type) group only one term is ever non-zero. The test corpus's "
+    "props is deliberately homogeneous (one integer key) — the operator "
+    "is generic; heterogeneous keys simply yield more rows. Scale: "
+    "explode is map-only, the aggregate map-side combines on (key, "
+    "type) whose cardinality is the vocabulary of the schema, not the "
+    "corpus. Caveats (shared by both engines): a JSON string whose text "
+    "parses numeric classifies numeric (type-by-value), and container "
+    "ndv compares minified JSON text.",
 )
 def q103_json_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
@@ -6566,20 +6576,33 @@ def q103_json_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
         "key",
         F.expr("get_json_object(props, concat('$.', key))").alias("val"),
     )
-    v = F.col("val")
+    v, d = F.col("val"), F.expr("try_cast(val AS DOUBLE)")
     typed = kv.select(
         "key",
+        "val",
+        d.alias("d"),
         F.when(v.isNull(), "null")
-        .when(v.rlike("^-?[0-9]+$"), "integer")
-        .when(v.rlike("^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$"), "number")
         .when(v.isin("true", "false"), "boolean")
+        .when(
+            d.isNotNull(),
+            F.when(
+                (F.abs(d) <= F.lit(9007199254740992.0))
+                & ((d % F.lit(1.0)) == F.lit(0.0)),
+                "integer",
+            ).otherwise("number"),
+        )
         .when(v.startswith("["), "array")
         .when(v.startswith("{"), "object")
         .otherwise("string")
         .alias("inferred_type"),
-        "val",
     )
+    dd = F.col("d")
     return typed.groupBy("key", "inferred_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.countDistinct("val").cast("long").alias("ndv"),
+        (
+            F.countDistinct(F.when(dd.isNotNull(), dd + F.lit(0.0)))
+            + F.countDistinct(F.when(dd.isNull(), F.col("val")))
+        )
+        .cast("long")
+        .alias("ndv"),
     )

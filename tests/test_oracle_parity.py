@@ -150,3 +150,53 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
                  "text_byte_entropy"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
+
+
+def test_heterogeneous_json_schema_infer_matches_oracle(spark, tmp_path):
+    """Adversarial props payloads for q103: the engines do NOT extract
+    identical text for JSON numbers (DuckDB json_extract_string normalizes
+    1e3 -> '1000.0' and >53-bit integers to lossy double text; Spark's
+    get_json_object preserves Jackson's rendering), so the classification
+    and ndv must be VALUE-based to hash-match. The corpus props is
+    homogeneous small integers — without this, the divergent classes
+    (exponent form, >2^53 ints, floats, booleans, nulls, containers,
+    numeric-looking strings, -0.0) never execute."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    tmp = str(tmp_path / "hetjson")
+    os.makedirs(tmp)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    props = [
+        '{"k": 1e3}',                                # exponent-form integer
+        '{"k": 1000}',                               # same VALUE, plain form
+        '{"k": 123456789012345678901234567}',        # >2^53 -> lossy double
+        '{"k": 1e30}',                               # huge exponent form
+        '{"k": 2.5, "f": -0.0}',                     # float + negative zero
+        '{"f": 0.0, "b": true}',                     # -0.0 ndv fold target
+        '{"b": false, "s": "42"}',                   # numeric-LOOKING string
+        '{"s": "x", "n": null}',                     # plain string + null
+        '{"a": [1, 2], "o": {"b": 1}}',              # containers
+    ]
+    extra = spark.createDataFrame(
+        [
+            (999950 + i, "2024-02-01 00:00:00", 1234, "view", 1.0, p)
+            for i, p in enumerate(props)
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    staging = f"{tmp}/_staging"
+    ev.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(glob.glob(f"{staging}/part-*.parquet")[0], f"{tmp}/events.parquet")
+    shutil.rmtree(staging)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
+    spec = SPECS["q103_json_schema_infer"]
+    assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, spec.name)
