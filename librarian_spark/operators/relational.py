@@ -6606,3 +6606,45 @@ def q103_json_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("ndv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q104 hopping (sliding) event-time window
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q104_hopping_window",
+    oracle=f"""
+    SELECT CAST(TIME_BUCKET(INTERVAL '30 minutes', ts)
+                - (k.k * INTERVAL '30 minutes') AS TIMESTAMP) AS wstart,
+           event_type,
+           COUNT(*) AS n,
+           {o_dsum('value')} AS sum_value
+    FROM events, (SELECT UNNEST(RANGE(4)) AS k) k
+    GROUP BY 1, 2
+    """,
+    doc="Hopping (sliding) event-time window — width 2 h, slide 30 min: "
+    "every event contributes to exactly width/slide = 4 overlapping "
+    "windows, the batch form of the streaming hop the tumbling q29 "
+    "cannot express (alerting and rate metrics read the SLIDING count). "
+    "Spark side is the built-in F.window(ts, width, slide) — Catalyst "
+    "expands it to the same epoch-aligned explode the DuckDB oracle "
+    "replays as TIME_BUCKET(slide) - k·slide for k in 0..3 (both engines "
+    "anchor buckets at the 1970 epoch, so window starts are bit-equal). "
+    "Money-exact sums ride the standing decimal-sum idiom. Scale: the "
+    "explode is map-only ×4 fan-out before the ONE hash aggregate on "
+    "(window, type) — map-side combine absorbs the fan-out, and window "
+    "cardinality is calendar-bounded, not corpus-bounded.",
+)
+def q104_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"), "event_type", "n", "sum_value"
+        )
+    )

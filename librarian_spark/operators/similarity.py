@@ -2158,3 +2158,105 @@ def sim_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         out, "query_id long, vec_id long, pick_rank long, mmr double"
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered vector search (metadata-constrained top-k)
+# --------------------------------------------------------------------------
+
+_FILTERED_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id, label, {_o_normalize('embedding')} AS u FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_o_dot('q.u', 'c.u')}, 6) AS score
+  FROM unit q JOIN unit c
+    ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+   AND c.label = q.label
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK}
+"""
+
+
+@query(
+    "sim_filtered_topk",
+    oracle=_FILTERED_ORACLE,
+    doc=f"Metadata-FILTERED vector search: cosine top-{_TOPK} restricted to "
+    "candidates sharing the query's label — the constrained-ANN shape "
+    "every production retrieval stack needs (tenant/category/language "
+    "filters) and the classic pre-vs-post-filter design fork. This is "
+    "the PRE-filter path: the label mask is applied inside each "
+    "partition's scoring block BEFORE the local top-k, so a query can "
+    "never come back short-listed against ineligible neighbors (a "
+    "post-filter over an unfiltered top-k underfills k when the filter "
+    "is selective — the correctness trap this operator exists to "
+    "avoid). Same distributed block-matmul skeleton as sim_cosine_topk: "
+    "queries broadcast once with their labels, per-partition BLAS "
+    "scoring + masked local top-k, final rank over ≤ |Q|·k·partitions "
+    "rows. At 100 TB with a selective filter, the scale path is "
+    "label-partitioned storage so the mask becomes partition pruning; "
+    "here the mask is in-block (labels are low-cardinality).",
+)
+def sim_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding", "label")
+    qpdf = e.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    q_lab = qpdf["label"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qb = spark.sparkContext.broadcast((q_ids, q_lab, qm))
+    k = _TOPK
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, q_lab, qm = qb.value
+        for b in batches:
+            if not len(b):
+                continue
+            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            c_lab = b["label"].to_numpy(dtype=np.int64)
+            c = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
+            scores = np.round(qm @ c.T, 6)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                s = scores[qi]
+                idx = np.nonzero(
+                    (c_ids != q_ids[qi]) & (c_lab == q_lab[qi])
+                )[0]
+                if not len(idx):
+                    continue
+                top = idx[np.lexsort((c_ids[idx], -s[idx]))][:k]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(c_ids[top].tolist())
+                out_s.extend(s[top].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    pruned = fan_out(e).mapInPandas(
+        op, schema="query_id long, neighbor_id long, score double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .withColumn("rn", F.col("rn").cast("long"))
+    )

@@ -132,6 +132,8 @@ QUERIES = [
     "q103_json_schema_infer",  # map-only key explode + (key,type) agg
     "pipeline_orc_snapshot",  # ORC scan -> batched parquet commit
     "pipeline_stream_outer_join",  # 3-batch symmetric hash join drain
+    "q104_hopping_window",    # x4 window fan-out absorbed map-side
+    "sim_filtered_topk",      # masked block matmul + local top-k
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
