@@ -6616,7 +6616,7 @@ def q103_json_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q104_hopping_window",
     oracle=f"""
-    SELECT CAST(TIME_BUCKET(INTERVAL '30 minutes', ts)
+    SELECT CAST(TIME_BUCKET(INTERVAL '30 minutes', ts, TIMESTAMP '1970-01-01')
                 - (k.k * INTERVAL '30 minutes') AS TIMESTAMP) AS wstart,
            event_type,
            COUNT(*) AS n,
@@ -6630,8 +6630,12 @@ def q103_json_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
     "cannot express (alerting and rate metrics read the SLIDING count). "
     "Spark side is the built-in F.window(ts, width, slide) — Catalyst "
     "expands it to the same epoch-aligned explode the DuckDB oracle "
-    "replays as TIME_BUCKET(slide) - k·slide for k in 0..3 (both engines "
-    "anchor buckets at the 1970 epoch, so window starts are bit-equal). "
+    "replays as TIME_BUCKET(slide, origin=1970-01-01) - k·slide for k in "
+    "0..3. The origin is EXPLICIT because the engines disagree by "
+    "default: Spark F.window anchors at the 1970 epoch, DuckDB "
+    "TIME_BUCKET at 2000-01-03 — they coincide only when the slide "
+    "divides a whole day, so pinning the origin makes the alignment "
+    "hold for ANY slide, not by accident. "
     "Money-exact sums ride the standing decimal-sum idiom. Scale: the "
     "explode is map-only ×4 fan-out before the ONE hash aggregate on "
     "(window, type) — map-side combine absorbs the fan-out, and window "

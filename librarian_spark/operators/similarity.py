@@ -62,6 +62,98 @@ def _o_normalize(v: str, dim: int = _DIM) -> str:
 # Brute-force cosine top-k (exactness baseline)
 # --------------------------------------------------------------------------
 
+def _normalized_query_broadcast(spark, qpdf, aux_col: str | None = None):
+    """Driver half of the distributed block-matmul top-k skeleton shared by
+    sim_cosine_topk / sim_knn_join / sim_filtered_topk: unit-normalize the
+    (small, bounded) query matrix ONCE — zero vectors score 0, never NaN —
+    and broadcast (q_ids, q_aux, qm). q_aux is an optional int64 metadata
+    column consumed by a mask callback (e.g. the query's label)."""
+    import numpy as np
+
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    q_aux = qpdf[aux_col].to_numpy(dtype=np.int64) if aux_col else None
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1, keepdims=True))
+    qm /= np.where(qn == 0.0, 1.0, qn)
+    return spark.sparkContext.broadcast((q_ids, q_aux, qm))
+
+
+def _block_topk_op(qb, k: int, emit_label: bool = False, mask=None):
+    """Executor half of the block-matmul skeleton: per Arrow batch, BLAS-score
+    the broadcast queries against the candidate block (unit-normalized with
+    the same zero-vector guard), round to 6 digits BEFORE ranking (the oracle
+    grain — BLAS vs sequential fold differ ~1e-15, 9 orders below it), and
+    keep only the local top-k per query BY THE GLOBAL TOTAL ORDER (score
+    desc, id asc) so the union of per-partition winners contains the true
+    top-k. ``mask(qi, q_ids, q_aux, c_ids, c_lab)`` returns the eligible
+    candidate indices for query qi (None = every candidate eligible)."""
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, q_aux, qm = qb.value
+        for b in batches:
+            if not len(b):
+                continue
+            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            c_lab = (
+                b["label"].to_numpy(dtype=np.int64)
+                if "label" in b.columns
+                else None
+            )
+            c = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            cn = np.sqrt((c * c).sum(axis=1, keepdims=True))
+            c /= np.where(cn == 0.0, 1.0, cn)
+            scores = np.round(qm @ c.T, 6)  # |Q| x |block|
+            out_q, out_n, out_l, out_s = [], [], [], []
+            for qi in range(len(q_ids)):
+                s = scores[qi]
+                if mask is not None:
+                    idx = mask(qi, q_ids, q_aux, c_ids, c_lab)
+                    if not len(idx):
+                        continue
+                    top = idx[np.lexsort((c_ids[idx], -s[idx]))][:k]
+                else:
+                    top = np.lexsort((c_ids, -s))[:k]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(c_ids[top].tolist())
+                if emit_label:
+                    out_l.extend(c_lab[top].tolist())
+                out_s.extend(s[top].tolist())
+            cols = {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+            }
+            if emit_label:
+                cols["neighbor_label"] = pd.Series(out_l, dtype="int64")
+            cols["score"] = pd.Series(out_s, dtype="float64")
+            yield pd.DataFrame(cols)
+
+    return op
+
+
+def _rank_topk(pruned: DataFrame, k: int) -> DataFrame:
+    """Final global rank over the pre-pruned union (≤ |Q|·k·partitions rows)."""
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .withColumn("rn", F.col("rn").cast("long"))
+    )
+
+
+# NB: mask callbacks passed to _block_topk_op must be NESTED functions (or
+# lambdas) defined inside the calling query function: a module-level function
+# in this (importable) module is cloudpickled BY REFERENCE, and executor
+# Python workers cannot import librarian_spark when the driver runs from
+# outside the repo root (the grading driver does) — observed as
+# ModuleNotFoundError on the executors. Nested functions pickle by value.
+
+
+
 _TOPK_ORACLE = f"""
 WITH unit AS (
   SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
@@ -95,57 +187,21 @@ FROM ranked WHERE rn <= {_TOPK}
     "sf0.1 vs the fold-per-pair broadcast join.",
 )
 def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    qpdf = e.filter(F.col("vec_id") < _N_QUERIES).toPandas()
-    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
-    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
-    qm /= np.sqrt((qm * qm).sum(axis=1, keepdims=True))
-    qb = spark.sparkContext.broadcast((q_ids, qm))
-    k = _TOPK
+    qb = _normalized_query_broadcast(
+        spark, e.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+    )
 
-    def op(batches):
+    def mask(qi, q_ids, q_aux, c_ids, c_lab):  # exclude self-matches
         import numpy as np
-        import pandas as pd
 
-        q_ids, qm = qb.value
-        for b in batches:
-            if not len(b):
-                continue
-            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
-            c = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
-            scores = np.round(qm @ c.T, 6)  # |Q| × |block|
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                s = scores[qi]
-                idx = np.nonzero(c_ids != q_ids[qi])[0]
-                if not len(idx):
-                    continue
-                # local top-k by the GLOBAL total order (score desc, id asc) so
-                # the union of per-partition winners contains the true top-k
-                top = idx[np.lexsort((c_ids[idx], -s[idx]))][:k]
-                out_q.extend([q_ids[qi]] * len(top))
-                out_n.extend(c_ids[top].tolist())
-                out_s.extend(s[top].tolist())
-            yield pd.DataFrame(
-                {
-                    "query_id": pd.Series(out_q, dtype="int64"),
-                    "neighbor_id": pd.Series(out_n, dtype="int64"),
-                    "score": pd.Series(out_s, dtype="float64"),
-                }
-            )
+        return np.nonzero(c_ids != q_ids[qi])[0]
 
     pruned = fan_out(e).mapInPandas(
-        op, schema="query_id long, neighbor_id long, score double"
+        _block_topk_op(qb, _TOPK, mask=mask),
+        schema="query_id long, neighbor_id long, score double",
     )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOPK)
-        .withColumn("rn", F.col("rn").cast("long"))
-    )
+    return _rank_topk(pruned, _TOPK)
 
 
 # --------------------------------------------------------------------------
@@ -950,63 +1006,18 @@ FROM ranked WHERE rn <= {_KNN_K}
     "self-joins and never leaves its partitions.",
 )
 def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-
     e = _t(spark, sf, "embeddings").select("vec_id", "label", "embedding")
     qpdf = e.filter(F.col("label") == _KNN_QUERY_LABEL).toPandas()
     schema = "query_id long, neighbor_id long, neighbor_label long, score double, rn long"
     if not len(qpdf):  # no query split in this corpus → no rows, not a crash
         return spark.createDataFrame([], schema)
-    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
-    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
-    qn = np.sqrt((qm * qm).sum(axis=1, keepdims=True))
-    qm /= np.where(qn == 0.0, 1.0, qn)  # zero vectors score 0, never NaN
-    qb = spark.sparkContext.broadcast((q_ids, qm))
-    k = _KNN_K
-
-    def op(batches):
-        import numpy as np
-        import pandas as pd
-
-        q_ids, qm = qb.value
-        for b in batches:
-            if not len(b):
-                continue
-            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
-            c_lab = b["label"].to_numpy(dtype=np.int64)
-            c = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            cn = np.sqrt((c * c).sum(axis=1, keepdims=True))
-            c /= np.where(cn == 0.0, 1.0, cn)
-            scores = np.round(qm @ c.T, 6)  # |Q| × |block|
-            out_q, out_n, out_l, out_s = [], [], [], []
-            for qi in range(len(q_ids)):
-                s = scores[qi]
-                # local top-k by the GLOBAL total order (score desc, id asc)
-                top = np.lexsort((c_ids, -s))[:k]
-                out_q.extend([q_ids[qi]] * len(top))
-                out_n.extend(c_ids[top].tolist())
-                out_l.extend(c_lab[top].tolist())
-                out_s.extend(s[top].tolist())
-            yield pd.DataFrame(
-                {
-                    "query_id": pd.Series(out_q, dtype="int64"),
-                    "neighbor_id": pd.Series(out_n, dtype="int64"),
-                    "neighbor_label": pd.Series(out_l, dtype="int64"),
-                    "score": pd.Series(out_s, dtype="float64"),
-                }
-            )
-
+    qb = _normalized_query_broadcast(spark, qpdf)
     cand = fan_out(e.filter(F.col("label") != _KNN_QUERY_LABEL))
     pruned = cand.mapInPandas(
-        op,
+        _block_topk_op(qb, _KNN_K, emit_label=True),
         schema="query_id long, neighbor_id long, neighbor_label long, score double",
     )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .withColumn("rn", F.col("rn").cast("long"))
-    )
+    return _rank_topk(pruned, _KNN_K)
 
 
 # --------------------------------------------------------------------------
@@ -2205,58 +2216,18 @@ FROM ranked WHERE rn <= {_TOPK}
     "here the mask is in-block (labels are low-cardinality).",
 )
 def sim_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding", "label")
-    qpdf = e.filter(F.col("vec_id") < _N_QUERIES).toPandas()
-    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
-    q_lab = qpdf["label"].to_numpy(dtype=np.int64)
-    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
-    qm /= np.sqrt((qm * qm).sum(axis=1, keepdims=True))
-    qb = spark.sparkContext.broadcast((q_ids, q_lab, qm))
-    k = _TOPK
+    qb = _normalized_query_broadcast(
+        spark, e.filter(F.col("vec_id") < _N_QUERIES).toPandas(), aux_col="label"
+    )
 
-    def op(batches):
+    def mask(qi, q_ids, q_aux, c_ids, c_lab):  # same label, never self
         import numpy as np
-        import pandas as pd
 
-        q_ids, q_lab, qm = qb.value
-        for b in batches:
-            if not len(b):
-                continue
-            c_ids = b["vec_id"].to_numpy(dtype=np.int64)
-            c_lab = b["label"].to_numpy(dtype=np.int64)
-            c = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
-            scores = np.round(qm @ c.T, 6)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                s = scores[qi]
-                idx = np.nonzero(
-                    (c_ids != q_ids[qi]) & (c_lab == q_lab[qi])
-                )[0]
-                if not len(idx):
-                    continue
-                top = idx[np.lexsort((c_ids[idx], -s[idx]))][:k]
-                out_q.extend([q_ids[qi]] * len(top))
-                out_n.extend(c_ids[top].tolist())
-                out_s.extend(s[top].tolist())
-            yield pd.DataFrame(
-                {
-                    "query_id": pd.Series(out_q, dtype="int64"),
-                    "neighbor_id": pd.Series(out_n, dtype="int64"),
-                    "score": pd.Series(out_s, dtype="float64"),
-                }
-            )
+        return np.nonzero((c_ids != q_ids[qi]) & (c_lab == q_aux[qi]))[0]
 
     pruned = fan_out(e).mapInPandas(
-        op, schema="query_id long, neighbor_id long, score double"
+        _block_topk_op(qb, _TOPK, mask=mask),
+        schema="query_id long, neighbor_id long, score double",
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOPK)
-        .withColumn("rn", F.col("rn").cast("long"))
-    )
+    return _rank_topk(pruned, _TOPK)
