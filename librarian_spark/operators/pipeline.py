@@ -2914,7 +2914,6 @@ archiver:
     "condition); the join shuffles once on user_id per micro-batch.",
 )
 def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
-    import datetime as dt
     import shutil
     import uuid
 
@@ -2976,15 +2975,29 @@ def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
             os.link(os.path.join(slices_dir, fn), os.path.join(in_dir, fn))
 
     def _sentinel(days: int) -> None:
-        sent_ts = dt.datetime.fromtimestamp(
-            hi / 1e6, tz=dt.timezone.utc
-        ) + dt.timedelta(days=days)
-        spark.createDataFrame(
-            [(-1, sent_ts, -1, "view"), (-2, sent_ts, -1, "purchase")],
-            "event_id long, ts timestamp, user_id long, event_type string",
-        ).coalesce(1).write.mode("append").parquet(in_dir)
+        # written with pyarrow, not a Spark job: a 2-row sentinel does not
+        # need cluster scheduling, and the nudge loop may write several
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
+        sent_us = hi + days * 86_400_000_000
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([sent_us, sent_us], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["view", "purchase"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(in_dir, f"sentinel_{days}d.parquet"))
+
+    # BOTH sentinels land before the stream starts: the first advances the
+    # watermark past every view's expiry, the second is the batch DURING
+    # which the now-advanced watermark evicts-and-emits (eviction lags one
+    # batch) — so the drain completes inside ONE processAllAvailable and the
+    # nudge loop below is a fallback, not the steady-state path
     _sentinel(40)
+    _sentinel(80)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")  # per-BATCH volume
@@ -3030,7 +3043,7 @@ def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
             if emitted >= n_views:
                 break
             # eviction lags one batch — nudge with a further sentinel pair
-            _sentinel(80 + 40 * attempt)
+            _sentinel(120 + 40 * attempt)
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
