@@ -2303,3 +2303,164 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "k long, covered_tokens long, coverage_ppm long"
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data preparation pipeline (the flagship composition)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_prep_pipeline",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, LENGTH(TRIM(text)) AS n_chars,
+             STR_SPLIT(TRIM(LOWER(text)), ' ') AS w,
+             {o_fingerprint("TRIM(LOWER(text))")} AS fpn
+      FROM documents
+    ),
+    qa AS (
+      SELECT doc_id, MAX(c) AS top_cnt, COUNT(*) AS n_uniq, SUM(c) AS n_tokens
+      FROM (SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(w) AS tok FROM tk) GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    s1 AS (  -- stage 1: eval split held out + quality gate (all four filters)
+      SELECT t.doc_id, t.source, t.fpn, qa.n_tokens
+      FROM tk t JOIN qa USING (doc_id)
+      WHERE t.doc_id % {_EVAL_MOD} != 0
+        AND NOT (qa.n_tokens < {_QF_MIN_TOKENS}
+                 OR qa.n_uniq * 1000 < qa.n_tokens * {_QF_MIN_UNIQ_PM}
+                 OR qa.top_cnt * 1000 > qa.n_tokens * {_QF_MAX_TOP_PM}
+                 OR t.n_chars * 10 > qa.n_tokens * {_QF_MAX_CHARS_PER_TOK_X10})
+    ),
+    s2 AS (  -- stage 2: exact dedup on the normalized fingerprint, keep-first
+      SELECT doc_id, source, n_tokens FROM (
+        SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY fpn ORDER BY doc_id) AS rn
+        FROM s1)
+      WHERE rn = 1
+    ),
+    g AS (
+      SELECT doc_id, {o_shingles('w', _DECON_N)} AS grams FROM tk
+    ),
+    ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
+           WHERE doc_id % {_EVAL_MOD} = 0),
+    dirty AS (  -- stage 3: drop survivors sharing any eval n-gram
+      SELECT DISTINCT cg.doc_id
+      FROM (SELECT g.doc_id, UNNEST(g.grams) AS gram
+            FROM g JOIN s2 USING (doc_id)) cg
+      JOIN ev USING (gram)
+    ),
+    s3 AS (SELECT s2.* FROM s2 ANTI JOIN dirty USING (doc_id)),
+    c AS (  -- stage 4: deterministic sequence packing per source domain
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s3
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens
+                - ((cum - n_tokens) // {_PACK_BUDGET}) * {_PACK_BUDGET}
+                AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    doc=f"END-TO-END training-data preparation — the composition a reference "
+    "user actually ships, as ONE declarative plan: (1) hold out the eval "
+    f"split (doc_id % {_EVAL_MOD}) and apply the four-filter C4/Dolma "
+    "quality gate (integer cross-multiplied thresholds, the "
+    "text_quality_filter algebra), (2) exact-dedup on the normalized "
+    "rolling-hash fingerprint keeping the first doc_id "
+    "(text_fingerprint + row_number, the dedup_exact keep-first "
+    f"convention), (3) decontaminate: drop any survivor sharing a word "
+    f"{_DECON_N}-gram with the eval split (broadcast eval grams, the "
+    "text_decontaminate shape), (4) pack survivors into "
+    f"{_PACK_BUDGET}-token training sequences per source domain in "
+    "deterministic doc_id order (text_pack_sequences). Because the whole "
+    "pipeline is one DataFrame plan, Catalyst column-prunes each branch "
+    "(the expensive fingerprint fold is evaluated only on the dedup "
+    "branch, never for the gram or quality branches), pushes the eval "
+    "holdout filter into the scan, and keeps the eval-gram side "
+    "broadcast; the cheap tokenize split re-evaluates per branch — "
+    "cache tk if token arrays ever become the bottleneck. Scale: two shuffles for the quality "
+    "aggregate, one window on the fingerprint (near-unique key — no "
+    "skew), a broadcast join, and one window per source domain; every "
+    "stage is the already-scale-reviewed building block.",
+)
+def text_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf, "documents")
+    tk = d.select(
+        "doc_id",
+        "source",
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars"),
+        tokens("text").alias("w"),
+        fingerprint(F.trim(F.lower(F.col("text")))).alias("fpn"),
+    )
+    qa = (
+        tk.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    bad = (
+        (F.col("n_tokens") < _QF_MIN_TOKENS)
+        | (F.col("n_uniq") * 1000 < F.col("n_tokens") * _QF_MIN_UNIQ_PM)
+        | (F.col("top_cnt") * 1000 > F.col("n_tokens") * _QF_MAX_TOP_PM)
+        | (
+            F.col("n_chars") * 10
+            > F.col("n_tokens") * _QF_MAX_CHARS_PER_TOK_X10
+        )
+    )
+    s1 = (
+        tk.join(qa, "doc_id")
+        .filter((F.col("doc_id") % _EVAL_MOD != 0) & ~bad)
+        .select("doc_id", "source", "fpn", "n_tokens", "w")
+    )
+    rn = F.row_number().over(W.partitionBy("fpn").orderBy("doc_id"))
+    s2 = (
+        s1.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens", "w")
+    )
+    grams_all = tk.select(
+        "doc_id", F.explode(shingles_of_tokens("w", _DECON_N)).alias("gram")
+    )
+    ev = (
+        grams_all.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    dirty = (
+        s2.select("doc_id", F.explode(shingles_of_tokens("w", _DECON_N)).alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.join(dirty, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_tokens"
+    )
+    w_pack = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pre = (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")).alias("pre")
+    c = s3.select("doc_id", "source", "n_tokens", pre)
+    pack_id = F.expr(f"pre div {_PACK_BUDGET}")
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pack_id.cast("long").alias("pack_id"),
+        (F.col("pre") - pack_id * _PACK_BUDGET)
+        .cast("long")
+        .alias("pack_offset"),
+    )

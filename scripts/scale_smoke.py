@@ -134,6 +134,7 @@ QUERIES = [
     "pipeline_stream_outer_join",  # 3-batch symmetric hash join drain
     "q104_hopping_window",    # x4 window fan-out absorbed map-side
     "sim_filtered_topk",      # masked block matmul + local top-k
+    "text_prep_pipeline",     # 4-stage gate+dedup+decon+pack composition
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
