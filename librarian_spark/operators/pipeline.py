@@ -2989,7 +2989,14 @@ def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
                 "event_type": pa.array(["view", "purchase"], pa.string()),
             }
         )
-        pq.write_table(tbl, os.path.join(in_dir, f"sentinel_{days}d.parquet"))
+        # dot-prefixed stage + atomic rename: the running FileStreamSource
+        # lists this dir between micro-batches, and a half-written footer
+        # would crash the stream (Spark's own writers commit via rename;
+        # dot-files are hidden from the source)
+        final = os.path.join(in_dir, f"sentinel_{days}d.parquet")
+        stage = os.path.join(in_dir, f".sentinel_{days}d.parquet.tmp")
+        pq.write_table(tbl, stage)
+        os.rename(stage, final)
 
     # BOTH sentinels land before the stream starts: the first advances the
     # watermark past every view's expiry, the second is the batch DURING

@@ -2159,6 +2159,37 @@ _QF_MAX_TOP_PM = 150  # bit 2: most frequent token above 15% of tokens
 _QF_MAX_CHARS_PER_TOK_X10 = 80  # bit 3: mean token length above 8.0 chars
 
 
+def _qf_conditions(n_tokens, n_uniq, top_cnt, n_chars) -> list:
+    """The four quality-gate failure conditions (bit order 0..3) as Spark
+    Columns — the SINGLE Spark-side copy (text_quality_filter and
+    text_prep_pipeline both consume it, so the thresholds can never drift;
+    the fingerprint-fold rule from functions/textfns.py:104 applied here).
+    All comparisons are integer CROSS-MULTIPLICATIONS — no float ratio."""
+    return [
+        n_tokens < _QF_MIN_TOKENS,
+        n_uniq * 1000 < n_tokens * _QF_MIN_UNIQ_PM,
+        top_cnt * 1000 > n_tokens * _QF_MAX_TOP_PM,
+        n_chars * 10 > n_tokens * _QF_MAX_CHARS_PER_TOK_X10,
+    ]
+
+
+def _o_qf_conditions(t: str = "t", a: str = "a") -> list[str]:
+    """DuckDB twins of :func:`_qf_conditions` over aliases ``t`` (has
+    n_chars) and ``a`` (has n_tokens/n_uniq/top_cnt), same bit order."""
+    return [
+        f"{a}.n_tokens < {_QF_MIN_TOKENS}",
+        f"{a}.n_uniq * 1000 < {a}.n_tokens * {_QF_MIN_UNIQ_PM}",
+        f"{a}.top_cnt * 1000 > {a}.n_tokens * {_QF_MAX_TOP_PM}",
+        f"{t}.n_chars * 10 > {a}.n_tokens * {_QF_MAX_CHARS_PER_TOK_X10}",
+    ]
+
+
+_QF_MASK_SQL = " + ".join(
+    f"(CASE WHEN {cond} THEN {1 << bit} ELSE 0 END)"
+    for bit, cond in enumerate(_o_qf_conditions())
+)
+
+
 @query(
     "text_quality_filter",
     oracle=f"""
@@ -2176,20 +2207,8 @@ _QF_MAX_CHARS_PER_TOK_X10 = 80  # bit 3: mean token length above 8.0 chars
     )
     SELECT t.doc_id,
            CAST(a.n_tokens AS BIGINT) AS n_tokens,
-           CAST((CASE WHEN a.n_tokens < {_QF_MIN_TOKENS} THEN 1 ELSE 0 END)
-              + (CASE WHEN a.n_uniq * 1000 < a.n_tokens * {_QF_MIN_UNIQ_PM}
-                 THEN 2 ELSE 0 END)
-              + (CASE WHEN a.top_cnt * 1000 > a.n_tokens * {_QF_MAX_TOP_PM}
-                 THEN 4 ELSE 0 END)
-              + (CASE WHEN t.n_chars * 10 > a.n_tokens * {_QF_MAX_CHARS_PER_TOK_X10}
-                 THEN 8 ELSE 0 END) AS BIGINT) AS fail_mask,
-           (CASE WHEN a.n_tokens < {_QF_MIN_TOKENS} THEN 1 ELSE 0 END)
-              + (CASE WHEN a.n_uniq * 1000 < a.n_tokens * {_QF_MIN_UNIQ_PM}
-                 THEN 2 ELSE 0 END)
-              + (CASE WHEN a.top_cnt * 1000 > a.n_tokens * {_QF_MAX_TOP_PM}
-                 THEN 4 ELSE 0 END)
-              + (CASE WHEN t.n_chars * 10 > a.n_tokens * {_QF_MAX_CHARS_PER_TOK_X10}
-                 THEN 8 ELSE 0 END) = 0 AS keep
+           CAST({_QF_MASK_SQL} AS BIGINT) AS fail_mask,
+           {_QF_MASK_SQL} = 0 AS keep
     FROM tk t JOIN agg a USING (doc_id)
     """,
     doc="Composed quality-filter pipeline (the C4/Dolma-style keep/drop "
@@ -2224,16 +2243,15 @@ def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     j = tk.select("doc_id", "n_chars").join(agg, "doc_id")
-    bit = lambda cond, v: F.when(cond, F.lit(v)).otherwise(F.lit(0))
-    mask = (
-        bit(F.col("n_tokens") < _QF_MIN_TOKENS, 1)
-        + bit(F.col("n_uniq") * 1000 < F.col("n_tokens") * _QF_MIN_UNIQ_PM, 2)
-        + bit(F.col("top_cnt") * 1000 > F.col("n_tokens") * _QF_MAX_TOP_PM, 4)
-        + bit(
-            F.col("n_chars") * 10
-            > F.col("n_tokens") * _QF_MAX_CHARS_PER_TOK_X10,
-            8,
-        )
+    conds = _qf_conditions(
+        F.col("n_tokens"), F.col("n_uniq"), F.col("top_cnt"), F.col("n_chars")
+    )
+    mask = sum(
+        (
+            F.when(cond, F.lit(1 << bit)).otherwise(F.lit(0))
+            for bit, cond in enumerate(conds)
+        ),
+        start=F.lit(0),
     )
     return j.select(
         "doc_id",
@@ -2313,7 +2331,7 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "text_prep_pipeline",
     oracle=f"""
-    WITH tk AS (
+    WITH tk AS MATERIALIZED (
       SELECT doc_id, source, LENGTH(TRIM(text)) AS n_chars,
              STR_SPLIT(TRIM(LOWER(text)), ' ') AS w,
              {o_fingerprint("TRIM(LOWER(text))")} AS fpn
@@ -2326,21 +2344,18 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY doc_id
     ),
     s1 AS (  -- stage 1: eval split held out + quality gate (all four filters)
-      SELECT t.doc_id, t.source, t.fpn, qa.n_tokens
-      FROM tk t JOIN qa USING (doc_id)
+      SELECT t.doc_id, t.source, t.fpn, a.n_tokens
+      FROM tk t JOIN qa a USING (doc_id)
       WHERE t.doc_id % {_EVAL_MOD} != 0
-        AND NOT (qa.n_tokens < {_QF_MIN_TOKENS}
-                 OR qa.n_uniq * 1000 < qa.n_tokens * {_QF_MIN_UNIQ_PM}
-                 OR qa.top_cnt * 1000 > qa.n_tokens * {_QF_MAX_TOP_PM}
-                 OR t.n_chars * 10 > qa.n_tokens * {_QF_MAX_CHARS_PER_TOK_X10})
+        AND NOT ({" OR ".join(_o_qf_conditions())})
     ),
-    s2 AS (  -- stage 2: exact dedup on the normalized fingerprint, keep-first
+    s2 AS MATERIALIZED (  -- stage 2: exact dedup on fingerprint, keep-first
       SELECT doc_id, source, n_tokens FROM (
         SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY fpn ORDER BY doc_id) AS rn
         FROM s1)
       WHERE rn = 1
     ),
-    g AS (
+    g AS MATERIALIZED (
       SELECT doc_id, {o_shingles('w', _DECON_N)} AS grams FROM tk
     ),
     ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
@@ -2369,24 +2384,27 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     doc=f"END-TO-END training-data preparation — the composition a reference "
     "user actually ships, as ONE declarative plan: (1) hold out the eval "
     f"split (doc_id % {_EVAL_MOD}) and apply the four-filter C4/Dolma "
-    "quality gate (integer cross-multiplied thresholds, the "
-    "text_quality_filter algebra), (2) exact-dedup on the normalized "
-    "rolling-hash fingerprint keeping the first doc_id "
+    "quality gate (the SHARED _qf_conditions predicate — one copy, so the "
+    "thresholds can never drift from text_quality_filter), (2) exact-dedup "
+    "on the normalized rolling-hash fingerprint keeping the first doc_id "
     "(text_fingerprint + row_number, the dedup_exact keep-first "
     f"convention), (3) decontaminate: drop any survivor sharing a word "
     f"{_DECON_N}-gram with the eval split (broadcast eval grams, the "
     "text_decontaminate shape), (4) pack survivors into "
     f"{_PACK_BUDGET}-token training sequences per source domain in "
-    "deterministic doc_id order (text_pack_sequences). Because the whole "
-    "pipeline is one DataFrame plan, Catalyst column-prunes each branch "
-    "(the expensive fingerprint fold is evaluated only on the dedup "
-    "branch, never for the gram or quality branches), pushes the eval "
-    "holdout filter into the scan, and keeps the eval-gram side "
-    "broadcast; the cheap tokenize split re-evaluates per branch — "
-    "cache tk if token arrays ever become the bottleneck. Scale: two shuffles for the quality "
-    "aggregate, one window on the fingerprint (near-unique key — no "
-    "skew), a broadcast join, and one window per source domain; every "
-    "stage is the already-scale-reviewed building block.",
+    "deterministic doc_id order (text_pack_sequences). The gram stream is "
+    "CACHED (the text_decontaminate convention — both the eval and corpus "
+    "branches read it) and the survivor set s2 is cached too (the "
+    "contamination probe and the anti-join both consume it; uncached, the "
+    "fingerprint fold + quality aggregate + dedup window would run twice); "
+    "token arrays never ride a shuffle — the dedup window carries only "
+    "(doc_id, source, fpn, n_tokens), and shingles come from the cached "
+    "pre-window gram stream keyed by doc_id. The oracle marks its "
+    "multiply-referenced CTEs AS MATERIALIZED (DuckDB inlines plain CTEs "
+    "per reference — the repo's standing lesson). Scale: two shuffles for "
+    "the quality aggregate, one window on the near-unique fingerprint, a "
+    "broadcast join, one window per source domain; every stage is the "
+    "already-scale-reviewed building block.",
 )
 def text_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -2410,43 +2428,47 @@ def text_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("c").alias("n_tokens"),
         )
     )
-    bad = (
-        (F.col("n_tokens") < _QF_MIN_TOKENS)
-        | (F.col("n_uniq") * 1000 < F.col("n_tokens") * _QF_MIN_UNIQ_PM)
-        | (F.col("top_cnt") * 1000 > F.col("n_tokens") * _QF_MAX_TOP_PM)
-        | (
-            F.col("n_chars") * 10
-            > F.col("n_tokens") * _QF_MAX_CHARS_PER_TOK_X10
-        )
+    conds = _qf_conditions(
+        F.col("n_tokens"), F.col("n_uniq"), F.col("top_cnt"), F.col("n_chars")
     )
+    bad = conds[0]
+    for cnd in conds[1:]:
+        bad = bad | cnd
+    # token arrays stay OUT of s1/s2: the dedup window shuffles only doc
+    # metadata; shingles come from the cached gram stream below
     s1 = (
         tk.join(qa, "doc_id")
         .filter((F.col("doc_id") % _EVAL_MOD != 0) & ~bad)
-        .select("doc_id", "source", "fpn", "n_tokens", "w")
+        .select("doc_id", "source", "fpn", "n_tokens")
     )
     rn = F.row_number().over(W.partitionBy("fpn").orderBy("doc_id"))
+    # cached: the contamination probe AND the anti-join both consume s2 —
+    # uncached, the fingerprint fold + quality aggregate + dedup window
+    # would evaluate twice (and differing column pruning between the two
+    # consumers defeats ReusedExchange)
     s2 = (
         s1.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
-        .select("doc_id", "source", "n_tokens", "w")
+        .select("doc_id", "source", "n_tokens")
+        .cache()
     )
-    grams_all = tk.select(
+    # cached: both the eval side and the corpus probe read the gram stream
+    # (the text_decontaminate convention)
+    grams = tk.select(
         "doc_id", F.explode(shingles_of_tokens("w", _DECON_N)).alias("gram")
-    )
+    ).cache()
     ev = (
-        grams_all.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("gram")
         .distinct()
     )
     dirty = (
-        s2.select("doc_id", F.explode(shingles_of_tokens("w", _DECON_N)).alias("gram"))
+        grams.join(s2.select("doc_id"), "doc_id")
         .join(F.broadcast(ev), "gram")
         .select("doc_id")
         .distinct()
     )
-    s3 = s2.join(dirty, "doc_id", "left_anti").select(
-        "doc_id", "source", "n_tokens"
-    )
+    s3 = s2.join(dirty, "doc_id", "left_anti")
     w_pack = (
         W.partitionBy("source")
         .orderBy("doc_id")
