@@ -644,9 +644,17 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
     base = _cache_base("pgwire", sf, "supplier", salt=f"txn{_WIRE_TXN}-u3-d5-v1")
     _sweep_run_dirs("/tmp", ("librarian_pgwire_",))
     wal = os.path.join(base, "wal")
-    marker = os.path.join(wal, "_READY")
-    if not os.path.exists(marker):
-        os.makedirs(wal, exist_ok=True)
+    if not os.path.exists(wal):
+        # build wal + checkpoint in a RUN-PRIVATE staging dir and publish
+        # with one atomic rename (the repo's publish-race pattern): a crash
+        # between session 2 and a ready-marker would otherwise strand a
+        # checkpoint past cut_lsn, failing every rerun until the TTL sweep,
+        # and concurrent first runs would interleave segments in one dir.
+        import shutil
+        import uuid
+
+        stage = os.path.join(base, f"wal-stage-{uuid.uuid4().hex[:8]}")
+        os.makedirs(stage, exist_ok=True)
         src = (
             _t(spark, sf, "supplier")
             .select("s_suppkey", "s_name", "s_acctbal")
@@ -693,7 +701,7 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
         msgs.append(pg.encode_commit(d_lsn, d_lsn + 8, ts0 + n + 2))
         txns.append((d_lsn + 8, msgs))
 
-        ckpt = os.path.join(wal, "_lsn.ckpt")
+        ckpt = os.path.join(stage, "_lsn.ckpt")
         # session 1: drops after the mid-stream cut
         srv1 = MockWalSender(txns, relations=[rel], upto=cut_lsn)
         sock1, t1 = srv1.connect()
@@ -702,7 +710,7 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
             checkpoint_path=ckpt,
         )
         client1.start()
-        PgWalRecorder(wal, txns_per_segment=2).record(client1)
+        PgWalRecorder(stage, txns_per_segment=2).record(client1)
         t1.join(timeout=10)
         sock1.close()
         # session 2: resume from the checkpoint — only the tail streams
@@ -717,11 +725,13 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError(
                 f"resume LSN {resumed_from} != session-1 cut {cut_lsn}"
             )
-        PgWalRecorder(wal, txns_per_segment=2).record(client2)
+        PgWalRecorder(stage, txns_per_segment=2).record(client2)
         t2.join(timeout=10)
         sock2.close()
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        try:
+            os.rename(stage, wal)  # ONE atomic publish; loser discards
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
 
     pg.register(spark)
     ev = (

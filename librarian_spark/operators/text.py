@@ -2290,7 +2290,7 @@ _VC_TOP = 100  # ranked head size (fixed constant — bounded by design)
     "the curve that sizes tokenizer vocabularies and byte-fallback "
     "budgets (a head-heavy curve means a small vocab suffices). Token "
     "counts are one map-side-combining aggregate; the ranked head comes "
-    "via TakeOrderedAndProject (top-{_VC_TOP} on (count DESC, token) — "
+    f"via TakeOrderedAndProject (top-{_VC_TOP} on (count DESC, token) — "
     "never a global sort of the vocabulary, which scales with the "
     "corpus); the cumulative sum runs DRIVER-SIDE over those fixed "
     f"{_VC_TOP} rows (a bounded constant, not a corpus-dependent "

@@ -278,7 +278,18 @@ class MongoChangeStreamClient:
         while True:
             if batch:
                 yield batch
-                self.resume_token = batch[-1].get("_id")
+                token = batch[-1].get("_id")
+                if token is None:
+                    # a change doc with no _id would silently null the
+                    # resume token, making save_checkpoint a no-op — the
+                    # stream keeps running but durability stops advancing
+                    # and a later resume replays from a stale token with
+                    # no error surfaced. Fail loudly instead.
+                    raise ValueError(
+                        "change document missing _id resume token — "
+                        "cannot advance the checkpoint"
+                    )
+                self.resume_token = token
                 self.save_checkpoint()
             batches += 1
             if self.cursor_id == 0:

@@ -20,10 +20,14 @@ crash-safety ordering both layers already promise:
   two replays the tail into a fresh segment, and the decoders' keyed
   downstream (LSN/position) makes the replay idempotent;
 * ``.pgwal`` segments are SELF-CONTAINED: every segment is prefixed with
-  the Relation messages its rows reference (a WAL sender re-sends
-  Relation on every new stream; the recorder caches and replays them at
-  every rotation), which is what lets Spark decode segments in parallel
-  with no cross-segment state.
+  the Relation registry as it stood when the segment's first frame was
+  buffered, and any Relation CHANGE that arrives mid-segment is written
+  inline in stream order (pgoutput emits the changed Relation inside the
+  transaction, before the DML that uses the new schema — preserving that
+  order is what keeps pre-ALTER rows decoding against the pre-ALTER
+  schema). That is what lets Spark decode segments in parallel with no
+  cross-segment state, and it means a schema change never forces a
+  rotation that would split an in-progress transaction across segments.
 """
 
 from __future__ import annotations
@@ -63,6 +67,7 @@ class PgWalRecorder:
         os.makedirs(out_dir, exist_ok=True)
         self.relations: dict[int, bytes] = {}  # rel_id → latest 'R' bytes
         self._buf: list[bytes] = []
+        self._prefix: list[bytes] = []  # registry snapshot at buffer start
         self._txns = 0
         existing = [
             f for f in os.listdir(out_dir) if f.endswith(".pgwal")
@@ -77,8 +82,9 @@ class PgWalRecorder:
         if not self._buf:
             return
         name = os.path.join(self.out_dir, f"seg-{self._next_seg:08d}.pgwal")
-        # self-contained: prefix the relation registry this buffer needs
-        _pg.write_segment(name, list(self.relations.values()) + self._buf)
+        # self-contained: prefix the registry AS OF the buffer's first
+        # frame — mid-buffer Relation changes ride inline in stream order
+        _pg.write_segment(name, self._prefix + self._buf)
         fsync_file_and_dir(name)  # durable BEFORE the caller acks
         self._next_seg += 1
         self._buf = []
@@ -97,17 +103,20 @@ class PgWalRecorder:
             tag = payload[:1]
             if tag == b"R":
                 rel = _pg.parse_message(payload)["relation"]
-                if self.relations.get(rel.rel_id) not in (None, payload) \
-                        and self._buf:
-                    # schema CHANGE mid-buffer: rotate first, else already-
-                    # buffered DML would decode against the newer Relation
-                    # version (misaligned tuples after an ALTER TABLE)
-                    self._flush()
-                    if pending_commit is not None:
-                        client.commit_ack(pending_commit)
-                        pending_commit = None
+                if self.relations.get(rel.rel_id) == payload:
+                    continue  # re-sent unchanged (new stream session)
                 self.relations[rel.rel_id] = payload
-                continue  # replayed at every rotation, not buffered inline
+                if self._buf:
+                    # NEW or CHANGED Relation mid-buffer: keep it INLINE at
+                    # its stream position. pgoutput emits the Relation
+                    # inside the transaction, before the DML using the new
+                    # schema — flushing here would split that transaction
+                    # across segments (its Commit would land Begin-less,
+                    # decoding with txn_lsn=None and losing LSN ordering).
+                    self._buf.append(payload)
+                continue
+            if not self._buf:
+                self._prefix = list(self.relations.values())
             self._buf.append(payload)
             if tag == b"C":
                 self._txns += 1

@@ -90,6 +90,93 @@ def test_pgwal_record_resume_and_spark_decode(spark, tmp_path):
     ]
 
 
+def test_pgwal_alter_mid_stream_keeps_txns_intact(spark, tmp_path):
+    """A Relation CHANGE arriving inside a transaction (pgoutput emits the
+    changed Relation after Begin, before the DML that uses the new schema)
+    must not split that transaction across segments: pre-ALTER rows decode
+    against the pre-ALTER schema, post-ALTER rows against the new one, and
+    every row keeps its transaction's LSN stamp (no Begin-less Commit)."""
+    import os
+
+    from librarian_spark.sources import pgoutput as pg
+    from librarian_spark.sources.pgoutput import (
+        encode_begin, encode_commit, encode_insert, encode_relation,
+        OID_INT4,
+    )
+
+    rel_v1 = encode_relation(
+        9001, "public", "users", [("id", OID_INT4), ("name", 25)]
+    )
+    rel_v2 = encode_relation(
+        9001, "public", "users",
+        [("id", OID_INT4), ("name", 25), ("email", 25)],
+    )
+    txns = [
+        (108, [
+            encode_begin(100, 1_700_000_000_100, 800),
+            encode_insert(9001, ["1", "alice"]),
+            encode_commit(100, 108, 1_700_000_000_100),
+        ]),
+        # ALTER TABLE mid-transaction: old-schema row, Relation v2, new row
+        (208, [
+            encode_begin(200, 1_700_000_000_200, 801),
+            encode_insert(9001, ["2", "bob"]),
+            rel_v2,
+            encode_insert(9001, ["3", "carol", "c@x.io"]),
+            encode_commit(200, 208, 1_700_000_000_200),
+        ]),
+        (308, [
+            encode_begin(300, 1_700_000_000_300, 802),
+            encode_insert(9001, ["4", "dave", "d@x.io"]),
+            encode_commit(300, 308, 1_700_000_000_300),
+        ]),
+    ]
+
+    from librarian_spark.sources.pgrepl_mock import MockWalSender
+    from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
+
+    srv = MockWalSender(txns, relations=[rel_v1])
+    c, t = srv.connect()
+    client = ReplicationSlotClient(
+        c, slot="librarian", publication="pub", db="appdb",
+        checkpoint_path=str(tmp_path / "lsn.ckpt"),
+    )
+    client.start()
+    seg = str(tmp_path / "wal")
+    rec = PgWalRecorder(seg, txns_per_segment=2)
+    assert rec.record(client) == 3
+    t.join(timeout=5)
+    c.close()
+
+    names = sorted(f for f in os.listdir(seg) if f.endswith(".pgwal"))
+    # 2-txn rotation, NOT a schema-change rotation: txn2 stays whole
+    assert names == ["seg-00000000.pgwal", "seg-00000001.pgwal"]
+
+    # segment 0: prefix is v1 (buffer-start registry), v2 rides inline
+    frames0 = list(pg.read_segment_frames(os.path.join(seg, names[0])))
+    assert frames0[0] == rel_v1
+    assert rel_v2 in frames0
+    assert frames0.index(rel_v2) > frames0.index(
+        encode_insert(9001, ["2", "bob"])
+    )
+    # segment 1: self-contained on the POST-alter schema
+    frames1 = list(pg.read_segment_frames(os.path.join(seg, names[1])))
+    assert frames1[0] == rel_v2
+
+    rows = []
+    for n in names:
+        rows += list(pg.decode_segment(os.path.join(seg, n), "appdb"))
+    rows.sort(key=lambda r: (r[5], r[6]))  # (lsn, position)
+    # every row carries its txn LSN — nothing decoded Begin-less
+    assert [r[5] for r in rows] == [100, 200, 200, 300]
+    assert [r[7] for r in rows] == [
+        '{"id":1,"name":"alice"}',
+        '{"id":2,"name":"bob"}',                       # pre-ALTER schema
+        '{"email":"c@x.io","id":3,"name":"carol"}',    # post-ALTER schema
+        '{"email":"d@x.io","id":4,"name":"dave"}',
+    ]
+
+
 # -- mongo: mock mongod → .cstream segments → spark ------------------------
 
 
