@@ -652,7 +652,6 @@ def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SHARD_BUDGET = 16_384  # bytes per shard (small so sf0.01 yields ~10 shards)
-_SHARD_BUCKET = 1_000  # coarse doc_id blocks for the two-level prefix sum
 
 
 @query(
@@ -674,40 +673,50 @@ _SHARD_BUCKET = 1_000  # coarse doc_id blocks for the two-level prefix sum
     doc="WebDataset-style shard packing: documents in stable doc_id order are "
     f"assigned to ~{_SHARD_BUDGET}-byte shards by exclusive running payload "
     "size (shard = prefix_bytes // budget — sequence-sharded egress for "
-    "training dataloaders). The prefix sum is computed WITHOUT a global "
-    "single-partition window: per-block subtotals (one groupBy on "
-    f"doc_id//{_SHARD_BUCKET}) take a tiny blocks-only running total, "
-    "broadcast back, and each row adds its within-block running sum from a "
-    "window PARTITIONED by block — every stage parallel, the only ordered "
-    "scan is |blocks| rows. The oracle runs the naive global window (honest "
-    "at oracle scale). At 100 TB: blocks ≈ input splits, and the manifest "
-    "(one row per ~shard) is exactly what the tar-writer job consumes.",
+    "training dataloaders). The prefix sum is the q79 range-partition "
+    "offset construction: range-shuffle on the UNIQUE doc_id, pin the "
+    "sampled boundaries (localCheckpoint), collect ONE byte-subtotal row "
+    "per partition (P rows — cluster-bounded, corpus-INDEPENDENT), "
+    "prefix-sum them on the driver into per-partition byte offsets, "
+    "broadcast the offsets back, and each row's exclusive prior = offset "
+    "+ a running sum PARTITIONED by partition id. Every sort is "
+    "partition-local; no stage ever holds more than |docs|/P rows in one "
+    "task — unlike a block-keyed two-level scheme whose block list still "
+    "grows with the corpus. The oracle runs the naive global window "
+    "(honest at oracle scale). At 100 TB the manifest (one row per "
+    "~shard) is exactly what the tar-writer job consumes.",
 )
 def mm_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     d = ingest_binary(spark, sf).select(
         "doc_id", F.col("meta.n_bytes").alias("nb")
     )
-    d = d.withColumn(
-        "blk", F.call_function("div", F.col("doc_id"), F.lit(_SHARD_BUCKET))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # range-shuffle on the unique sort key; localCheckpoint pins the sampled
+    # range boundaries so the subtotal action and the ranking pass see the
+    # SAME partition layout
+    ranged = (
+        d.repartitionByRange(n_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    # level 1: per-block totals, then an exclusive running total over the
-    # (tiny) block list — |blocks| rows through the unpartitioned window
-    blk = d.groupBy("blk").agg(F.sum("nb").alias("blk_nb"))
-    wb = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
-    blk_prior = blk.select(
-        "blk", F.coalesce(F.sum("blk_nb").over(wb), F.lit(0)).alias("blk_prior")
+    subtotals = sorted(
+        ranged.groupBy("_pid").agg(F.sum("nb").alias("b")).collect()
     )
-    # level 2: within-block exclusive running sum, partition-parallel
+    offs, acc = [], 0
+    for row in subtotals:  # partition ids are emitted in range order
+        offs.append((row._pid, acc))
+        acc += row.b
+    offdf = spark.createDataFrame(offs, "_pid int, _byte_off long")
     ww = (
-        W.partitionBy("blk")
+        W.partitionBy("_pid")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     sized = (
-        d.join(F.broadcast(blk_prior), "blk")
+        ranged.join(F.broadcast(offdf), "_pid")
         .withColumn(
             "prior",
-            F.col("blk_prior") + F.coalesce(F.sum("nb").over(ww), F.lit(0)),
+            F.col("_byte_off") + F.coalesce(F.sum("nb").over(ww), F.lit(0)),
         )
         .withColumn(
             "shard_id",

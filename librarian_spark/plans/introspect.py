@@ -112,7 +112,6 @@ TINY_DOMAIN_SINGLE_PARTITION = {
     "q88_benford": "window over the 9-digit expected table",
     "q91_share_of_total": "global-total window over the ~25-row nation "
     "aggregate (facts reduce first)",
-    "mm_shard_manifest": "window over the block list (two-level prefix sum)",
 }
 
 

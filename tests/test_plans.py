@@ -368,19 +368,21 @@ def test_bitmap_distinct_partial_aggregates_without_expand(spark, specs):
     assert "Expand" not in plan, plan
 
 
-def test_shard_manifest_row_windows_are_block_partitioned(spark, specs):
+def test_shard_manifest_has_no_single_partition_window(spark, specs):
     """mm_shard_manifest's per-row running sum must be PARTITIONED by the
-    block; the only unpartitioned window may carry the tiny block list.
-    A global row-ordered window (single partition over all rows) is the
-    scale bug the two-level prefix sum exists to avoid."""
+    range-partition id (the q79 offset construction) — a global row-ordered
+    window (single partition over all rows) is the scale bug, and unlike
+    the old block-keyed two-level scheme there is no corpus-scaling block
+    list left: the plan may not contain ANY single-partition exchange."""
     import re
+
+    from librarian_spark.plans.introspect import plan_fingerprint
 
     df = _df(specs, spark, "mm_shard_manifest")
     plan = formatted_plan(df)
     # Window nodes print "Arguments: [exprs], [partitionSpec], [orderSpec]";
-    # any window ORDERING by doc_id is the row-level running sum and must be
-    # PARTITIONED (its partition spec names blk); the block-level window
-    # orders by blk alone and may stay unpartitioned (|blocks| rows).
+    # any window ORDERING by doc_id is the row-level running sum and must
+    # be PARTITIONED by the pinned range-partition id.
     win_args = re.findall(
         r"\(\d+\) Window[^\n]*\n(?:Input[^\n]*\n)?Arguments: ([^\n]*)", plan
     )
@@ -388,7 +390,8 @@ def test_shard_manifest_row_windows_are_block_partitioned(spark, specs):
     row_windows = [a for a in win_args if "doc_id" in a]
     assert row_windows, win_args
     for a in row_windows:
-        assert "blk" in a, a
+        assert "_pid" in a, a
+    assert "single-partition" not in plan_fingerprint(df)["hazards"], plan
 
 
 def test_merge_upsert_single_full_outer_join(spark, specs):
