@@ -1,0 +1,283 @@
+"""Kafka producer wire client against a mock broker speaking the public
+Kafka protocol: framed header-v2 requests, Metadata v9 partition discovery,
+Produce v9 with magic-v2 record batches (CRC32C-validated by the broker's
+log layer), the reference's producer tuning (acks=1, retries=3,
+batch.size=16384, linger.ms=5 — `internal/integrations/kafka/
+repository.go:45-60`), its `{db}.{schema}.{table}` key format
+(`repository.go:152-157`), and byte-identical envelope read-back from the
+broker's log.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from librarian_spark.sources.kafka_mock import MockKafkaBroker, read_klog, dump_klog
+from librarian_spark.sources.kafka_wire import (
+    KafkaProducerClient,
+    KafkaProtocolError,
+    crc32c,
+    decode_record_batch,
+    decode_uvarint,
+    decode_varint,
+    encode_record_batch,
+    encode_uvarint,
+    encode_varint,
+)
+
+
+# -- primitives -------------------------------------------------------------
+
+
+def test_crc32c_check_value():
+    # the standard CRC32C (Castagnoli) check vector
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_varint_round_trips():
+    for n in [0, 1, 127, 128, 300, 2**31 - 1]:
+        assert decode_uvarint(encode_uvarint(n), 0) == (n, len(encode_uvarint(n)))
+    for n in [0, -1, 1, -64, 63, 12345, -12345, 2**40, -(2**40)]:
+        buf = encode_varint(n)
+        assert decode_varint(buf, 0) == (n, len(buf))
+
+
+def test_record_batch_round_trip_and_crc():
+    recs = [
+        (1_700_000_000_000, b"k1", b"v1"),
+        (1_700_000_000_007, None, b"v2"),
+        (1_700_000_000_003, b"k3", b"longer value bytes \x00\xff"),
+    ]
+    raw = encode_record_batch(recs, base_offset=41)
+    batch, end = decode_record_batch(raw)
+    assert end == len(raw)
+    assert batch["crc_ok"] and batch["base_offset"] == 41
+    assert [(o, t, k, v) for o, t, k, v in batch["records"]] == [
+        (41, 1_700_000_000_000, b"k1", b"v1"),
+        (42, 1_700_000_000_007, None, b"v2"),
+        (43, 1_700_000_000_003, b"k3", b"longer value bytes \x00\xff"),
+    ]
+    # a single flipped payload bit must fail the CRC
+    corrupt = bytearray(raw)
+    corrupt[-1] ^= 0x01
+    assert not decode_record_batch(bytes(corrupt))[0]["crc_ok"]
+
+
+# -- client ↔ broker --------------------------------------------------------
+
+
+def _client(broker, **kw):
+    sock, thread = broker.connect()
+    c = KafkaProducerClient(sock, topic=broker.topic, **kw)
+    return c, sock, thread
+
+
+def test_metadata_discovers_partitions():
+    broker = MockKafkaBroker("librarian.events", n_partitions=6)
+    c, sock, _ = _client(broker)
+    assert c.connect() == [0, 1, 2, 3, 4, 5]
+    meta_reqs = [r for r in broker.requests if r["api"] == "metadata"]
+    assert meta_reqs[0]["topics"] == ["librarian.events"]
+    assert meta_reqs[0]["client_id"] == "librarian-replicator"
+    assert meta_reqs[0]["api_version"] == 9
+    sock.close()
+
+
+def test_produce_round_trip_byte_identical():
+    broker = MockKafkaBroker("librarian.events", n_partitions=4)
+    c, sock, _ = _client(broker, linger_ms=10_000)  # flush() drives egress
+    c.connect()
+    msgs = [
+        (f"appdb.public.t{i % 3}".encode(), f'{{"n":{i}}}'.encode())
+        for i in range(50)
+    ]
+    for k, v in msgs:
+        c.produce(k, v, timestamp_ms=1_700_000_000_000 + len(v))
+    reports = c.flush()
+    assert sum(r["count"] for r in reports) == 50
+
+    rows = []
+    for p in range(4):
+        if broker.log[p]:
+            import tempfile, os
+
+            with tempfile.TemporaryDirectory() as d:
+                paths = dump_klog(broker, d)
+                for path in paths:
+                    rows += read_klog(path)
+                break
+    # byte-identical key+value multiset, CRC-verified on the way out
+    assert sorted((k, v) for _, _, _, k, v in rows) == sorted(msgs)
+    # per-partition offsets are contiguous from 0
+    by_p: dict[int, list[int]] = {}
+    for p, off, _, _, _ in rows:
+        by_p.setdefault(p, []).append(off)
+    for offs in by_p.values():
+        assert sorted(offs) == list(range(len(offs)))
+    # keyed consistency: every copy of a key landed on ONE partition
+    key_parts: dict[bytes, set[int]] = {}
+    for p, _, _, k, _ in rows:
+        key_parts.setdefault(k, set()).add(p)
+    assert all(len(ps) == 1 for ps in key_parts.values())
+    sock.close()
+
+
+def test_reference_tuning_on_the_wire():
+    """acks=1, request.timeout.ms=5000, client.id=librarian-replicator —
+    the exact values the reference configures — must appear in the Produce
+    request itself."""
+    broker = MockKafkaBroker("t", n_partitions=1)
+    c, sock, _ = _client(broker, linger_ms=10_000)
+    c.connect()
+    c.produce(b"appdb.public.users", b"{}", timestamp_ms=1)
+    c.flush()
+    preq = [r for r in broker.requests if r["api"] == "produce"][0]
+    assert preq["acks"] == 1
+    assert preq["timeout_ms"] == 5000
+    assert preq["client_id"] == "librarian-replicator"
+    assert preq["api_version"] == 9
+    sock.close()
+
+
+def test_batch_size_triggers_flush_without_explicit_flush():
+    """batch.size=16384: crossing the byte budget flushes mid-produce (the
+    reference's repository.Flush is a no-op BECAUSE the producer batches)."""
+    broker = MockKafkaBroker("t", n_partitions=1)
+    c, sock, _ = _client(broker, batch_size=2_000, linger_ms=10_000)
+    c.connect()
+    v = b"x" * 100
+    for i in range(40):
+        c.produce(b"appdb.public.users", v, timestamp_ms=i)
+    produces = [r for r in broker.requests if r["api"] == "produce"]
+    assert len(produces) >= 2  # batched, not one-request-per-message
+    c.flush()
+    assert broker.next_offset[0] == 40
+    sock.close()
+
+
+def test_linger_ms_flushes_aged_batches():
+    import time
+
+    broker = MockKafkaBroker("t", n_partitions=1)
+    c, sock, _ = _client(broker, linger_ms=5)
+    c.connect()
+    c.produce(b"appdb.public.users", b"{}", timestamp_ms=1)
+    time.sleep(0.02)
+    c.produce(b"appdb.public.users", b"{}", timestamp_ms=2)  # linger expired
+    produces = [r for r in broker.requests if r["api"] == "produce"]
+    assert produces, "aged batch should have flushed on the next produce"
+    sock.close()
+
+
+def test_retriable_error_retries_then_succeeds():
+    broker = MockKafkaBroker("t", n_partitions=2, fail_produces=2)
+    c, sock, _ = _client(broker, linger_ms=10_000)
+    c.connect()
+    c.produce(b"appdb.public.users", b'{"a":1}', timestamp_ms=1)
+    reports = c.flush()
+    assert reports[0]["base_offset"] == 0 and reports[0]["count"] == 1
+    produces = [r for r in broker.requests if r["api"] == "produce"]
+    metas = [r for r in broker.requests if r["api"] == "metadata"]
+    assert len(produces) == 3  # 2 NOT_LEADER failures + 1 success
+    assert len(metas) == 3  # connect + one refresh per retry
+    sock.close()
+
+
+def test_retries_exhausted_raises():
+    broker = MockKafkaBroker("t", n_partitions=1, fail_produces=99)
+    c, sock, _ = _client(broker, retries=3, linger_ms=10_000)
+    c.connect()
+    c.produce(b"k", b"v", timestamp_ms=1)
+    with pytest.raises(KafkaProtocolError) as ei:
+        c.flush()
+    assert ei.value.code == 6  # NOT_LEADER_OR_FOLLOWER
+    produces = [r for r in broker.requests if r["api"] == "produce"]
+    assert len(produces) == 4  # initial + 3 retries, then fail loudly
+    sock.close()
+
+
+def test_acks_zero_fire_and_forget():
+    """acks=0 is the protocol's no-response mode: the client must NOT wait
+    (a read would hang forever — the broker sends nothing)."""
+    broker = MockKafkaBroker("t", n_partitions=1)
+    c, sock, _ = _client(broker, acks=0, linger_ms=10_000)
+    c.connect()
+    c.produce(b"k", b"v", timestamp_ms=1)
+    reports = c.flush()
+    assert reports[0]["base_offset"] == -1  # no broker confirmation
+    # the broker still appended it
+    import time
+
+    for _ in range(100):
+        if broker.next_offset[0] == 1:
+            break
+        time.sleep(0.01)
+    assert broker.next_offset[0] == 1
+    sock.close()
+
+
+def test_corrupt_batch_rejected_by_broker_log_layer():
+    """The mock validates CRC like a real broker: hand-corrupt a batch and
+    produce it raw — INVALID_RECORD (87), nothing appended."""
+    import socket as socket_mod
+
+    from librarian_spark.sources.kafka_wire import (
+        encode_produce_request,
+        encode_request_header,
+        decode_produce_response,
+        read_frame,
+        write_frame,
+    )
+
+    broker = MockKafkaBroker("t", n_partitions=1)
+    sock, _ = broker.connect()
+    batch = bytearray(encode_record_batch([(1, b"k", b"v")]))
+    batch[-1] ^= 0x01
+    hdr = encode_request_header(0, 9, 7, "librarian-replicator")
+    write_frame(
+        sock, hdr + encode_produce_request("t", 1, 5000, {0: bytes(batch)})
+    )
+    resp = decode_produce_response(read_frame(sock))
+    assert resp["t"][0]["error"] == 87
+    assert broker.next_offset[0] == 0
+    sock.close()
+
+
+def test_envelope_egress_key_format_end_to_end(spark):
+    """The reference's Write(): key = {db}.{schema}.{table}, value = the
+    JSON envelope — produced through the wire and read back byte-identical
+    from the broker log (`repository.go:142-183`)."""
+    from librarian_spark.streaming.envelope import (
+        kafka_key,
+        snapshot_as_events,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "id int, name string"
+    )
+    ev = snapshot_as_events(
+        df, db="appdb", schema="public", table="users"
+    ).select("key", "value")
+    rows = ev.collect()
+    assert all(r["key"] == "appdb.public.users" for r in rows)
+
+    broker = MockKafkaBroker("librarian.cdc", n_partitions=4)
+    c, sock, _ = _client(broker, linger_ms=10_000)
+    c.connect()
+    for r in rows:
+        c.produce(r["key"].encode(), r["value"].encode(), timestamp_ms=1)
+    c.flush()
+    got = []
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for path in dump_klog(broker, d):
+            got += read_klog(path)
+    assert sorted(v for _, _, _, _, v in got) == sorted(
+        r["value"].encode() for r in rows
+    )
+    assert {k for _, _, _, k, _ in got} == {b"appdb.public.users"}
+    sock.close()
