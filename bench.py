@@ -111,12 +111,45 @@ def main() -> None:
         payload["errors"] = errors
 
     # Full-precision record for the repo (the judge can read per-query detail
-    # here regardless of what fits on the driver's wire).
+    # here regardless of what fits on the driver's wire). A SUBSET run
+    # merges into the existing file instead of clobbering the full-run rows
+    # (this bit twice in round 6 — recovery commits 90b4c64 and the
+    # BENCH_DETAIL checkout dance); totals are recomputed over the merged
+    # dict and the merge is marked so a reader knows rows span sessions.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    file_payload = payload
+    if subset and os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                prior = json.load(fh)
+            merged_q = dict(prior.get("queries", {}))
+            merged_q.update(timings)
+            merged_err = {
+                k: v
+                for k, v in prior.get("errors", {}).items()
+                if k not in timings  # a now-passing query clears its error
+            }
+            merged_err.update(errors)
+            mtotal = round(sum(merged_q.values()), 4)
+            file_payload = {
+                **prior,
+                **payload,
+                "queries": merged_q,
+                "value": mtotal,
+                "n_queries": len(merged_q),
+                "sec_per_query_mean": round(mtotal / max(1, len(merged_q)), 4),
+                "merged_subset_runs": prior.get("merged_subset_runs", 0) + 1,
+            }
+            if merged_err:
+                file_payload["errors"] = merged_err
+            else:
+                file_payload.pop("errors", None)
+        except (OSError, ValueError):
+            pass  # unreadable prior file: fall back to writing this run
     try:
         with open(detail_path, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
+            json.dump(file_payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the printed line is still complete

@@ -245,6 +245,49 @@ class MongoChangeStreamClient:
             raise ConnectionError(f"server error: {reply}")
         return reply
 
+    def hello(self, app_name: str = "librarian-replicator") -> dict:
+        """The connection handshake every driver runs on socket open
+        (``mongo.Connect`` does this inside the reference,
+        `pkg/mongo/source.go:49-64`): a ``hello`` command on the admin
+        database carrying the client-metadata document the spec requires
+        (application/driver/os), answered with the server's wire-version
+        window. Change streams need wire version ≥ 7 (MongoDB 4.0) —
+        refuse older servers up front instead of failing mid-watch."""
+        reply = self._command(
+            {
+                "hello": 1,
+                "$db": "admin",
+                "client": {
+                    "application": {"name": app_name},
+                    "driver": {
+                        "name": "librarian-spark-wire",
+                        "version": "1.0.0",
+                    },
+                    "os": {"type": "Linux"},
+                },
+            }
+        )
+        if reply.get("maxWireVersion", 0) < 7:
+            raise ConnectionError(
+                "server wire version "
+                f"{reply.get('maxWireVersion')} < 7 — change streams "
+                "unsupported"
+            )
+        self.server_info = reply
+        return reply
+
+    def ping(self) -> None:
+        """`client.Ping` (`source.go:63`) — liveness probe on admin."""
+        self._command({"ping": 1, "$db": "admin"})
+
+    def connect(self, app_name: str = "librarian-replicator") -> None:
+        """hello → ping → watch: the reference's full Connect sequence
+        (`source.go:49-96`) in one call, from byte zero on a fresh
+        socket."""
+        self.hello(app_name)
+        self.ping()
+        self.watch()
+
     def watch(self) -> None:
         """Open the change-stream cursor, resuming from the checkpointed
         token when one exists (`coll.Watch` + SetResumeAfter)."""

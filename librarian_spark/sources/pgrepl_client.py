@@ -38,6 +38,9 @@ exactly-once downstream by the LSN-keyed segment/offset layer).
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
 import os
 import struct
 import time
@@ -54,6 +57,11 @@ __all__ = [
     "encode_standby_status",
     "parse_standby_status",
     "start_replication_query",
+    "encode_startup_message",
+    "parse_startup_message",
+    "scram_salted_password",
+    "scram_client_proof",
+    "scram_server_signature",
     "ReplicationSlotClient",
 ]
 
@@ -102,6 +110,78 @@ def start_replication_query(slot: str, lsn: int, publication: str) -> str:
         f"START_REPLICATION SLOT {slot} LOGICAL {lsn_str(lsn)} "
         f"(proto_version '1', publication_names '{publication}')"
     )
+
+
+# -- startup + SASL/SCRAM auth (public PG protocol + RFC 5802/7677) ---------
+
+_PROTOCOL_V3 = 196608  # 3.0
+
+
+def encode_startup_message(
+    user: str, database: str, replication: str | None = "database"
+) -> bytes:
+    """The StartupMessage — the ONLY frontend message with no type byte:
+    Int32 length (incl. itself), Int32 protocol 3.0, then NUL-terminated
+    key/value pairs and a final NUL. ``replication=database`` is what puts
+    the connection in logical-replication mode, the exact parameter the
+    reference's pgconn dial sets (`pkg/postgres/source.go:447-470`)."""
+    kv: list[tuple[str, str]] = [("user", user), ("database", database)]
+    if replication is not None:
+        kv.append(("replication", replication))
+    body = b"".join(
+        k.encode() + b"\x00" + v.encode() + b"\x00" for k, v in kv
+    ) + b"\x00"
+    payload = struct.pack(">I", _PROTOCOL_V3) + body
+    return struct.pack(">I", len(payload) + 4) + payload
+
+
+def parse_startup_message(raw: bytes) -> dict[str, str]:
+    """Body of a StartupMessage (after the length word) → parameter map."""
+    (proto,) = struct.unpack_from(">I", raw, 0)
+    if proto != _PROTOCOL_V3:
+        raise ValueError(f"unsupported protocol {proto}")
+    parts = raw[4:].split(b"\x00")
+    out = {}
+    for i in range(0, len(parts) - 1, 2):
+        if not parts[i]:
+            break
+        out[parts[i].decode()] = parts[i + 1].decode()
+    return out
+
+
+def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+    """Hi() from RFC 5802 = PBKDF2-HMAC-SHA256."""
+    return hashlib.pbkdf2_hmac(
+        "sha256", password.encode("utf-8"), salt, iterations
+    )
+
+
+def _hmac(key: bytes, msg: str | bytes) -> bytes:
+    if isinstance(msg, str):
+        msg = msg.encode("utf-8")
+    return hmac.new(key, msg, hashlib.sha256).digest()
+
+
+def scram_client_proof(salted: bytes, auth_message: str) -> bytes:
+    """ClientProof = ClientKey XOR HMAC(SHA256(ClientKey), AuthMessage)."""
+    client_key = _hmac(salted, "Client Key")
+    stored_key = hashlib.sha256(client_key).digest()
+    sig = _hmac(stored_key, auth_message)
+    return bytes(a ^ b for a, b in zip(client_key, sig))
+
+
+def scram_server_signature(salted: bytes, auth_message: str) -> bytes:
+    """ServerSignature = HMAC(HMAC(salted, "Server Key"), AuthMessage) —
+    what the client MUST verify in the final message (mutual auth: a
+    password-less MITM cannot forge it)."""
+    return _hmac(_hmac(salted, "Server Key"), auth_message)
+
+
+# Authentication request codes ('R' message, first Int32 of the body)
+AUTH_OK = 0
+AUTH_SASL = 10
+AUTH_SASL_CONTINUE = 11
+AUTH_SASL_FINAL = 12
 
 
 # -- replication sub-frames (inside CopyData) -------------------------------
@@ -183,6 +263,116 @@ class ReplicationSlotClient:
             fh.flush()
             os.fsync(fh.fileno())  # the LSN is a durability promise
         os.replace(tmp, self.checkpoint_path)
+
+    # -- startup + auth ------------------------------------------------------
+    def startup(
+        self,
+        user: str,
+        password: str | None = None,
+        database: str | None = None,
+        client_nonce: str | None = None,
+    ) -> dict:
+        """The connection-establishment half the reference gets from pgconn
+        (`pkg/postgres/source.go:447-470`): StartupMessage with
+        ``replication=database``, then the server's authentication
+        sequence — AuthenticationOk directly (trust), or SCRAM-SHA-256
+        (RFC 5802/7677) via SASLInitialResponse / SASLResponse with the
+        server's signature VERIFIED (mutual auth) — then ParameterStatus /
+        BackendKeyData are absorbed until ReadyForQuery. Returns
+        {"parameters": {...}, "backend_pid": int|None}. After this the
+        socket is ready for :meth:`start` (START_REPLICATION)."""
+        db = database or self.decoder.db
+        self.sock.sendall(encode_startup_message(user, db))
+        nonce = client_nonce or base64.b64encode(os.urandom(18)).decode()
+        params: dict[str, str] = {}
+        backend_pid: int | None = None
+        while True:
+            tag, body = read_backend_message(self.sock)
+            if tag == b"E":
+                raise ConnectionError(f"auth failed: {body!r}")
+            if tag == b"R":
+                (code,) = struct.unpack_from(">I", body, 0)
+                if code == AUTH_OK:
+                    continue
+                if code == AUTH_SASL:
+                    mechs = [
+                        m.decode()
+                        for m in body[4:].split(b"\x00")
+                        if m
+                    ]
+                    if "SCRAM-SHA-256" not in mechs:
+                        raise ConnectionError(
+                            f"no common SASL mechanism in {mechs}"
+                        )
+                    if password is None:
+                        raise ConnectionError(
+                            "server requires SCRAM but no password given"
+                        )
+                    # client-first: gs2 header "n,," (no channel binding);
+                    # PG takes the username from the startup message, so
+                    # n= stays empty like libpq sends it
+                    self._scram_first_bare = f"n=,r={nonce}"
+                    first = "n,," + self._scram_first_bare
+                    send_frontend_message(
+                        self.sock, b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack(">i", len(first))
+                        + first.encode(),
+                    )
+                    continue
+                if code == AUTH_SASL_CONTINUE:
+                    server_first = body[4:].decode()
+                    attrs = dict(
+                        kv.split("=", 1) for kv in server_first.split(",")
+                    )
+                    if not attrs["r"].startswith(nonce):
+                        raise ConnectionError(
+                            "server nonce does not extend the client nonce"
+                        )
+                    salted = scram_salted_password(
+                        password, base64.b64decode(attrs["s"]),
+                        int(attrs["i"]),
+                    )
+                    final_bare = f"c=biws,r={attrs['r']}"
+                    auth_msg = (
+                        f"{self._scram_first_bare},{server_first},"
+                        f"{final_bare}"
+                    )
+                    proof = scram_client_proof(salted, auth_msg)
+                    self._scram_expected_sig = scram_server_signature(
+                        salted, auth_msg
+                    )
+                    final = (
+                        f"{final_bare},"
+                        f"p={base64.b64encode(proof).decode()}"
+                    )
+                    send_frontend_message(self.sock, b"p", final.encode())
+                    continue
+                if code == AUTH_SASL_FINAL:
+                    attrs = dict(
+                        kv.split("=", 1)
+                        for kv in body[4:].decode().split(",")
+                    )
+                    got = base64.b64decode(attrs["v"])
+                    if not hmac.compare_digest(
+                        got, self._scram_expected_sig
+                    ):
+                        raise ConnectionError(
+                            "server signature mismatch — not the server "
+                            "that holds this password"
+                        )
+                    continue
+                raise ConnectionError(f"unsupported auth request {code}")
+            if tag == b"S":  # ParameterStatus
+                k, v = body.split(b"\x00")[:2]
+                params[k.decode()] = v.decode()
+                continue
+            if tag == b"K":  # BackendKeyData
+                backend_pid = struct.unpack_from(">I", body, 0)[0]
+                continue
+            if tag == b"Z":  # ReadyForQuery — startup complete
+                return {"parameters": params, "backend_pid": backend_pid}
+            # NoticeResponse / NegotiateProtocolVersion etc: ignore
 
     # -- protocol ----------------------------------------------------------
     def start(self, start_lsn: int | None = None) -> int:

@@ -1,17 +1,31 @@
 #!/usr/bin/env python
-"""Scale-cliff hunt at sf1: run the most expensive registry queries once at
-sf0.1 and once at 10x-replicated sf0.1 (~6 M lineitem rows ≈ sf1) and record
-the runtime ratio per query.
+"""Scale-cliff hunt at sf1: run registry queries once at sf0.1 and once at
+10x-replicated sf0.1 (~6 M lineitem rows ≈ sf1) and record the runtime ratio
+per query.
 
 The bar: a scan/shuffle-bound operator should grow ~linearly — 10x data →
 ~10x time. Anything far above that hides a super-linear stage (a cliff) that
 sf0.1 was too small to expose; anything far below is fixed-cost-dominated at
-this scale (fine). Writes BENCH_SF1_r6.json at the repo root:
+this scale (fine). Writes BENCH_SF1_r{N}.json at the repo root, MERGING into
+any existing rows (a subset re-run updates only its own queries — the
+round-6 clobber trap is closed):
 
     {"replication": 10, "queries": {name: {"sf01_s", "sf1_s", "ratio"}},
      "outliers": [names with ratio > RATIO_BAR]}
 
-Run from repo root: python scripts/scale_cliff_sf1.py [query,query,...]
+Replication modes:
+  default  — key-shifted replicas; document TEXT is identical across
+             replicas, so dedup-family pair outputs grow ~quadratically in
+             the replica count (pair growth, not plan cost).
+  organic  — SCALE_ORGANIC=1: each replica additionally rewrites text with
+             a replica-specific consonant rotation, so replicas are NOT
+             near-duplicates of each other and pair output stays ~linear —
+             this isolates plan cost from pair growth for dedup/mm ops.
+             Organic results record under the "organic" key.
+
+Run from repo root:
+    python scripts/scale_cliff_sf1.py [query,query,...]   # default: ALL
+    SCALE_ORGANIC=1 python scripts/scale_cliff_sf1.py mm_phash_dedup,...
 """
 import json
 import os
@@ -35,50 +49,68 @@ from librarian_spark.session import get_spark  # noqa: E402
 
 REPL = 10
 RATIO_BAR = 15.0
+ROUND = os.environ.get("SCALE_ROUND", "r7")
+ORGANIC = os.environ.get("SCALE_ORGANIC") == "1"
 
-# the most expensive registry queries by the round-5 bench, worst first
-QUERIES = [
-    "pipeline_dedup_gate",
-    "q71_grouped_gini",
-    "pipeline_scd2",
-    "pipeline_stateful_totals",
-    "pipeline_late_data_metrics",
-    "pipeline_session_agg",
-    "sim_recall_eval",
-    "mm_phash_dedup",
-    "pipeline_stream_join",
-    "q80_market_basket",
-    "dedup_clusters",
-    "dedup_bloom",
-    "graph_pagerank",
-    "graph_kcore",
-    "sim_rrf_fusion",
-    "graph_label_propagation",
-    "dedup_edit_distance",
-    "q60_recursive_hierarchy",
-    "sim_kmeans_clusters",
-    "text_bpe_apply",
-]
+
+def build_organic(spark, out_dir: str) -> None:
+    """Key-shifted replicas whose document text is ALSO rewritten per
+    replica (consonant rotation) — replicas are not near-duplicates, so
+    dedup pair output grows ~linearly instead of quadratically."""
+    import scale_smoke
+    from pyspark.sql import functions as F
+    from librarian_spark.sources.batch import load_table
+
+    alphabet = "etaonisrhl"
+    for t, keys in scale_smoke.SHIFT.items():
+        src = load_table(spark, BASE_SF, t)
+        if not keys:
+            src.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+            continue
+        parts = []
+        span = 10**12
+        for r in range(REPL):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(r * span))
+            if t == "documents" and r > 0:
+                rot = alphabet[r:] + alphabet[:r]
+                d = d.withColumn("text", F.translate("text", alphabet, rot))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
 def time_query(spark, spec, sf_dir: str) -> float:
     spark.catalog.clearCache()
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()  # noqa: E501
+    except Exception:  # noqa: BLE001 — JVM internals; timing aid only
+        pass
     t0 = time.perf_counter()
     spec.spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
 
 
 def main() -> None:
-    queries = sys.argv[1].split(",") if len(sys.argv) > 1 else QUERIES
     spark = get_spark("scale-cliff")
-    scaled = f"/tmp/librarian_scale_x{REPL}"
-    if not os.path.exists(f"{scaled}/lineitem.parquet/_SUCCESS"):
-        print(f"building {scaled} ...", file=sys.stderr)
-        import scale_smoke
-
-        scale_smoke.REPL = REPL
-        build_scaled(spark, scaled)
     specs = load_all()
+    queries = sys.argv[1].split(",") if len(sys.argv) > 1 else sorted(specs)
+    if ORGANIC:
+        scaled = f"/tmp/librarian_scale_organic_x{REPL}"
+        if not os.path.exists(f"{scaled}/lineitem.parquet/_SUCCESS"):
+            print(f"building organic {scaled} ...", file=sys.stderr)
+            build_organic(spark, scaled)
+    else:
+        scaled = f"/tmp/librarian_scale_x{REPL}"
+        if not os.path.exists(f"{scaled}/lineitem.parquet/_SUCCESS"):
+            print(f"building {scaled} ...", file=sys.stderr)
+            import scale_smoke
+
+            scale_smoke.REPL = REPL
+            build_scaled(spark, scaled)
     spark.read.parquet(f"{BASE_SF}/region.parquet").count()  # warm JVM
     out = {}
     for name in queries:
@@ -92,16 +124,28 @@ def main() -> None:
             }
             print(f"{name}: {b:.2f}s -> {s:.2f}s ({s / b:.2f}x)", file=sys.stderr)
         except Exception as e:  # record, keep hunting
-            out[name] = {"error": f"{type(e).__name__}: {e}"}
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
             print(f"{name}: ERROR {e}", file=sys.stderr)
-    outliers = [
-        n for n, r in out.items() if r.get("ratio", 0) > RATIO_BAR
+
+    # merge-by-default: a subset run must never clobber the full-run rows
+    path = REPO / f"BENCH_SF1_{ROUND}.json"
+    doc = {"replication": REPL, "ratio_bar": RATIO_BAR, "queries": {}}
+    if path.exists():
+        try:
+            doc = json.loads(path.read_text())
+        except ValueError:
+            pass
+    key = "organic" if ORGANIC else "queries"
+    merged = dict(doc.get(key, {}))
+    merged.update(out)
+    doc[key] = merged
+    doc["outliers"] = [
+        n for n, r in doc.get("queries", {}).items()
+        if r.get("ratio", 0) > RATIO_BAR
     ]
-    doc = {"replication": REPL, "ratio_bar": RATIO_BAR,
-           "queries": out, "outliers": outliers}
-    with open(REPO / "BENCH_SF1_r6.json", "w") as fh:
+    with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
-    print(json.dumps(doc, separators=(",", ":")))
+    print(json.dumps({key: out}, separators=(",", ":")))
 
 
 if __name__ == "__main__":

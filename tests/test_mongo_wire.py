@@ -1,8 +1,9 @@
 """Mongo change-stream WIRE client against a mock mongod speaking OP_MSG:
 aggregate($changeStream) cursor open, getMore polling, killCursors, and
 base64-BSON resume-token checkpointing with resume — the reference's
-``coll.Watch`` connection semantics (`pkg/mongo/source.go:71-96,180`)
-minus the hello/auth exchange.
+``coll.Watch`` connection semantics (`pkg/mongo/source.go:71-96,180`),
+including the hello/ping connection handshake (`source.go:49-64`); only
+the TCP dial itself has no counterpart here.
 """
 
 from __future__ import annotations
@@ -78,9 +79,10 @@ class MockMongod:
     over the events AFTER any resumeAfter token, getMore pages through in
     batches of 2, the final page closes the cursor (id 0)."""
 
-    def __init__(self, events, batch=2):
+    def __init__(self, events, batch=2, max_wire_version=17):
         self.events = events
         self.batch = batch
+        self.max_wire_version = max_wire_version
         self.commands: list[dict] = []
 
     def serve(self, sock) -> None:
@@ -117,6 +119,15 @@ class MockMongod:
                     }
                 elif "killCursors" in cmd:
                     reply = {"cursorsKilled": cmd["cursors"], "ok": 1.0}
+                elif "hello" in cmd:
+                    reply = {
+                        "isWritablePrimary": True,
+                        "maxWireVersion": self.max_wire_version,
+                        "minWireVersion": 0,
+                        "ok": 1.0,
+                    }
+                elif "ping" in cmd:
+                    reply = {"ok": 1.0}
                 else:
                     reply = {"ok": 0.0, "errmsg": f"unknown command {cmd}"}
                 sock.sendall(encode_op_msg(reply, 1000 + req, req))
@@ -179,3 +190,65 @@ def test_resume_after_checkpoint_no_loss_no_dup(tmp_path):
     assert stage["resumeAfter"] == {"_data": "000000000002"}
     seen = [r[8] for r in rows1 + rows2]  # positions = token _data strings
     assert seen == [f"{i:012d}" for i in range(1, 6)]  # no loss, no dup
+
+
+# -- hello/ping handshake (the connection-establishment half) ---------------
+
+
+def test_connect_hello_ping_watch_from_byte_zero(tmp_path):
+    """The reference's full Connect sequence (`pkg/mongo/source.go:49-96`)
+    in one mock session from byte zero: hello (client metadata + wire
+    version gate) → ping → watch → events. The only step a live server
+    would add is the TCP dial itself."""
+    srv = MockMongod(EVENTS)
+    client, socks = _session(srv, str(tmp_path / "tok.ckpt"))
+    client.connect()
+    rows = list(client.events())
+    for s in socks:
+        s.close()
+    assert len(rows) == 5
+    assert [c for cmd in srv.commands for c in cmd if c in
+            ("hello", "ping", "aggregate")][:3] == [
+        "hello", "ping", "aggregate",
+    ]
+    hello = srv.commands[0]
+    assert hello["$db"] == "admin"
+    assert hello["client"]["application"]["name"] == "librarian-replicator"
+    assert hello["client"]["driver"]["name"] == "librarian-spark-wire"
+    assert client.server_info["isWritablePrimary"] is True
+
+
+def test_hello_refuses_pre_changestream_servers(tmp_path):
+    import pytest
+
+    srv = MockMongod(EVENTS, max_wire_version=5)  # MongoDB 3.4: no streams
+    client, socks = _session(srv, str(tmp_path / "tok.ckpt"))
+    with pytest.raises(ConnectionError, match="wire version"):
+        client.connect()
+    for s in socks:
+        s.close()
+
+
+def test_connect_resume_in_one_session(tmp_path):
+    """connect → watch → resume across a cut, all through the handshake
+    path (not a bare watch): the checkpointed token still drives the
+    second session's aggregate."""
+    ckpt = str(tmp_path / "tok.ckpt")
+    srv1 = MockMongod(EVENTS)
+    c1, socks1 = _session(srv1, ckpt)
+    c1.connect()
+    assert len(list(c1.events(max_batches=1))) == 2
+    for s in socks1:
+        s.close()
+
+    srv2 = MockMongod(EVENTS)
+    c2, socks2 = _session(srv2, ckpt)
+    c2.connect()
+    rows2 = list(c2.events())
+    for s in socks2:
+        s.close()
+    assert len(rows2) == 3
+    agg = [c for c in srv2.commands if "aggregate" in c][0]
+    assert agg["pipeline"][0]["$changeStream"]["resumeAfter"] == {
+        "_data": "000000000002"
+    }

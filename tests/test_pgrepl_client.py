@@ -28,9 +28,9 @@ from librarian_spark.sources.pgrepl_mock import MockWalSender as _BaseSender
 REL = encode_relation(9001, "public", "users", [("id", OID_INT4), ("name", 25)])
 
 
-def MockWalSender(txns, upto=None):
+def MockWalSender(txns, upto=None, **kw):
     """The shared package fixture, pre-loaded with this suite's Relation."""
-    return _BaseSender(txns, relations=[REL], upto=upto)
+    return _BaseSender(txns, relations=[REL], upto=upto, **kw)
 
 
 def _txn(lsn: int, rows: list[list[str]]) -> tuple[int, list[bytes]]:
@@ -148,3 +148,92 @@ def test_uncommitted_transaction_replays_after_drop(tmp_path):
         '{"id":5,"name":"erin"}',
     ]
     assert client2.load_checkpoint() == 308
+
+
+# -- startup + SCRAM-SHA-256 (the connection-establishment half) ------------
+
+
+def test_full_handshake_from_socket_open_to_stream(tmp_path):
+    """From byte zero: StartupMessage (replication=database) → SCRAM-SHA-256
+    (RFC 5802: salted-password proof, MUTUAL auth via verified server
+    signature) → ReadyForQuery → START_REPLICATION → decoded rows. The only
+    step a live server would add is the TCP dial itself
+    (`pkg/postgres/source.go:447-470` parity)."""
+    srv = MockWalSender(TXNS, auth=("librarian", "s3cret"))
+    client, t, socks = _session(srv, str(tmp_path / "lsn.ckpt"))
+    info = client.startup("librarian", password="s3cret", database="appdb")
+    assert info["parameters"]["server_version"].startswith("16")
+    assert info["backend_pid"] == 4242
+    # the startup asked for a replication connection, like pgconn does
+    assert srv.startup_params == {
+        "user": "librarian", "database": "appdb", "replication": "database",
+    }
+    assert client.start() == 0
+    rows = list(client.stream())
+    t.join(timeout=5)
+    for s in socks:
+        s.close()
+    assert len(rows) == 5
+    assert client.load_checkpoint() == 308
+
+
+def test_wrong_password_fails_like_a_real_server(tmp_path):
+    import pytest
+
+    srv = MockWalSender(TXNS, auth=("librarian", "s3cret"))
+    client, t, socks = _session(srv, str(tmp_path / "l"))
+    with pytest.raises(ConnectionError, match="authentication failed"):
+        client.startup("librarian", password="wrong", database="appdb")
+    t.join(timeout=5)
+    for s in socks:
+        s.close()
+
+
+def test_client_rejects_forged_server_signature(tmp_path, monkeypatch):
+    """Mutual auth: a server that does NOT hold the password cannot produce
+    the RFC 5802 server signature — the client must refuse to proceed."""
+    import pytest
+
+    from librarian_spark.sources import pgrepl_mock as mock_mod
+
+    monkeypatch.setattr(
+        mock_mod, "scram_server_signature", lambda *a: b"\x00" * 32
+    )
+    srv = MockWalSender(TXNS, auth=("librarian", "s3cret"))
+    client, t, socks = _session(srv, str(tmp_path / "l"))
+    with pytest.raises(ConnectionError, match="server signature mismatch"):
+        client.startup("librarian", password="s3cret", database="appdb")
+    for s in socks:
+        s.close()
+
+
+def test_scram_rfc7677_test_vector():
+    """RFC 7677 §3's published SCRAM-SHA-256 exchange, replayed exactly:
+    user/pass 'user'/'pencil', the RFC's nonces and salt — the client's
+    proof and the server's signature must match the RFC's bytes."""
+    import base64
+
+    from librarian_spark.sources.pgrepl_client import (
+        scram_client_proof,
+        scram_salted_password,
+        scram_server_signature,
+    )
+
+    client_first_bare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final_bare = "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    auth_msg = f"{client_first_bare},{server_first},{final_bare}"
+    salted = scram_salted_password(
+        "pencil", base64.b64decode("W22ZaJ0SNY7soEsUEjb6gQ=="), 4096
+    )
+    assert (
+        base64.b64encode(scram_client_proof(salted, auth_msg)).decode()
+        == "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    assert (
+        base64.b64encode(scram_server_signature(salted, auth_msg)).decode()
+        == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
