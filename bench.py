@@ -119,10 +119,24 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     file_payload = payload
+    skip_detail_write = False
     if subset and os.path.exists(detail_path):
         try:
             with open(detail_path) as fh:
                 prior = json.load(fh)
+            # timings measured at a different scale factor or best-of-N are
+            # not comparable — refuse to mix them AND refuse to clobber the
+            # prior full-run file with this subset (printed line still carries
+            # this run's numbers)
+            if (prior.get("sf") != payload["sf"]
+                    or prior.get("runs_per_query") != n_runs):
+                print(
+                    f"bench: sf/runs mismatch vs {detail_path}; "
+                    "leaving it untouched",
+                    file=sys.stderr,
+                )
+                skip_detail_write = True
+                raise ValueError("incomparable prior")
             merged_q = dict(prior.get("queries", {}))
             merged_q.update(timings)
             merged_err = {
@@ -131,6 +145,11 @@ def main() -> None:
                 if k not in timings  # a now-passing query clears its error
             }
             merged_err.update(errors)
+            # a query that errored THIS run must not keep its stale prior
+            # timing (it would count a failing query into the total and list
+            # it under both "queries" and "errors")
+            for k in merged_err:
+                merged_q.pop(k, None)
             mtotal = round(sum(merged_q.values()), 4)
             file_payload = {
                 **prior,
@@ -147,12 +166,13 @@ def main() -> None:
                 file_payload.pop("errors", None)
         except (OSError, ValueError):
             pass  # unreadable prior file: fall back to writing this run
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(file_payload, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: the printed line is still complete
+    if not skip_detail_write:
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(file_payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: the printed line is still complete
 
     # The driver captures only the LAST 2000 chars of stdout and json-parses
     # the line it finds there (measured: round-1's ~4 KB line overflowed the

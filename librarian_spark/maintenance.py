@@ -379,7 +379,18 @@ def zorder_write(df, path: str, cluster_cols: list[str], n_files: int = 16,
                  bits: int = 10) -> None:
     """Rewrite ``df`` Z-order-clustered on ``cluster_cols`` (see zorder_key):
     one tiny min/max pre-aggregate, then a single range-partition + sort by
-    the Morton key. Layout-only — row values are untouched."""
+    the Morton key. Layout-only — row values are untouched.
+
+    The range shuffle keys on the discrete Morton CELL (zkey quantized into
+    n_files fixed-width ranges), not the raw zkey: a RangePartitioner never
+    splits equal keys, so every file holds whole cells and the per-file
+    min/max boxes align with the Morton grid DETERMINISTICALLY — raw-zkey
+    range sampling (default 100 rows/partition) wobbles the boundaries and
+    smears cells across files, which at small data can double the predicate
+    overlap set (observed: 9/16 files vs the grid-ideal 4/16). Under key-
+    space skew the equal-frequency ranges merge light cells instead of
+    producing empty files; the within-file zkey sort is kept so row groups
+    inside a file stay clustered too."""
     from pyspark.sql import functions as F
 
     aggs = []
@@ -389,11 +400,13 @@ def zorder_write(df, path: str, cluster_cols: list[str], n_files: int = 16,
     mins = [r[f"min_{c}"] for c in cluster_cols]
     maxs = [r[f"max_{c}"] for c in cluster_cols]
     key = zorder_key(cluster_cols, mins, maxs, bits=bits)
+    cell_width = max(1, (1 << (bits * len(cluster_cols))) // n_files)
     (
         df.withColumn("__zkey", key)
-        .repartitionByRange(n_files, F.col("__zkey"))
+        .withColumn("__zcell", F.floor(F.col("__zkey") / cell_width))
+        .repartitionByRange(n_files, F.col("__zcell"))
         .sortWithinPartitions("__zkey")
-        .drop("__zkey")
+        .drop("__zkey", "__zcell")
         .write.mode("overwrite")
         .parquet(path)
     )

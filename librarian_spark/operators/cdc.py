@@ -861,23 +861,23 @@ def cdc_kafka_egress(spark: SparkSession, sf: str) -> DataFrame:
             StructField("value", BinaryType()),
         ]
     )
-    decode_batches = _kw.decode_batches
+    decode_klog_records = _kw.decode_klog_records
+    klog_partition = _kw.klog_partition
 
     def _decode(batches_iter):
         import pandas as pd
 
         for pdf in batches_iter:
             for path, raw in zip(pdf["path"], pdf["content"]):
-                p = int(path.rsplit("p-", 1)[1].split(".")[0])
+                p = klog_partition(path)
                 parts, offs, keys, vals = [], [], [], []
-                for batch in decode_batches(bytes(raw)):
-                    if not batch["crc_ok"]:
-                        raise ValueError(f"CRC mismatch in {path}")
-                    for off, _ts, key, value in batch["records"]:
-                        parts.append(p)
-                        offs.append(off)
-                        keys.append(key)
-                        vals.append(value)
+                for off, _ts, key, value in decode_klog_records(
+                    bytes(raw), source=path
+                ):
+                    parts.append(p)
+                    offs.append(off)
+                    keys.append(key)
+                    vals.append(value)
                 yield pd.DataFrame(
                     {
                         "partition": pd.array(parts, dtype="int32"),

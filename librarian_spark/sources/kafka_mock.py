@@ -141,15 +141,15 @@ def dump_klog(broker: MockKafkaBroker, out_dir: str) -> list[str]:
 def read_klog(path: str) -> list[tuple[int, int, int, bytes, bytes]]:
     """Decode one partition's klog → [(partition, offset, ts, key, value)],
     verifying every batch CRC."""
-    from librarian_spark.sources.kafka_wire import decode_batches
+    from librarian_spark.sources.kafka_wire import (
+        decode_klog_records,
+        klog_partition,
+    )
 
-    p = int(os.path.basename(path).split("-")[1].split(".")[0])
+    p = klog_partition(path)
     with open(path, "rb") as fh:
         raw = fh.read()
-    out = []
-    for batch in decode_batches(raw):
-        if not batch["crc_ok"]:
-            raise ValueError(f"CRC mismatch in {path}")
-        for off, ts, key, value in batch["records"]:
-            out.append((p, off, ts, key, value))
-    return out
+    return [
+        (p, off, ts, key, value)
+        for off, ts, key, value in decode_klog_records(raw, source=path)
+    ]

@@ -317,6 +317,29 @@ def decode_batches(buf: bytes) -> list[dict]:
     return out
 
 
+def klog_partition(path: str) -> int:
+    """Partition index from a mock-broker log filename (``p-NNNN.klog``) —
+    the ONE parser of the klog naming scheme (kafka_mock writes it,
+    read_klog and the Spark-side decoder both resolve through here)."""
+    name = path.rsplit("/", 1)[-1]
+    return int(name.split("-")[1].split(".")[0])
+
+
+def decode_klog_records(
+    raw: bytes, source: str = "<bytes>"
+) -> list[tuple[int, int, bytes | None, bytes]]:
+    """Flatten one partition log's bytes → [(offset, ts, key, value)],
+    refusing on any batch CRC mismatch. Shared by the mock broker's test
+    reader and the executor-side Spark decoder so the CRC policy and
+    batch-walk live in exactly one place."""
+    out: list[tuple[int, int, bytes | None, bytes]] = []
+    for batch in decode_batches(raw):
+        if not batch["crc_ok"]:
+            raise ValueError(f"CRC mismatch in {source}")
+        out.extend(batch["records"])
+    return out
+
+
 # --------------------------------------------------------------------------
 # Metadata v9
 # --------------------------------------------------------------------------
@@ -506,6 +529,7 @@ def decode_produce_response(buf: bytes) -> dict:
             _, pos = decode_compact_string(buf, pos)  # error_message
             _, pos = decode_uvarint(buf, pos)
             parts[pidx] = {"error": err, "base_offset": base}
+        _, pos = decode_uvarint(buf, pos)  # topic-level tagged fields
         out[name] = parts
     return out
 
@@ -582,6 +606,10 @@ class KafkaProducerClient:
         scatter randomly — the reference always keys, so hash-only here."""
         if key is None:
             raise ValueError("the reference's producer always sets a key")
+        if not self.partitions:
+            raise RuntimeError(
+                "no partition metadata — call connect() before produce()"
+            )
         return self.partitions[zlib.crc32(key) % len(self.partitions)]
 
     # -- produce path -------------------------------------------------------
@@ -606,11 +634,18 @@ class KafkaProducerClient:
         )
         if self._pending_bytes[p] >= self.batch_size:
             self._flush_partition(p)
-        elif (
-            time.monotonic() * 1000 - self._pending_first_ms[p]
-            >= self.linger_ms
-        ):
-            self._flush_partition(p)
+        # linger check covers EVERY pending partition, not just the one this
+        # message landed on: a batch on a quiet partition must still ship
+        # once its oldest message outlives linger_ms (librdkafka does this
+        # from a background poll; this synchronous client piggybacks the
+        # check on each produce call)
+        now = time.monotonic() * 1000
+        for q in [
+            part
+            for part, first in self._pending_first_ms.items()
+            if now - first >= self.linger_ms and self._pending.get(part)
+        ]:
+            self._flush_partition(q)
 
     def flush(self) -> list[dict]:
         """Drain every pending batch; returns all delivery reports so far."""

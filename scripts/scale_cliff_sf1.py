@@ -56,31 +56,22 @@ ORGANIC = os.environ.get("SCALE_ORGANIC") == "1"
 def build_organic(spark, out_dir: str) -> None:
     """Key-shifted replicas whose document text is ALSO rewritten per
     replica (consonant rotation) — replicas are not near-duplicates, so
-    dedup pair output grows ~linearly instead of quadratically."""
+    dedup pair output grows ~linearly instead of quadratically. Delegates
+    the replication itself to scale_smoke.build_scaled (one implementation)
+    and only supplies the per-replica text mutation."""
     import scale_smoke
     from pyspark.sql import functions as F
-    from librarian_spark.sources.batch import load_table
 
     alphabet = "etaonisrhl"
-    for t, keys in scale_smoke.SHIFT.items():
-        src = load_table(spark, BASE_SF, t)
-        if not keys:
-            src.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-            continue
-        parts = []
-        span = 10**12
-        for r in range(REPL):
-            d = src
-            for k in keys:
-                d = d.withColumn(k, F.col(k) + F.lit(r * span))
-            if t == "documents" and r > 0:
-                rot = alphabet[r:] + alphabet[:r]
-                d = d.withColumn("text", F.translate("text", alphabet, rot))
-            parts.append(d)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+    def rotate_text(d, r, table):
+        if table == "documents" and r > 0:
+            rot = alphabet[r:] + alphabet[:r]
+            d = d.withColumn("text", F.translate("text", alphabet, rot))
+        return d
+
+    scale_smoke.REPL = REPL
+    build_scaled(spark, out_dir, mutate=rotate_text)
 
 
 def time_query(spark, spec, sf_dir: str) -> float:
@@ -139,10 +130,18 @@ def main() -> None:
     merged = dict(doc.get(key, {}))
     merged.update(out)
     doc[key] = merged
+    # organic ratios get their own outlier list — a super-linear cliff found
+    # under organic data must surface in the documented signal, not hide
+    # under a key the reader never scans
     doc["outliers"] = [
         n for n, r in doc.get("queries", {}).items()
         if r.get("ratio", 0) > RATIO_BAR
     ]
+    if doc.get("organic"):
+        doc["organic_outliers"] = [
+            n for n, r in doc["organic"].items()
+            if r.get("ratio", 0) > RATIO_BAR
+        ]
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(json.dumps({key: out}, separators=(",", ":")))

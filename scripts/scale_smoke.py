@@ -146,7 +146,13 @@ if os.environ.get("SMOKE_QUERIES"):
     QUERIES = [q for q in QUERIES if q in _want]
 
 
-def build_scaled(spark, out_dir: str) -> None:
+def build_scaled(spark, out_dir: str, mutate=None) -> None:
+    """Write a REPL× key-shifted replica union of every SHIFT table.
+
+    ``mutate(df, replica, table) -> df`` optionally transforms each replica
+    beyond the key shift (e.g. scale_cliff's organic mode rewrites document
+    text per replica) — the ONE replication implementation both scripts use,
+    so the shift/span/union logic can never diverge between them."""
     for t, keys in SHIFT.items():
         src = load_table(spark, BASE_SF, t)
         if not keys:
@@ -159,6 +165,8 @@ def build_scaled(spark, out_dir: str) -> None:
             d = src
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(r * span))
+            if mutate is not None:
+                d = mutate(d, r, t)
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:

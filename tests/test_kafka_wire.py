@@ -172,6 +172,51 @@ def test_linger_ms_flushes_aged_batches():
     sock.close()
 
 
+def test_linger_flushes_quiet_partition_on_other_partition_produce():
+    """The linger check must age EVERY pending partition: one message on a
+    quiet partition must ship once linger expires even when all subsequent
+    produces land on a different partition (the indefinite-delay trap)."""
+    import time
+
+    broker = MockKafkaBroker("t", n_partitions=4)
+    c, sock, _ = _client(broker, linger_ms=5)
+    c.connect()
+    # two keys that hash to different partitions
+    keys = [f"appdb.public.t{i}".encode() for i in range(16)]
+    k_a = keys[0]
+    k_b = next(k for k in keys if c.partition_for(k) != c.partition_for(k_a))
+    p_b = c.partition_for(k_b)
+    c.produce(k_b, b"{}", timestamp_ms=1)  # lone message, quiet partition
+    time.sleep(0.02)
+    c.produce(k_a, b"{}", timestamp_ms=2)  # different partition
+    assert broker.next_offset.get(p_b, 0) == 1, (
+        "aged batch on the quiet partition must flush without an explicit "
+        "flush() even though later produces hit another partition"
+    )
+    sock.close()
+
+
+def test_produce_response_multi_topic_decodes():
+    """decode_produce_response must consume the topic-level tagged-field
+    byte — a two-topic response misparses from topic 2 on without it."""
+    from librarian_spark.sources.kafka_wire import (
+        decode_produce_response,
+        encode_produce_response,
+    )
+
+    one = encode_produce_response(7, "alpha", [(0, 0, 41)])
+    two = encode_produce_response(7, "beta", [(3, 0, 99)])
+    # splice beta's topic entry into alpha's response. Layout: corr(4) +
+    # header-tags(1) + topic-count(1, compact: n+1) + topic-entry... +
+    # throttle(4) + response-tags(1) — so [6:-5] is the topic entry and the
+    # count byte is bumped 2 -> 3 for two topics.
+    assert one[5] == 2 and two[5] == 2
+    spliced = one[:5] + encode_uvarint(3) + one[6:-5] + two[6:-5] + one[-5:]
+    out = decode_produce_response(spliced)
+    assert out["alpha"][0]["base_offset"] == 41
+    assert out["beta"][3]["base_offset"] == 99
+
+
 def test_retriable_error_retries_then_succeeds():
     broker = MockKafkaBroker("t", n_partitions=2, fail_produces=2)
     c, sock, _ = _client(broker, linger_ms=10_000)
