@@ -654,6 +654,49 @@ def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 _SHARD_BUDGET = 16_384  # bytes per shard (small so sf0.01 yields ~10 shards)
 
 
+def _assign_shards(df: DataFrame) -> DataFrame:
+    """Add ``shard_id`` = exclusive-prefix-bytes // budget to a
+    ``(doc_id, nb, ...)`` frame, in stable doc_id order — the q79
+    range-partition offset construction (see mm_shard_manifest's doc).
+    Extra columns (e.g. the payload itself for the tar writer) ride the one
+    range shuffle unchanged."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # range-shuffle on the unique sort key; localCheckpoint pins the sampled
+    # range boundaries so the subtotal action and the ranking pass see the
+    # SAME partition layout
+    ranged = (
+        df.repartitionByRange(n_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subtotals = sorted(
+        ranged.groupBy("_pid").agg(F.sum("nb").alias("b")).collect()
+    )
+    offs, acc = [], 0
+    for row in subtotals:  # partition ids are emitted in range order
+        offs.append((row._pid, acc))
+        acc += row.b
+    offdf = spark.createDataFrame(offs, "_pid int, _byte_off long")
+    ww = (
+        W.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(offdf), "_pid")
+        .withColumn(
+            "prior",
+            F.col("_byte_off") + F.coalesce(F.sum("nb").over(ww), F.lit(0)),
+        )
+        .withColumn(
+            "shard_id",
+            F.call_function("div", F.col("prior"), F.lit(_SHARD_BUDGET)),
+        )
+        .drop("_pid", "_byte_off", "prior")
+    )
+
+
 @query(
     "mm_shard_manifest",
     oracle=f"""
@@ -690,44 +733,118 @@ def mm_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     d = ingest_binary(spark, sf).select(
         "doc_id", F.col("meta.n_bytes").alias("nb")
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # range-shuffle on the unique sort key; localCheckpoint pins the sampled
-    # range boundaries so the subtotal action and the ranking pass see the
-    # SAME partition layout
-    ranged = (
-        d.repartitionByRange(n_parts, "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    subtotals = sorted(
-        ranged.groupBy("_pid").agg(F.sum("nb").alias("b")).collect()
-    )
-    offs, acc = [], 0
-    for row in subtotals:  # partition ids are emitted in range order
-        offs.append((row._pid, acc))
-        acc += row.b
-    offdf = spark.createDataFrame(offs, "_pid int, _byte_off long")
-    ww = (
-        W.partitionBy("_pid")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    sized = (
-        ranged.join(F.broadcast(offdf), "_pid")
-        .withColumn(
-            "prior",
-            F.col("_byte_off") + F.coalesce(F.sum("nb").over(ww), F.lit(0)),
-        )
-        .withColumn(
-            "shard_id",
-            F.call_function("div", F.col("prior"), F.lit(_SHARD_BUDGET)),
-        )
-    )
+    sized = _assign_shards(d)
     return sized.groupBy("shard_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("nb").cast("long").alias("total_bytes"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# WebDataset-style tar shard construction (training-dataloader egress)
+# --------------------------------------------------------------------------
+
+_TAR_NAME_PAD = 16  # member names: zero-padded doc_id + ".txt" (sortable)
+
+
+def tar_shard_builder(name_pad: int = _TAR_NAME_PAD, emit_bytes: bool = False):
+    """The per-shard tar writer applyInPandas runs — a module-level factory
+    so tests exercise THE implementation (readback validity) and the query
+    ships it as a self-contained closure (cloudpickle serializes closures by
+    value; module globals would need the package importable on executors).
+    ``emit_bytes=True`` adds the raw archive to the output row (test path —
+    the query emits stats only so the driver never sees tar bytes)."""
+
+    def build_tar(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        import io
+        import tarfile
+
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        names = []
+        # USTAR format + zeroed metadata: the archive bytes are a pure
+        # function of (names, payloads) — reproducible across runs/hosts
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                name = f"{int(doc_id):0{name_pad}d}.txt"
+                names.append(name)
+                info = tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(bytes(payload)))
+        row = {
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "n_members": [len(names)],
+            "payload_bytes": [int(pdf["nb"].sum())],
+            "tar_bytes": [buf.getbuffer().nbytes],
+            "members_md5": [hashlib.md5("\n".join(names).encode()).hexdigest()],
+        }
+        if emit_bytes:
+            row["tar"] = [buf.getvalue()]
+        return pd.DataFrame(row)
+
+    return build_tar
+
+
+@query(
+    "mm_tar_shards",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS nb,
+             COALESCE(SUM(OCTET_LENGTH(ENCODE(text))) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM documents
+    ), m AS (
+      SELECT CAST(prior // {_SHARD_BUDGET} AS BIGINT) AS shard_id, doc_id, nb
+      FROM sized
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(nb) AS BIGINT) AS payload_bytes,
+           CAST(((SUM(512 + ((nb + 511) // 512) * 512) + 1024 + 10239)
+                 // 10240) * 10240 AS BIGINT) AS tar_bytes,
+           MD5(STRING_AGG(LPAD(CAST(doc_id AS VARCHAR), {_TAR_NAME_PAD}, '0')
+                          || '.txt', CHR(10) ORDER BY doc_id)) AS members_md5
+    FROM m GROUP BY 1
+    """,
+    doc="WebDataset-style tar SHARD CONSTRUCTION — the egress step after "
+    "mm_shard_manifest's assignment: payloads are grouped by shard and each "
+    "group is serialized into an actual POSIX ustar archive inside "
+    "applyInPandas (Arrow-batched; the tar bytes are built per shard on the "
+    "executor and never visit the driver). Emitted per shard: member count, "
+    "payload bytes, the REAL archive's byte size, and an md5 over the "
+    "ordered member names. The oracle independently computes what the ustar "
+    "format REQUIRES the archive size to be (512-byte header + 512-padded "
+    "payload per member, 1024-byte end marker, 10240-byte record padding) — "
+    "so the parity check proves the writer produced a structurally correct "
+    "archive, not just that two copies of one implementation agree; "
+    "readback validity is pinned in tests/test_multimodal.py. One range "
+    "shuffle assigns shards (the q79 offset construction), one hash "
+    "shuffle moves each payload byte ONCE to its shard builder — the "
+    "minimum any re-sharding egress can do — and per-task state is bounded "
+    f"by the {_SHARD_BUDGET}-byte shard budget (+1 doc overshoot), never "
+    "by corpus size: at 100 TB with ~1 GB shards this is exactly the "
+    "img2dataset/WebDataset write path.",
+)
+def mm_tar_shards(spark: SparkSession, sf: str) -> DataFrame:
+    d = ingest_binary(spark, sf).select(
+        "doc_id", "payload", F.col("meta.n_bytes").alias("nb")
+    )
+    sized = _assign_shards(d)
+    return sized.select("shard_id", "doc_id", "payload", "nb").groupBy(
+        "shard_id"
+    ).applyInPandas(
+        tar_shard_builder(),
+        schema="shard_id long, n_members long, payload_bytes long, "
+        "tar_bytes long, members_md5 string",
     )
 
 
@@ -975,4 +1092,70 @@ def mm_silence_segments(spark: SparkSession, sf: str) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         op,
         schema="doc_id long, seg_start long, seg_end long, n_frames long",
+    )
+
+
+# --------------------------------------------------------------------------
+# WebDataset member-offset index (random-access dataloader sidecar)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mm_webdataset_index",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS nb,
+             COALESCE(SUM(OCTET_LENGTH(ENCODE(text))) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM documents
+    ), m AS (
+      SELECT CAST(prior // {_SHARD_BUDGET} AS BIGINT) AS shard_id, doc_id, nb
+      FROM sized
+    )
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY doc_id) - 1
+                AS BIGINT) AS member_idx,
+           CAST(COALESCE(SUM(512 + ((nb + 511) // 512) * 512) OVER (
+                  PARTITION BY shard_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS header_offset,
+           CAST(COALESCE(SUM(512 + ((nb + 511) // 512) * 512) OVER (
+                  PARTITION BY shard_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512
+                AS BIGINT) AS data_offset,
+           CAST(nb AS BIGINT) AS n_bytes
+    FROM m
+    """,
+    doc="Random-access member index over the tar shards mm_tar_shards "
+    "builds — the sidecar a wids/WebDataset-style dataloader uses to fetch "
+    "ONE sample with one ranged read instead of streaming the archive: for "
+    "every document, its shard, member ordinal, and exact byte offsets of "
+    "the ustar header and payload inside that shard (header_offset + 512). "
+    "Offsets are pure ustar arithmetic (512-byte header + 512-padded "
+    "payload per preceding member), so the oracle recomputes them "
+    "independently and tests/test_llm_ops.py slices the REAL archive at "
+    "data_offset to recover each payload byte-for-byte. Plan: the one "
+    "range shuffle of the shard assignment, then a window PARTITIONED BY "
+    "shard_id — group size is bounded by the shard byte budget, never by "
+    "corpus size, so no task's sort grows with the data. At 100 TB this "
+    "index is what turns cold-storage shards into a constant-latency "
+    "sample store.",
+)
+def mm_webdataset_index(spark: SparkSession, sf: str) -> DataFrame:
+    d = ingest_binary(spark, sf).select(
+        "doc_id", F.col("meta.n_bytes").alias("nb")
+    )
+    sized = _assign_shards(d)
+    padded = F.expr("512 + ((nb + 511) div 512) * 512")
+    w_mem = W.partitionBy("shard_id").orderBy("doc_id")
+    w_prev = w_mem.rowsBetween(W.unboundedPreceding, -1)
+    header_off = F.coalesce(F.sum(padded).over(w_prev), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "shard_id",
+        (F.row_number().over(w_mem) - 1).cast("long").alias("member_idx"),
+        header_off.cast("long").alias("header_offset"),
+        (header_off + 512).cast("long").alias("data_offset"),
+        F.col("nb").cast("long").alias("n_bytes"),
     )

@@ -2486,3 +2486,77 @@ def text_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("pack_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear quality-classifier inference (model-based filtering)
+# --------------------------------------------------------------------------
+
+_CLF_DIM = 64  # hashed feature space of the "trained" linear model
+# Deterministic stand-in for trained weights (a real pipeline loads these
+# from the classifier artifact): integer weights in [-500, 500] derived from
+# the dimension index by a fixed multiplicative hash, embedded as literals
+# in BOTH engines so the parity check is exact. Integer weights make the
+# score an exact sum — no float-order concerns anywhere.
+_CLF_WEIGHTS = [((d * 2654435761) % (1 << 31)) % 1001 - 500 for d in range(_CLF_DIM)]
+
+
+@query(
+    "text_classifier_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(LEN(w) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(w,
+               t -> ([{", ".join(str(x) for x in _CLF_WEIGHTS)}])
+                      [({o_fingerprint('t')} % {_CLF_DIM}) + 1])), 0)
+               AS BIGINT) AS score
+      FROM w
+    )
+    SELECT doc_id, n_tokens, score,
+           CAST(score * 1000 // GREATEST(n_tokens, 1) AS BIGINT)
+             AS score_milli,
+           CAST(CASE WHEN score * 1000 // GREATEST(n_tokens, 1) > 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM s
+    """,
+    doc="Model-based quality filtering: the INFERENCE half of a linear "
+    f"(fastText-style) document classifier — each token hashes into a "
+    f"{_CLF_DIM}-dim feature space by the shared polynomial fingerprint, "
+    "the document score is the exact integer sum of its tokens' weights "
+    "(the model vector rides the plan as a constant-folded array literal — "
+    "operationally a broadcast of the classifier artifact), and the keep "
+    "decision thresholds the length-normalized fixed-point score. This is "
+    "the FineWeb-Edu / DCLM pipeline shape (hash features -> linear score "
+    "-> threshold gate) with deterministic stand-in weights, so the oracle "
+    "replays the identical arithmetic. Map-only whole-stage codegen: no "
+    "shuffle, no Python, no fitted state — at 100 TB it is scan-bound and "
+    "embarrassingly parallel, exactly how a quality-model gate must run. "
+    "Length-normalization uses exact integer div (both engines truncate "
+    "toward zero) so scores are bit-reproducible across partitionings.",
+)
+def text_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("w"))
+    d = fan_out(d)  # per-token hash folds are compute-bound, not scan-bound
+    ws = F.array(*[F.lit(int(x)) for x in _CLF_WEIGHTS])
+    score = F.aggregate(
+        F.col("w"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(ws, (fingerprint(t) % _CLF_DIM + 1).cast("int")),
+    )
+    s = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        score.alias("score"),
+    )
+    milli = F.expr("(score * 1000) div greatest(n_tokens, 1)")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        milli.cast("long").alias("score_milli"),
+        F.when(milli > 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
+    )

@@ -165,6 +165,52 @@ class MockWalSender:
         tag, body = read_backend_message(sock)  # the forced ack
         assert tag == b"d"
         self.acks.append(parse_standby_status(body))
+
+        # Standby-status acks are drained CONCURRENTLY with the outbound WAL
+        # stream, exactly like a real walsender's receive half: a
+        # send-everything-then-read loop deadlocks once the session outgrows
+        # the socket buffers (the client blocks sending an ack, stops
+        # reading, and our sendall blocks in turn — observed at a 10x-scale
+        # session: ~700 KB of WAL + ~1000 acks vs ~212 KB socketpair
+        # buffers). A buffered reader thread parses complete messages only,
+        # so it can never desync on a partial frame.
+        done = threading.Event()
+
+        def _drain() -> None:
+            import select
+
+            buf = b""
+            idle_since = None
+            while True:
+                r, _, _ = select.select([sock], [], [], 0.1)
+                if not r:
+                    if done.is_set():
+                        import time as _time
+
+                        if idle_since is None:
+                            idle_since = _time.monotonic()
+                        elif _time.monotonic() - idle_since > 2.0:
+                            return  # 2 s with no acks after CopyDone
+                    continue
+                try:
+                    chunk = sock.recv(65536)
+                except OSError:
+                    return
+                if not chunk:
+                    return  # client closed
+                idle_since = None
+                buf += chunk
+                while len(buf) >= 5:
+                    (ln,) = struct.unpack(">I", buf[1:5])
+                    if len(buf) < 1 + ln:
+                        break
+                    tag_, payload = buf[:1], buf[5 : 1 + ln]
+                    buf = buf[1 + ln :]
+                    if tag_ == b"d" and payload[:1] == b"r":
+                        self.acks.append(parse_standby_status(payload))
+
+        reader = threading.Thread(target=_drain, daemon=True)
+        reader.start()
         for rel in self.relations:
             send_frontend_message(sock, b"d", encode_xlogdata(0, 0, rel))
         for end_lsn, msgs in self.txns:
@@ -176,16 +222,9 @@ class MockWalSender:
                 send_frontend_message(
                     sock, b"d", encode_xlogdata(end_lsn - 8, end_lsn, msg)
                 )
-        # drain the per-commit acks (buffered), then end the copy stream
         send_frontend_message(sock, b"c", b"")
-        sock.settimeout(2.0)
-        try:
-            while True:
-                tag, body = read_backend_message(sock)
-                if tag == b"d" and body[:1] == b"r":
-                    self.acks.append(parse_standby_status(body))
-        except (TimeoutError, ConnectionError, OSError):
-            pass
+        done.set()
+        reader.join()
 
     def connect(self) -> tuple[socket.socket, threading.Thread]:
         """Start one session on a socketpair; returns (client end, thread)."""

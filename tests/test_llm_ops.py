@@ -691,3 +691,98 @@ def test_semantic_clusters_empty_centroids_returns_empty(spark, tmp_path):
     df = load_all()["dedup_semantic_clusters"].spark_fn(spark, tmp)
     assert df.count() == 0
     assert df.columns == ["vec_id", "cluster_id", "keep"]
+
+
+def test_tar_shard_builder_readback_and_ustar_arithmetic():
+    """The tar writer must produce a REAL archive: read it back with tarfile
+    and check member names/order/payloads round-trip, and that the byte size
+    equals what the ustar format requires (512 header + 512-padded payload
+    per member + 1024 end marker, padded to the 10240 record size) — the
+    same arithmetic the registry oracle recomputes in SQL."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from librarian_spark.operators.multimodal import tar_shard_builder
+
+    payloads = [b"x" * 48, b"y" * 511, b"z" * 513, b""]
+    pdf = pd.DataFrame(
+        {
+            "shard_id": [7] * 4,
+            "doc_id": [30, 10, 20, 40],  # unsorted on purpose
+            "payload": payloads,
+            "nb": [len(p) for p in payloads],
+        }
+    )
+    out = tar_shard_builder(emit_bytes=True)(pdf)
+    assert out["n_members"].iloc[0] == 4
+    assert out["payload_bytes"].iloc[0] == sum(len(p) for p in payloads)
+
+    expected = sum(512 + ((len(p) + 511) // 512) * 512 for p in payloads)
+    expected = ((expected + 1024 + 10239) // 10240) * 10240
+    assert out["tar_bytes"].iloc[0] == expected
+
+    raw = out["tar"].iloc[0]
+    assert len(raw) == expected
+    with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+        members = tf.getmembers()
+        names = [m.name for m in members]
+        # doc_id-sorted member order, zero-padded sortable names
+        assert names == sorted(names)
+        assert [int(n.split(".")[0]) for n in names] == [10, 20, 30, 40]
+        by_doc = dict(zip(pdf["doc_id"], pdf["payload"]))
+        for m in members:
+            body = tf.extractfile(m).read()
+            assert body == by_doc[int(m.name.split(".")[0])]
+        assert all(m.mtime == 0 and m.uid == 0 for m in members)
+    assert (
+        out["members_md5"].iloc[0]
+        == hashlib.md5("\n".join(names).encode()).hexdigest()
+    )
+
+
+def test_tar_shards_agree_with_shard_manifest(spark, sf_dir):
+    """mm_tar_shards and mm_shard_manifest must describe the SAME packing:
+    per shard, member count == doc count and payload bytes == total bytes."""
+    from librarian_spark.operators.registry import load_all
+
+    specs = load_all()
+    tar = {
+        r.shard_id: (r.n_members, r.payload_bytes)
+        for r in specs["mm_tar_shards"].spark_fn(spark, sf_dir).collect()
+    }
+    man = {
+        r.shard_id: (r.n_docs, r.total_bytes)
+        for r in specs["mm_shard_manifest"].spark_fn(spark, sf_dir).collect()
+    }
+    assert tar == man
+
+
+def test_webdataset_index_offsets_slice_the_real_tar():
+    """The index's data_offset must land exactly on each member's payload in
+    the REAL archive: build one shard's tar with the production writer, then
+    recover every payload by slicing raw[data_offset : data_offset+n_bytes]
+    using offsets computed with the same ustar arithmetic the operator and
+    its oracle use."""
+    import pandas as pd
+
+    from librarian_spark.operators.multimodal import tar_shard_builder
+
+    payloads = [b"a" * 100, b"b" * 512, b"c" * 700, b"d" * 1]
+    doc_ids = [5, 11, 12, 90]
+    pdf = pd.DataFrame(
+        {
+            "shard_id": [3] * 4,
+            "doc_id": doc_ids,
+            "payload": payloads,
+            "nb": [len(p) for p in payloads],
+        }
+    )
+    raw = tar_shard_builder(emit_bytes=True)(pdf)["tar"].iloc[0]
+    off = 0
+    for p in payloads:  # doc_ids already sorted
+        data_off = off + 512
+        assert raw[data_off : data_off + len(p)] == p
+        off += 512 + ((len(p) + 511) // 512) * 512

@@ -237,3 +237,31 @@ def test_scram_rfc7677_test_vector():
         base64.b64encode(scram_server_signature(salted, auth_msg)).decode()
         == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
     )
+
+
+def test_large_session_outgrowing_socket_buffers_does_not_deadlock(tmp_path):
+    """Full-duplex flow control: a session whose WAL stream AND ack stream
+    both exceed the socketpair buffer (~212 KB) must complete. The mock
+    sender drains standby-status acks concurrently with the outbound
+    stream (like a real walsender's receive half) — a send-all-then-read
+    server deadlocks here: the client blocks sending an ack, stops
+    reading, and the server's sendall blocks in turn (observed live at a
+    10x-scale cdc_wire_replication build: 5 threads parked in
+    sock_alloc_send_pskb)."""
+    n = 4000  # ~800 KB of WAL frames, ~4000 acks (~3 MB of skb accounting)
+    txns = [
+        _txn(100 * (i + 1), [[str(i), f"user-{i:06d}-{'x' * 80}"]])
+        for i in range(n)
+    ]
+    srv = MockWalSender(txns)
+    client, t, socks = _session(srv, str(tmp_path / "lsn.ckpt"))
+    client.start()
+    rows = list(client.stream())
+    t.join(timeout=30)
+    assert not t.is_alive(), "server thread still alive — deadlock"
+    for s in socks:
+        s.close()
+    assert len(rows) == n
+    assert client.load_checkpoint() == 100 * n + 8
+    # every commit was acked and the LAST ack carries the final LSN
+    assert srv.acks[-1]["flushed"] == 100 * n + 8
