@@ -5343,7 +5343,10 @@ _LPA_MIN_SIZE = 3
 _LPA_EDGE_MOD = 20
 
 
-def _lpa_oracle() -> str:
+def _lpa_blocks() -> tuple[list[str], str]:
+    """The shared CTE chain (symmetric edge list + unrolled synchronous LPA
+    rounds) both graph_label_propagation and graph_modularity replay;
+    returns (blocks, name of the final label CTE)."""
     blocks = [
         f"""ed AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -5363,34 +5366,24 @@ def _lpa_oracle() -> str:
         GROUP BY e.u, l.lab
       ) WHERE rn = 1
     )""")
+    return blocks, f"l{_LPA_ITERS}"
+
+
+def _lpa_oracle() -> str:
+    blocks, last = _lpa_blocks()
     return (
         "WITH "
         + ",\n    ".join(blocks)
         + f"""
     SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
-    FROM l{_LPA_ITERS} GROUP BY 1 HAVING COUNT(*) >= {_LPA_MIN_SIZE}"""
+    FROM {last} GROUP BY 1 HAVING COUNT(*) >= {_LPA_MIN_SIZE}"""
     )
 
 
-@query(
-    "graph_label_propagation",
-    oracle=_lpa_oracle(),
-    doc=f"Community detection by synchronous label propagation on the part "
-    "co-purchase graph: every node starts as its own label; each of "
-    f"{_LPA_ITERS} SYNCHRONOUS rounds relabels every node to its "
-    "neighbors' most frequent label, ties broken by smallest label — "
-    "fully deterministic (async LPA's order-dependence is exactly what "
-    "a distributed engine cannot promise, so the synchronous fixed-step "
-    "variant is the one that hash-matches across engines; the oracle "
-    "unrolls the rounds as chained CTEs). Each round is one shuffle "
-    "join (edges x labels on the neighbor endpoint) + one "
-    "map-side-combining count + one window ranked WITHIN node "
-    "partitions — no global sort, no broadcast of the O(|V|) label "
-    "table (the pagerank de-broadcast lesson applied from the start). "
-    "localCheckpoint per round keeps the plan linear in rounds. Output "
-    f"is communities of >= {_LPA_MIN_SIZE} nodes.",
-)
-def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+def _lpa_labels(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """(symmetric edge list, converged-at-K-rounds labels) — the Spark twin
+    of :func:`_lpa_blocks`, shared by graph_label_propagation and
+    graph_modularity."""
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_orderkey") % _LPA_EDGE_MOD == 0
     )
@@ -5419,10 +5412,128 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
             .select("node", "lab")
             .localCheckpoint()
         )
+    return ed, labels
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Community detection by synchronous label propagation on the part "
+    "co-purchase graph: every node starts as its own label; each of "
+    f"{_LPA_ITERS} SYNCHRONOUS rounds relabels every node to its "
+    "neighbors' most frequent label, ties broken by smallest label — "
+    "fully deterministic (async LPA's order-dependence is exactly what "
+    "a distributed engine cannot promise, so the synchronous fixed-step "
+    "variant is the one that hash-matches across engines; the oracle "
+    "unrolls the rounds as chained CTEs). Each round is one shuffle "
+    "join (edges x labels on the neighbor endpoint) + one "
+    "map-side-combining count + one window ranked WITHIN node "
+    "partitions — no global sort, no broadcast of the O(|V|) label "
+    "table (the pagerank de-broadcast lesson applied from the start). "
+    "localCheckpoint per round keeps the plan linear in rounds. Output "
+    f"is communities of >= {_LPA_MIN_SIZE} nodes.",
+)
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    _, labels = _lpa_labels(spark, sf)
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .filter(F.col("n_nodes") >= _LPA_MIN_SIZE)
+    )
+
+
+def _modularity_oracle() -> str:
+    blocks, last = _lpa_blocks()
+    blocks += [
+        "deg AS (SELECT u AS node, COUNT(*) AS deg FROM ed GROUP BY 1)",
+        "tot AS (SELECT COUNT(*) AS e2 FROM ed)",
+        f"""com AS (
+      SELECT l.lab AS community, COUNT(*) AS n_nodes,
+             SUM(d.deg) AS degree_sum
+      FROM {last} l JOIN deg d ON l.node = d.node GROUP BY 1
+    )""",
+        f"""inte AS (
+      SELECT lu.lab AS community, COUNT(*) AS internal_edges
+      FROM ed e
+      JOIN {last} lu ON e.u = lu.node
+      JOIN {last} lv ON e.v = lv.node
+      WHERE lu.lab = lv.lab GROUP BY 1
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + """
+    SELECT c.community,
+           CAST(c.n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+           CAST(c.degree_sum AS BIGINT) AS degree_sum,
+           CAST(COALESCE(i.internal_edges, 0) * (SELECT e2 FROM tot)
+                - c.degree_sum * c.degree_sum AS BIGINT)
+             AS contribution_scaled
+    FROM com c LEFT JOIN inte i ON c.community = i.community"""
+    )
+
+
+@query(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+    doc="Community-quality EVALUATION over the label-propagation partition "
+    "(the detection op's missing other half — 'did LPA find real "
+    "structure?'): per community, its node count, internal directed-edge "
+    "count, degree sum, and its modularity contribution in EXACT integer "
+    "fixed point — Q_c scaled by (2m)^2 is internal_edges*2m - "
+    "degree_sum^2, so no float division or summation order exists "
+    "anywhere and the oracle hash-matches bit-for-bit (sum the scaled "
+    "column / (2m)^2 for Newman's Q). Plan: the LPA rounds' own shuffles, "
+    "then one degree aggregate, one node->label join for degree sums and "
+    "one edge->label-x-label join for internal edges — the same "
+    "O(|E|)-shuffle class as a single LPA round; 2m is a 1-row scalar "
+    "reduce inlined as a literal. int64 holds through ~3e9 directed "
+    "edges (degree_sum^2 < 2^63); beyond that the scaled column widens "
+    "to decimal(38,0) — the structure is unchanged.",
+)
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    ed, labels = _lpa_labels(spark, sf)
+    e2 = ed.count()  # 2m: one scalar action on the checkpointed edge list
+    deg = ed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    com = (
+        labels.join(deg, "node")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lab").alias("lab_v"))
+    inte = (
+        ed.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    return (
+        com.join(inte, "community", "left")
+        .withColumn(
+            "internal_edges",
+            F.coalesce(F.col("internal_edges"), F.lit(0)).cast("long"),
+        )
+        .select(
+            "community",
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            (
+                F.col("internal_edges") * F.lit(int(e2))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("long")
+            .alias("contribution_scaled"),
+        )
     )
 
 

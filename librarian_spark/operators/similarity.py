@@ -2231,3 +2231,90 @@ def sim_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
         schema="query_id long, neighbor_id long, score double",
     )
     return _rank_topk(pruned, _TOPK)
+
+
+# --------------------------------------------------------------------------
+# Rank-order agreement: Kendall concordance of ANN vs exact rankings
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sim_rank_tau",
+    oracle=f"""
+    WITH e AS (SELECT query_id, neighbor_id, rn AS re FROM ({_TOPK_ORACLE})),
+    a AS (SELECT query_id, neighbor_id, rn AS ra FROM ({_ANN_LSH_ORACLE})),
+    c AS (
+      SELECT e.query_id, e.re, a.ra
+      FROM e JOIN a ON e.query_id = a.query_id
+              AND e.neighbor_id = a.neighbor_id
+    ),
+    pc AS (SELECT query_id, COUNT(*) AS n_common FROM c GROUP BY 1),
+    pr AS (
+      SELECT c1.query_id, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN c1.ra > c2.ra THEN 1 ELSE 0 END) AS discordant
+      FROM c c1 JOIN c c2
+        ON c1.query_id = c2.query_id AND c1.re < c2.re
+      GROUP BY 1
+    )
+    SELECT pc.query_id,
+           CAST(pc.n_common AS BIGINT) AS n_common,
+           CAST(COALESCE(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(pr.n_pairs, 0) - COALESCE(pr.discordant, 0)
+                AS BIGINT) AS concordant,
+           CAST(COALESCE(pr.discordant, 0) AS BIGINT) AS discordant,
+           CAST(((COALESCE(pr.n_pairs, 0) - 2 * COALESCE(pr.discordant, 0))
+                 * 1000) // GREATEST(COALESCE(pr.n_pairs, 0), 1)
+                AS BIGINT) AS tau_milli
+    FROM pc LEFT JOIN pr ON pc.query_id = pr.query_id
+    """,
+    doc=f"Rank-ORDER agreement of the LSH retrieval against the exact "
+    f"cosine top-{_TOPK}, per query — the eval recall@k cannot see: two "
+    "methods can return the same k items in opposite order and recall "
+    "calls them identical. Kendall concordance over the common items is "
+    "pure integer counting (concordant/discordant pairs of distinct "
+    "ranks; tau in exact fixed-point milli units, truncating div both "
+    "engines agree on), so the oracle hash-matches bit-for-bit. Spark "
+    "side reuses the two registered retrievals, inner-joins their "
+    f"(query, neighbor) pairs, and counts inversions INSIDE a <= {_TOPK}"
+    "-element packed array per query (one collect_list + higher-order "
+    "functions in codegen) — no pair self-join ever touches the engine, "
+    "so cost is the two retrievals plus one bounded-width aggregate; "
+    "queries whose candidate sets do not intersect drop out of BOTH "
+    "engines identically. At 100 TB the retrievals dominate; the tau "
+    "layer is O(queries).",
+)
+def sim_rank_tau(spark: SparkSession, sf: str) -> DataFrame:
+    exact = sim_cosine_topk(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rn").alias("re")
+    )
+    ann = sim_ann_lsh(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rn").alias("ra")
+    )
+    c = exact.join(ann, ["query_id", "neighbor_id"])
+    g = c.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("re", "ra"))).alias("p")
+    )
+    # inversions of the ra sequence once sorted by re — the discordant count
+    disc = F.expr(
+        "CASE WHEN size(p) >= 2 THEN aggregate(flatten("
+        "transform(sequence(1, size(p) - 1), i -> "
+        "transform(sequence(i + 1, size(p)), j -> "
+        "CASE WHEN p[i-1].ra > p[j-1].ra THEN 1L ELSE 0L END))), "
+        "0L, (acc, x) -> acc + x) ELSE 0L END"
+    )
+    g = g.select(
+        "query_id",
+        F.size("p").cast("long").alias("n_common"),
+        F.expr("size(p) * (size(p) - 1) div 2").cast("long").alias("n_pairs"),
+        disc.alias("discordant"),
+    )
+    return g.select(
+        "query_id",
+        "n_common",
+        "n_pairs",
+        (F.col("n_pairs") - F.col("discordant")).cast("long").alias("concordant"),
+        "discordant",
+        F.expr(
+            "((n_pairs - 2 * discordant) * 1000) div greatest(n_pairs, 1)"
+        ).cast("long").alias("tau_milli"),
+    )

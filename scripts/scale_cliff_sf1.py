@@ -68,6 +68,24 @@ def build_organic(spark, out_dir: str) -> None:
         if table == "documents" and r > 0:
             rot = alphabet[r:] + alphabet[:r]
             d = d.withColumn("text", F.translate("text", alphabet, rot))
+        if table == "embeddings" and r > 0:
+            # replicas with IDENTICAL vectors make similarity pair output
+            # quadratic in the replica count (sim_pairs_threshold measured
+            # 16x at 10x data). The perturbation must push replicas to
+            # ~ORTHOGONAL, not merely nearby: a single-coordinate sign flip
+            # leaves cos ~= 1 - 2/dim ~= 0.87 (measured: dedup_embedding
+            # 21.9x — replicas still cleared its near-dup threshold), and
+            # scaling is invisible to cosine entirely. A coordinate ROLL by
+            # r positions makes cos(v, roll(v, r)) ~= 0 for random vectors,
+            # so organic pair counts stay ~linear.
+            if r:  # length-agnostic roll (dim is 64 in testdata; don't bake it)
+                d = d.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {r} + 1, "
+                        f"size(embedding) - {r}), slice(embedding, 1, {r}))"
+                    ),
+                )
         return d
 
     scale_smoke.REPL = REPL

@@ -786,3 +786,35 @@ def test_webdataset_index_offsets_slice_the_real_tar():
         data_off = off + 512
         assert raw[data_off : data_off + len(p)] == p
         off += 512 + ((len(p) + 511) // 512) * 512
+
+
+def test_modularity_invariants(spark, sf_dir):
+    """Newman's Q recovered from the exact-integer scaled contributions must
+    be a valid modularity (in [-0.5, 1]) and the community node/degree/edge
+    totals must conserve the whole graph."""
+    from librarian_spark.operators.registry import load_all
+    from librarian_spark.operators.relational import _lpa_labels
+
+    rows = load_all()["graph_modularity"].spark_fn(spark, sf_dir).collect()
+    ed, labels = _lpa_labels(spark, sf_dir)
+    e2 = ed.count()
+    assert sum(r.degree_sum for r in rows) == e2  # every edge end counted
+    assert sum(r.n_nodes for r in rows) == labels.count()
+    assert sum(r.internal_edges for r in rows) <= e2
+    q = sum(r.contribution_scaled for r in rows) / (e2 * e2)
+    assert -0.5 <= q <= 1.0
+
+
+def test_rank_tau_bounds_and_exact_control(spark, sf_dir):
+    """tau_milli must lie in [-1000, 1000]; concordant+discordant must equal
+    n_pairs = n_common*(n_common-1)/2; and every query's common set is at
+    most k."""
+    from librarian_spark.operators.registry import load_all
+
+    rows = load_all()["sim_rank_tau"].spark_fn(spark, sf_dir).collect()
+    assert rows, "at least one query must share candidates with exact"
+    for r in rows:
+        assert 1 <= r.n_common <= 5
+        assert r.n_pairs == r.n_common * (r.n_common - 1) // 2
+        assert r.concordant + r.discordant == r.n_pairs
+        assert -1000 <= r.tau_milli <= 1000
