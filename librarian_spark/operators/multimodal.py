@@ -826,19 +826,28 @@ def tar_shard_builder(name_pad: int = _TAR_NAME_PAD, emit_bytes: bool = False):
     "payload per member, 1024-byte end marker, 10240-byte record padding) — "
     "so the parity check proves the writer produced a structurally correct "
     "archive, not just that two copies of one implementation agree; "
-    "readback validity is pinned in tests/test_multimodal.py. One range "
-    "shuffle assigns shards (the q79 offset construction), one hash "
-    "shuffle moves each payload byte ONCE to its shard builder — the "
-    "minimum any re-sharding egress can do — and per-task state is bounded "
-    f"by the {_SHARD_BUDGET}-byte shard budget (+1 doc overshoot), never "
-    "by corpus size: at 100 TB with ~1 GB shards this is exactly the "
+    "readback validity is pinned in tests/test_llm_ops.py. The shard "
+    "assignment runs on the NARROW (doc_id, nb) skeleton only — "
+    "_assign_shards localCheckpoints its input, and materializing a "
+    "corpus-sized payload copy there would double storage at 100 TB — "
+    "then payloads join back by doc_id and hash-shuffle to their shard "
+    "builders: payload bytes ride two exchanges (join, group) and ZERO "
+    "persisted copies, and per-task state is bounded by the "
+    f"{_SHARD_BUDGET}-byte shard budget (+1 doc overshoot), never by "
+    "corpus size: at 100 TB with ~1 GB shards this is exactly the "
     "img2dataset/WebDataset write path.",
 )
 def mm_tar_shards(spark: SparkSession, sf: str) -> DataFrame:
     d = ingest_binary(spark, sf).select(
         "doc_id", "payload", F.col("meta.n_bytes").alias("nb")
     )
-    sized = _assign_shards(d)
+    # assignment on the 16-byte/row skeleton; payloads never enter the
+    # localCheckpoint (review finding: checkpointing the payload column
+    # materializes a full second copy of the corpus)
+    assigned = _assign_shards(d.select("doc_id", "nb")).select(
+        "doc_id", "shard_id"
+    )
+    sized = d.join(assigned, "doc_id")
     return sized.select("shard_id", "doc_id", "payload", "nb").groupBy(
         "shard_id"
     ).applyInPandas(

@@ -78,14 +78,17 @@ def build_organic(spark, out_dir: str) -> None:
             # scaling is invisible to cosine entirely. A coordinate ROLL by
             # r positions makes cos(v, roll(v, r)) ~= 0 for random vectors,
             # so organic pair counts stay ~linear.
-            if r:  # length-agnostic roll (dim is 64 in testdata; don't bake it)
-                d = d.withColumn(
-                    "embedding",
-                    F.expr(
-                        f"concat(slice(embedding, {r} + 1, "
-                        f"size(embedding) - {r}), slice(embedding, 1, {r}))"
-                    ),
-                )
+            # length-agnostic roll: k = r mod dim so any REPL works even
+            # past the embedding dimension (dim is 64 in testdata; don't
+            # bake it — a k=0 replica degenerates to the identity roll)
+            k = f"pmod({r}, size(embedding))"
+            d = d.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {k} + 1, "
+                    f"size(embedding) - {k}), slice(embedding, 1, {k}))"
+                ),
+            )
         return d
 
     scale_smoke.REPL = REPL

@@ -760,32 +760,52 @@ def test_tar_shards_agree_with_shard_manifest(spark, sf_dir):
     assert tar == man
 
 
-def test_webdataset_index_offsets_slice_the_real_tar():
-    """The index's data_offset must land exactly on each member's payload in
-    the REAL archive: build one shard's tar with the production writer, then
-    recover every payload by slicing raw[data_offset : data_offset+n_bytes]
-    using offsets computed with the same ustar arithmetic the operator and
-    its oracle use."""
+def test_webdataset_index_offsets_slice_the_real_tar(spark, sf_dir):
+    """The OPERATOR's offsets must land exactly on each member's payload in
+    the REAL archive: run mm_webdataset_index over the corpus, rebuild one
+    shard's tar with the production writer from the operator's own shard
+    assignment, then recover every payload by slicing
+    raw[data_offset : data_offset + n_bytes] at the offsets THE OPERATOR
+    emitted (not a local re-derivation of the arithmetic — a wrong window
+    frame or shard drift in the Spark expressions must fail here)."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
-    from librarian_spark.operators.multimodal import tar_shard_builder
+    from librarian_spark.operators.multimodal import (
+        ingest_binary,
+        tar_shard_builder,
+    )
+    from librarian_spark.operators.registry import load_all
 
-    payloads = [b"a" * 100, b"b" * 512, b"c" * 700, b"d" * 1]
-    doc_ids = [5, 11, 12, 90]
+    idx = load_all()["mm_webdataset_index"].spark_fn(spark, sf_dir)
+    # the busiest shard exercises the longest offset chain
+    shard = (
+        idx.groupBy("shard_id").count().orderBy(F.desc("count"), "shard_id")
+        .first()["shard_id"]
+    )
+    rows = {r.doc_id: r for r in idx.filter(F.col("shard_id") == shard).collect()}
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in ingest_binary(spark, sf_dir)
+        .filter(F.col("doc_id").isin(*rows))
+        .collect()
+    }
+    assert set(payloads) == set(rows)
     pdf = pd.DataFrame(
         {
-            "shard_id": [3] * 4,
-            "doc_id": doc_ids,
-            "payload": payloads,
-            "nb": [len(p) for p in payloads],
+            "shard_id": [shard] * len(rows),
+            "doc_id": list(payloads),
+            "payload": list(payloads.values()),
+            "nb": [len(p) for p in payloads.values()],
         }
     )
     raw = tar_shard_builder(emit_bytes=True)(pdf)["tar"].iloc[0]
-    off = 0
-    for p in payloads:  # doc_ids already sorted
-        data_off = off + 512
-        assert raw[data_off : data_off + len(p)] == p
-        off += 512 + ((len(p) + 511) // 512) * 512
+    for doc_id, r in rows.items():
+        assert r.n_bytes == len(payloads[doc_id])
+        assert (
+            raw[r.data_offset : r.data_offset + r.n_bytes] == payloads[doc_id]
+        ), f"operator offset wrong for doc {doc_id}"
+        assert r.data_offset == r.header_offset + 512
 
 
 def test_modularity_invariants(spark, sf_dir):
