@@ -3064,3 +3064,140 @@ def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(out)
         .filter(F.col("view_id") >= 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality expectations (Great-Expectations-style gate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_expectations",
+    oracle="""
+    WITH li AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS ship_null,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 THEN 1 ELSE 0 END) AS disc_out
+      FROM lineitem
+    ),
+    orph AS (
+      SELECT (SELECT COUNT(*) FROM lineitem) AS n, COUNT(*) AS c
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    ),
+    cust AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) - COUNT(DISTINCT c_custkey) AS dup
+      FROM customer
+    ),
+    ord AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'lineitem_shipdate_not_null' AS rule_id,
+             'lineitem' AS table_name,
+             CAST(n AS BIGINT) AS n_rows,
+             CAST(ship_null AS BIGINT) AS n_violations,
+             CAST(CASE WHEN ship_null = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS passed
+      FROM li
+      UNION ALL
+      SELECT 'lineitem_discount_in_range', 'lineitem',
+             CAST(n AS BIGINT), CAST(disc_out AS BIGINT),
+             CAST(CASE WHEN disc_out = 0 THEN 1 ELSE 0 END AS INTEGER)
+      FROM li
+      UNION ALL
+      SELECT 'lineitem_orderkey_references_orders', 'lineitem',
+             CAST(n AS BIGINT), CAST(c AS BIGINT),
+             CAST(CASE WHEN c = 0 THEN 1 ELSE 0 END AS INTEGER)
+      FROM orph
+      UNION ALL
+      SELECT 'customer_custkey_unique', 'customer',
+             CAST(n AS BIGINT), CAST(dup AS BIGINT),
+             CAST(CASE WHEN dup = 0 THEN 1 ELSE 0 END AS INTEGER)
+      FROM cust
+      UNION ALL
+      SELECT 'orders_totalprice_positive', 'orders',
+             CAST(n AS BIGINT), CAST(bad AS BIGINT),
+             CAST(CASE WHEN bad = 0 THEN 1 ELSE 0 END AS INTEGER)
+      FROM ord
+    )
+    """,
+    doc="Declarative data-quality EXPECTATIONS report (the "
+    "Great-Expectations / dbt-test shape every production pipeline gates "
+    "ingestion on): five rules across three tables — not-null, value "
+    "range, referential integrity, key uniqueness, positivity — each "
+    "reported as (rule, table, n_rows, n_violations, passed). Execution "
+    "discipline: all of a table's row-local rules share ONE aggregate "
+    "scan (lineitem's two rules are partial-aggregated together), "
+    "uniqueness is count-vs-distinct on the same pass, and the "
+    "referential rule is one left-anti join; every probe reduces to a "
+    "1-row aggregate COLLECTED and inlined as literals in the returned "
+    "report (the bm25 stats-row pattern), so the result plan is a "
+    "5-row local table — no single-partition exchange, no 1-row "
+    "crossJoin (the nested-loop shape the plan gate bans). At 100 TB "
+    "each rule costs what its scan/join costs and the report stays 5 "
+    "rows; quarantine routing of the violating ROWS themselves is "
+    "pipeline_quarantine's job.",
+)
+def pipeline_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+
+    li_row = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)
+        ).alias("ship_null"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).alias("disc_out"),
+    ).collect()[0]
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .count()
+    )
+    cust_row = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("dup"),
+    ).collect()[0]
+    ord_row = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad"),
+    ).collect()[0]
+
+    rows = [
+        ("lineitem_shipdate_not_null", "lineitem", li_row.n,
+         int(li_row.ship_null)),
+        ("lineitem_discount_in_range", "lineitem", li_row.n,
+         int(li_row.disc_out)),
+        ("lineitem_orderkey_references_orders", "lineitem", li_row.n,
+         int(orphans)),
+        ("customer_custkey_unique", "customer", cust_row.n,
+         int(cust_row.dup)),
+        ("orders_totalprice_positive", "orders", ord_row.n,
+         int(ord_row.bad)),
+    ]
+    report = [
+        (rid, t, int(n), int(v), 1 if v == 0 else 0) for rid, t, n, v in rows
+    ]
+    return spark.createDataFrame(
+        report,
+        "rule_id string, table_name string, n_rows long, "
+        "n_violations long, passed int",
+    )

@@ -6763,3 +6763,62 @@ def q104_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
             F.col("w.start").alias("wstart"), "event_type", "n", "sum_value"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q105: k-anonymity audit (privacy governance)
+# --------------------------------------------------------------------------
+
+_KANON_K = 5  # the privacy bar: groups smaller than this are re-identifiable
+
+
+@query(
+    "q105_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                    ELSE 'nonneg' END) AS BIGINT)
+             AS sensitive_diversity,
+           CAST(CASE WHEN COUNT(*) < {_KANON_K} THEN 1 ELSE 0 END AS INTEGER)
+             AS at_risk
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    doc="k-anonymity audit over the (c_nationkey, c_mktsegment) "
+    "quasi-identifier pair — the privacy-governance pre-release gate: "
+    f"every equivalence class's size (a class smaller than k={_KANON_K} "
+    "means its members are re-identifiable by those attributes alone) "
+    "plus an l-diversity signal (distinct values of the sensitive "
+    "attribute's sign within the class — a class where everyone shares "
+    "the sensitive value leaks it even at large k). One "
+    "map-side-combining groupBy on the quasi-identifiers; the audit "
+    "output is one row per equivalence class (bounded by the "
+    "quasi-identifier domain, not the row count), so at 100 TB this is "
+    "a single scan-bound aggregate. Suppression/generalization of the "
+    "at-risk rows is downstream policy; the audit's job is the exact "
+    "class inventory.",
+)
+def q105_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(
+        F.lit("nonneg")
+    )
+    return (
+        c.select("c_nationkey", "c_mktsegment", sens.alias("s"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.count_distinct("s").cast("long").alias("sensitive_diversity"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "sensitive_diversity",
+            F.when(F.col("group_size") < _KANON_K, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("at_risk"),
+        )
+    )
