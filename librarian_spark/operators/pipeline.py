@@ -3201,3 +3201,125 @@ def pipeline_expectations(spark: SparkSession, sf: str) -> DataFrame:
         "rule_id string, table_name string, n_rows long, "
         "n_violations long, passed int",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming continuous top-k (stateful leaderboard)
+# --------------------------------------------------------------------------
+
+_STK_K = 5
+
+
+@query(
+    "pipeline_stream_topk",
+    oracle=f"""
+    SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM (
+      SELECT event_type, user_id, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS rnk
+      FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2)
+    ) WHERE rnk <= {_STK_K}
+    """,
+    doc=f"Continuous streaming TOP-{_STK_K} leaderboard per event type "
+    "(the live-dashboard shape: 'top users right now', updated every "
+    "micro-batch): events replay as a file stream in several batches; "
+    "applyInPandasWithState keeps per-type exact running counts (state "
+    "as packed user/count arrays) and EMITS the current top-k on every "
+    "update, so a consumer sees the leaderboard converge batch by "
+    "batch; the run's answer is the final emission (selected by the "
+    "monotone processed-count marker, the stateful_totals discipline) "
+    "and must equal the batch top-k — the streaming/batch convergence "
+    "proof. State honesty: exact counts are O(distinct users per type) "
+    "per group; at 100 TB a bounded-memory leaderboard swaps the exact "
+    "map for a SpaceSaving/CMS summary (text_heavy_hitters implements "
+    "the CMS side) at the cost of epsilon error — the exact variant is "
+    "the oracle-checkable one, and the state layout (arrays in typed "
+    "stream state) is identical either way. Ties break by user_id in "
+    "both engines, so the emitted board is fully deterministic.",
+)
+def pipeline_stream_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("streamtopk", sf, "events", salt=f"k{_STK_K}-v1")
+    _sweep_run_dirs("/tmp", ("librarian_streamtopk_",))
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        load_table(spark, sf, "events").select(
+            "event_id", "event_type", "user_id"
+        ).repartition(8).write.mode("overwrite").parquet(in_dir)
+
+    k = _STK_K
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            users, counts, n = state.get
+            m = dict(zip(users, counts))
+        else:
+            m, n = {}, 0
+        for pdf in pdfs:
+            n += int(len(pdf))
+            for u, c in pdf["user_id"].value_counts().items():
+                m[int(u)] = m.get(int(u), 0) + int(c)
+        state.update((list(m.keys()), list(m.values()), n))
+        top = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "users": [[u for u, _ in top]],
+                "counts": [[c for _, c in top]],
+            }
+        )
+
+    run_id = uuid.uuid4().hex[:8]
+    name = f"streamtopk_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(in_dir)
+    )
+    boards = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n long, "
+        "users array<bigint>, counts array<bigint>",
+        stateStructType="users array<bigint>, counts array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    try:
+        q = (
+            boards.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    emitted = spark.table(name)
+    final = emitted.groupBy("event_type").agg(
+        F.max_by(F.struct("users", "counts"), "n").alias("s")
+    )
+    z = final.select(
+        "event_type",
+        F.posexplode(F.arrays_zip(F.col("s.users"), F.col("s.counts"))),
+    )
+    return z.select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.col("col.users").alias("user_id"),
+        F.col("col.counts").alias("cnt"),
+    )
