@@ -6822,3 +6822,57 @@ def q105_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
             .alias("at_risk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q106: exact-n deterministic sample per group (eval-set construction)
+# --------------------------------------------------------------------------
+
+_GS_N = 10  # rows kept per group
+
+
+@query(
+    "q106_group_sample",
+    oracle=f"""
+    SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, c_custkey
+    FROM (
+      SELECT c_mktsegment, c_custkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY MD5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rnk
+      FROM customer
+    ) WHERE rnk <= {_GS_N}
+    """,
+    doc=f"Exactly-{_GS_N}-per-group deterministic sample (eval/holdout "
+    "construction wants FIXED counts per stratum, where the rate-based "
+    "samplers — q35, text_stratified_sample — give binomial counts): "
+    "rows rank by the md5-of-key hash order (the repo's shared "
+    "cross-engine sampling idiom — same rows win on every run, engine, "
+    "partitioning, and re-ingestion) and the first "
+    f"{_GS_N} per group survive. The group domain is TINY (5 segments), "
+    "so a single rank window would sort corpus/5 rows in ONE task at "
+    "scale — instead the rank runs TWO-LEVEL (the salting discipline): "
+    "a window over (group, input-partition-id) prunes each partition to "
+    f"its local top-{_GS_N} first, so the final per-group window ranks "
+    f"at most {_GS_N}*P pre-pruned rows — bounded by the cluster, never "
+    "the corpus. The oracle runs the naive single window (honest at "
+    "oracle scale); both orders are total (hash, then key), so the "
+    "winner set is identical.",
+)
+def q106_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    h = F.md5(F.col("c_custkey").cast("string").cast("binary"))
+    d = c.withColumn("h", h).withColumn("_pid", F.spark_partition_id())
+    w1 = W.partitionBy("c_mktsegment", "_pid").orderBy("h", "c_custkey")
+    local = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _GS_N)
+        .drop("r1", "_pid")
+    )
+    w2 = W.partitionBy("c_mktsegment").orderBy("h", "c_custkey")
+    return (
+        local.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _GS_N)
+        .select("c_mktsegment", F.col("rnk").cast("long").alias("rnk"),
+                "c_custkey")
+    )

@@ -2318,3 +2318,99 @@ def sim_rank_tau(spark: SparkSession, sf: str) -> DataFrame:
             "((n_pairs - 2 * discordant) * 1000) div greatest(n_pairs, 1)"
         ).cast("long").alias("tau_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding distribution drift (ML-ops shift monitor)
+# --------------------------------------------------------------------------
+
+_DRIFT_DIM = 64
+_DRIFT_BAR_MICRO = 20_000  # |mean shift| > 0.02 flags the dimension
+
+
+@query(
+    "sim_embedding_drift",
+    oracle=f"""
+    WITH agg AS (
+      SELECT
+        {", ".join(
+            f"SUM(CASE WHEN vec_id % 2 = 0 THEN CAST(TRUNC(CAST(embedding[{i + 1}]"
+            f" AS DOUBLE) * 1000000) AS BIGINT) ELSE 0 END) AS sa{i}, "
+            f"SUM(CASE WHEN vec_id % 2 = 1 THEN CAST(TRUNC(CAST(embedding[{i + 1}]"
+            f" AS DOUBLE) * 1000000) AS BIGINT) ELSE 0 END) AS sb{i}"
+            for i in range(_DRIFT_DIM)
+        )},
+        SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+      FROM embeddings
+    )
+    SELECT dim,
+           CAST(mean_ref_micro AS BIGINT) AS mean_ref_micro,
+           CAST(mean_cur_micro AS BIGINT) AS mean_cur_micro,
+           CAST(mean_cur_micro - mean_ref_micro AS BIGINT) AS delta_micro,
+           CAST(CASE WHEN ABS(mean_cur_micro - mean_ref_micro)
+                          > {_DRIFT_BAR_MICRO}
+                THEN 1 ELSE 0 END AS INTEGER) AS drifted
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT CAST({i} AS BIGINT) AS dim, sa{i} // na AS mean_ref_micro,"
+          f" sb{i} // nb AS mean_cur_micro FROM agg"
+          for i in range(_DRIFT_DIM)
+      )}
+    )
+    """,
+    doc="Embedding DISTRIBUTION-DRIFT monitor (the ML-ops shift check run "
+    "between an embedding model's reference window and the current one "
+    "before trusting downstream ANN/dedup results): per dimension, the "
+    "fixed-point mean of the even-vec_id half (reference) vs the odd half "
+    "(current) and the flagged shift. The q56 discipline: every component "
+    "is TRUNCATED to exact integer micro-units before any sum (truncation "
+    "of the same double is engine-identical; round-half is not), so no float "
+    "summation order exists anywhere and the oracle hash-matches "
+    f"bit-for-bit. Execution is ONE map-side-combining pass ({_DRIFT_DIM}"
+    "x2 conditional integer sums + 2 counts in a single aggregate — no "
+    "explode, no per-dim shuffle), then the 1-row result unpivots to one "
+    "row per dimension driver-free. At 100 TB this is a scan-bound "
+    "single aggregate whose final reduce is one row of 130 longs.",
+)
+def sim_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    even = F.col("vec_id") % 2 == 0
+    aggs = []
+    for i in range(_DRIFT_DIM):
+        # TRUNCATION, not ROUND: both engines truncate the identical double
+        # exactly, while round-half semantics differ on boundary components
+        # (measured: one dimension off by 1 micro unit under ROUND)
+        # explicit DOUBLE on both engines: the column is array<float> and
+        # DuckDB would otherwise multiply in single precision while Spark
+        # widens to double (measured: per-dim sums off by a few micro)
+        micro = (
+            F.col("embedding").getItem(i).cast("double") * 1_000_000
+        ).cast("long")
+        aggs.append(F.sum(F.when(even, micro).otherwise(0)).alias(f"sa{i}"))
+        aggs.append(F.sum(F.when(~even, micro).otherwise(0)).alias(f"sb{i}"))
+    aggs.append(F.sum(F.when(even, 1).otherwise(0)).alias("na"))
+    aggs.append(F.sum(F.when(~even, 1).otherwise(0)).alias("nb"))
+    row = e.agg(*aggs)
+    dims = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("dim"),
+                F.expr(f"sa{i} div na").alias("mean_ref_micro"),
+                F.expr(f"sb{i} div nb").alias("mean_cur_micro"),
+            )
+            for i in range(_DRIFT_DIM)
+        ]
+    )
+    z = row.select(F.explode(dims).alias("d")).select("d.*")
+    delta = F.col("mean_cur_micro") - F.col("mean_ref_micro")
+    return z.select(
+        "dim",
+        F.col("mean_ref_micro").cast("long").alias("mean_ref_micro"),
+        F.col("mean_cur_micro").cast("long").alias("mean_cur_micro"),
+        delta.cast("long").alias("delta_micro"),
+        F.when(F.abs(delta) > _DRIFT_BAR_MICRO, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("drifted"),
+    )

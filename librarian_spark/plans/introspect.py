@@ -108,6 +108,8 @@ TINY_DOMAIN_SINGLE_PARTITION = {
     "q77_sliding_distinct_exact": "sweep over bounded event-day boundaries",
     "q86_fk_integrity": "per-edge 1-row reduce of audit-aggregate partials",
     "q100_lorenz_gini": "1-row final reduce of per-partition moment partials",
+    "sim_embedding_drift": "1-row final reduce of per-partition drift-sum "
+    "partials (130 longs), then a local 64-element unpivot",
     "q101_column_stats": "per-column 1-row reduce of stats-aggregate partials",
     "q88_benford": "window over the 9-digit expected table",
     "q91_share_of_total": "global-total window over the ~25-row nation "
