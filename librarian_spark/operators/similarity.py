@@ -2387,8 +2387,17 @@ def sim_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
         micro = (
             F.col("embedding").getItem(i).cast("double") * 1_000_000
         ).cast("long")
-        aggs.append(F.sum(F.when(even, micro).otherwise(0)).alias(f"sa{i}"))
-        aggs.append(F.sum(F.when(~even, micro).otherwise(0)).alias(f"sb{i}"))
+        # decimal(38,0) accumulators (the q56 overflow-headroom discipline):
+        # int64 sums of ~1e9-micro components wrap past ~9e9 rows per half,
+        # silently in non-ANSI Spark, while the oracle's HUGEINT stays exact.
+        # Per-dim MEANS always fit int64, so the post-sum div is safe.
+        wide = micro.cast("decimal(38,0)")
+        aggs.append(
+            F.sum(F.when(even, wide).otherwise(F.lit(0))).alias(f"sa{i}")
+        )
+        aggs.append(
+            F.sum(F.when(~even, wide).otherwise(F.lit(0))).alias(f"sb{i}")
+        )
     aggs.append(F.sum(F.when(even, 1).otherwise(0)).alias("na"))
     aggs.append(F.sum(F.when(~even, 1).otherwise(0)).alias("nb"))
     row = e.agg(*aggs)
@@ -2396,8 +2405,12 @@ def sim_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(i).cast("long").alias("dim"),
-                F.expr(f"sa{i} div na").alias("mean_ref_micro"),
-                F.expr(f"sb{i} div nb").alias("mean_cur_micro"),
+                F.expr(f"cast(sa{i} div na as bigint)").alias(
+                    "mean_ref_micro"
+                ),
+                F.expr(f"cast(sb{i} div nb as bigint)").alias(
+                    "mean_cur_micro"
+                ),
             )
             for i in range(_DRIFT_DIM)
         ]
