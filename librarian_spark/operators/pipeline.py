@@ -3323,3 +3323,160 @@ def pipeline_stream_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("col.users").alias("user_id"),
         F.col("col.counts").alias("cnt"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static dimension enrichment (the canonical lookup-join pipeline)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment, n.n_name AS nation,
+           CAST(ROUND(e.value * 100) AS BIGINT) AS value_cents
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Stream-STATIC dimension enrichment — the canonical lookup-join "
+    "pipeline (clickstream x customer-profile x geography) the pipeline "
+    "family lacked: events replay as a file stream in several "
+    "micro-batches and every batch joins the STATIC customer->nation "
+    "dimension chain (pre-joined once, then broadcast per batch by "
+    "Spark's stream-static join — no state store, no watermark: the "
+    "static side is simply re-read, which is why dimension enrichment "
+    "is the cheapest streaming join there is). The drained result must "
+    "equal the pure-batch three-way join — streaming/batch convergence "
+    "with zero event loss across batch boundaries (no event can be "
+    "'late' against a static dimension). At 100 TB/day the static side "
+    "stays broadcast-sized (dimensions), the stream side never "
+    "shuffles for the join, and a dimension UPDATE mid-stream is the "
+    "SCD2 materializer's job (pipeline_scd2) — this op is the "
+    "read-side enrichment.",
+)
+def pipeline_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("senrich", sf, "events", salt="v1")
+    _sweep_run_dirs("/tmp", ("librarian_senrich_",))
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        load_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).repartition(6).write.mode("overwrite").parquet(in_dir)
+
+    dim = (
+        load_table(spark, sf, "customer")
+        .join(
+            load_table(spark, sf, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+    run_id = uuid.uuid4().hex[:8]
+    name = f"senrich_{run_id}"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "segment",
+        "nation",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", "segment", "nation", "value_cents"
+    )
+
+
+# --------------------------------------------------------------------------
+# Checksummed copy (integrity-verified data movement)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_checksummed_copy",
+    oracle="""
+    SELECT 'sink' AS side, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents_sum
+    FROM orders
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    """,
+    doc="Integrity-VERIFIED data movement: the reference's snapshot loop "
+    "trusts a row-count pre-scan (`internal/catalog`'s num_source_records "
+    "— counts alone miss value corruption); this op copies orders to a "
+    "parquet sink, reads the SINK back, and emits content checksums "
+    "(row count, exact key sum, exact fixed-point price sum) for BOTH "
+    "sides — the verify-after-transfer report a 100 TB migration signs "
+    "off on. The oracle computes both rows from the source table, so "
+    "any copy corruption (dropped row group, truncated file, cast "
+    "drift) makes the Spark sink row diverge while the oracle stays "
+    "clean — the parity check IS the integrity check. Two scans + two "
+    "map-side-combining aggregates, union'd and emitted as two rows; "
+    "checksums are pure integer sums (order-independent, "
+    "partition-count-independent).",
+)
+def pipeline_checksummed_copy(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("cksum", sf, "orders", salt="v1")
+    _sweep_run_dirs("/tmp", ("librarian_cksum_",))
+    out = f"{base}/copy"
+    src = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        src.write.mode("overwrite").parquet(out)
+    sink = spark.read.parquet(out)
+
+    def sums(df, side):
+        return df.select(
+            F.lit(side).alias("side"),
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+
+    both = sums(src, "source").unionByName(sums(sink, "sink"))
+    return both.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("price_cents_sum"),
+    )
