@@ -2560,3 +2560,73 @@ def text_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
         milli.cast("long").alias("score_milli"),
         F.when(milli > 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility (per-language tokenizer-quality report)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             LEN(regexp_extract_all(LOWER(text), '{_BPE_PATTERN}'))
+               AS n_pieces,
+             LEN(STR_SPLIT(TRIM(LOWER(text)), ' ')) AS n_words,
+             OCTET_LENGTH(ENCODE(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_pieces) * 1000 // GREATEST(SUM(n_words), 1) AS BIGINT)
+             AS fertility_milli,
+           CAST(SUM(n_bytes) * 1000 // GREATEST(SUM(n_pieces), 1) AS BIGINT)
+             AS bytes_per_piece_milli
+    FROM per_doc GROUP BY 1
+    """,
+    doc="Tokenizer FERTILITY report per language — the tokenizer-evaluation "
+    "metric multilingual pipelines gate vocab choices on (fertility = "
+    "subword pieces per whitespace word; a language where it balloons is "
+    "under-served by the vocabulary and pays more sequence length for "
+    "the same text; bytes-per-piece is the compression view of the same "
+    "trade): the shared BPE-ish pre-tokenizer segments each document, "
+    "counts aggregate per lang in exact integer fixed point (milli "
+    "units, truncating div both engines agree on). One map-only regex "
+    "pass in codegen, one map-side-combining groupBy over the tiny "
+    "language domain; at 100 TB it is scan-bound with a ~|langs|-row "
+    "result — the report that decides whether the tokenizer gets "
+    "retrained before the next corpus release.",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    pieces = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0
+    )
+    per = d.select(
+        "lang",
+        F.size(pieces).alias("n_pieces"),
+        F.size(tokens("text")).alias("n_words"),
+        F.octet_length(F.col("text")).alias("n_bytes"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_pieces").cast("long").alias("total_pieces"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bytes").alias("_tb"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_pieces",
+        "total_words",
+        F.expr("total_pieces * 1000 div greatest(total_words, 1)")
+        .cast("long")
+        .alias("fertility_milli"),
+        F.expr("_tb * 1000 div greatest(total_pieces, 1)")
+        .cast("long")
+        .alias("bytes_per_piece_milli"),
+    )
