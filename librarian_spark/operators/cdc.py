@@ -765,6 +765,60 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+
+def _klog_df(spark: SparkSession, klog: str) -> DataFrame:
+    """Executor-parallel decode of a mock-broker klog directory →
+    (partition, offset, key, value) — one task per partition log; the wire
+    codec modules pickle BY VALUE so workers never import this repo (the
+    pgoutput DataSource rationale). Shared by cdc_kafka_egress and
+    cdc_replicate_e2e."""
+    from pyspark import cloudpickle
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from librarian_spark.sources import kafka_wire as _kw
+
+    cloudpickle.register_pickle_by_value(_kw)
+
+    files = spark.read.format("binaryFile").load(klog)
+    out_schema = StructType(
+        [
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+        ]
+    )
+    decode_klog_records = _kw.decode_klog_records
+    klog_partition = _kw.klog_partition
+
+    def _decode(batches_iter):
+        import pandas as pd
+
+        for pdf in batches_iter:
+            for path, raw in zip(pdf["path"], pdf["content"]):
+                p = klog_partition(path)
+                parts, offs, keys, vals = [], [], [], []
+                for off, _ts, key, value in decode_klog_records(
+                    bytes(raw), source=path
+                ):
+                    parts.append(p)
+                    offs.append(off)
+                    keys.append(key)
+                    vals.append(value)
+                yield pd.DataFrame(
+                    {
+                        "partition": pd.array(parts, dtype="int32"),
+                        "offset": pd.array(offs, dtype="int64"),
+                        "key": keys,
+                        "value": vals,
+                    }
+                )
+
+    return files.select("path", "content").mapInPandas(_decode, out_schema)
+
+
 @query(
     "cdc_kafka_egress",
     oracle="""
@@ -798,10 +852,6 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
 )
 def cdc_kafka_egress(spark: SparkSession, sf: str) -> DataFrame:
     import os
-
-    from pyspark.sql.types import (
-        BinaryType, IntegerType, LongType, StructField, StructType,
-    )
 
     from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
     from librarian_spark.streaming.envelope import snapshot_as_events
@@ -843,51 +893,7 @@ def cdc_kafka_egress(spark: SparkSession, sf: str) -> DataFrame:
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)
 
-    # executor-parallel decode: one task per partition log; the wire codec
-    # modules pickle BY VALUE so workers never import this repo (the
-    # pgoutput DataSource rationale)
-    from pyspark import cloudpickle
-
-    from librarian_spark.sources import kafka_wire as _kw
-
-    cloudpickle.register_pickle_by_value(_kw)
-
-    files = spark.read.format("binaryFile").load(klog)
-    out_schema = StructType(
-        [
-            StructField("partition", IntegerType()),
-            StructField("offset", LongType()),
-            StructField("key", BinaryType()),
-            StructField("value", BinaryType()),
-        ]
-    )
-    decode_klog_records = _kw.decode_klog_records
-    klog_partition = _kw.klog_partition
-
-    def _decode(batches_iter):
-        import pandas as pd
-
-        for pdf in batches_iter:
-            for path, raw in zip(pdf["path"], pdf["content"]):
-                p = klog_partition(path)
-                parts, offs, keys, vals = [], [], [], []
-                for off, _ts, key, value in decode_klog_records(
-                    bytes(raw), source=path
-                ):
-                    parts.append(p)
-                    offs.append(off)
-                    keys.append(key)
-                    vals.append(value)
-                yield pd.DataFrame(
-                    {
-                        "partition": pd.array(parts, dtype="int32"),
-                        "offset": pd.array(offs, dtype="int64"),
-                        "key": keys,
-                        "value": vals,
-                    }
-                )
-
-    recs = files.select("path", "content").mapInPandas(_decode, out_schema)
+    recs = _klog_df(spark, klog)
     after = F.get_json_object(F.col("value").cast("string"), "$.payload.after")
     pk = F.coalesce(
         F.get_json_object(after, "$.s_suppkey"),
@@ -901,4 +907,120 @@ def cdc_kafka_egress(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum("pk").cast("long").alias("sum_pk"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# The reference's replicate path, end to end in ONE query
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_replicate_e2e",
+    oracle="""
+    WITH st AS (
+      SELECT s_suppkey, s_name,
+             CASE WHEN s_suppkey % 3 = 0 THEN -1.0
+                  ELSE CAST(s_acctbal AS DOUBLE) END AS s_acctbal
+      FROM supplier WHERE s_suppkey % 5 != 0
+    )
+    SELECT 'appdb.public.supplier' AS kafka_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_keys,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents_sum,
+           MD5(STRING_AGG(s_name, CHR(10) ORDER BY s_suppkey)) AS names_md5
+    FROM st
+    """,
+    doc="The reference's ENTIRE `archiver replicate` product in one "
+    "composed query — wire in, transform, wire out, verify: (1) the "
+    "Postgres half (cdc_wire_replication's machinery): a mock WAL sender "
+    "streams supplier txns over a socket in the real replication "
+    "protocol, the session DROPS and resumes from the checkpointed LSN, "
+    "segments decode executor-parallel, and a max_by-per-key aggregate "
+    "materializes the replicated latest state (inserts, acctbal-restating "
+    "updates, deletes); (2) the Kafka half (cdc_kafka_egress's "
+    "machinery): that state becomes Debezium envelopes keyed "
+    "{db}.{schema}.{table}, the pure-Python producer drives them through "
+    "Produce v9 into the mock broker's CRC-validating log; (3) Spark "
+    "reads the broker log back executor-parallel and aggregates the "
+    "delivered content — count, key sum, exact acctbal cents, ordered "
+    "name digest. The oracle replays the replication algebra straight "
+    "from the source table, so ANY corruption across either wire, the "
+    "resume, the envelope codec, or the broker log breaks parity. This "
+    "is the query a reference user runs to believe the whole path; each "
+    "half is independently oracle-checked by its own registry entry.",
+)
+def cdc_replicate_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
+
+    # stage 1: pg-wire replication → latest state (cache machinery inside)
+    state = cdc_wire_replication(spark, sf)
+
+    # stage 2: kafka-wire egress of the replicated state
+    base = _cache_base("repl_e2e", sf, "supplier", salt="v1")
+    _sweep_run_dirs("/tmp", ("librarian_repl_e2e_",))
+    klog = os.path.join(base, "klog")
+    if not os.path.exists(klog):
+        import shutil
+        import uuid
+
+        from librarian_spark.sources.kafka_mock import (
+            MockKafkaBroker,
+            dump_klog,
+        )
+        from librarian_spark.sources.kafka_wire import KafkaProducerClient
+        from librarian_spark.streaming.envelope import snapshot_as_events
+
+        stage = os.path.join(base, f"klog-stage-{uuid.uuid4().hex[:8]}")
+        broker = MockKafkaBroker("librarian.replicated", n_partitions=4)
+        sock, _t_ = broker.connect()
+        try:
+            client = KafkaProducerClient(sock, topic="librarian.replicated")
+            client.connect()
+            ev = snapshot_as_events(
+                state, db="appdb", schema="public", table="supplier"
+            ).select("key", "value")
+            for r in ev.toLocalIterator():  # driver-side: a producer IS one
+                client.produce(
+                    r["key"].encode(), r["value"].encode(),
+                    timestamp_ms=1_700_000_000_000,
+                )
+            client.flush()
+        finally:
+            sock.close()
+        dump_klog(broker, stage)
+        try:
+            os.rename(stage, klog)  # ONE atomic publish; loser discards
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    # stage 3: read the broker log back and verify delivered content
+    recs = _klog_df(spark, klog)
+    after = F.get_json_object(F.col("value").cast("string"), "$.payload.after")
+    parsed = recs.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.get_json_object(after, "$.s_suppkey").cast("long").alias("k"),
+        F.get_json_object(after, "$.s_name").alias("s_name"),
+        F.get_json_object(after, "$.s_acctbal").cast("double").alias("bal"),
+    )
+    return parsed.groupBy("kafka_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("k").cast("long").alias("n_keys"),
+        F.sum("k").cast("long").alias("key_sum"),
+        F.sum(F.round(F.col("bal") * 100).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents_sum"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "s_name"))),
+                    lambda s: s["s_name"],
+                ),
+            ).cast("binary")
+        ).alias("names_md5"),
     )
