@@ -604,6 +604,12 @@ def cdc_mongo_changestream(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _WIRE_TXN = 5  # suppliers per insert transaction
+# ONE salt names the wire-replication algebra (txn size, %3 update,
+# %5 delete); every cache materializing that state — the wal AND the
+# downstream e2e klog — derives from it so a semantics bump invalidates
+# both together (a stale klog would otherwise fail the updated oracle
+# until the TTL sweep)
+_WIRE_SALT = f"txn{_WIRE_TXN}-u3-d5-v1"
 
 
 @query(
@@ -641,7 +647,7 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.pgrepl_mock import MockWalSender
     from librarian_spark.sources.recorders import PgWalRecorder
 
-    base = _cache_base("pgwire", sf, "supplier", salt=f"txn{_WIRE_TXN}-u3-d5-v1")
+    base = _cache_base("pgwire", sf, "supplier", salt=_WIRE_SALT)
     _sweep_run_dirs("/tmp", ("librarian_pgwire_",))
     wal = os.path.join(base, "wal")
     if not os.path.exists(wal):
@@ -766,6 +772,44 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+
+def _produce_klog(base: str, topic: str, events, n_partitions: int = 4) -> str:
+    """Drive (key, value) envelope rows through the pure-Python Kafka
+    producer into a mock broker and publish the partition logs as
+    ``base/klog`` with one atomic rename (loser discards). The WRITE half
+    shared by cdc_kafka_egress and cdc_replicate_e2e — one produce path to
+    fix when flush/ack semantics evolve. Producing is driver-side
+    single-writer (a producer IS one); returns the klog dir."""
+    import os
+    import shutil
+    import uuid
+
+    from librarian_spark.sources.kafka_mock import MockKafkaBroker, dump_klog
+    from librarian_spark.sources.kafka_wire import KafkaProducerClient
+
+    klog = os.path.join(base, "klog")
+    stage = os.path.join(base, f"klog-stage-{uuid.uuid4().hex[:8]}")
+    broker = MockKafkaBroker(topic, n_partitions=n_partitions)
+    sock, _thread = broker.connect()
+    try:
+        client = KafkaProducerClient(sock, topic=topic)
+        client.connect()
+        for r in events.toLocalIterator():
+            client.produce(
+                r["key"].encode(), r["value"].encode(),
+                timestamp_ms=1_700_000_000_000,
+            )
+        client.flush()
+    finally:
+        sock.close()
+    dump_klog(broker, stage)
+    try:
+        os.rename(stage, klog)  # ONE atomic publish
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+    return klog
+
+
 def _klog_df(spark: SparkSession, klog: str) -> DataFrame:
     """Executor-parallel decode of a mock-broker klog directory →
     (partition, offset, key, value) — one task per partition log; the wire
@@ -860,38 +904,14 @@ def cdc_kafka_egress(spark: SparkSession, sf: str) -> DataFrame:
     _sweep_run_dirs("/tmp", ("librarian_kegress_",))
     klog = os.path.join(base, "klog")
     if not os.path.exists(klog):
-        import shutil
-        import uuid
-
-        from librarian_spark.sources.kafka_mock import (
-            MockKafkaBroker, dump_klog,
-        )
-        from librarian_spark.sources.kafka_wire import KafkaProducerClient
-
-        stage = os.path.join(base, f"klog-stage-{uuid.uuid4().hex[:8]}")
-        broker = MockKafkaBroker("librarian.cdc", n_partitions=4)
-        sock, thread = broker.connect()
-        try:
-            client = KafkaProducerClient(sock, topic="librarian.cdc")
-            client.connect()
-            for table in ("supplier", "nation", "region"):
-                ev = snapshot_as_events(
-                    _t(spark, sf, table), db="appdb", schema="public",
-                    table=table,
-                ).select("key", "value")
-                for r in ev.toLocalIterator():  # driver-side: a producer IS one
-                    client.produce(
-                        r["key"].encode(), r["value"].encode(),
-                        timestamp_ms=1_700_000_000_000,
-                    )
-            client.flush()
-        finally:
-            sock.close()
-        dump_klog(broker, stage)
-        try:
-            os.rename(stage, klog)  # ONE atomic publish; loser discards
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)
+        evs = None
+        for table in ("supplier", "nation", "region"):
+            ev = snapshot_as_events(
+                _t(spark, sf, table), db="appdb", schema="public",
+                table=table,
+            ).select("key", "value")
+            evs = ev if evs is None else evs.unionByName(ev)
+        _produce_klog(base, "librarian.cdc", evs)
 
     recs = _klog_df(spark, klog)
     after = F.get_json_object(F.col("value").cast("string"), "$.payload.after")
@@ -957,46 +977,24 @@ def cdc_replicate_e2e(spark: SparkSession, sf: str) -> DataFrame:
 
     from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
 
-    # stage 1: pg-wire replication → latest state (cache machinery inside)
-    state = cdc_wire_replication(spark, sf)
-
-    # stage 2: kafka-wire egress of the replicated state
-    base = _cache_base("repl_e2e", sf, "supplier", salt="v1")
+    # the salt derives from the wire op's so a replication-semantics bump
+    # invalidates this downstream klog together with the wal it reflects
+    base = _cache_base(
+        "repl_e2e", sf, "supplier", salt=f"{_WIRE_SALT}-kafka-v1"
+    )
     _sweep_run_dirs("/tmp", ("librarian_repl_e2e_",))
     klog = os.path.join(base, "klog")
     if not os.path.exists(klog):
-        import shutil
-        import uuid
-
-        from librarian_spark.sources.kafka_mock import (
-            MockKafkaBroker,
-            dump_klog,
-        )
-        from librarian_spark.sources.kafka_wire import KafkaProducerClient
         from librarian_spark.streaming.envelope import snapshot_as_events
 
-        stage = os.path.join(base, f"klog-stage-{uuid.uuid4().hex[:8]}")
-        broker = MockKafkaBroker("librarian.replicated", n_partitions=4)
-        sock, _t_ = broker.connect()
-        try:
-            client = KafkaProducerClient(sock, topic="librarian.replicated")
-            client.connect()
-            ev = snapshot_as_events(
-                state, db="appdb", schema="public", table="supplier"
-            ).select("key", "value")
-            for r in ev.toLocalIterator():  # driver-side: a producer IS one
-                client.produce(
-                    r["key"].encode(), r["value"].encode(),
-                    timestamp_ms=1_700_000_000_000,
-                )
-            client.flush()
-        finally:
-            sock.close()
-        dump_klog(broker, stage)
-        try:
-            os.rename(stage, klog)  # ONE atomic publish; loser discards
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)
+        # stage 1 runs ONLY on a klog miss: its result feeds the producer
+        # and nothing else (an unconditional call would rebuild the wal
+        # for a value that is never read when the klog cache is warm)
+        state = cdc_wire_replication(spark, sf)
+        ev = snapshot_as_events(
+            state, db="appdb", schema="public", table="supplier"
+        ).select("key", "value")
+        _produce_klog(base, "librarian.replicated", ev)
 
     # stage 3: read the broker log back and verify delivered content
     recs = _klog_df(spark, klog)

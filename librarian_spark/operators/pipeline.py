@@ -3384,8 +3384,12 @@ def pipeline_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+    # event-grain output goes to a PARQUET sink under a swept run dir (the
+    # stream_exact_dedup discipline) — a memory sink would pin the full
+    # enriched event set in driver heap once per invocation
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
     run_id = uuid.uuid4().hex[:8]
-    name = f"senrich_{run_id}"
+    out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
     stream = (
         spark.readStream.schema(
             "event_id long, user_id long, event_type string, value double"
@@ -3405,8 +3409,9 @@ def pipeline_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
-            enriched.writeStream.format("memory")
-            .queryName(name)
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -3414,7 +3419,7 @@ def pipeline_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).select(
+    return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type", "segment", "nation", "value_cents"
     )
 

@@ -2602,7 +2602,16 @@ def text_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     "retrained before the next corpus release.",
 )
 def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    return fertility_report(_t(spark, sf, "documents"))
+
+
+def fertility_report(d: DataFrame) -> DataFrame:
+    """Per-language fertility aggregate over any (lang, text) frame — the
+    registry query runs it on documents; the unit test runs it on a
+    punctuation-bearing fixture because the synthetic corpus is
+    single-piece-per-word (fertility exactly 1000 for every language), so
+    oracle parity alone never exercises the multi-piece path this metric
+    exists to measure."""
     pieces = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0
     )

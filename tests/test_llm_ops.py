@@ -838,3 +838,26 @@ def test_rank_tau_bounds_and_exact_control(spark, sf_dir):
         assert r.n_pairs == r.n_common * (r.n_common - 1) // 2
         assert r.concordant + r.discordant == r.n_pairs
         assert -1000 <= r.tau_milli <= 1000
+
+
+def test_tokenizer_fertility_counts_multi_piece_words(spark):
+    """The synthetic corpus is single-piece-per-word (fertility exactly
+    1000), so oracle parity never exercises segmentation — pin the real
+    behavior on punctuation/mixed-class text: 'well-known' is 3 pieces,
+    'a1b2' is 4, trailing '!!' is 1 extra."""
+    from librarian_spark.operators.text import fertility_report
+
+    d = spark.createDataFrame(
+        [
+            # 3 words -> pieces: [well][-][known] [a][1][b][2] [ok][!!] = 9
+            ("en", "well-known a1b2 ok!!"),
+            # 2 words, no punctuation -> 2 pieces (the degenerate case)
+            ("de", "zwei worte"),
+        ],
+        "lang string, text string",
+    )
+    rows = {r.lang: r for r in fertility_report(d).collect()}
+    assert rows["en"].total_words == 3
+    assert rows["en"].total_pieces == 9
+    assert rows["en"].fertility_milli == 3000
+    assert rows["de"].fertility_milli == 1000
