@@ -6876,3 +6876,62 @@ def q106_group_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_mktsegment", F.col("rnk").cast("long").alias("rnk"),
                 "c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# graph: degree distribution (power-law structure profile)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH deg AS (
+      SELECT u, COUNT(*) AS d FROM (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+        WHERE a.l_orderkey % {_LPA_EDGE_MOD} = 0
+      ) GROUP BY 1
+    )
+    SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS degree_mass
+    FROM deg GROUP BY 1
+    """,
+    doc="Degree-distribution profile of the part co-purchase graph in "
+    "log2 buckets — the first diagnostic run on any production graph "
+    "(a power-law tail means hub nodes that will skew every "
+    "joins-on-neighbors stage; the bucket histogram is what decides "
+    "whether pagerank/LPA need salting or hub-splitting BEFORE the "
+    "expensive runs): per bucket, node count, degree range, and total "
+    "degree mass. Bucket boundaries are exact powers of two, where "
+    "IEEE log2 is exact in both engines, so FLOOR(LOG2(d)) is "
+    "cross-engine deterministic for every integer degree. One "
+    "distinct-edge build (shared shape with the LPA family), one "
+    "map-side-combining degree count, one tiny-domain aggregate — at "
+    "100 TB it is two shuffles of 8-byte pairs and a ~60-row result.",
+)
+def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    # edges only — the LPA label rounds are not needed here
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") % _LPA_EDGE_MOD == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    bucket = F.floor(F.log2("d")).cast("long")
+    return deg.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum("d").cast("long").alias("degree_mass"),
+    )
