@@ -2427,3 +2427,92 @@ def sim_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF list-balance report (ANN index health check)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sim_ivf_balance",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, u AS cu FROM unit
+             WHERE vec_id < {_IVF_NLISTS}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_o_dot('e.u', 'c.cu')} DESC,
+                                           c.cid) AS r
+        FROM unit e, cent c)
+      WHERE r = 1
+    ),
+    sizes AS (SELECT cid, COUNT(*) AS ls FROM assign GROUP BY 1)
+    SELECT cid,
+           CAST(ls AS BIGINT) AS list_size,
+           CAST(ls * {_IVF_NLISTS} * 1000 // (SELECT SUM(ls) FROM sizes)
+                AS BIGINT) AS load_milli,
+           CAST(CASE WHEN ls * {_IVF_NLISTS} * 1000
+                          // (SELECT SUM(ls) FROM sizes) > 2000
+                THEN 1 ELSE 0 END AS INTEGER) AS hot
+    FROM sizes
+    """,
+    doc="IVF inverted-list BALANCE report — the index health check run "
+    "before trusting ANN latency numbers (a hot list means every query "
+    "probing it scans disproportionate corpus; the standard remedies — "
+    "re-train centroids, split the list — are decided from exactly this "
+    "histogram): every corpus vector is assigned to its nearest "
+    "centroid (the SAME assignment rule sim_ivf_topk queries against, "
+    "so the report describes the real index), and per list the size, "
+    "the load factor in milli units (1000 = perfectly balanced), and a "
+    ">2x hot flag. Spark side is one Arrow-batched map pass emitting "
+    "per-batch partial counts (centroids broadcast, assignment a tiny "
+    "BLAS matmul per batch) + one tiny-domain aggregate; at 100 TB it "
+    "is scan-bound with an nlists-row result.",
+)
+def sim_ivf_balance(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    def unit(m: "np.ndarray") -> "np.ndarray":
+        return m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+
+    small = e.filter(F.col("vec_id") < _IVF_NLISTS).toPandas()
+    cmat = unit(np.stack(small["embedding"].to_numpy()).astype(np.float64))
+    bc = e.sparkSession.sparkContext.broadcast(cmat)
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmat = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            block = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            lists = np.argmax(block @ cmat.T, axis=1)
+            cids, cnts = np.unique(lists, return_counts=True)
+            yield pd.DataFrame(
+                {
+                    "cid": cids.astype("int64"),
+                    "cnt": cnts.astype("int64"),
+                }
+            )
+
+    partials = fan_out(e).mapInPandas(op, schema="cid long, cnt long")
+    sizes = partials.groupBy("cid").agg(F.sum("cnt").alias("list_size"))
+    total = int(e.count())  # one scalar action; inlined as a literal below
+    load = F.expr(f"list_size * {_IVF_NLISTS} * 1000 div {total}")
+    return sizes.select(
+        "cid",
+        F.col("list_size").cast("long").alias("list_size"),
+        load.cast("long").alias("load_milli"),
+        F.when(load > 2000, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("hot"),
+    )
