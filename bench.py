@@ -124,19 +124,25 @@ def main() -> None:
         try:
             with open(detail_path) as fh:
                 prior = json.load(fh)
-            # timings measured at a different scale factor or best-of-N are
-            # not comparable — refuse to mix them AND refuse to clobber the
-            # prior full-run file with this subset (printed line still carries
-            # this run's numbers)
-            if (prior.get("sf") != payload["sf"]
-                    or prior.get("runs_per_query") != n_runs):
-                print(
-                    f"bench: sf/runs mismatch vs {detail_path}; "
-                    "leaving it untouched",
-                    file=sys.stderr,
-                )
-                skip_detail_write = True
-                raise ValueError("incomparable prior")
+        except (OSError, ValueError):
+            prior = None  # corrupt/unreadable prior: overwrite with this run
+        # timings measured at a different scale factor or best-of-N are
+        # not comparable — refuse to mix them AND refuse to clobber the
+        # prior full-run file with this subset (printed line still carries
+        # this run's numbers). Distinct branch from the corrupt-prior
+        # fallback above: incomparable priors are KEPT, corrupt ones are
+        # overwritten.
+        if prior is not None and (
+            prior.get("sf") != payload["sf"]
+            or prior.get("runs_per_query") != n_runs
+        ):
+            print(
+                f"bench: sf/runs mismatch vs {detail_path}; "
+                "leaving it untouched",
+                file=sys.stderr,
+            )
+            skip_detail_write = True
+        elif prior is not None:
             merged_q = dict(prior.get("queries", {}))
             merged_q.update(timings)
             merged_err = {
@@ -164,8 +170,6 @@ def main() -> None:
                 file_payload["errors"] = merged_err
             else:
                 file_payload.pop("errors", None)
-        except (OSError, ValueError):
-            pass  # unreadable prior file: fall back to writing this run
     if not skip_detail_write:
         try:
             with open(detail_path, "w") as fh:

@@ -403,7 +403,11 @@ def zorder_write(df, path: str, cluster_cols: list[str], n_files: int = 16,
     cell_width = max(1, (1 << (bits * len(cluster_cols))) // n_files)
     (
         df.withColumn("__zkey", key)
-        .withColumn("__zcell", F.floor(F.col("__zkey") / cell_width))
+        # exact integer division: __zkey spans 2^(bits*len(cluster_cols)),
+        # so float division misassigns boundary cells past 53 bits
+        .withColumn(
+            "__zcell", F.call_function("div", F.col("__zkey"), F.lit(cell_width))
+        )
         .repartitionByRange(n_files, F.col("__zcell"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey", "__zcell")

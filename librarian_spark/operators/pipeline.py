@@ -3309,7 +3309,11 @@ def pipeline_stream_topk(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    emitted = spark.table(name)
+    # pin the (tiny) emissions off the memory sink, then drop the view —
+    # otherwise repeated runs in a long-lived session accumulate one
+    # in-memory table per invocation
+    emitted = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
     final = emitted.groupBy("event_type").agg(
         F.max_by(F.struct("users", "counts"), "n").alias("s")
     )

@@ -851,12 +851,16 @@ def q22_math(spark: SparkSession, sf: str) -> DataFrame:
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(o_orderdate AS DATE) AS odate,
            CAST(STRFTIME(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS date_str,
-           CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS narrowed
+           CAST(CAST(o_orderkey % 1000000 AS INTEGER) AS BIGINT) AS narrowed
     FROM orders
     """,
     doc="Cast semantics parity incl. the reference's int widening "
     "(`internal/parquet/sql.go:16-21`); double→bigint uses explicit TRUNC in the "
-    "oracle because DuckDB rounds on cast while Spark truncates.",
+    "oracle because DuckDB rounds on cast while Spark truncates. The "
+    "narrow-then-widen demo runs on a value-bounded expression (key % 1e6): "
+    "ANSI mode makes a bare bigint→int cast crash on any >2^31 key, which a "
+    "100 TB corpus will have — scale safety belongs in the operator, not the "
+    "data assumption (r7 verdict #3: sf1 replica keys overflowed the cast).",
 )
 def q23_casts(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
@@ -867,7 +871,7 @@ def q23_casts(spark: SparkSession, sf: str) -> DataFrame:
         o.o_orderkey.cast("string").alias("key_str"),
         o.o_orderdate.cast("date").alias("odate"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
-        o.o_orderkey.cast("int").cast("long").alias("narrowed"),
+        F.pmod(o.o_orderkey, F.lit(1000000)).cast("int").cast("long").alias("narrowed"),
     )
 
 

@@ -640,12 +640,12 @@ class KafkaProducerClient:
         # from a background poll; this synchronous client piggybacks the
         # check on each produce call)
         now = time.monotonic() * 1000
-        for q in [
+        for aged in [
             part
             for part, first in self._pending_first_ms.items()
             if now - first >= self.linger_ms and self._pending.get(part)
         ]:
-            self._flush_partition(q)
+            self._flush_partition(aged)
 
     def flush(self) -> list[dict]:
         """Drain every pending batch; returns all delivery reports so far."""
