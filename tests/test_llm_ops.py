@@ -861,3 +861,103 @@ def test_tokenizer_fertility_counts_multi_piece_words(spark):
     assert rows["en"].total_pieces == 9
     assert rows["en"].fertility_milli == 3000
     assert rows["de"].fertility_milli == 1000
+
+
+def test_phash_guaranteed_band_and_recall(spark):
+    """Radius-1 probes over 16-bit slices catch EVERY pair with hamming <= 7
+    by pigeonhole (12 errors over 4 disjoint slices leave some slice with
+    <= 1 — at <= 7 it's guaranteed; the second rotated table only adds).
+    Assert that deterministic guarantee plus a recall floor at the <= 12
+    verify threshold vs brute force, at sf0.01 where all pairs fit."""
+    import numpy as np
+
+    from librarian_spark.operators.multimodal import (
+        _PHASH_MAX_HAMMING,
+        ingest_binary,
+        phash_candidates,
+        phash_codes,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    hashed = phash_codes(
+        ingest_binary(spark, sf).select("doc_id", "payload")
+    ).cache()
+    pdf = hashed.select("doc_id", "h_lo", "h_hi").toPandas()
+    ids = pdf["doc_id"].to_numpy()
+    codes = (
+        pdf["h_lo"].to_numpy().astype(np.uint64)
+        | (pdf["h_hi"].to_numpy().astype(np.uint64) << np.uint64(32))
+    )
+    # brute-force hamming over all pairs (500 docs -> 125k pairs)
+    x = codes[:, None] ^ codes[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ii, jj = np.nonzero(ham <= _PHASH_MAX_HAMMING)
+    truth = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])), int(ham[a, b]))
+        for a, b in zip(ii, jj)
+        if ids[a] < ids[b]
+    }
+    cands = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in phash_candidates(hashed).collect()
+    }
+    guaranteed = {(a, b) for a, b, h in truth if h <= 7}
+    missed_guaranteed = guaranteed - cands
+    assert not missed_guaranteed, f"pigeonhole band missed: {missed_guaranteed}"
+    all_true = {(a, b) for a, b, _ in truth}
+    assert all_true, "corpus should contain hamming<=12 pairs"
+    recall = len(all_true & cands) / len(all_true)
+    assert recall >= 0.6, f"phash recall too low at <=12: {recall:.2f}"
+
+
+def test_phash_candidate_growth_subquadratic(spark, tmp_path):
+    """The r7 design keyed candidates on a fixed 2048-bucket domain ->
+    O(N^2/2048) join rows on ANY data (measured 10.66x wall at 10x organic).
+    Pin the redesign's scaling: candidate JOIN ROWS (the work metric,
+    pre-distinct) must grow subquadratically between sf0.1 and 10x organic
+    replicas (non-near-duplicate text). Quadratic growth would be ~100x;
+    the permuted-table + cap construction measured 52x."""
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.multimodal import (
+        ingest_binary,
+        phash_candidates,
+        phash_codes,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    base = ingest_binary(spark, sf).select("doc_id", "payload")
+    n1 = phash_candidates(phash_codes(base), distinct=False).count()
+
+    # organic 10x: scale_cliff's consonant rotation — replicas are NOT
+    # near-duplicates, so growth measures collision structure, not dups
+    alphabet = "etaonisrhl"
+    docs = _t_docs(spark, sf)
+    reps = [docs]
+    for r in range(1, 10):
+        rot = alphabet[r:] + alphabet[:r]
+        reps.append(
+            docs.withColumn("text", F.translate("text", alphabet, rot))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+        )
+    big = reps[0]
+    for rep in reps[1:]:
+        big = big.unionByName(rep)
+    payloads = big.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    n10 = phash_candidates(phash_codes(payloads), distinct=False).count()
+    growth = n10 / max(n1, 1)
+    assert growth < 80, (
+        f"candidate rows grew {growth:.0f}x at 10x organic data "
+        f"({n1} -> {n10}) — quadratic regime"
+    )
+
+
+def _t_docs(spark, sf):
+    from librarian_spark.sources.batch import load_table
+
+    return load_table(spark, sf, "documents").select("doc_id", "text")
