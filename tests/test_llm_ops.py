@@ -961,3 +961,32 @@ def _t_docs(spark, sf):
     from librarian_spark.sources.batch import load_table
 
     return load_table(spark, sf, "documents").select("doc_id", "text")
+
+
+def test_dedup_embedding_candidate_recall(spark):
+    """dedup_embedding's sqrt(N)-list candidates vs the exact cosine>=0.35
+    edge set: precision must be EXACTLY 1.0 (every emitted pair is
+    exact-verified inside its list), and recall must clear a floor even on
+    this worst-case corpus (uniform-random embeddings put every edge at the
+    noise floor; measured 125/271 = 46% at sf0.01)."""
+    from librarian_spark.operators.dedup import (
+        _EMB_THRESHOLD,
+        _emb_candidate_pairs,
+    )
+    from librarian_spark.operators.similarity import cosine_pairs
+    from librarian_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    exact = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in cosine_pairs(e, _EMB_THRESHOLD).collect()
+    }
+    got = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in _emb_candidate_pairs(spark, e).collect()
+    }
+    assert exact, "corpus should contain pairs at the threshold"
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.35, f"candidate recall too low: {recall:.2f}"
