@@ -900,7 +900,9 @@ def cdc_kafka_egress(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
     from librarian_spark.streaming.envelope import snapshot_as_events
 
-    base = _cache_base("kegress", sf, "supplier", salt="sup-nat-reg-p4-v1")
+    # salt carries the compression knob: a cached klog written before the
+    # snappy producer landed would silently bypass the compressed path
+    base = _cache_base("kegress", sf, "supplier", salt="sup-nat-reg-p4-snappy-v2")
     _sweep_run_dirs("/tmp", ("librarian_kegress_",))
     klog = os.path.join(base, "klog")
     if not os.path.exists(klog):
@@ -980,7 +982,7 @@ def cdc_replicate_e2e(spark: SparkSession, sf: str) -> DataFrame:
     # the salt derives from the wire op's so a replication-semantics bump
     # invalidates this downstream klog together with the wal it reflects
     base = _cache_base(
-        "repl_e2e", sf, "supplier", salt=f"{_WIRE_SALT}-kafka-v1"
+        "repl_e2e", sf, "supplier", salt=f"{_WIRE_SALT}-kafka-snappy-v2"
     )
     _sweep_run_dirs("/tmp", ("librarian_repl_e2e_",))
     klog = os.path.join(base, "klog")

@@ -30,6 +30,7 @@ from librarian_spark.sources.kafka_wire import (
     ERR_NOT_LEADER_OR_FOLLOWER,
     crc32c,
     decode_metadata_request,
+    decode_record_batch,
     decode_produce_request,
     decode_request_header,
     encode_metadata_response,
@@ -99,9 +100,18 @@ class MockKafkaBroker:
         if self.fail_produces > 0:
             self.fail_produces -= 1
             return (p, ERR_NOT_LEADER_OR_FOLLOWER, -1)
-        # log-layer validation, like a real broker: magic then batch CRC
+        # log-layer validation, like a real broker: magic, batch CRC (over
+        # the compressed bytes), then a full structural decode — which
+        # snappy-decompresses the records section, so a compressed batch
+        # with a broken frame or bad record varints is rejected, not stored
         _epoch, magic, crc = struct.unpack_from(">ibI", raw, 12)
         if magic != 2 or crc32c(raw[21:]) != crc:
+            return (p, 87, -1)  # INVALID_RECORD
+        try:
+            decoded, _ = decode_record_batch(raw, 0)
+            if len(decoded["records"]) == 0:
+                raise ValueError("empty batch")
+        except (ValueError, IndexError, struct.error):
             return (p, 87, -1)  # INVALID_RECORD
         base = self.next_offset[p]
         (count,) = struct.unpack_from(">i", raw, 57)

@@ -14,9 +14,12 @@ carrying magic-v2 record batches with CRC32C integrity, and the producer
 semantics the reference configures (acks, bounded retries on retriable
 errors, byte-budget batching with linger).
 
-Compression: the reference asks librdkafka for snappy; no snappy codec is
-importable here, so batches carry attributes=0 (uncompressed) — the one
-tuning knob that degrades honestly rather than silently.
+Compression: the reference asks librdkafka for snappy
+(`kafka/repository.go:54`); batches here carry attributes=2 with the
+records section xerial-framed-snappy compressed via the pure-Python codec
+in :mod:`librarian_spark.sources.snappy_codec` (no snappy library is
+importable in this sandbox). The CRC32C covers the COMPRESSED bytes, per
+the protocol guide.
 
 Everything here is public protocol knowledge; nothing is derived from the
 reference's (closed) librdkafka internals.
@@ -27,6 +30,11 @@ from __future__ import annotations
 import struct
 import time
 import zlib
+
+from librarian_spark.sources.snappy_codec import (
+    xerial_compress,
+    xerial_decompress,
+)
 
 __all__ = [
     "API_PRODUCE",
@@ -244,13 +252,17 @@ def _encode_record(
 def encode_record_batch(
     records: list[tuple[int, bytes | None, bytes | None]],
     base_offset: int = 0,
+    compression: str | None = None,
 ) -> bytes:
     """``records`` = [(timestamp_ms, key, value)] → one magic-v2 batch.
 
     Layout per the public protocol guide: the CRC is CRC32C over everything
-    from ``attributes`` to the end; ``batchLength`` counts the bytes after
-    itself; producerId/epoch/sequence are -1 (non-transactional,
-    non-idempotent — matching the reference's plain producer).
+    from ``attributes`` to the end (compressed bytes when a codec is set);
+    ``batchLength`` counts the bytes after itself; producerId/epoch/sequence
+    are -1 (non-transactional, non-idempotent — matching the reference's
+    plain producer). ``compression="snappy"`` sets attributes=2 and
+    xerial-frames the records section, the exact on-wire shape Kafka
+    clients produce for snappy.
     """
     if not records:
         raise ValueError("empty record batch")
@@ -260,8 +272,15 @@ def encode_record_batch(
         _encode_record(i, ts - base_ts, k, v)
         for i, (ts, k, v) in enumerate(records)
     )
+    if compression is None:
+        attributes = 0
+    elif compression == "snappy":
+        attributes = 2
+        recs = xerial_compress(recs)
+    else:
+        raise ValueError(f"unsupported compression {compression!r}")
     after_crc = (
-        struct.pack(">h", 0)  # attributes: no compression, create-time
+        struct.pack(">h", attributes)  # codec bits 0-2, create-time
         + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
         + struct.pack(">q", base_ts)
         + struct.pack(">q", max_ts)
@@ -285,25 +304,38 @@ def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[dict, int]:
     if magic != 2:
         raise ValueError(f"unsupported record-batch magic {magic}")
     after = body[9:]
-    crc_ok = crc32c(after) == crc
+    crc_ok = crc32c(after) == crc  # CRC covers the compressed bytes
+    attributes, = struct.unpack_from(">h", after, 0)
     base_ts, = struct.unpack_from(">q", after, 6)
     count, = struct.unpack_from(">i", after, 36)
-    rpos, out = 40, []
+    codec = attributes & 0x07
+    if codec == 0:
+        recs = after[40:]
+    elif codec == 2:
+        recs = xerial_decompress(after[40:])
+    else:
+        raise ValueError(f"unsupported record-batch codec {codec}")
+    rpos, out = 0, []
     for _ in range(count):
-        rlen, rpos = decode_varint(after, rpos)
+        rlen, rpos = decode_varint(recs, rpos)
         rend = rpos + rlen
         rpos += 1  # record attributes
-        ts_delta, rpos = decode_varint(after, rpos)
-        off_delta, rpos = decode_varint(after, rpos)
-        klen, rpos = decode_varint(after, rpos)
-        key = None if klen < 0 else after[rpos : rpos + max(klen, 0)]
+        ts_delta, rpos = decode_varint(recs, rpos)
+        off_delta, rpos = decode_varint(recs, rpos)
+        klen, rpos = decode_varint(recs, rpos)
+        key = None if klen < 0 else recs[rpos : rpos + max(klen, 0)]
         rpos += max(klen, 0)
-        vlen, rpos = decode_varint(after, rpos)
-        value = None if vlen < 0 else after[rpos : rpos + max(vlen, 0)]
+        vlen, rpos = decode_varint(recs, rpos)
+        value = None if vlen < 0 else recs[rpos : rpos + max(vlen, 0)]
         rpos = rend  # skip headers
         out.append((base_offset + off_delta, base_ts + ts_delta, key, value))
     return (
-        {"base_offset": base_offset, "crc_ok": crc_ok, "records": out},
+        {
+            "base_offset": base_offset,
+            "crc_ok": crc_ok,
+            "codec": codec,
+            "records": out,
+        },
         pos + 12 + batch_len,
     )
 
@@ -541,7 +573,8 @@ def decode_produce_response(buf: bytes) -> dict:
 class KafkaProducerClient:
     """Socket-level producer with the reference's semantics
     (`kafka/repository.go:45-60`): acks=1, retries=3, batch.size=16384,
-    linger.ms=5, request.timeout.ms=5000, client.id=librarian-replicator.
+    linger.ms=5, request.timeout.ms=5000, compression.type=snappy
+    (xerial-framed via the pure-Python codec), client.id=librarian-replicator.
 
     Messages accumulate per partition (the librdkafka "consistent"
     partitioner: CRC32 of the key modulo partition count, so one table's
@@ -563,6 +596,7 @@ class KafkaProducerClient:
         batch_size: int = 16_384,
         linger_ms: int = 5,
         request_timeout_ms: int = 5_000,
+        compression_type: str | None = "snappy",
     ):
         self.sock = sock
         self.topic = topic
@@ -572,6 +606,7 @@ class KafkaProducerClient:
         self.batch_size = batch_size
         self.linger_ms = linger_ms
         self.request_timeout_ms = request_timeout_ms
+        self.compression_type = compression_type
         self._corr = 0
         self.partitions: list[int] = []
         self._pending: dict[int, list[tuple[int, bytes | None, bytes]]] = {}
@@ -660,7 +695,7 @@ class KafkaProducerClient:
         self._pending_first_ms.pop(p, None)
         if not records:
             return
-        batch = encode_record_batch(records)
+        batch = encode_record_batch(records, compression=self.compression_type)
         attempt = 0
         while True:
             self._send(

@@ -326,3 +326,131 @@ def test_envelope_egress_key_format_end_to_end(spark):
     )
     assert {k for _, _, _, k, _ in got} == {b"appdb.public.users"}
     sock.close()
+
+
+# -- snappy compression (attributes=2, xerial framing) -----------------------
+
+
+def test_snappy_codec_round_trips_and_format_conformance():
+    """Pure-Python snappy: raw-block + xerial round trips across edge shapes,
+    plus a HAND-BUILT conformance vector (literal + 1-byte-offset copy over
+    an overlapping RLE run) decoded independently of our compressor."""
+    import os
+    import random
+
+    from librarian_spark.sources.snappy_codec import (
+        XERIAL_HEADER,
+        compress_block,
+        decompress_block,
+        xerial_compress,
+        xerial_decompress,
+    )
+
+    random.seed(11)
+    cases = [
+        b"",
+        b"a",
+        b"abc",
+        b"a" * 100,
+        b"ab" * 5000,
+        bytes(range(256)) * 300,
+        os.urandom(70_000),  # incompressible, crosses the 64 KiB fragment
+        b"x" * 70_000 + os.urandom(40) + b"x" * 70_000,
+    ] + [
+        bytes(random.choices(b'abcdef{}:,"0123456789', k=random.randint(0, 4000)))
+        for _ in range(25)
+    ]
+    for c in cases:
+        assert decompress_block(compress_block(c)) == c
+        assert xerial_decompress(xerial_compress(c)) == c
+        # bare raw blocks are accepted (old-producer compatibility)
+        assert xerial_decompress(compress_block(c)) == c
+    # compression must actually compress the repetitive-JSON shape the
+    # envelopes have
+    j = b'{"op":"u","table":"public.users","id":12345}' * 400
+    assert len(compress_block(j)) < len(j) // 5
+    # xerial header: magic + version=1 + compat=1, big-endian
+    assert XERIAL_HEADER == bytes.fromhex("82534e41505059000000000100000001")
+    # format conformance independent of the compressor: uvarint(10),
+    # literal 'a', then a copy1 of length 9 at offset 1 == "a" * 10
+    hand = bytes([10, 0x00]) + b"a" + bytes([0x01 | ((9 - 4) << 2), 1])
+    assert decompress_block(hand) == b"a" * 10
+    # strict failure modes
+    for bad in [bytes([10, 0x00]) + b"a", bytes([2, 0x01, 0x05])]:
+        try:
+            decompress_block(bad)
+            raise AssertionError("should have raised")
+        except (ValueError, IndexError):
+            pass
+
+
+def test_compressed_batch_wire_round_trip():
+    """attributes=2 batches: records section xerial-compressed, CRC over
+    the compressed bytes, decode transparently returns the records."""
+    recs = [
+        (1_700_000_000_000 + i, b"db.public.users", b'{"f":%d}' % (i % 7))
+        for i in range(200)
+    ]
+    plain = encode_record_batch(recs)
+    comp = encode_record_batch(recs, compression="snappy")
+    assert len(comp) < len(plain) // 2, "repetitive records should compress"
+    (attributes,) = struct.unpack_from(">h", comp, 21)
+    assert attributes & 0x07 == 2
+    batch, end = decode_record_batch(comp)
+    assert end == len(comp) and batch["crc_ok"] and batch["codec"] == 2
+    assert [(t, k, v) for _, t, k, v in batch["records"]] == recs
+    # a flipped bit inside the COMPRESSED payload fails the CRC
+    corrupt = bytearray(comp)
+    corrupt[-1] ^= 0x01
+    assert not decode_record_batch(bytes(corrupt))[0]["crc_ok"]
+
+
+def test_broker_validates_compressed_batches_structurally():
+    """A compressed batch whose xerial frame is broken but whose CRC was
+    RE-STAMPED to match (CRC alone can't catch it) must still be rejected
+    by the broker's log layer, which decodes through the codec."""
+    from librarian_spark.sources.kafka_wire import (
+        decode_produce_response,
+        encode_produce_request,
+        encode_request_header,
+        read_frame,
+        write_frame,
+    )
+
+    broker = MockKafkaBroker("t", n_partitions=1)
+    sock, _ = broker.connect()
+    raw = bytearray(encode_record_batch([(1, b"k", b"v" * 100)], compression="snappy"))
+    # corrupt the xerial magic inside the records section (offset: 8 base_offset +
+    # 4 length + 4 epoch + 1 magic + 4 crc + 40 batch header = 61)
+    raw[61] ^= 0xFF
+    # re-stamp the CRC so only structural validation can reject it
+    raw[17:21] = struct.pack(">I", crc32c(bytes(raw[21:])))
+    hdr = encode_request_header(0, 9, 7, "librarian-replicator")
+    write_frame(sock, hdr + encode_produce_request("t", 1, 5000, {0: bytes(raw)}))
+    resp = decode_produce_response(read_frame(sock))
+    assert resp["t"][0]["error"] == 87
+    assert broker.next_offset[0] == 0
+    sock.close()
+
+
+def test_producer_default_matches_reference_compression():
+    """The client's default mirrors the reference's compression.type=snappy
+    (`kafka/repository.go:54`): batches on the broker log carry codec=2 and
+    read back intact through the shared decoder."""
+    broker = MockKafkaBroker("librarian.events", n_partitions=2)
+    c, sock, _ = _client(broker)
+    c.connect()
+    for i in range(50):
+        c.produce(b"db.public.users", b'{"seq":%d,"pad":"%s"}' % (i, b"z" * 64))
+    c.flush()
+    batches = []
+    for p, buf in broker.log.items():
+        pos = 0
+        while pos < len(buf):
+            b, pos = decode_record_batch(buf, pos)
+            batches.append(b)
+    assert batches, "broker log should hold batches"
+    assert all(b["codec"] == 2 and b["crc_ok"] for b in batches)
+    n = sum(len(b["records"]) for b in batches)
+    assert n == 50
+    sock.close()
