@@ -1,0 +1,53 @@
+"""Real-socket dialing for the three wire clients (PG / Mongo / Kafka).
+
+Every wire client in this package is transport-agnostic: it speaks its
+public protocol over whatever connected socket it is handed (tests hand it
+a socketpair to an in-process mock). This module is the LIVE half: turn a
+``host:port`` DSN into a connected TCP socket, and read the conventional
+environment variables that gate live integration:
+
+    LIBRARIAN_LIVE_PG_DSN     e.g. ``localhost:5432``
+    LIBRARIAN_LIVE_MONGO_DSN  e.g. ``localhost:27017``
+    LIBRARIAN_LIVE_KAFKA_DSN  e.g. ``localhost:9092``
+
+The sandbox this engine is built in has no live services (evidence in
+SURVEY §2A #23), so nothing in the default test suite dials out; the
+``live``-marked tests skip unless the matching env var is set. Switching a
+client from mock to live is a constructor call, not a refactor:
+
+    ReplicationSlotClient.dial("pg:5432", slot="s", publication="p", ...)
+
+TLS is intentionally NOT implemented here yet — the residue documented in
+SURVEY: dial, TLS, and real-server quirks are exactly what needs a live
+environment to build honestly.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+
+__all__ = ["dial", "live_dsn"]
+
+_ENV_PREFIX = "LIBRARIAN_LIVE_"
+
+
+def dial(dsn: str, timeout: float = 10.0) -> socket.socket:
+    """``host:port`` -> connected TCP socket (TCP_NODELAY, blocking with the
+    given timeout). IPv6 literals use ``[::1]:9092`` bracket form."""
+    if dsn.startswith("["):  # [v6-literal]:port
+        host, _, port = dsn.rpartition(":")
+        host = host.strip("[]")
+    else:
+        host, _, port = dsn.rpartition(":")
+    if not host or not port.isdigit():
+        raise ValueError(f"DSN must be host:port, got {dsn!r}")
+    sock = socket.create_connection((host, int(port)), timeout=timeout)
+    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return sock
+
+
+def live_dsn(service: str) -> str | None:
+    """The live DSN for ``service`` in {"pg", "mongo", "kafka"} from the
+    environment, or None when live integration is not configured."""
+    return os.environ.get(_ENV_PREFIX + service.upper() + "_DSN") or None

@@ -614,6 +614,14 @@ class KafkaProducerClient:
         self._pending_first_ms: dict[int, float] = {}
         self.delivery_reports: list[dict] = []
 
+    @classmethod
+    def dial(cls, dsn: str, topic: str, **kw) -> "KafkaProducerClient":
+        """Live-socket construction (``host:port`` -> TCP): the mock-to-live
+        switch is this one call — every protocol byte is identical."""
+        from librarian_spark.sources.dial import dial as _dial
+
+        return cls(_dial(dsn), topic=topic, **kw)
+
     # -- request plumbing --------------------------------------------------
 
     def _send(self, api_key: int, api_version: int, body: bytes) -> None:

@@ -213,6 +213,14 @@ class MongoChangeStreamClient:
         self._req = 0
         self._seq = 0
 
+    @classmethod
+    def dial(cls, dsn: str, **kw) -> "MongoChangeStreamClient":
+        """Live-socket construction (``host:port`` -> TCP): the mock-to-live
+        switch is this one call — every protocol byte is identical."""
+        from librarian_spark.sources.dial import dial as _dial
+
+        return cls(_dial(dsn), **kw)
+
     # -- checkpoint --------------------------------------------------------
     def load_checkpoint(self) -> dict | None:
         if self.checkpoint_path and os.path.exists(self.checkpoint_path):

@@ -247,6 +247,14 @@ class ReplicationSlotClient:
         self.flushed_lsn = 0
         self.received_lsn = 0
 
+    @classmethod
+    def dial(cls, dsn: str, **kw) -> "ReplicationSlotClient":
+        """Live-socket construction (``host:port`` -> TCP): the mock-to-live
+        switch is this one call — every protocol byte is identical."""
+        from librarian_spark.sources.dial import dial as _dial
+
+        return cls(_dial(dsn), **kw)
+
     # -- checkpoint (atomic tmp+rename, checkpoint.go:103-117 parity) ------
     def load_checkpoint(self) -> int:
         if self.checkpoint_path and os.path.exists(self.checkpoint_path):

@@ -29,3 +29,29 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def oracle_sf_dir():
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", SF_SMOKE)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "live: dials a REAL external service (postgres/mongod/kafka broker) "
+        "via LIBRARIAN_LIVE_{PG,MONGO,KAFKA}_DSN; skipped unless the matching "
+        "env var is set",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    from librarian_spark.sources.dial import live_dsn
+
+    for item in items:
+        marker = item.get_closest_marker("live")
+        if marker is None:
+            continue
+        service = marker.kwargs.get("service") or (marker.args[0] if marker.args else None)
+        if service and live_dsn(service) is None:
+            item.add_marker(
+                pytest.mark.skip(
+                    reason=f"no live {service}: set LIBRARIAN_LIVE_"
+                    f"{service.upper()}_DSN=host:port to run"
+                )
+            )
