@@ -1798,3 +1798,93 @@ def dedup_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
             .alias("bal_delta_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph/line-granularity exact dedup (CCNet-style)
+# --------------------------------------------------------------------------
+
+# chunk width in tokens. The corpus is single-line word soup (no '\n\n'
+# paragraph marks), so "paragraph" granularity is stood in by fixed
+# non-overlapping W-token chunks — the mechanism (hash chunks, count globally,
+# score docs by duplicated-chunk mass) is exactly CCNet/MassiveText line-dedup
+# and is granularity-agnostic.
+_PARA_W = 4
+_PARA_DUP_MILLI = 500  # drop a doc when >= 50% of its chunks are duplicated
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(LIST_SLICE(w, i * {_PARA_W} + 1,
+                                            (i + 1) * {_PARA_W}), ' ')) AS h
+      FROM (SELECT doc_id, w,
+                   UNNEST(RANGE(0, CAST(CEIL(LEN(w) * 1.0 / {_PARA_W})
+                                        AS BIGINT))) AS i
+            FROM (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w
+                  FROM documents))
+    ),
+    cnt AS (SELECT h, COUNT(*) AS c FROM ch GROUP BY h)
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(FLOOR(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) * 1000.0
+                  / COUNT(*)) AS BIGINT) AS dup_milli,
+           FLOOR(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) * 1000.0
+                  / COUNT(*)) < {_PARA_DUP_MILLI} AS keep
+    FROM ch JOIN cnt ON ch.h = cnt.h
+    GROUP BY ch.doc_id
+    """,
+    doc=f"Paragraph-granularity exact dedup (CCNet arXiv:1911.00359 §4.1 / "
+    f"MassiveText line-dedup): split every doc into non-overlapping "
+    f"{_PARA_W}-token chunks, md5 each chunk, count occurrences corpus-wide, "
+    f"then score each doc by the fraction of its chunks that appear anywhere "
+    f"else (drop at >= {_PARA_DUP_MILLI}/1000). Two shuffles, both on the "
+    f"16-byte chunk hash, never on text: (1) the global chunk count is a "
+    f"map-side-combining groupBy whose post-shuffle cardinality is DISTINCT "
+    f"chunks, (2) the count joins back to the (doc_id, hash) skeleton and "
+    f"rolls up to doc grain. No self-join, no pair explosion — cost is "
+    f"O(chunks) regardless of how duplicated the corpus is, which is why "
+    f"CCNet runs this shape at CommonCrawl scale. The oracle replays the "
+    f"mechanism (same chunking, same md5) so parity certifies the hash "
+    f"pipeline end-to-end. Fixed-point milli avoids float-div drift.",
+)
+def dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(_PARA_W)).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("w"), i * _PARA_W + 1, _PARA_W)
+            ),
+        )
+    )
+    ch = d.select("doc_id", chunk.alias("chunk")).select(
+        "doc_id", F.md5(F.encode("chunk", "utf-8")).alias("h")
+    )
+    cnt = ch.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long")
+    return (
+        ch.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.floor(F.col("n_dup_chunks") * 1000 / F.col("n_chunks"))
+            .cast("long")
+            .alias("dup_milli"),
+            (
+                F.floor(F.col("n_dup_chunks") * 1000 / F.col("n_chunks"))
+                < _PARA_DUP_MILLI
+            ).alias("keep"),
+        )
+    )

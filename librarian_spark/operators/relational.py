@@ -2978,6 +2978,24 @@ def q63_skyline(spark: SparkSession, sf: str) -> DataFrame:
     "never on lineitem.",
 )
 def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    _, tri = _copurchase_graph(spark, sf)
+    return (
+        tri.select(F.least("s", "b").alias("p_min"))
+        .groupBy("p_min")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def _copurchase_graph(spark: SparkSession, sf: str):
+    """(edges, triangles) of the part co-purchase graph (10%-of-orders slice)
+    — the shared skeleton of graph_triangle_count / graph_clustering_coeff.
+
+    ``edges`` is the deduped undirected edge list as id-ordered (u, v);
+    ``triangles`` has one row per triangle with all three vertex columns
+    (s, b, c; b < c, s unordered vs the others), found by the DEGREE-ORDERED
+    orientation algorithm: every edge points from its lower-(degree, id)
+    endpoint to the higher one, so each node's out-degree is O(sqrt(m)) and
+    the wedge join is bounded by m^1.5 TOTAL regardless of hub skew."""
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
@@ -3018,12 +3036,8 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     closing = oriented.select(
         F.least("s", "t").alias("b"), F.greatest("s", "t").alias("c")
     )
-    tri = wedges.join(closing, ["b", "c"]).select(
-        F.least("s", "b").alias("p_min")  # s < b,c never guaranteed: order ids
-    )
-    return tri.groupBy("p_min").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
+    tri = wedges.join(closing, ["b", "c"]).select("s", "b", "c")
+    return edges, tri
 
 
 # --------------------------------------------------------------------------
@@ -6938,4 +6952,181 @@ def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
         F.sum("d").cast("long").alias("degree_mass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph: local clustering coefficient (triangles / wedges per vertex)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH eo AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 10 = 0
+    ),
+    deg AS (
+      SELECT x, COUNT(*) AS dg
+      FROM (SELECT u AS x FROM eo UNION ALL SELECT v FROM eo)
+      GROUP BY x
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM eo e1
+      JOIN eo e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN eo e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    tv AS (
+      SELECT x, COUNT(*) AS t
+      FROM (SELECT a AS x FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY x
+    )
+    SELECT deg.x AS part_id,
+           CAST(deg.dg AS BIGINT) AS degree,
+           CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_triangles,
+           CAST(FLOOR(COALESCE(tv.t, 0) * 2000.0 / (deg.dg * (deg.dg - 1)))
+                AS BIGINT) AS cc_milli
+    FROM deg LEFT JOIN tv ON tv.x = deg.x
+    WHERE deg.dg >= 2
+    """,
+    doc="Local clustering coefficient per vertex — cc(v) = 2*T(v) / "
+    "(deg(v)*(deg(v)-1)) in exact milli fixed point — on the part "
+    "co-purchase graph (same 10%-of-orders slice as graph_triangle_count). "
+    "The standard community-structure / spam-subgraph diagnostic: a hub "
+    "with near-zero cc is an aggregator, a dense clique scores 1000. "
+    "Triangles come from the shared degree-ordered-orientation skeleton "
+    "(m^1.5-bounded wedge join, hub-skew immune — see _copurchase_graph); "
+    "per-vertex counts are the 3-way projection of the triangle set, a "
+    "map-side-combining union aggregate, joined back to the degree table "
+    "on the vertex id. All shuffles are on the edge/triangle lists, never "
+    "on lineitem; the oracle replays id-ordered enumeration (honest at "
+    "oracle scale) so parity certifies both the triangle set and the "
+    "fixed-point formula.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    edges, tri = _copurchase_graph(spark, sf)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    tv = (
+        tri.select(F.col("s").alias("x"))
+        .unionAll(tri.select(F.col("b").alias("x")))
+        .unionAll(tri.select(F.col("c").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return (
+        deg.filter(F.col("dg") >= 2)
+        .join(tv, "x", "left")
+        .select(
+            F.col("x").alias("part_id"),
+            F.col("dg").cast("long").alias("degree"),
+            t.cast("long").alias("n_triangles"),
+            F.floor(t * 2000 / (F.col("dg") * (F.col("dg") - 1)))
+            .cast("long")
+            .alias("cc_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — mergeable NDV estimation
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SALTS = 256  # first-level prune fan; bounds the final top-k input
+
+# 32-bit uniform hash both engines compute identically: first 8 hex chars of
+# md5(key-as-string) — the hash_bucket/o_hash_bucket idiom widened to 32 bits
+_KMV_H_SPARK = "conv(substring(md5(cast(cast(user_id as string) as binary)), 1, 8), 16, 10)"
+_KMV_H_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q107_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_KMV_H_SQL} AS hv FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    k AS (
+      SELECT event_type, COUNT(*) AS ck, MAX(hv) AS hk
+      FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS nd FROM events GROUP BY 1
+    )
+    SELECT k.event_type,
+           CAST(ex.nd AS BIGINT) AS n_exact,
+           CAST(CASE WHEN k.ck < {_KMV_K} THEN k.ck
+                ELSE FLOOR({_KMV_K - 1} * 4294967296.0 / k.hk) END AS BIGINT)
+             AS kmv_est,
+           CAST(FLOOR(ABS(CASE WHEN k.ck < {_KMV_K} THEN k.ck
+                          ELSE FLOOR({_KMV_K - 1} * 4294967296.0 / k.hk) END
+                          - ex.nd) * 1000.0 / ex.nd) AS BIGINT) AS err_milli
+    FROM k JOIN ex ON k.event_type = ex.event_type
+    """,
+    doc=f"KMV (k-minimum-values) distinct sketch per event_type, k={_KMV_K} "
+    "(Bar-Yossef et al. 2002; the mergeable bottom-k NDV estimator behind "
+    "Theta sketches): hash every key to 32 uniform bits, keep the k smallest "
+    "distinct hash values, estimate NDV = (k-1)*2^32 / h_k. Unlike "
+    "q07_approx_distinct / q42_hll_sketch (error-envelope checks), the hash "
+    "here is the md5-prefix both engines compute identically, so the oracle "
+    "replays the MECHANISM and parity is exact — sketch contents, estimate, "
+    "and per-group error vs the true distinct count. Scale shape: distinct "
+    f"(group, hash) dedup, then a two-level k-min ({_KMV_SALTS}-salt partial "
+    "top-k, then final top-k over the <= salts*k survivors) so no group ever "
+    "funnels its full distinct-hash stream through one task — the same "
+    "two-level discipline as q106_group_sample. At 100 TB the sketch is "
+    "what you'd persist per partition and merge (bottom-k union is "
+    "associative); the exact side here exists only to score the estimate.",
+)
+def q107_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    h = e.select("event_type", F.expr(_KMV_H_SPARK).cast("long").alias("hv"))
+    h = h.distinct()
+    w1 = W.partitionBy("event_type", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))).orderBy(
+        "hv"
+    )
+    pruned = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("event_type").orderBy("hv")
+    topk = (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    k = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ck"), F.max("hv").alias("hk")
+    )
+    ex = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("nd"))
+    est = F.when(F.col("ck") < _KMV_K, F.col("ck")).otherwise(
+        F.floor(F.lit((_KMV_K - 1) * 4294967296.0) / F.col("hk"))
+    )
+    return k.join(ex, "event_type").select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_exact"),
+        est.cast("long").alias("kmv_est"),
+        F.floor(F.abs(est - F.col("nd")) * 1000.0 / F.col("nd"))
+        .cast("long")
+        .alias("err_milli"),
     )

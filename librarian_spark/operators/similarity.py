@@ -2516,3 +2516,86 @@ def sim_ivf_balance(spark: SparkSession, sf: str) -> DataFrame:
         F.when(load > 2000, F.lit(1)).otherwise(F.lit(0)).cast("int")
         .alias("hot"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hubness diagnostic — reverse-kNN occurrence distribution
+# --------------------------------------------------------------------------
+
+_HUB_QUERIES = 100  # bounded probe set: vec_id < 100, broadcast
+_HUB_K = 5
+
+
+@query(
+    "sim_hubness",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, {_o_normalize('embedding')} AS u FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_o_dot('q.u', 'c.u')}, 6) AS score
+      FROM unit q JOIN unit c
+        ON q.vec_id < {_HUB_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    ),
+    occ AS (
+      SELECT neighbor_id, COUNT(*) AS k_occ
+      FROM ranked WHERE rn <= {_HUB_K}
+      GROUP BY neighbor_id
+    )
+    SELECT CAST(k_occ AS BIGINT) AS k_occ,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(FLOOR(COUNT(*) * k_occ * 1000.0
+                      / {_HUB_QUERIES * _HUB_K}) AS BIGINT) AS slot_milli
+    FROM occ GROUP BY k_occ
+    """,
+    doc=f"Hubness audit — the k-occurrence distribution N_k (Radovanovic et "
+    f"al. 2010): over a bounded {_HUB_QUERIES}-query probe set, how many "
+    f"times each corpus vector appears in someone's exact top-{_HUB_K}, "
+    "histogrammed by occurrence count with each bucket's share of total "
+    "neighbor slots in milli. A right-skewed N_k (a few 'hub' vectors "
+    "absorbing many slots) is the classic high-dimensional pathology that "
+    "silently degrades ANN recall and dedup quality — this is the pre-flight "
+    "you run before trusting cosine retrieval on a new embedding model. "
+    "Mechanics: the same broadcast block-matmul skeleton as sim_cosine_topk "
+    "(probe matrix broadcast, per-partition BLAS + local top-k pre-prune, "
+    "corpus never self-joins), then two map-side-combining aggregates over "
+    "the ≤ |Q|·k result rows. The slot denominator is the constant |Q|·k, "
+    "so no global window is needed. Exact-parity oracle replays the probe "
+    "mechanism at oracle scale.",
+)
+def sim_hubness(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qb = _normalized_query_broadcast(
+        spark, e.filter(F.col("vec_id") < _HUB_QUERIES).toPandas()
+    )
+
+    def mask(qi, q_ids, q_aux, c_ids, c_lab):  # exclude self-matches
+        import numpy as np
+
+        return np.nonzero(c_ids != q_ids[qi])[0]
+
+    pruned = fan_out(e).mapInPandas(
+        _block_topk_op(qb, _HUB_K, mask=mask),
+        schema="query_id long, neighbor_id long, score double",
+    )
+    occ = (
+        _rank_topk(pruned, _HUB_K)
+        .groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("k_occ"))
+    )
+    return occ.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.floor(
+            F.count(F.lit(1)) * F.first("k_occ") * 1000.0
+            / F.lit(_HUB_QUERIES * _HUB_K)
+        )
+        .cast("long")
+        .alias("slot_milli"),
+    ).withColumn("k_occ", F.col("k_occ").cast("long"))
