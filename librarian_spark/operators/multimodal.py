@@ -1245,3 +1245,128 @@ def mm_webdataset_index(spark: SparkSession, sf: str) -> DataFrame:
         (header_off + 512).cast("long").alias("data_offset"),
         F.col("nb").cast("long").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Payload validation / quarantine gate (corrupt-file triage at ingest)
+# --------------------------------------------------------------------------
+
+_VAL_TRUNC_MOD = 13  # deterministic fault injection: truncated payloads
+_VAL_MAGIC_MOD = 17  # deterministic fault injection: clobbered magic byte
+
+
+@query(
+    "mm_validate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             OCTET_LENGTH(ENCODE(text)) AS n,
+             CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN NULL
+                  ELSE (STRPOS('0123456789ABCDEF',
+                               SUBSTR(HEX(ENCODE(text)), 1, 1)) - 1) * 16
+                     + (STRPOS('0123456789ABCDEF',
+                               SUBSTR(HEX(ENCODE(text)), 2, 1)) - 1)
+             END AS fb
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             n AS declared,
+             CASE WHEN doc_id % {_VAL_TRUNC_MOD} = 0
+                  THEN GREATEST(n - 7, 0) ELSE n END AS actual,
+             CASE
+               WHEN (CASE WHEN doc_id % {_VAL_TRUNC_MOD} = 0
+                          THEN GREATEST(n - 7, 0) ELSE n END) = 0 THEN NULL
+               WHEN doc_id % {_VAL_MAGIC_MOD} = 0
+                    AND doc_id % {_VAL_TRUNC_MOD} != 0 THEN 0
+               ELSE fb
+             END AS first_byte
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN actual != declared THEN 'size_mismatch'
+                WHEN actual = 0 THEN 'empty'
+                WHEN first_byte < 32 OR first_byte > 126 THEN 'bad_magic'
+                ELSE 'ok' END AS status,
+           CAST(declared AS BIGINT) AS n_bytes_declared,
+           CAST(actual AS BIGINT) AS n_bytes_actual,
+           CAST(first_byte AS BIGINT) AS first_byte
+    FROM c
+    """,
+    doc="Payload validation / quarantine triage — the gate between raw "
+    "object-store bytes and the decode fleet that every multimodal ingest "
+    "runs first (a single corrupt member inside a 10k-image shard otherwise "
+    "kills the whole decode task hours in): per payload, check the DECLARED "
+    "size in the metadata struct against the actual byte count, then the "
+    "magic byte against the modality's expected class (printable ASCII for "
+    "this text-bytes stand-in corpus; JPEG's FF D8 / RIFF etc. in "
+    "production), and emit a status in {ok, size_mismatch, empty, "
+    "bad_magic} for the router (quarantine = anything != ok). Faults are "
+    f"injected deterministically (doc_id % {_VAL_TRUNC_MOD}: 7-byte "
+    f"truncation under an unchanged manifest size; doc_id % "
+    f"{_VAL_MAGIC_MOD}: zeroed first byte) so both engines see the same "
+    "corrupt set — the oracle replays injection + triage byte-exactly via "
+    "hex transcription. Mechanics: Arrow-batched mapInPandas over "
+    "(doc_id, payload, declared); payload bytes never leave the executors, "
+    "no shuffle at all — at 100 TB this is a pure scan-rate pass emitting "
+    "one 5-scalar row per object.",
+)
+def mm_validate(spark: SparkSession, sf: str) -> DataFrame:
+    src = ingest_binary(spark, sf).select(
+        "doc_id", "payload", F.col("meta.n_bytes").alias("declared")
+    )
+
+    def triage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            rows = {
+                "doc_id": [],
+                "status": [],
+                "n_bytes_declared": [],
+                "n_bytes_actual": [],
+                "first_byte": [],
+            }
+            for doc_id, payload, declared in zip(
+                b["doc_id"], b["payload"], b["declared"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                # fault injection (deterministic, replayed by the oracle)
+                if doc_id % _VAL_TRUNC_MOD == 0:
+                    p = p[: max(len(p) - 7, 0)]
+                elif doc_id % _VAL_MAGIC_MOD == 0 and len(p):
+                    p = b"\x00" + p[1:]
+                actual = len(p)
+                fb = p[0] if actual else None
+                if actual != declared:
+                    status = "size_mismatch"
+                elif actual == 0:
+                    status = "empty"
+                elif fb < 32 or fb > 126:
+                    status = "bad_magic"
+                else:
+                    status = "ok"
+                rows["doc_id"].append(doc_id)
+                rows["status"].append(status)
+                rows["n_bytes_declared"].append(declared)
+                rows["n_bytes_actual"].append(actual)
+                rows["first_byte"].append(fb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "status": pd.Series(rows["status"], dtype="object"),
+                    "n_bytes_declared": pd.Series(
+                        rows["n_bytes_declared"], dtype="int64"
+                    ),
+                    "n_bytes_actual": pd.Series(
+                        rows["n_bytes_actual"], dtype="int64"
+                    ),
+                    "first_byte": pd.Series(rows["first_byte"], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        triage,
+        schema="doc_id long, status string, n_bytes_declared long, "
+        "n_bytes_actual long, first_byte long",
+    )

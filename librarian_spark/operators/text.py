@@ -2639,3 +2639,132 @@ def fertility_report(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("bytes_per_piece_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — robust k-gram selection
+# --------------------------------------------------------------------------
+
+_WIN_K = 5  # k-gram width in chars
+_WIN_W = 4  # winnowing window (guarantee: any match >= K+W-1 chars is caught)
+
+# rightmost-argmin without struct folds: minimize code = h*8 + (7 - i) over
+# the window — smaller hash wins, ties prefer the LARGER in-window offset i
+# (the winnowing rightmost rule); decode pos = j + 6 - (code % 8). Valid
+# because the in-window offset i <= W < 8 and h < FP_MOD << 2^60/8.
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(t) >= {_WIN_K}
+                  THEN LIST_TRANSFORM(RANGE(1, LENGTH(t) - {_WIN_K} + 2),
+                         p -> {o_fingerprint(f"SUBSTR(t, p, {_WIN_K})")})
+                  ELSE CAST([] AS BIGINT[]) END AS kh
+      FROM base
+    ),
+    dims AS (
+      SELECT doc_id, kh, LEN(kh) AS m,
+             CASE WHEN LEN(kh) = 0 THEN 0
+                  WHEN LEN(kh) < {_WIN_W} THEN 1
+                  ELSE LEN(kh) - {_WIN_W} + 1 END AS nw,
+             LEAST({_WIN_W}, LEN(kh)) AS span
+      FROM kg
+    ),
+    sel AS (
+      SELECT doc_id, kh, m,
+             CASE WHEN nw >= 1 THEN LIST_DISTINCT(
+               LIST_TRANSFORM(RANGE(1, nw + 1),
+                 j -> j + 6 - (LIST_MIN(
+                        LIST_TRANSFORM(RANGE(1, span + 1),
+                          i -> kh[j - 1 + i] * 8 + 7 - i)) % 8)))
+             ELSE CAST([] AS BIGINT[]) END AS sp
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_kgrams,
+           CAST(LEN(sp) AS BIGINT) AS n_selected,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(sp, p -> kh[p])), 0)
+                AS BIGINT) AS winnow_digest,
+           CAST(CASE WHEN m > 0
+                THEN FLOOR(LEN(sp) * 1000.0 / m) ELSE 0 END AS BIGINT)
+             AS density_milli
+    FROM sel
+    """,
+    doc=f"Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — "
+    "the MOSS algorithm): hash every {k}-char k-gram with the shared "
+    "31-polynomial rolling hash, slide a {w}-kgram window, and select each "
+    "window's minimum hash (rightmost on ties) — the selected set is a "
+    "position-robust document fingerprint with the guarantee that any "
+    "shared substring of length >= k+w-1 = {g} contributes at least one "
+    "common fingerprint, at expected density 2/(w+1). This is the "
+    "substring-dedup/plagiarism sketch that text_fingerprint (whole-doc "
+    "hash) and dedup_substring (fixed-stride blocks) don't give: "
+    "position-insensitive AND local. Emitted per doc: k-gram count, "
+    "selected count, digest (sum of selected hashes — certifies the exact "
+    "selection set), and selection density in milli. Everything is one "
+    "map-only codegen'd expression tree (nested higher-order functions "
+    "over a column-bound hash array — no UDF, no shuffle); the rightmost "
+    "argmin folds to an array_min via the h*8+(7-i) encoding, exact "
+    "because h < FP_MOD << 2^60. The oracle replays the identical "
+    "selection, so parity certifies hash, window rule, and tie-break "
+    "end-to-end.".format(k=_WIN_K, w=_WIN_W, g=_WIN_K + _WIN_W - 1),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    hash_sql = (
+        f"aggregate(split(substring(t, p, {_WIN_K}), ''), 0L, "
+        f"(a, c) -> (a * 31 + ascii(c)) % {FP_MOD})"
+    )
+    kg = d.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(t) >= {_WIN_K} THEN "
+            f"transform(sequence(1, length(t) - {_WIN_K} + 1), p -> {hash_sql}) "
+            f"ELSE CAST(array() AS array<bigint>) END"
+        ).alias("kh"),
+    )
+    dims = kg.select(
+        "doc_id",
+        "kh",
+        F.size("kh").alias("m"),
+        F.expr(
+            f"CASE WHEN size(kh) = 0 THEN 0 "
+            f"WHEN size(kh) < {_WIN_W} THEN 1 "
+            f"ELSE size(kh) - {_WIN_W} + 1 END"
+        ).alias("nw"),
+        F.least(F.lit(_WIN_W), F.size("kh")).alias("span"),
+    )
+    sel = dims.select(
+        "doc_id",
+        "kh",
+        "m",
+        F.expr(
+            "CASE WHEN nw >= 1 THEN array_distinct("
+            "transform(sequence(1, nw), "
+            "j -> j + 6 - (array_min(transform(sequence(1, span), "
+            "i -> element_at(kh, j - 1 + i) * 8 + 7 - i)) % 8)"
+            ")) ELSE CAST(array() AS array<bigint>) END"
+        ).alias("sp"),
+    )
+    return sel.select(
+        "doc_id",
+        F.col("m").cast("long").alias("n_kgrams"),
+        F.size("sp").cast("long").alias("n_selected"),
+        F.expr(
+            "aggregate(sp, 0L, (a, p) -> a + element_at(kh, cast(p as int)))"
+        )
+        .cast("long")
+        .alias("winnow_digest"),
+        F.expr(
+            "CASE WHEN m > 0 THEN CAST(FLOOR(size(sp) * 1000.0 / m) AS BIGINT) "
+            "ELSE 0L END"
+        ).alias("density_milli"),
+    )
