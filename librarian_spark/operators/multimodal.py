@@ -1312,8 +1312,15 @@ _VAL_MAGIC_MOD = 17  # deterministic fault injection: clobbered magic byte
     "one 5-scalar row per object.",
 )
 def mm_validate(spark: SparkSession, sf: str) -> DataFrame:
-    src = ingest_binary(spark, sf).select(
-        "doc_id", "payload", F.col("meta.n_bytes").alias("declared")
+    # deliberately NOT ingest_binary: its fan_out round-robin exchange (a
+    # small-local-input parallelism aid) would ship every payload byte
+    # across the cluster once — the opposite of this op's scan-rate
+    # contract. The triage reads payloads in source partitioning.
+    payload = F.encode(F.col("text"), "utf-8")
+    src = _t(spark, sf, "documents").select(
+        "doc_id",
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("declared"),
     )
 
     def triage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -3508,7 +3508,8 @@ _SCDC_SLICES = 5  # micro-batches, sliced on ms boundaries (commit order)
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY epoch_ms(ts) DESC,
                                              event_id DESC) AS rn
-          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL)
     WHERE rn = 1 AND event_type != 'error'
     """,
     doc="Streaming CDC apply with DELETES — the full c/d op surface of the "
@@ -3530,6 +3531,7 @@ _SCDC_SLICES = 5  # micro-batches, sliced on ms boundaries (commit order)
     "O(live keys), not O(batches).",
 )
 def pipeline_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
     import uuid
 
     from pyspark.sql import functions as F
@@ -3546,8 +3548,19 @@ def pipeline_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     in_dir = f"{base}/in"
     marker = os.path.join(base, "_INPUT_READY")
     if not os.path.exists(marker):
+        # a partially-staged in_dir from a crashed run would otherwise gain
+        # DUPLICATE out-of-order slices on re-stage (the append writes below)
+        # — and a re-delivered pre-delete event would reinsert its key, since
+        # the materializer keeps no tombstones
+        shutil.rmtree(in_dir, ignore_errors=True)
+        # a change event without a key, commit ts, or op code is malformed
+        # and excluded identically on both sides (the cdc_apply discipline;
+        # a NULL event_type would otherwise NULL both envelope images and
+        # materialize a spurious all-NULL row the oracle never produces)
         ev = load_table(spark, sf, "events").filter(
-            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
         )
         ms = F.unix_millis("ts")
         # scale-relative ms-boundary slices: every event with the same ms

@@ -2719,17 +2719,21 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select(
         "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
     )
-    hash_sql = (
-        f"aggregate(split(substring(t, p, {_WIN_K}), ''), 0L, "
-        f"(a, c) -> (a * 31 + ascii(c)) % {FP_MOD})"
-    )
+    # the per-k-gram hash is the CANONICAL fold from textfns.fingerprint
+    # (applied to a lambda-variable substring Column) — every Spark-side
+    # copy of that fold must live there so it can never drift from
+    # o_fingerprint, per its docstring
     kg = d.select(
         "doc_id",
-        F.expr(
-            f"CASE WHEN length(t) >= {_WIN_K} THEN "
-            f"transform(sequence(1, length(t) - {_WIN_K} + 1), p -> {hash_sql}) "
-            f"ELSE CAST(array() AS array<bigint>) END"
-        ).alias("kh"),
+        F.when(
+            F.length("t") >= _WIN_K,
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - _WIN_K + 1),
+                lambda p: fingerprint(F.col("t").substr(p, F.lit(_WIN_K))),
+            ),
+        )
+        .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        .alias("kh"),
     )
     dims = kg.select(
         "doc_id",

@@ -65,6 +65,25 @@ def main() -> int:
                        sorted(secs.items(), key=lambda kv: -kv[1])[:12]})
     for name, p in failed:
         print(" FAIL", name, p)
+    # optional committed artifact (DRIVER_SIM_OUT=/root/repo/DRIVER_SIM_SF01.json)
+    out_path = __import__("os").environ.get("DRIVER_SIM_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "n_queries": len(q),
+                    "rows_only": rows_only,
+                    "n_failed": len(failed),
+                    "failed": [[n, p] for n, p in failed],
+                    "total_s": round(sum(secs.values()), 1),
+                    "per_query_s": {n: round(s, 2) for n, s in secs.items()},
+                },
+                fh,
+                indent=1,
+            )
     return 1 if failed else 0
 
 
