@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["tokens", "shingles", "fingerprint", "STOPWORDS", "FP_MOD"]
+__all__ = ["tokens", "shingles", "fingerprint", "fingerprint_codes", "STOPWORDS", "FP_MOD"]
 
 # Small per-language stopword lists for the stopword-vote language-ID heuristic.
 # Disjoint across languages so votes don't cancel.
@@ -124,4 +124,21 @@ def o_fingerprint(col_expr: str, mod: int = FP_MOD) -> str:
         f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
         f"LIST_TRANSFORM(STR_SPLIT({col_expr}, ''), c -> CAST(ASCII(c) AS BIGINT))), "
         f"(a, b) -> (a * 31 + b) % {mod})"
+    )
+
+
+def fingerprint_codes(codes: Column, mod: int = FP_MOD) -> Column:
+    """THE SAME ``h = (h*31 + code) % mod`` fold as :func:`fingerprint`, over
+    an already-materialized array of character codes instead of a string —
+    the sliding-window form: split the text into codes ONCE per document,
+    then hash each window as a fold over ``slice(codes, p, k)``. One split
+    per doc instead of one per window position (the winnowing operator,
+    whose positions ≈ doc length, measured 4.4 s → 3.3 s from this alone
+    and 0.8 s with fan_out restoring map parallelism). Value-identical to
+    ``fingerprint(substr(...))`` by construction; change this fold, its
+    string twin, and ``o_fingerprint`` TOGETHER."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % mod,
     )

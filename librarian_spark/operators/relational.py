@@ -7130,3 +7130,285 @@ def q107_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("err_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph: community conductance (the cut-quality twin of graph_modularity)
+# --------------------------------------------------------------------------
+
+
+def _conductance_oracle() -> str:
+    blocks, last = _lpa_blocks()
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    vol AS (SELECT l.lab AS community, COUNT(*) AS volume
+            FROM ed e JOIN {last} l ON e.u = l.node GROUP BY 1),
+    cut AS (SELECT lu.lab AS community, COUNT(*) AS cut_edges
+            FROM ed e
+            JOIN {last} lu ON e.u = lu.node
+            JOIN {last} lv ON e.v = lv.node
+            WHERE lu.lab != lv.lab GROUP BY 1),
+    n AS (SELECT lab AS community, COUNT(*) AS n_nodes FROM {last} GROUP BY 1)
+    SELECT n.community,
+           CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           CAST(vol.volume AS BIGINT) AS volume,
+           CAST(COALESCE(cut.cut_edges, 0) AS BIGINT) AS cut_edges,
+           CAST(FLOOR(COALESCE(cut.cut_edges, 0) * 1000.0
+                / GREATEST(LEAST(vol.volume,
+                                 (SELECT COUNT(*) FROM ed) - vol.volume), 1))
+                AS BIGINT) AS conductance_milli
+    FROM n JOIN vol ON n.community = vol.community
+    LEFT JOIN cut ON n.community = cut.community"""
+    )
+
+
+@query(
+    "graph_conductance",
+    oracle=_conductance_oracle(),
+    doc="Per-community conductance φ(c) = cut(c) / min(vol(c), 2m − vol(c)) "
+    "in exact milli over the LPA communities — the CUT-quality eval that "
+    "modularity (a density score) cannot see: a community can score high Q "
+    "while leaking half its edges to one neighbor; low conductance is what "
+    "sharding/partition-placement decisions actually need (a training-data "
+    "co-occurrence graph sharded on high-φ communities ships cross-shard "
+    "traffic forever). Reuses the shared _lpa_labels skeleton (edge list "
+    "localCheckpointed once, labels converged at the same unrolled K "
+    "rounds the oracle replays); volume and cut are two map-side-combining "
+    "aggregates over the symmetric edge list joined to labels — no new "
+    "join shape beyond what modularity already pays, and 2m is one scalar "
+    "action inlined as a literal. Exact-integer fixed point end-to-end.",
+)
+def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
+    ed, labels = _lpa_labels(spark, sf)
+    e2 = ed.count()  # 2m: scalar action on the checkpointed edge list
+    lu = labels.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lab").alias("lab_v"))
+    joined = ed.join(lu, "u").join(lv, "v")
+    vol = joined.groupBy(F.col("lab_u").alias("community")).agg(
+        F.count(F.lit(1)).alias("volume")
+    )
+    cut = (
+        joined.filter(F.col("lab_u") != F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("community"))
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    n = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    cutc = F.coalesce(F.col("cut_edges"), F.lit(0))
+    denom = F.greatest(
+        F.least(F.col("volume"), F.lit(int(e2)) - F.col("volume")), F.lit(1)
+    )
+    return (
+        n.join(vol, "community")
+        .join(cut, "community", "left")
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("volume").cast("long").alias("volume"),
+            cutc.cast("long").alias("cut_edges"),
+            F.floor(cutc * 1000.0 / denom).cast("long").alias(
+                "conductance_milli"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (U-shaped / position-based credit)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q108_attribution",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type != 'error'
+    ),
+    g AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM src
+    ),
+    t AS (
+      SELECT user_id, grp, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, grp
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, grp) - 1 AS n
+      FROM g WHERE grp >= 1
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CASE WHEN n = 1 THEN 1000000
+                         WHEN n = 2 THEN 500000
+                         WHEN rn = 1 OR rn = n THEN 400000
+                         ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm
+    FROM t WHERE rn <= n
+    GROUP BY event_type
+    """,
+    doc="U-shaped (position-based) multi-touch attribution — the marketing/"
+    "growth query every event warehouse runs: each 'purchase' conversion "
+    "credits its preceding touches (view/click/signup since the user's "
+    "previous conversion) 40% to the first touch, 40% to the last, 20% "
+    "(50/50 when only two touches exist) "
+    "split across the middles (integer ppm, remainder truncated "
+    "identically on both engines), rolled up per channel. Touch-to-"
+    "conversion assignment is ONE descending per-user running sum of the "
+    "purchase flag — the inclusive count of purchases at-or-after each "
+    "event is a shared group id for a conversion and exactly its "
+    "preceding touches (no self-join, no per-conversion subquery: the "
+    "naive formulation joins every touch against every later purchase). "
+    "Two key-partitioned windows on user_id, then one map-side-combining "
+    "rollup; per-key window state is O(1). Malformed rows and the "
+    "'error' channel are excluded identically on both sides.",
+)
+def q108_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("event_type") != "error")
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w_desc = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    g = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.sum(is_p).over(w_desc).alias("grp"),
+    ).filter(F.col("grp") >= 1)
+    w_grp = W.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    w_all = W.partitionBy("user_id", "grp")
+    t = g.select(
+        "event_type",
+        F.row_number().over(w_grp).alias("rn"),
+        (F.count(F.lit(1)).over(w_all) - 1).alias("n"),
+    ).filter(F.col("rn") <= F.col("n"))
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(400000))
+        .otherwise(
+            F.call_function("div", F.lit(200000), F.col("n") - 2)
+        )
+    )
+    return t.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(credit).cast("long").alias("credit_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitemporal as-of (transaction time x valid time)
+# --------------------------------------------------------------------------
+
+_BT_BATCHES = 5  # ingestion batches: txn time = event_id % 5 (arrival order
+#                  deliberately independent of event time — late arrivals)
+_BT_ASOF_BATCH = 3  # txn-time cutoff: batches 0..3 ingested, batch 4 not yet
+# valid-time cutoff: lo + 7/10 of the ms span, derived scale-relatively so
+# the query selects a comparable fraction at any SF (footer-stats lesson)
+_BT_V_SQL = (
+    "(SELECT MIN(epoch_ms(ts)) + ((MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) * 7) // 10 "
+    "FROM events WHERE ts IS NOT NULL)"
+)
+
+
+@query(
+    "q109_bitemporal_asof",
+    oracle=f"""
+    WITH src AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             event_id % {_BT_BATCHES} AS txn_batch, epoch_ms(ts) AS vms
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    known AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY vms DESC, event_id DESC) AS rn
+      FROM src
+      WHERE txn_batch <= {_BT_ASOF_BATCH} AND vms <= {_BT_V_SQL}
+    ),
+    late AS (
+      SELECT user_id, MAX(ROW(vms, event_id)) AS best
+      FROM src
+      WHERE txn_batch > {_BT_ASOF_BATCH} AND vms <= {_BT_V_SQL}
+      GROUP BY user_id
+    )
+    SELECT k.user_id,
+           k.event_id AS last_event_id,
+           k.value AS last_value,
+           COALESCE(l.best IS NOT NULL, false) AS revised_later
+    FROM (SELECT s.*, ROW(s2.vms, s2.event_id) AS cur
+          FROM known s JOIN src s2 ON s.event_id = s2.event_id
+          WHERE s.rn = 1 AND s.event_type != 'error') k
+    LEFT JOIN late l ON k.user_id = l.user_id AND l.best > k.cur
+    """,
+    doc=f"Bitemporal as-of — reconstruct the keyed state as it was KNOWN at "
+    f"transaction time (ingestion batches 0..{_BT_ASOF_BATCH} of "
+    f"{_BT_BATCHES}; arrival = event_id % {_BT_BATCHES}, deliberately "
+    "independent of event time to model out-of-order delivery) for a "
+    "VALID-time cutoff (scale-relative 7/10 span point): per key, the "
+    "latest ingested event by (event time, id), delete-filtered — plus the "
+    "bitemporal signal no single-axis query has: revised_later flags keys "
+    "whose past will be REWRITTEN once the not-yet-ingested batch lands "
+    "(a late event inside the valid window that outranks the chosen row) "
+    "— the audit/backfill primitive for event warehouses (cdc_time_travel "
+    "is txn-time only, cdc_scd2 valid-time only). Shape: one max_by-style "
+    "aggregate per axis over the filtered log (map-side combining, the "
+    "cdc_apply discipline — no window sort of full history) joined on the "
+    "key; valid-time bounds come from a 1-row aggregate inlined as a "
+    "literal, replayed by the oracle as an integer-exact subquery.",
+)
+def q109_bitemporal_asof(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    vms = F.unix_millis("ts")
+    lo, hi = e.agg(F.min(vms), F.max(vms)).collect()[0]
+    v_cut = lo + ((hi - lo) * 7) // 10
+    src = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("event_id") % _BT_BATCHES).alias("txn_batch"),
+        vms.alias("vms"),
+    ).filter(F.col("vms") <= v_cut)
+    known = (
+        src.filter(F.col("txn_batch") <= _BT_ASOF_BATCH)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value", "vms"),
+                F.struct("vms", "event_id"),
+            ).alias("k")
+        )
+        .filter(F.col("k.event_type") != "error")
+    )
+    late = (
+        src.filter(F.col("txn_batch") > _BT_ASOF_BATCH)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("vms", "event_id")).alias("best"))
+    )
+    joined = known.join(late, "user_id", "left")
+    return joined.select(
+        "user_id",
+        F.col("k.event_id").alias("last_event_id"),
+        F.col("k.value").alias("last_value"),
+        F.coalesce(
+            F.col("best")
+            > F.struct(
+                F.col("k.vms").alias("vms"), F.col("k.event_id").alias("event_id")
+            ),
+            F.lit(False),
+        ).alias("revised_later"),
+    )

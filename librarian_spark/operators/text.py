@@ -22,6 +22,7 @@ from librarian_spark.functions.textfns import (
     FP_MOD,
     STOPWORDS,
     fingerprint,
+    fingerprint_codes,
     o_fingerprint,
     o_shingles,
     shingles_of_tokens,
@@ -2709,27 +2710,40 @@ _WIN_W = 4  # winnowing window (guarantee: any match >= K+W-1 chars is caught)
     "selected count, digest (sum of selected hashes — certifies the exact "
     "selection set), and selection density in milli. Everything is one "
     "map-only codegen'd expression tree (nested higher-order functions "
-    "over a column-bound hash array — no UDF, no shuffle); the rightmost "
+    "over a column-bound hash array — no UDF; the only exchange is "
+    "fan_out's row-once repartition so the per-row-expensive folds scale "
+    "with cores: 4.4 s single-partition → 0.8 s at sf0.1). The rightmost "
     "argmin folds to an array_min via the h*8+(7-i) encoding, exact "
     "because h < FP_MOD << 2^60. The oracle replays the identical "
     "selection, so parity certifies hash, window rule, and tie-break "
     "end-to-end.".format(k=_WIN_K, w=_WIN_W, g=_WIN_K + _WIN_W - 1),
 )
 def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents").select(
+    # per-row-expensive map stage (char-code transform + per-window folds)
+    # over single-row-group files: fan_out is the documented pattern, the
+    # one exchange here moves each row once so the compute scales with cores
+    d = fan_out(_t(spark, sf, "documents")).select(
         "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
     )
-    # the per-k-gram hash is the CANONICAL fold from textfns.fingerprint
-    # (applied to a lambda-variable substring Column) — every Spark-side
-    # copy of that fold must live there so it can never drift from
-    # o_fingerprint, per its docstring
-    kg = d.select(
+    # split into char codes ONCE per doc (the shingles_of_tokens discipline:
+    # bind the array to a column before lambda-heavy consumption), then hash
+    # each window with the CANONICAL fold (textfns.fingerprint_codes — the
+    # sliding-window twin of fingerprint/o_fingerprint; one split per doc
+    # instead of one per position)
+    codes = d.select(
+        "doc_id",
+        F.length("t").alias("n"),
+        F.transform(F.split("t", ""), lambda ch: F.ascii(ch).cast("long")).alias(
+            "cs"
+        ),
+    )
+    kg = codes.select(
         "doc_id",
         F.when(
-            F.length("t") >= _WIN_K,
+            F.col("n") >= _WIN_K,
             F.transform(
-                F.sequence(F.lit(1), F.length("t") - _WIN_K + 1),
-                lambda p: fingerprint(F.col("t").substr(p, F.lit(_WIN_K))),
+                F.sequence(F.lit(1), F.col("n") - _WIN_K + 1),
+                lambda p: fingerprint_codes(F.slice(F.col("cs"), p, _WIN_K)),
             ),
         )
         .otherwise(F.expr("CAST(array() AS array<bigint>)"))
