@@ -1888,3 +1888,58 @@ def dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination matrix (provenance-level dedup diagnostics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_source_matrix",
+    oracle=f"""
+    WITH {_PAIR_CTES},
+    nd AS (
+      SELECT p.doc_id_1, p.doc_id_2
+      FROM pairs p
+      JOIN sh s1 ON p.doc_id_1 = s1.doc_id
+      JOIN sh s2 ON p.doc_id_2 = s2.doc_id
+      WHERE p.n_common * 1.0
+              / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common)
+            >= {_JACCARD_THRESHOLD}
+    )
+    SELECT LEAST(d1.source, d2.source) AS source_1,
+           GREATEST(d1.source, d2.source) AS source_2,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM nd
+    JOIN documents d1 ON nd.doc_id_1 = d1.doc_id
+    JOIN documents d2 ON nd.doc_id_2 = d2.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source contamination matrix — WHERE the near-duplicates come "
+    "from: every exact n-gram-Jaccard near-dup pair (the ground-truth edge "
+    "set the whole dedup family pins against) attributed to its "
+    "(source, source) provenance cell, source-ordered so the matrix is "
+    "upper-triangular. The diagnostic that turns 'the corpus has 3% dups' "
+    "into an actionable decision — drop feed B, or dedup A-against-B only "
+    "(cross-corpus cells are eval/train leakage candidates; diagonal cells "
+    "are re-crawls). Cost: two broadcast-joinable lookups of the tiny "
+    "(doc_id, source) projection onto the already-bounded pair set, one "
+    "map-side-combining rollup to a |sources|² ceiling. At 100 TB the "
+    "pair set comes from the LSH path (dedup_minhash_lsh) instead of the "
+    "exact shingle join; the attribution shape is identical.",
+)
+def dedup_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(spark, sf).select("doc_id_1", "doc_id_2")
+    src = _t(spark, sf, "documents").select("doc_id", "source")
+    s1 = src.withColumnsRenamed({"doc_id": "doc_id_1", "source": "src_1"})
+    s2 = src.withColumnsRenamed({"doc_id": "doc_id_2", "source": "src_2"})
+    return (
+        pairs.join(F.broadcast(s1), "doc_id_1")
+        .join(F.broadcast(s2), "doc_id_2")
+        .groupBy(
+            F.least("src_1", "src_2").alias("source_1"),
+            F.greatest("src_1", "src_2").alias("source_2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )

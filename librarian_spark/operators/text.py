@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from librarian_spark.functions.numeric import hash_bucket, o_hash_bucket
 from librarian_spark.functions.textfns import (
@@ -2785,4 +2786,77 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             "CASE WHEN m > 0 THEN CAST(FLOOR(size(sp) * 1000.0 / m) AS BIGINT) "
             "ELSE 0L END"
         ).alias("density_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate / template detection per source
+# --------------------------------------------------------------------------
+
+_BP_PREFIX_TOKENS = 2  # prefix granularity (template signature length)
+_BP_FLAG_MILLI = 250  # flag a source when >= 25% of its docs share a prefix
+
+
+@query(
+    "text_boilerplate_detect",
+    oracle=f"""
+    WITH pf AS (
+      SELECT doc_id, source,
+             MD5(ARRAY_TO_STRING(LIST_SLICE(
+               STR_SPLIT(TRIM(LOWER(text)), ' '), 1, {_BP_PREFIX_TOKENS}), ' '))
+               AS h
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, h, COUNT(*) AS c FROM pf GROUP BY source, h
+    ),
+    top AS (
+      SELECT source, h, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, h) AS rn
+      FROM cnt
+    ),
+    n AS (SELECT source, COUNT(*) AS n_docs FROM pf GROUP BY source)
+    SELECT n.source,
+           CAST(n.n_docs AS BIGINT) AS n_docs,
+           CAST(t.c AS BIGINT) AS top_prefix_docs,
+           CAST(FLOOR(t.c * 1000.0 / n.n_docs) AS BIGINT) AS prefix_share_milli,
+           FLOOR(t.c * 1000.0 / n.n_docs) >= {_BP_FLAG_MILLI} AS flagged
+    FROM n JOIN top t ON n.source = t.source AND t.rn = 1
+    """,
+    doc=f"Boilerplate/template detection per source — the CommonCrawl-"
+    "pipeline pre-flight that catches feeds whose documents all open with "
+    "the same navigation/header text (boilerplate inflates n-gram counts, "
+    "poisons MinHash, and wastes training tokens): hash each doc's first "
+    f"{_BP_PREFIX_TOKENS} tokens, find every source's dominant prefix "
+    "(ties to the smaller hash, replayed exactly), and report its "
+    f"document share in milli with a >= {_BP_FLAG_MILLI}/1000 flag — a "
+    "flagged source goes to template-stripping before dedup. Shape: one "
+    "map-only prefix hash, a map-side-combining (source, hash) count, a "
+    "per-source top-1 window over the counted DISTINCT prefixes (bounded "
+    "by docs-per-source, partitioned on source — never a corpus sort), "
+    "and a |sources|-row join. Prefix granularity is a constant; on real "
+    "corpora it is 10-50 tokens — the mechanism is length-agnostic.",
+)
+def text_boilerplate_detect(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "source", tokens("text").alias("w"))
+    pf = d.select(
+        "source",
+        F.md5(
+            F.encode(
+                F.concat_ws(" ", F.slice("w", 1, _BP_PREFIX_TOKENS)), "utf-8"
+            )
+        ).alias("h"),
+    )
+    cnt = pf.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("source").orderBy(F.col("c").desc(), "h")
+    top = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    n = pf.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    share = F.floor(F.col("c") * 1000.0 / F.col("n_docs"))
+    return n.join(top, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("c").cast("long").alias("top_prefix_docs"),
+        share.cast("long").alias("prefix_share_milli"),
+        (share >= _BP_FLAG_MILLI).alias("flagged"),
     )
