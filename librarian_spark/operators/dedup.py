@@ -1923,8 +1923,9 @@ def dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
     "upper-triangular. The diagnostic that turns 'the corpus has 3% dups' "
     "into an actionable decision — drop feed B, or dedup A-against-B only "
     "(cross-corpus cells are eval/train leakage candidates; diagonal cells "
-    "are re-crawls). Cost: two broadcast-joinable lookups of the tiny "
-    "(doc_id, source) projection onto the already-bounded pair set, one "
+    "are re-crawls). Cost: two lookups of the (doc_id, source) projection "
+    "onto the already-bounded pair set (AQE broadcasts while small, "
+    "shuffle-joins at scale — no unconditional hint), one "
     "map-side-combining rollup to a |sources|² ceiling. At 100 TB the "
     "pair set comes from the LSH path (dedup_minhash_lsh) instead of the "
     "exact shingle join; the attribution shape is identical.",
@@ -1934,9 +1935,13 @@ def dedup_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
     src = _t(spark, sf, "documents").select("doc_id", "source")
     s1 = src.withColumnsRenamed({"doc_id": "doc_id_1", "source": "src_1"})
     s2 = src.withColumnsRenamed({"doc_id": "doc_id_2", "source": "src_2"})
+    # no broadcast hint: the (doc_id, source) projection grows with the
+    # corpus, and an unconditional broadcast of it is exactly the driver
+    # OOM cliff at the 100 TB scale this op targets — AQE picks broadcast
+    # while the projection is small and shuffle-join once it is not
     return (
-        pairs.join(F.broadcast(s1), "doc_id_1")
-        .join(F.broadcast(s2), "doc_id_2")
+        pairs.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
         .groupBy(
             F.least("src_1", "src_2").alias("source_1"),
             F.greatest("src_1", "src_2").alias("source_2"),

@@ -7186,24 +7186,24 @@ def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
     lu = labels.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))
     lv = labels.select(F.col("node").alias("v"), F.col("lab").alias("lab_v"))
     joined = ed.join(lu, "u").join(lv, "v")
-    vol = joined.groupBy(F.col("lab_u").alias("community")).agg(
-        F.count(F.lit(1)).alias("volume")
-    )
-    cut = (
-        joined.filter(F.col("lab_u") != F.col("lab_v"))
-        .groupBy(F.col("lab_u").alias("community"))
-        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    # volume and cut in ONE pass over the (dominant-cost) double join — a
+    # separate cut aggregation would re-execute it, and a left join +
+    # coalesce would re-shuffle the result
+    volcut = joined.groupBy(F.col("lab_u").alias("community")).agg(
+        F.count(F.lit(1)).alias("volume"),
+        F.sum(
+            F.when(F.col("lab_u") != F.col("lab_v"), 1).otherwise(0)
+        ).alias("cut_edges"),
     )
     n = labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
-    cutc = F.coalesce(F.col("cut_edges"), F.lit(0))
+    cutc = F.col("cut_edges")
     denom = F.greatest(
         F.least(F.col("volume"), F.lit(int(e2)) - F.col("volume")), F.lit(1)
     )
     return (
-        n.join(vol, "community")
-        .join(cut, "community", "left")
+        n.join(volcut, "community")
         .select(
             "community",
             F.col("n_nodes").cast("long").alias("n_nodes"),
@@ -7367,13 +7367,15 @@ _BT_V_SQL = (
     "literal, replayed by the oracle as an integer-exact subquery.",
 )
 def q109_bitemporal_asof(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events").filter(
-        F.col("user_id").isNotNull()
-        & F.col("ts").isNotNull()
-        & F.col("event_type").isNotNull()
-    )
     vms = F.unix_millis("ts")
-    lo, hi = e.agg(F.min(vms), F.max(vms)).collect()[0]
+    # valid-window bounds over the SAME row set as the oracle's subquery
+    # (ts IS NOT NULL only) — deriving them from the fully-filtered frame
+    # would shift v_cut the day a malformed row holds the global min/max ts
+    ev0 = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    lo, hi = ev0.agg(F.min(vms), F.max(vms)).collect()[0]
+    e = ev0.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     v_cut = lo + ((hi - lo) * 7) // 10
     src = e.select(
         "user_id",

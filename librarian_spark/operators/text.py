@@ -2851,7 +2851,9 @@ def text_boilerplate_detect(spark: SparkSession, sf: str) -> DataFrame:
     cnt = pf.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
     w = W.partitionBy("source").orderBy(F.col("c").desc(), "h")
     top = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    n = pf.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # per-source doc counts from the ALREADY-AGGREGATED prefix counts — a
+    # second pf.groupBy would re-scan and re-hash the whole corpus
+    n = cnt.groupBy("source").agg(F.sum("c").alias("n_docs"))
     share = F.floor(F.col("c") * 1000.0 / F.col("n_docs"))
     return n.join(top, "source").select(
         "source",
