@@ -1948,3 +1948,100 @@ def dedup_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing-overlap pairs (the MOSS pairwise detector)
+# --------------------------------------------------------------------------
+
+_WOV_CAP_MIN = 32  # stop-gram cutoff floor; actual cap = max(this, docs/100)
+_WOV_CAP_SQL = (
+    f"GREATEST({_WOV_CAP_MIN}, (SELECT COUNT(*) FROM documents) // 100)"
+)
+_WOV_MIN_SHARED = 2  # pair evidence threshold
+
+from librarian_spark.operators.text import WINNOW_SEL_CTES  # noqa: E402
+# (text.py imports nothing from this module — no cycle; the import sits here,
+# next to its single consumer, to keep the winnowing block self-contained)
+
+
+@query(
+    "dedup_winnow_overlap",
+    oracle=f"""
+    WITH {WINNOW_SEL_CTES},
+    fp AS (
+      SELECT DISTINCT doc_id, kh[CAST(p AS BIGINT)] AS fp
+      FROM (SELECT doc_id, kh, UNNEST(sp) AS p FROM sel)
+    ),
+    ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {_WOV_CAP_SQL})
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WOV_MIN_SHARED}
+    """,
+    doc=f"Winnowing-overlap pair detection — the MOSS pairwise detector "
+    "built on text_winnow_fingerprint's selected-fingerprint sets (one "
+    "shared WINNOW_SEL_CTES / winnow_selections definition, so the "
+    "fingerprints here are bit-identical to the audited ones): documents "
+    f"sharing >= {_WOV_MIN_SHARED} distinct selected fingerprints, with "
+    "the shared count as evidence strength. By the winnowing guarantee "
+    "every common substring of length >= k+w-1 = 8 chars contributes a "
+    "shared fingerprint, so this catches LOCAL plagiarism/quotation "
+    "overlap that whole-doc and shingle-set similarity dilute away. "
+    "Stop-gram discipline: fingerprints selected by more than "
+    f"max({_WOV_CAP_MIN}, docs/100) documents are dropped before pairing "
+    "(the document-frequency cutoff, scale-relative so discriminativeness "
+    "tracks the corpus — a fixed cap silently blanks the signal at 10x; "
+    "standard MOSS practice) — that caps the inverted-list join at "
+    "O(docs x density x cap) pair rows, the same bound class as the LSH "
+    "families. Shuffles: distinct on (doc_id, fp), the capped count, the "
+    "fp-keyed pair join, one pair rollup — never a corpus self-join. "
+    "NB on this synthetic 30-word corpus most 5-char grams are "
+    "corpus-frequent, so the cutoff removes most of them and surviving "
+    "pair counts are corpus-shaped; on real text near-dup segments are "
+    "rare and survive it.",
+)
+def dedup_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.operators.text import winnow_selections
+
+    # materialize the selections BEFORE any further projection: Catalyst
+    # collapses downstream projections into winnow_selections' lambda tree
+    # and re-substitutes the kh/sp aliases inside the new lambdas — each
+    # element access then re-computes the whole O(len*K) k-gram hash array
+    # (the shingles_of_tokens quadratic trap; measured as a >4 min hang at
+    # sf0.01 vs ~1 s for the materialized plan). The checkpoint runs the
+    # SAME plan text_winnow_fingerprint runs, once; the (doc_id, fp) set
+    # is then consumed by three cheap plan branches (cap count + both
+    # pair-join sides) over plain stored arrays.
+    sel = winnow_selections(spark, sf).localCheckpoint()
+    fp = (
+        sel.select(
+            "doc_id",
+            F.expr(
+                "transform(sp, p -> element_at(kh, cast(p as int)))"
+            ).alias("fpv"),
+        )
+        .select("doc_id", F.explode("fpv").alias("fp"))
+        .distinct()  # a doc can select the same VALUE at several positions
+    )
+    # stop-gram removal: a fingerprint shared by > cap docs is
+    # non-discriminative and would quadratically blow the pair join; the
+    # cap is a scale-relative DF cutoff (1-row count inlined as a literal,
+    # replayed by the oracle's integer subquery)
+    n_docs = _t(spark, sf, "documents").count()
+    cap = max(_WOV_CAP_MIN, n_docs // 100)
+    ok = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("nd")).filter(
+        F.col("nd") <= cap
+    )
+    kept = fp.join(ok.select("fp"), "fp")
+    a = kept.withColumnsRenamed({"doc_id": "doc_id_1"})
+    b = kept.withColumnsRenamed({"doc_id": "doc_id_2"})
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WOV_MIN_SHARED)
+    )

@@ -2655,11 +2655,10 @@ _WIN_W = 4  # winnowing window (guarantee: any match >= K+W-1 chars is caught)
 # (the winnowing rightmost rule); decode pos = j + 6 - (code % 8). Valid
 # because the in-window offset i <= W < 8 and h < FP_MOD << 2^60/8.
 
-
-@query(
-    "text_winnow_fingerprint",
-    oracle=f"""
-    WITH base AS (
+# the shared winnowing CTE chain (base → k-gram hashes → window dims →
+# selected positions), replayed by text_winnow_fingerprint's stats AND
+# dedup_winnow_overlap's pair detector — one definition, two oracles
+WINNOW_SEL_CTES = f"""base AS (
       SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents
     ),
     kg AS (
@@ -2687,39 +2686,15 @@ _WIN_W = 4  # winnowing window (guarantee: any match >= K+W-1 chars is caught)
                           i -> kh[j - 1 + i] * 8 + 7 - i)) % 8)))
              ELSE CAST([] AS BIGINT[]) END AS sp
       FROM dims
-    )
-    SELECT doc_id,
-           CAST(m AS BIGINT) AS n_kgrams,
-           CAST(LEN(sp) AS BIGINT) AS n_selected,
-           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(sp, p -> kh[p])), 0)
-                AS BIGINT) AS winnow_digest,
-           CAST(CASE WHEN m > 0
-                THEN FLOOR(LEN(sp) * 1000.0 / m) ELSE 0 END AS BIGINT)
-             AS density_milli
-    FROM sel
-    """,
-    doc=f"Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — "
-    "the MOSS algorithm): hash every {k}-char k-gram with the shared "
-    "31-polynomial rolling hash, slide a {w}-kgram window, and select each "
-    "window's minimum hash (rightmost on ties) — the selected set is a "
-    "position-robust document fingerprint with the guarantee that any "
-    "shared substring of length >= k+w-1 = {g} contributes at least one "
-    "common fingerprint, at expected density 2/(w+1). This is the "
-    "substring-dedup/plagiarism sketch that text_fingerprint (whole-doc "
-    "hash) and dedup_substring (fixed-stride blocks) don't give: "
-    "position-insensitive AND local. Emitted per doc: k-gram count, "
-    "selected count, digest (sum of selected hashes — certifies the exact "
-    "selection set), and selection density in milli. Everything is one "
-    "map-only codegen'd expression tree (nested higher-order functions "
-    "over a column-bound hash array — no UDF; the only exchange is "
-    "fan_out's row-once repartition so the per-row-expensive folds scale "
-    "with cores: 4.4 s single-partition → 0.8 s at sf0.1). The rightmost "
-    "argmin folds to an array_min via the h*8+(7-i) encoding, exact "
-    "because h < FP_MOD << 2^60. The oracle replays the identical "
-    "selection, so parity certifies hash, window rule, and tie-break "
-    "end-to-end.".format(k=_WIN_K, w=_WIN_W, g=_WIN_K + _WIN_W - 1),
-)
-def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    )"""
+
+
+def winnow_selections(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, kh k-gram hash array, m k-gram count, sp selected 1-based
+    positions) — the Spark twin of :data:`WINNOW_SEL_CTES`, shared by
+    text_winnow_fingerprint (per-doc stats) and dedup_winnow_overlap
+    (pair detection). See text_winnow_fingerprint's doc for the plan
+    shape and the argmin encoding."""
     # per-row-expensive map stage (char-code transform + per-window folds)
     # over single-row-group files: fan_out is the documented pattern, the
     # one exchange here moves each row once so the compute scales with cores
@@ -2761,7 +2736,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("nw"),
         F.least(F.lit(_WIN_W), F.size("kh")).alias("span"),
     )
-    sel = dims.select(
+    return dims.select(
         "doc_id",
         "kh",
         "m",
@@ -2773,6 +2748,45 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             ")) ELSE CAST(array() AS array<bigint>) END"
         ).alias("sp"),
     )
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH {WINNOW_SEL_CTES}
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_kgrams,
+           CAST(LEN(sp) AS BIGINT) AS n_selected,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(sp, p -> kh[p])), 0)
+                AS BIGINT) AS winnow_digest,
+           CAST(CASE WHEN m > 0
+                THEN FLOOR(LEN(sp) * 1000.0 / m) ELSE 0 END AS BIGINT)
+             AS density_milli
+    FROM sel
+    """,
+    doc=f"Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — "
+    "the MOSS algorithm): hash every {k}-char k-gram with the shared "
+    "31-polynomial rolling hash, slide a {w}-kgram window, and select each "
+    "window's minimum hash (rightmost on ties) — the selected set is a "
+    "position-robust document fingerprint with the guarantee that any "
+    "shared substring of length >= k+w-1 = {g} contributes at least one "
+    "common fingerprint, at expected density 2/(w+1). This is the "
+    "substring-dedup/plagiarism sketch that text_fingerprint (whole-doc "
+    "hash) and dedup_substring (fixed-stride blocks) don't give: "
+    "position-insensitive AND local. Emitted per doc: k-gram count, "
+    "selected count, digest (sum of selected hashes — certifies the exact "
+    "selection set), and selection density in milli. Everything is one "
+    "map-only codegen'd expression tree (nested higher-order functions "
+    "over a column-bound hash array — no UDF; the only exchange is "
+    "fan_out's row-once repartition so the per-row-expensive folds scale "
+    "with cores: 4.4 s single-partition → 0.8 s at sf0.1). The rightmost "
+    "argmin folds to an array_min via the h*8+(7-i) encoding, exact "
+    "because h < FP_MOD << 2^60. The oracle replays the identical "
+    "selection, so parity certifies hash, window rule, and tie-break "
+    "end-to-end.".format(k=_WIN_K, w=_WIN_W, g=_WIN_K + _WIN_W - 1),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    sel = winnow_selections(spark, sf)
     return sel.select(
         "doc_id",
         F.col("m").cast("long").alias("n_kgrams"),
