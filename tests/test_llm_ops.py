@@ -957,6 +957,120 @@ def test_phash_candidate_growth_subquadratic(spark, tmp_path):
     )
 
 
+def test_simhash_guaranteed_band_and_recall(spark):
+    """Radius-2 probes over 4x16-bit slices catch EVERY pair with
+    hamming <= 11 by pigeonhole (>= 3 errors in all 4 disjoint slices means
+    hamming >= 12), so the declared radius 8 is fully covered — modulo the
+    hot-bucket cap. A pair survives the cap at position p iff its slice-ham
+    there is <= 2 AND at least one side's (p, slice) bucket is <= the cap
+    (the probe from the other side reaches it). Assert vs brute force at
+    sf0.01: every non-cap-excused pair is found (the deterministic
+    guarantee), the misses are EXACTLY the cap-excused set (which the
+    oracle replays bit-for-bit), and that set is a tiny fraction."""
+    import collections
+
+    import numpy as np
+
+    from librarian_spark.operators.dedup import (
+        _SIMHASH_CAP_DIV,
+        _SIMHASH_CAP_MIN,
+        _SIMHASH_MAX_HAMMING,
+        simhash_candidates,
+        simhash_codes,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    hashed = simhash_codes(spark, sf).cache()
+    pdf = hashed.toPandas()
+    ids = pdf["doc_id"].to_numpy()
+    codes = (
+        pdf["fp_lo"].to_numpy().astype(np.uint64)
+        | (pdf["fp_hi"].to_numpy().astype(np.uint64) << np.uint64(32))
+    )
+    slices = {int(d): s for d, s in zip(pdf["doc_id"], pdf["slices"])}
+    bucket = collections.Counter(
+        (p, s) for sl in pdf["slices"] for p, s in enumerate(sl)
+    )
+    x = codes[:, None] ^ codes[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ii, jj = np.nonzero(ham <= _SIMHASH_MAX_HAMMING)
+    truth = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(ii, jj)
+        if ids[a] < ids[b]
+    }
+    assert truth, "corpus should contain hamming<=8 pairs"
+
+    cap = max(_SIMHASH_CAP_MIN, len(ids) // _SIMHASH_CAP_DIV)
+
+    def reachable(d1, d2):
+        for p in range(len(slices[d1])):
+            s1, s2 = slices[d1][p], slices[d2][p]
+            if bin(s1 ^ s2).count("1") <= 2 and (
+                bucket[(p, s1)] <= cap or bucket[(p, s2)] <= cap
+            ):
+                return True
+        return False
+
+    excused = {pr for pr in truth if not reachable(*pr)}
+    got = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in simhash_candidates(hashed).collect()
+    }
+    missed = truth - got
+    assert missed == excused, (
+        f"non-cap-excused pairs missed: {sorted(missed - excused)[:5]}"
+    )
+    # precision is 1.0 by construction (exact popcount verify in the join)
+    assert got <= truth
+    assert len(excused) <= 0.02 * len(truth), (
+        f"cap excuses too much: {len(excused)}/{len(truth)}"
+    )
+
+
+def test_simhash_candidate_growth_subquadratic(spark):
+    """The r8 design keyed candidates on a fixed 2048-bucket domain ->
+    O(N^2/2048) join rows on ANY data, and 8 radius-0 blocks only guaranteed
+    hamming <= 7 against a declared radius of 8. Pin the redesign's scaling:
+    candidate JOIN ROWS (the work metric, pre-distinct) must grow
+    subquadratically between sf0.1 and 10x organic replicas
+    (non-near-duplicate text). Quadratic growth would be ~100x."""
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_codes,
+    )
+    from librarian_spark.sources.batch import fan_out
+
+    sf = "/root/testdata/sf0.1"
+    n1 = simhash_candidates(simhash_codes(spark, sf), distinct=False).count()
+
+    alphabet = "etaonisrhl"
+    docs = _t_docs(spark, sf)
+    reps = [docs]
+    for r in range(1, 10):
+        rot = alphabet[r:] + alphabet[:r]
+        reps.append(
+            docs.withColumn("text", F.translate("text", alphabet, rot))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+        )
+    big = reps[0]
+    for rep in reps[1:]:
+        big = big.unionByName(rep)
+    from librarian_spark.operators.dedup import _simhash_map
+
+    n10 = simhash_candidates(_simhash_map(fan_out(big)), distinct=False).count()
+    growth = n10 / max(n1, 1)
+    assert growth < 80, (
+        f"candidate rows grew {growth:.0f}x at 10x organic data "
+        f"({n1} -> {n10}) — quadratic regime"
+    )
+
+
 def _t_docs(spark, sf):
     from librarian_spark.sources.batch import load_table
 
