@@ -7060,6 +7060,7 @@ _KMV_H_SQL = (
     oracle=f"""
     WITH h AS (
       SELECT DISTINCT event_type, {_KMV_H_SQL} AS hv FROM events
+      WHERE user_id IS NOT NULL
     ),
     r AS (
       SELECT event_type, hv,
@@ -7099,7 +7100,10 @@ _KMV_H_SQL = (
     "associative); the exact side here exists only to score the estimate.",
 )
 def q107_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
+    # NULL user_id guard (the q108/q109 discipline): a NULL key hashes to a
+    # NULL hv, which Spark's row_number ranks FIRST and DuckDB's ranks LAST —
+    # the sketch contents (ck/hk) and estimate would silently diverge
+    e = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
     h = e.select("event_type", F.expr(_KMV_H_SPARK).cast("long").alias("hv"))
     h = h.distinct()
     w1 = W.partitionBy("event_type", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))).orderBy(
