@@ -909,56 +909,195 @@ def sim_ivf_incremental_add(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Semantic clustering (Spark ML k-means for domain discovery)
+# Semantic clustering (deterministic fixed-point Lloyd's for domain discovery)
 # --------------------------------------------------------------------------
 
-_KMEANS_K = 8
-_KMEANS_SEED = 42
+_KM_K = 8
+_KM_ITERS = 4
+_KM_SCALE = 1_000_000  # micro-units (the q56/sim_embedding_drift discipline)
+_KM_DIM = 64
+
+
+def _km_oracle() -> str:
+    """Unrolled-CTE replay of the fixed-point Lloyd's loop (the pagerank
+    iteration-unrolling pattern): init = the _KM_K smallest vec_ids,
+    _KM_ITERS centroid updates in exact integer micro-units, then a final
+    assignment. `//` (DuckDB) and `div` (Spark) both truncate toward zero,
+    TRUNC-scaling matches Spark's long cast, and FLOOR(SQRT(x)) of the
+    same integer-valued double is engine-identical (IEEE sqrt is correctly
+    rounded), so every centroid coordinate and distance matches
+    bit-for-bit."""
+    dims = f"RANGE(1, {_KM_DIM + 1})"
+    blocks = [
+        f"""v AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding,
+           x -> CAST(TRUNC(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS vi
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, vi AS c FROM v WHERE vec_id < {_KM_K})"""
+    ]
+    for t in range(1, _KM_ITERS + 1):
+        blocks.append(
+            f"""a{t} AS (
+  SELECT vec_id, vi, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq, cid) AS rn
+  FROM (SELECT v.vec_id, v.vi, c.cid,
+               LIST_SUM(LIST_TRANSFORM({dims},
+                 i -> (v.vi[i] - c.c[i]) * (v.vi[i] - c.c[i]))) AS sq
+        FROM v, c{t - 1} c)),
+s{t} AS (SELECT cid, COUNT(*) AS n, LIST(vi) AS vis
+         FROM a{t} WHERE rn = 1 GROUP BY cid),
+c{t} AS (
+  SELECT p.cid,
+         CASE WHEN s.cid IS NULL THEN p.c
+              ELSE LIST_TRANSFORM({dims},
+                i -> LIST_SUM(LIST_TRANSFORM(s.vis, w -> w[i])) // s.n)
+         END AS c
+  FROM c{t - 1} p LEFT JOIN s{t} s ON p.cid = s.cid)"""
+        )
+    blocks.append(
+        f"""af AS (
+  SELECT vec_id, cid, sq,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq, cid) AS rn
+  FROM (SELECT v.vec_id, c.cid,
+               LIST_SUM(LIST_TRANSFORM({dims},
+                 i -> (v.vi[i] - c.c[i]) * (v.vi[i] - c.c[i]))) AS sq
+        FROM v, c{_KM_ITERS} c))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + """
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+       CAST(FLOOR(SQRT(CAST(sq AS DOUBLE))) AS BIGINT) AS dist_micro
+FROM af WHERE rn = 1
+"""
+    )
+
+
+def _km_trunc_div(a: int, n: int) -> int:
+    """Integer division truncating toward zero (Python ``//`` floors;
+    DuckDB ``//`` and Spark ``div`` truncate)."""
+    q = abs(a) // n
+    return q if a >= 0 else -q
+
+
+def _km_assign(cents_bc, final: bool):
+    """Arrow-batched Lloyd's step against broadcast centroids (k x d int64).
+    ``final=False``: emit per-batch PARTIALS — (cluster, n, component-sum
+    array) per non-empty cluster, i.e. manual map-side combine; the driver
+    merges k x partitions tiny rows. ``final=True``: emit the assignment
+    (vec_id, cluster, dist_micro). numpy int64 arithmetic is exact at these
+    magnitudes and np.argmin ties to the first (smallest) centroid id,
+    matching the oracle's ROW_NUMBER ORDER BY sq, cid. A broadcast +
+    vectorized batch op instead of k x d literal HOF expressions: centroid
+    literals change every iteration, so codegen recompiled ~0.5 s per pass
+    (measured 4.5 s -> 1.6 s at sf0.1)."""
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents_bc.value, dtype=np.int64)  # k x d
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["vi"].to_numpy()).astype(np.int64)  # n x d
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1)
+            if final:
+                dist = np.floor(np.sqrt(d2.min(axis=1).astype(np.float64)))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].astype("int64"),
+                        "cluster": cl.astype("int64"),
+                        "dist_micro": dist.astype("int64"),
+                    }
+                )
+            else:
+                cs, ns, ss = [], [], []
+                for c in range(C.shape[0]):
+                    m = cl == c
+                    if m.any():
+                        cs.append(c)
+                        ns.append(int(m.sum()))
+                        ss.append(V[m].sum(axis=0).tolist())
+                yield pd.DataFrame(
+                    {
+                        "cluster": pd.Series(cs, dtype="int64"),
+                        "n": pd.Series(ns, dtype="int64"),
+                        "s": ss,
+                    }
+                )
+
+    return op
 
 
 @query(
     "sim_kmeans_clusters",
-    oracle=None,  # learned clustering has no SQL twin; determinism + shape
-    # are pinned in tests/test_llm_ops.py
-    doc=f"Semantic clustering of the embedding corpus with Spark ML KMeans "
-    f"(k={_KMEANS_K}, fixed seed {_KMEANS_SEED}) — the domain-discovery / "
-    "data-mixing step of corpus curation (cluster → inspect → reweight, "
-    "SemDeDup-style pruning starts here too). Training is MLlib's "
-    "distributed Lloyd's over the DataFrame (k-means|| init, no driver "
-    "collection of the corpus); assignment is one map-only transform. "
-    "Output: vec_id, cluster id, and round(distance-to-centroid, 6) for "
-    "per-cluster quality cuts. Rows-only driver check; k, coverage, and "
-    "run-to-run determinism pinned in unit tests.",
+    oracle=_km_oracle(),
+    doc=f"Semantic clustering of the embedding corpus with DETERMINISTIC "
+    f"fixed-point Lloyd's (k={_KM_K}, {_KM_ITERS} iterations, init = the "
+    f"{_KM_K} smallest vec_ids) — the domain-discovery / data-mixing step "
+    "of corpus curation (cluster -> inspect -> reweight, SemDeDup-style "
+    "pruning starts here too). Every coordinate is TRUNCATED to integer "
+    "micro-units before any arithmetic (the q56/sim_embedding_drift "
+    "discipline), centroid updates are exact integer sums + "
+    "truncate-toward-zero division, ties go to the smaller centroid id, "
+    "and the emitted distance is FLOOR(SQRT(sq)) of an exactly-represented "
+    "integer — so the ORACLE REPLAYS THE WHOLE MECHANISM as unrolled CTEs "
+    "(the graph_pagerank pattern) and parity is bit-exact, closing "
+    "round-8's rows-only gap (MLlib's k-means|| init is RNG-order-"
+    "dependent and cannot be replayed; Lloyd's itself is the same "
+    "algorithm MLlib iterates). Scale shape: the corpus stays distributed "
+    "— per iteration one Arrow-batched assignment against the broadcast "
+    "k x d centroid matrix with manual map-side combine (each batch emits "
+    "at most k partial rows; only k x partitions tiny rows plus the k x d "
+    "centroid matrix ever visit the driver, exactly MLlib's treeAggregate "
+    "shape). int64 per-cluster component sums hold to ~1.8e13 rows per "
+    "cluster at these magnitudes.",
 )
 def sim_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     e = _t(spark, sf, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=_KMEANS_K, seed=_KMEANS_SEED, maxIter=20).fit(e)
-    pred = model.transform(e)
-    # distance to own centroid, computed as an expression over the centroid
-    # matrix (broadcast literal — k×d doubles)
-    centers = model.clusterCenters()
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
-    )
-    feat = vector_to_array(F.col("features"))
-    own = F.element_at(cent_arr, F.col("prediction") + 1)
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(feat, own, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return pred.select(
         "vec_id",
-        F.col("prediction").cast("long").alias("cluster"),
-        F.round(dist, 6).alias("dist_to_centroid"),
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("vi"),
     )
+    schema = "vec_id long, cluster long, dist_micro long"
+    init = (
+        e.filter(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not init:
+        return spark.createDataFrame([], schema)
+    cents = [list(r.vi) for r in init]
+    # fan_out: single-row-group testdata parquet can't split; localCheckpoint:
+    # ITERS+1 passes reuse the scaled frame without re-planning
+    e = fan_out(e).localCheckpoint()
+    sc = spark.sparkContext
+    for _ in range(_KM_ITERS):
+        bc = sc.broadcast(cents)
+        partials = e.mapInPandas(
+            _km_assign(bc, final=False),
+            schema="cluster long, n long, s array<long>",
+        ).collect()
+        sums = {c: [0] * _KM_DIM for c in range(_KM_K)}
+        counts = {c: 0 for c in range(_KM_K)}
+        for r in partials:
+            counts[r.cluster] += r.n
+            row = sums[r.cluster]
+            for i, v in enumerate(r.s):
+                row[i] += v
+        cents = [
+            [_km_trunc_div(sums[c][i], counts[c]) for i in range(_KM_DIM)]
+            if counts[c]
+            else cents[c]
+            for c in range(_KM_K)
+        ]
+    return e.mapInPandas(_km_assign(sc.broadcast(cents), final=True), schema)
 
 
 # --------------------------------------------------------------------------

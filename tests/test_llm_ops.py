@@ -230,14 +230,15 @@ def test_ivf_persisted_index_matches_inflight_and_prunes(spark, sf_dir, tmp_path
 
 
 def test_kmeans_clusters_deterministic_and_complete(spark, sf_dir):
-    """sim_kmeans_clusters: fixed seed ⇒ identical assignment across runs;
-    every vector assigned; k clusters used; distances non-negative."""
+    """sim_kmeans_clusters: deterministic fixed-point Lloyd's ⇒ identical
+    assignment across runs; every vector assigned; k clusters used;
+    distances non-negative."""
     from librarian_spark.operators.registry import load_all
 
     spec = load_all()["sim_kmeans_clusters"]
-    a = {(r.vec_id, r.cluster, r.dist_to_centroid)
+    a = {(r.vec_id, r.cluster, r.dist_micro)
          for r in spec.spark_fn(spark, sf_dir).collect()}
-    b = {(r.vec_id, r.cluster, r.dist_to_centroid)
+    b = {(r.vec_id, r.cluster, r.dist_micro)
          for r in spec.spark_fn(spark, sf_dir).collect()}
     assert a == b
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
