@@ -3544,7 +3544,7 @@ def pipeline_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
         read_state,
     )
 
-    base = _cache_base("scdcapply", sf, "events", salt=f"v1:{_SCDC_SLICES}")
+    base = _cache_base("scdcapply", sf, "events", salt=f"v2:{_SCDC_SLICES}")
     in_dir = f"{base}/in"
     marker = os.path.join(base, "_INPUT_READY")
     if not os.path.exists(marker):
@@ -3594,10 +3594,33 @@ def pipeline_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
                 lsn=F.col("event_id"),
             ).alias("value"),
         )
+        # ONE scan stages every slice: repartition on _slice puts each
+        # slice's rows in exactly one task, so partitionBy writes exactly
+        # one file per slice dir (one-file-per-slice is load-bearing —
+        # within a slice, a second file could replay an event OLDER than a
+        # delete in the first, and the materializer keeps no tombstones).
+        # The per-slice filter loop this replaces re-scanned the staged
+        # input _SCDC_SLICES times.
+        import glob as _glob
+
+        staging = f"{base}/staging-{uuid.uuid4().hex[:8]}"
+        env.repartition(_SCDC_SLICES, "_slice").write.partitionBy(
+            "_slice"
+        ).mode("overwrite").text(staging)
+        os.makedirs(in_dir, exist_ok=True)
+        t0 = int(os.path.getmtime(staging))
         for i in range(_SCDC_SLICES):
-            env.filter(F.col("_slice") == i).select("value").coalesce(
-                1
-            ).write.mode("append").text(in_dir)
+            parts = sorted(_glob.glob(f"{staging}/_slice={i}/part-*.txt"))
+            if not parts:
+                continue
+            dst = f"{in_dir}/slice-{i:03d}.txt"
+            os.rename(parts[0], dst)
+            # explicit strictly-increasing mtimes: FileStreamSource orders
+            # the initial listing by modification time only, and a
+            # coarse-granularity filesystem could tie two slices and replay
+            # them out of order (delivery order IS the correctness contract)
+            os.utime(dst, (t0 + i, t0 + i))
+        shutil.rmtree(staging, ignore_errors=True)
         with open(marker, "w") as fh:
             fh.write("")
 
