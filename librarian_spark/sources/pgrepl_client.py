@@ -382,6 +382,62 @@ class ReplicationSlotClient:
                 return {"parameters": params, "backend_pid": backend_pid}
             # NoticeResponse / NegotiateProtocolVersion etc: ignore
 
+    # -- simple queries over the replication connection --------------------
+    def simple_query(self, sql: str) -> list[tuple]:
+        """Run one simple-protocol query on the replication connection —
+        PostgreSQL allows plain SQL in logical walsender mode, which is how
+        the reference drives DDL/metadata through its replication conn
+        (`pkg/postgres/source.go:586` uses the same connection for
+        CreateReplicationSlot). Returns DataRow values as text tuples."""
+        send_frontend_message(self.sock, b"Q", sql.encode() + b"\x00")
+        rows: list[tuple] = []
+        err: bytes | None = None
+        while True:
+            tag, body = read_backend_message(self.sock)
+            if tag == b"E":
+                err = body
+            elif tag == b"D":
+                (n,) = struct.unpack_from(">H", body, 0)
+                off, vals = 2, []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from(">i", body, off)
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(body[off : off + ln].decode())
+                        off += ln
+                rows.append(tuple(vals))
+            elif tag == b"Z":
+                if err is not None:
+                    raise ConnectionError(f"query failed: {err!r}")
+                return rows
+
+    def create_slot(self, temporary: bool = False) -> dict | None:
+        """CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput — the wire
+        command behind the reference's pglogrepl.CreateReplicationSlot
+        (`pkg/postgres/source.go:586-587`). Idempotent: a duplicate-slot
+        error (SQLSTATE 42710) is absorbed and returns None; otherwise
+        returns {"slot_name", "consistent_point", "snapshot_name",
+        "output_plugin"} so the caller can START_REPLICATION from the
+        slot's consistent point."""
+        opt = " TEMPORARY" if temporary else ""
+        try:
+            rows = self.simple_query(
+                f'CREATE_REPLICATION_SLOT "{self.slot}"{opt} LOGICAL pgoutput'
+            )
+        except ConnectionError as e:
+            if "42710" in str(e):
+                return None
+            raise
+        name, point, snap, plugin = rows[0]
+        return {
+            "slot_name": name,
+            "consistent_point": point,
+            "snapshot_name": snap,
+            "output_plugin": plugin,
+        }
+
     # -- protocol ----------------------------------------------------------
     def start(self, start_lsn: int | None = None) -> int:
         """Issue START_REPLICATION from ``start_lsn`` (default: the saved

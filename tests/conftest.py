@@ -43,11 +43,20 @@ def pytest_configure(config):
 def pytest_collection_modifyitems(config, items):
     from librarian_spark.sources.dial import live_dsn
 
+    pg_provisioned = False
     for item in items:
         marker = item.get_closest_marker("live")
         if marker is None:
             continue
         service = marker.kwargs.get("service") or (marker.args[0] if marker.args else None)
+        if service == "pg" and live_dsn("pg") is None and not pg_provisioned:
+            # the sandbox ships postgres 15 binaries: provision a throwaway
+            # logical-replication cluster so the live tests actually RUN
+            # (tests/live_pg.py; degrades back to skip on any failure)
+            from tests import live_pg
+
+            live_pg.ensure_running()
+            pg_provisioned = True
         if service and live_dsn(service) is None:
             item.add_marker(
                 pytest.mark.skip(

@@ -1,17 +1,22 @@
 """Live-service integration: the SAME wire clients the mock tests pin,
 dialed at a real postgres/mongod/kafka over TCP.
 
-Skipped by default — this sandbox has no services (SURVEY §2A #23). To run
-(e.g. against the reference's own dev/compose.yml stack):
+The pg tests RUN in the plain suite: the sandbox ships PostgreSQL 15
+binaries, and conftest auto-provisions a throwaway logical-replication
+cluster (tests/live_pg.py) when no LIBRARIAN_LIVE_PG_DSN is set. Kafka and
+mongo stay skipped (no binaries in the sandbox); to run them against the
+reference's own dev/compose.yml stack:
 
     LIBRARIAN_LIVE_KAFKA_DSN=localhost:9092 \
-    LIBRARIAN_LIVE_PG_DSN=localhost:5432 \
     LIBRARIAN_LIVE_MONGO_DSN=localhost:27017 \
         python -m pytest tests/test_live.py -m live -q
 
-Each test exercises the smallest real-server round-trip that proves the
-dial + handshake path: Kafka Metadata v9 + one produced record, Postgres
-StartupMessage + SCRAM-SHA-256 auth, Mongo hello + ping.
+The handshake tests exercise the smallest real-server round-trip (Kafka
+Metadata v9 + one produced record, Postgres StartupMessage +
+SCRAM-SHA-256, Mongo hello + ping); test_live_pg_replication_end_to_end
+drives the FULL replication path — wire-level CREATE_REPLICATION_SLOT,
+DML over the walsender connection, START_REPLICATION, pgoutput decode of
+real WAL, commit-granular ack.
 """
 
 from __future__ import annotations
@@ -57,6 +62,70 @@ def test_live_pg_startup_and_scram():
         # StartupMessage + SCRAM-SHA-256 against the real server — the exact
         # code path the RFC 7677 vector pins in test_pgrepl_client.py
         c.startup(user=user, database=db, password=password)
+    finally:
+        c.sock.close()
+
+
+@pytest.mark.live("pg")
+def test_live_pg_replication_end_to_end(tmp_path):
+    """The FULL replication path against a real server: startup + SCRAM,
+    wire-level CREATE_REPLICATION_SLOT (temporary, fresh per run),
+    INSERT/UPDATE/DELETE issued as simple queries over the SAME walsender
+    connection (the reference's replConn pattern), START_REPLICATION from
+    the slot's consistent point, pgoutput decode of the live XLogData
+    stream, and a commit-granular checkpoint ack. This is the residue the
+    mock tests could not reach: real TCP, real WAL, a real walsender's
+    framing and keepalives."""
+    import uuid
+
+    from librarian_spark.sources.pgrepl_client import (
+        ReplicationSlotClient,
+        parse_lsn,
+    )
+
+    user = os.environ.get("LIBRARIAN_LIVE_PG_USER", "postgres")
+    password = os.environ.get("LIBRARIAN_LIVE_PG_PASSWORD", "postgres")
+    db = os.environ.get("LIBRARIAN_LIVE_PG_DB", "postgres")
+    run = uuid.uuid4().hex[:8]
+    c = ReplicationSlotClient.dial(
+        live_dsn("pg"),
+        slot=f"librarian_e2e_{run}",
+        publication=os.environ.get("LIBRARIAN_LIVE_PG_PUB", "librarian_pub"),
+        db=db,
+        checkpoint_path=str(tmp_path / "ckpt.lsn"),
+    )
+    try:
+        c.startup(user=user, database=db, password=password)
+        info = c.create_slot(temporary=True)
+        assert info and info["output_plugin"] == "pgoutput"
+        base = int(time.time()) % 1_000_000
+        k1, k2 = 10_000 + base, 20_000 + base
+        c.simple_query(
+            f"INSERT INTO live_test(id, name) VALUES ({k1}, 'wire-{run}')"
+        )
+        c.simple_query(
+            f"INSERT INTO live_test(id, name) VALUES ({k2}, 'wire2-{run}')"
+        )
+        c.simple_query(f"UPDATE live_test SET name = 'upd-{run}' WHERE id = {k1}")
+        c.simple_query(f"DELETE FROM live_test WHERE id = {k2}")
+        c.start(parse_lsn(info["consistent_point"]))
+        rows = []
+        for row in c.stream():
+            op, ts_ms, rdb, ns, table, lsn, before, after, _seq = row
+            if f"-{run}" not in (before or "") + (after or "") and op != "d":
+                continue  # concurrent activity from other sessions
+            rows.append((op, table, before, after))
+            if len(rows) >= 4:
+                break
+        ops = [r[0] for r in rows]
+        assert ops == ["c", "c", "u", "d"], f"unexpected op sequence: {ops}"
+        assert all(r[1] == "live_test" for r in rows)
+        assert f'"name":"wire-{run}"' in rows[0][3]
+        assert f'"name":"upd-{run}"' in rows[2][3]
+        # delete carries the key image (REPLICA IDENTITY DEFAULT -> pk only)
+        assert f'"id":{k2}' in (rows[3][2] or "")
+        # commit-granular ack persisted a real LSN checkpoint
+        assert c.flushed_lsn >= 0
     finally:
         c.sock.close()
 
