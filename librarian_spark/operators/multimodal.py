@@ -1377,3 +1377,164 @@ def mm_validate(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id long, status string, n_bytes_declared long, "
         "n_bytes_actual long, first_byte long",
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-style) + cross-corpus chunk dedup
+# --------------------------------------------------------------------------
+
+_CDC_W = 16  # rolling window bytes
+_CDC_D = 101  # boundary divisor -> expected chunk ~101 bytes
+# P^j mod 2^25 for j = 0..W-1 (bounds each term at 255 * 2^25 so the
+# 16-term window sum stays far inside int64 on both engines; the boundary
+# test is sum %% 101, and 101 is PRIME so it does not divide the power
+# modulus — a power-of-two divisor would collapse the powers mod D to a
+# 2-cycle and put boundaries on a degenerate stripe)
+_CDC_POW = [1, 4099, 16801801, 16887835, 442449, 1659123, 22749913, 4126859, 4561313, 7003363, 17745577, 26665979, 17062897, 13378515, 10591097, 27026027]
+
+_CDC_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, HEX(ENCODE(text)) AS h, OCTET_LENGTH(ENCODE(text)) AS n
+  FROM documents),
+codes AS (
+  SELECT doc_id, h, n,
+         LIST_TRANSFORM(RANGE(1, n + 1),
+           i -> (STRPOS('0123456789ABCDEF', SUBSTR(h, 2*i - 1, 1)) - 1) * 16
+              + (STRPOS('0123456789ABCDEF', SUBSTR(h, 2*i, 1)) - 1)) AS cs
+  FROM hx),
+-- rolling window hash at byte position i (1-based, window = bytes i-W+1..i):
+-- sum of cs[i-j] * P^j-mod-2^25; boundary where it divides {_CDC_D}
+bl AS (
+  SELECT doc_id, h, n,
+         LIST_FILTER(LIST_TRANSFORM(RANGE({_CDC_W}, n + 1),
+           i -> CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(0, {_CDC_W}),
+                  j -> cs[i - j] * ({_CDC_POW})[j + 1])) % {_CDC_D} = 0
+                THEN i END), x -> x IS NOT NULL) AS bs
+  FROM codes WHERE n > 0),
+spans AS (
+  SELECT doc_id, h,
+         LIST_PREPEND(0, CASE WHEN LEN(bs) = 0 OR bs[LEN(bs)] != n
+                              THEN LIST_APPEND(bs, n) ELSE bs END) AS b
+  FROM bl),
+ks AS (
+  SELECT doc_id, h, b, UNNEST(RANGE(1, LEN(b))) AS k FROM spans),
+ch AS (
+  SELECT doc_id,
+         MD5(SUBSTR(h, 2 * b[k] + 1, 2 * (b[k + 1] - b[k]))) AS chash
+  FROM ks),
+dup AS (SELECT chash, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+per AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_chunks,
+         COUNT(CASE WHEN d.nd > 1 THEN 1 END) AS dup_chunks
+  FROM ch c JOIN dup d USING (chash)
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(per.dup_chunks, 0) AS BIGINT) AS dup_chunks,
+       CAST(COALESCE(1000 * per.dup_chunks // per.n_chunks, 0) AS BIGINT)
+         AS dup_milli
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+def cdc_chunk_hashes(payloads: DataFrame) -> DataFrame:
+    """(doc_id, chash) — one row per content-defined chunk instance.
+    Arrow-batched: the rolling window hash is one np.convolve per payload
+    (window powers precomputed), boundaries at sum %% _CDC_D == 0, chunk id
+    = md5 of the chunk's UPPERCASE hex transcription (hex, not raw bytes:
+    DuckDB 1.0 cannot substring BLOBs, so the oracle hashes hex — both
+    engines must hash the same text). Shared by the query and its tests."""
+    wlen = _CDC_W
+    div = _CDC_D
+    pows = _CDC_POW
+
+    def op(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        pw = np.asarray(pows, dtype=np.int64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                if n >= wlen:
+                    conv = np.convolve(arr, pw, "full")[wlen - 1 : n]
+                    bs = (np.nonzero(conv % div == 0)[0] + wlen).tolist()
+                else:
+                    bs = []
+                if not bs or bs[-1] != n:
+                    bs.append(n)
+                hexs = payload.hex().upper()
+                lo = 0
+                for hi in bs:
+                    ids.append(int(doc_id))
+                    hashes.append(
+                        hashlib.md5(hexs[2 * lo : 2 * hi].encode()).hexdigest()
+                    )
+                    lo = hi
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chash": pd.Series(hashes, dtype=object),
+                }
+            )
+
+    return payloads.mapInPandas(op, schema="doc_id long, chash string")
+
+
+@query(
+    "mm_cdc_chunking",
+    oracle=_CDC_ORACLE,
+    doc=f"Content-defined chunking over binary payloads (the FastCDC/"
+    "rsync primitive behind dedupe storage, delta sync, and chunk-level "
+    "corpus dedup — the BINARY analog of dedup_paragraph): a {_CDC_W}-"
+    "byte rolling polynomial hash marks a chunk boundary wherever it "
+    "divides {_CDC_D} (expected chunk ~{_CDC_D} bytes; boundaries "
+    "depend only on LOCAL content, so an insertion re-chunks one "
+    "neighborhood instead of shifting every fixed-size block — the whole "
+    "point vs offset-based chunking), then chunks dedup ACROSS the corpus "
+    "by md5 and each doc reports its duplicated-chunk fraction. The "
+    "oracle replays byte decode, window hash, boundary set, chunk spans, "
+    "md5 ids, and the cross-doc dup counts exactly. NO min-chunk floor by "
+    "design: min-chunk enforcement makes each boundary depend on the "
+    "previous one (sequential scan — unreplayable in SQL and "
+    "unparallelizable over byte ranges); the prime divisor already bounds "
+    "expected density. Scale shape: hashing is one Arrow-batched pass, "
+    "payload bytes never visit the driver, and the only corpus-scale "
+    "shuffle is the chunk-hash groupBy — O(bytes/{_CDC_D}) rows of "
+    "32-char keys, the same shape content-addressable stores run at PB "
+    "scale.",
+)
+def mm_cdc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    ch = cdc_chunk_hashes(
+        ingest_binary(spark, sf).select("doc_id", "payload")
+    ).localCheckpoint()  # feeds both the dup aggregate and the per-doc join
+    dup = ch.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per = (
+        ch.join(dup, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("dup_chunks"),
+        )
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("dup_chunks", F.lit(0)).cast("long").alias("dup_chunks"),
+        F.coalesce(
+            F.call_function(
+                "div", F.lit(1000) * F.col("dup_chunks"), F.col("n_chunks")
+            ),
+            F.lit(0),
+        ).cast("long").alias("dup_milli"),
+    )

@@ -1237,27 +1237,92 @@ def q32_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_Q33_PCTS = (50, 95, 99)
+
+
 @query(
     "q33_percentiles",
     oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cv
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, cv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
     SELECT event_type,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.95) AS p95,
-           quantile_cont(value, 0.99) AS p99
-    FROM events GROUP BY event_type
+           MAX(CASE WHEN rn = 50 * (n - 1) // 100 + 1 THEN cv END)
+             * 10000
+           + (MAX(CASE WHEN rn = 50 * (n - 1) // 100 + 1
+                       + CASE WHEN 50 * (n - 1) % 100 = 0 THEN 0 ELSE 1 END
+                  THEN cv END)
+              - MAX(CASE WHEN rn = 50 * (n - 1) // 100 + 1 THEN cv END))
+             * (50 * (n - 1) % 100) * 100 AS p50_micro,
+           MAX(CASE WHEN rn = 95 * (n - 1) // 100 + 1 THEN cv END)
+             * 10000
+           + (MAX(CASE WHEN rn = 95 * (n - 1) // 100 + 1
+                       + CASE WHEN 95 * (n - 1) % 100 = 0 THEN 0 ELSE 1 END
+                  THEN cv END)
+              - MAX(CASE WHEN rn = 95 * (n - 1) // 100 + 1 THEN cv END))
+             * (95 * (n - 1) % 100) * 100 AS p95_micro,
+           MAX(CASE WHEN rn = 99 * (n - 1) // 100 + 1 THEN cv END)
+             * 10000
+           + (MAX(CASE WHEN rn = 99 * (n - 1) // 100 + 1
+                       + CASE WHEN 99 * (n - 1) % 100 = 0 THEN 0 ELSE 1 END
+                  THEN cv END)
+              - MAX(CASE WHEN rn = 99 * (n - 1) // 100 + 1 THEN cv END))
+             * (99 * (n - 1) % 100) * 100 AS p99_micro
+    FROM r GROUP BY event_type, n
     """,
-    doc="Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB "
-    "`quantile_cont`: same sorted-multiset definition, so doubles match "
-    "bit-for-bit). Exact percentile buffers each group's values — fine for "
-    "bounded groups; at 100 TB swap `percentile_approx` (t-digest sketch, "
-    "mergeable map-side, no buffering) for unbounded ones.",
+    doc="Exact interpolated percentiles per group in INTEGER MICRO-UNITS — "
+    "the all-integer reformulation of linear-interpolation quantiles: the "
+    "value column is centi-grid (max deviation 3.6e-12, verified), so "
+    "cv = round(value*100) is exact, the interpolation index k = p(N-1) "
+    "splits into integer rank and integer percent-fraction, and the "
+    "interpolated value a + (b-a)·fr/100 in micro-units is "
+    "a·10⁴ + (b-a)·fr·100 — EXACT integers end to end, no float "
+    "arithmetic anywhere. Replaces float percentile()/quantile_cont "
+    "pairing, which diverged in the last ulp AT SF1 ONLY (Spark "
+    "interpolates a+(b-a)f, DuckDB a(1-f)+bf: 230.53 vs "
+    "230.53000000000003 — caught by the sf1 oracle sweep, invisible at "
+    "sf0.01 where the fractions happened to land cleanly). Execution: one "
+    "rank window per group + a 6-conditional-max aggregate; per-group "
+    "sort is the same bound exact percentile() pays — swap "
+    "percentile_approx (mergeable t-digest) for unbounded groups at "
+    "100 TB.",
 )
 def q33_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
+    )
+    wn = W.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "cv",
+        F.row_number().over(wn.orderBy("cv")).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs = []
+    for pc in _Q33_PCTS:
+        k = F.lit(pc) * (F.col("n") - 1)
+        lo = F.call_function("div", k, F.lit(100)) + 1
+        fr = F.pmod(k, F.lit(100))
+        hi = lo + F.when(fr == 0, 0).otherwise(1)
+        a = F.max(F.when(F.col("rn") == lo, F.col("cv")))
+        b = F.max(F.when(F.col("rn") == hi, F.col("cv")))
+        aggs.append(
+            (a * 10000 + (b - a) * fr * 100)
+            .cast("long")
+            .alias(f"p{pc}_micro")
+        )
+    # n is constant within a group; grouping on it keeps lo/fr usable
+    # inside the aggregate expressions
+    return (
+        r.groupBy("event_type", "n").agg(*aggs).drop("n")
     )
 
 
@@ -7418,3 +7483,371 @@ def q109_bitemporal_asof(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(False),
         ).alias("revised_later"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-band range join (no equi-key — the bucketed-band construction)
+# --------------------------------------------------------------------------
+
+_RANGE_BAND_US = 60_000_000  # ±60 s, inclusive
+
+
+@query(
+    "q110_band_range_join",
+    oracle=f"""
+    SELECT e.event_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_views_nearby,
+           CAST(COALESCE(SUM(CAST(v.value AS DOUBLE)), 0.0) AS DOUBLE)
+             AS sum_view_value
+    FROM events e
+    LEFT JOIN events v
+      ON v.event_type = 'view' AND v.ts IS NOT NULL AND v.value IS NOT NULL
+     AND ABS(epoch_us(e.ts) - epoch_us(v.ts)) <= {_RANGE_BAND_US}
+    WHERE e.event_type = 'error' AND e.ts IS NOT NULL
+    GROUP BY e.event_id
+    """,
+    doc="PURE range join — no equi-key at all: every 'error' event counts "
+    "and sums the 'view' events within ±60 s of it, the blast-radius / "
+    "nearby-context primitive incident analysis needs and Spark has no "
+    "native operator for (a naive plan is a cartesian "
+    "BroadcastNestedLoopJoin). The banded construction turns it into an "
+    "equi-join: views land in floor(ts/band) buckets, each error probes "
+    "its own bucket ±1 (an interval of width ≤ band overlaps at most two "
+    "buckets, and probing three covers both directions), then the exact "
+    "|Δt| ≤ band predicate filters inside the join projection. Join "
+    "output is bounded by probe rows × per-bucket density — time-uniform "
+    "data gives O(N·density), and a hot bucket is a real data hotspot, "
+    "not a plan artifact (AQE skew-join splits it). µs integer arithmetic "
+    "end to end (unix_micros ≡ epoch_us; a SECOND-truncated "
+    "unix_timestamp would disagree with the oracle at boundaries). At "
+    "100 TB this is the scale-safe shape for every no-key temporal "
+    "correlation: sessionless attribution, incident blast radius, "
+    "sensor-fusion alignment.",
+)
+def q110_band_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    band = _RANGE_BAND_US
+    errors = e.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select("event_id", F.unix_micros("ts").alias("eus"))
+    views = e.filter(
+        (F.col("event_type") == "view")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.unix_micros("ts").alias("vus"),
+        F.col("value").cast("double").alias("vval"),
+        F.call_function("div", F.unix_micros("ts"), F.lit(band)).alias("b"),
+    )
+    probes = errors.select(
+        "event_id",
+        "eus",
+        F.explode(
+            F.array(
+                *[
+                    F.call_function("div", F.col("eus"), F.lit(band)) + F.lit(d)
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("b"),
+    )
+    joined = probes.join(
+        views, (probes.b == views.b) & (F.abs(F.col("eus") - F.col("vus")) <= band)
+    )
+    hits = joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_views_nearby"),
+        F.sum("vval").alias("sum_view_value"),
+    )
+    # LEFT semantics: errors with an empty band still report 0 / 0.0
+    return errors.select("event_id").join(hits, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_views_nearby", F.lit(0)).cast("long").alias(
+            "n_views_nearby"
+        ),
+        F.coalesce("sum_view_value", F.lit(0.0)).alias("sum_view_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV/theta-sketch SET ALGEBRA (union + intersection estimates per type pair)
+# --------------------------------------------------------------------------
+
+_KMV_PAIR_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_KMV_H_SQL} AS hv FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT event_type, hv FROM r WHERE rn <= {_KMV_K}),
+types AS (SELECT DISTINCT event_type FROM h),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT ta, tb, hv,
+         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT p.ta, p.tb, s.hv
+        FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb))
+),
+uk AS (
+  SELECT ta, tb, COUNT(*) AS ck, MAX(hv) AS theta
+  FROM u WHERE rn <= {_KMV_K} GROUP BY ta, tb
+),
+common AS (
+  SELECT p.ta, p.tb, sa.hv
+  FROM pairs p
+  JOIN sk sa ON sa.event_type = p.ta
+  JOIN sk sb ON sb.event_type = p.tb AND sb.hv = sa.hv
+),
+cc AS (
+  SELECT u.ta, u.tb,
+         COUNT(c.hv) AS nc,
+         COUNT(CASE WHEN c.hv < u.theta THEN 1 END) AS nc_strict
+  FROM uk u LEFT JOIN common c ON c.ta = u.ta AND c.tb = u.tb
+  GROUP BY u.ta, u.tb
+),
+du AS (SELECT event_type, user_id FROM events
+       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       GROUP BY 1, 2),
+ex_i AS (
+  SELECT p.ta, p.tb, COUNT(*) AS ni
+  FROM pairs p
+  JOIN du a ON a.event_type = p.ta
+  JOIN du b ON b.event_type = p.tb AND b.user_id = a.user_id
+  GROUP BY 1, 2
+),
+ex_n AS (SELECT event_type, COUNT(*) AS nd FROM du GROUP BY 1)
+SELECT u.ta AS type_a, u.tb AS type_b,
+       CAST(CASE WHEN u.ck < {_KMV_K} THEN u.ck
+            ELSE ({_KMV_K - 1}) * 4294967296 // u.theta END AS BIGINT)
+         AS union_est,
+       CAST(CASE WHEN u.ck < {_KMV_K} THEN cc.nc
+            ELSE cc.nc_strict * 4294967296 // u.theta END AS BIGINT)
+         AS inter_est,
+       CAST(na.nd + nb.nd - COALESCE(ex_i.ni, 0) AS BIGINT) AS n_exact_union,
+       CAST(COALESCE(ex_i.ni, 0) AS BIGINT) AS n_exact_inter
+FROM uk u
+JOIN cc ON cc.ta = u.ta AND cc.tb = u.tb
+JOIN ex_n na ON na.event_type = u.ta
+JOIN ex_n nb ON nb.event_type = u.tb
+LEFT JOIN ex_i ON ex_i.ta = u.ta AND ex_i.tb = u.tb
+"""
+
+
+@query(
+    "q111_kmv_set_ops",
+    oracle=_KMV_PAIR_SQL,
+    doc=f"Theta-sketch SET ALGEBRA over the q107 KMV sketches: for every "
+    "pair of event_types, the audience-overlap estimates |A∪B| and |A∩B| "
+    "computed FROM THE SKETCHES ALONE (Theta-sketch semantics: merge the "
+    f"two bottom-{_KMV_K} sets, θ = the k-th smallest of the union, union "
+    "≈ (k−1)·2³²/θ, intersection ≈ |common hashes < θ|·2³²/θ; when the "
+    "union holds under k hashes both are exact by construction) — the "
+    "composability that makes sketches THE 100 TB audience tool: per-"
+    "partition sketches merge associatively, and set expressions evaluate "
+    "on k·|types| longs without touching the corpus again. The exact "
+    "sides ride along to score the estimates (their distinct-join is the "
+    "expensive thing the sketches replace). Same md5-prefix hash as q107 "
+    "so the oracle replays sketch contents, θ, both estimates, and both "
+    "exact counts bit-for-bit. All sketch-side frames are k·|types| rows; "
+    "the only corpus-scale work is the (group, hash) dedup q107 already "
+    "pays.",
+)
+def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    h = e.select(
+        "event_type", F.expr(_KMV_H_SPARK).cast("long").alias("hv")
+    ).distinct()
+    w1 = W.partitionBy(
+        "event_type", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))
+    ).orderBy("hv")
+    pruned = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("event_type").orderBy("hv")
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+        .localCheckpoint()  # k x |types| longs; feeds four subplans
+    )
+    # the event_type domain is a bounded enum: collect it (a handful of
+    # strings) and inline the pair list as a literal frame — a self cross
+    # join would plan BroadcastNestedLoopJoin (the global plan gate's
+    # forbidden class), and an OR-of-equalities join can't hash-partition
+    types = sorted(
+        r.event_type for r in sk.select("event_type").distinct().collect()
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]],
+        "ta string, tb string",
+    )
+    su = sk.withColumnRenamed("event_type", "t")
+    merged = (
+        pairs.select("ta", "tb", F.explode(F.array("ta", "tb")).alias("t"))
+        .join(su, "t")
+        .select("ta", "tb", "hv")
+        .distinct()
+    )
+    wu = W.partitionBy("ta", "tb").orderBy("hv")
+    uk = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ck"), F.max("hv").alias("theta"))
+    )
+    sa = sk.select(F.col("event_type").alias("ta"), "hv")
+    sb = sk.select(F.col("event_type").alias("tb"), "hv")
+    common = pairs.join(sa, "ta").join(sb, ["tb", "hv"]).select("ta", "tb", "hv")
+    cc = (
+        uk.join(common, ["ta", "tb"], "left")
+        .groupBy("ta", "tb", "ck", "theta")
+        .agg(
+            F.count("hv").alias("nc"),
+            F.count(F.when(F.col("hv") < F.col("theta"), 1)).alias("nc_strict"),
+        )
+    )
+    du = e.select("event_type", "user_id").distinct().localCheckpoint()
+    ex_n = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    da = du.select(F.col("event_type").alias("ta"), "user_id")
+    db = du.select(F.col("event_type").alias("tb"), "user_id")
+    ex_i = (
+        da.join(db, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    k = _KMV_K
+    union_est = F.when(F.col("ck") < k, F.col("ck")).otherwise(
+        F.call_function("div", F.lit((k - 1) * 4294967296), F.col("theta"))
+    )
+    inter_est = F.when(F.col("ck") < k, F.col("nc")).otherwise(
+        F.call_function(
+            "div", F.col("nc_strict") * F.lit(4294967296), F.col("theta")
+        )
+    )
+    na = ex_n.select(F.col("event_type").alias("ta"), F.col("nd").alias("nda"))
+    nb = ex_n.select(F.col("event_type").alias("tb"), F.col("nd").alias("ndb"))
+    return (
+        cc.join(na, "ta")
+        .join(nb, "tb")
+        .join(ex_i, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            union_est.cast("long").alias("union_est"),
+            inter_est.cast("long").alias("inter_est"),
+            (
+                F.col("nda") + F.col("ndb") - F.coalesce(F.col("ni"), F.lit(0))
+            ).cast("long").alias("n_exact_union"),
+            F.coalesce(F.col("ni"), F.lit(0)).cast("long").alias("n_exact_inter"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# graph: degree assortativity (the mixing-pattern scalar)
+# --------------------------------------------------------------------------
+
+
+def assortativity_of(edges: DataFrame) -> DataFrame:
+    """(n_nodes, n_edges, r_milli) of an undirected (u, v) edge frame —
+    the formula stage, shared by the query and the hand-built-graph unit
+    test (a star must score −1000, a clique NULL)."""
+    he = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = he.groupBy(F.col("src").alias("x")).agg(F.count(F.lit(1)).alias("dg"))
+    ds = deg.select(F.col("x").alias("src"), F.col("dg").alias("djs"))
+    dd = deg.select(F.col("x").alias("dst"), F.col("dg").alias("djd"))
+    d38 = "decimal(38,0)"
+    sums = (
+        he.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("m"),
+            F.sum(F.col("djs").cast(d38) * F.col("djd").cast(d38))
+            .cast(d38)
+            .alias("a"),
+            F.sum(F.col("djs").cast(d38)).cast(d38).alias("sj"),
+            F.sum(F.col("djs").cast(d38) * F.col("djs").cast(d38))
+            .cast(d38)
+            .alias("b"),
+        )
+    )
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    num = (F.lit(1000).cast(d38) * (F.col("m") * F.col("a") - F.col("sj") * F.col("sj"))).cast(d38)
+    den = (F.col("m") * F.col("b") - F.col("sj") * F.col("sj")).cast(d38)
+    r_milli = F.when(
+        den == F.lit(0).cast(d38), F.lit(None).cast("long")
+    ).otherwise(F.call_function("div", num, den).cast("long"))
+    return sums.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        r_milli.alias("r_milli"),
+    )
+
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH eo AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 10 = 0
+    ),
+    he AS (
+      SELECT u AS src, v AS dst FROM eo
+      UNION ALL
+      SELECT v AS src, u AS dst FROM eo
+    ),
+    deg AS (SELECT src AS x, COUNT(*) AS dg FROM he GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38, 0)) AS m,
+             CAST(SUM(CAST(ds.dg AS DECIMAL(38, 0))
+                      * CAST(dd.dg AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS a,
+             CAST(SUM(CAST(ds.dg AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sj,
+             CAST(SUM(CAST(ds.dg AS DECIMAL(38, 0))
+                      * CAST(ds.dg AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS b
+      FROM he
+      JOIN deg ds ON ds.x = he.src
+      JOIN deg dd ON dd.x = he.dst
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM eo) AS BIGINT) AS n_edges,
+           CAST(CASE WHEN m * b - sj * sj = 0 THEN NULL
+                ELSE CAST(1000 * (m * a - sj * sj) AS DECIMAL(38, 0))
+                     // (m * b - sj * sj) END AS BIGINT) AS r_milli
+    FROM s
+    """,
+    doc="Degree ASSORTATIVITY of the part co-purchase graph (Pearson "
+    "correlation of endpoint degrees over directed half-edges, Newman "
+    "2002's full-degree form): r > 0 = hubs buy with hubs (social-network "
+    "mixing), r < 0 = hub-and-spoke (the common retail/web shape) — the "
+    "one-scalar structure diagnostic that tells you whether degree-ordered "
+    "orientation (triangle/k-core family) or hub-salting is the right "
+    "plan for THIS graph before running it. Exact integer/decimal "
+    "arithmetic end to end: r = (M·Σjk − S²)/(M·Σj² − S²) over "
+    "decimal(38,0) sums (the q56 headroom discipline — M·Σjk overflows "
+    "int64 at ~1e6 hub-degree edges), milli via truncate-toward-zero "
+    "division paired with DuckDB `//`; a float Pearson would be "
+    "partition-order-dependent and unhashable. Degenerate regular graph "
+    "(zero variance) yields NULL on both engines. One edge-list pass + "
+    "two broadcast degree joins; the only corpus-scale shuffle is the "
+    "degree groupBy the whole graph family already pays.",
+)
+def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    edges, _ = _copurchase_graph(spark, sf)
+    return assortativity_of(edges)

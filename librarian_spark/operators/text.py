@@ -2876,3 +2876,72 @@ def text_boilerplate_detect(spark: SparkSession, sf: str) -> DataFrame:
         share.cast("long").alias("prefix_share_milli"),
         (share >= _BP_FLAG_MILLI).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf conformance (corpus-health fit to the 1/rank law, all-integer)
+# --------------------------------------------------------------------------
+
+_ZIPF_RANKS = 100
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST(STR_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+      FROM documents
+    ),
+    freq AS (SELECT source, t, COUNT(*) AS f FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, f,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY f DESC, t) AS rn
+      FROM freq
+    ),
+    top AS (
+      SELECT source, f, rn,
+             FIRST_VALUE(f) OVER (PARTITION BY source ORDER BY rn) AS f1
+      FROM ranked WHERE rn <= {_ZIPF_RANKS}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           CAST(MAX(f1) AS BIGINT) AS top1_freq,
+           CAST(SUM(f) AS BIGINT) AS top_mass,
+           CAST(1000 * SUM(ABS(f - f1 // rn)) // SUM(f) AS BIGINT)
+             AS zipf_dev_milli
+    FROM top GROUP BY source
+    """,
+    doc=f"Zipf CONFORMANCE per source — the corpus-health check that flags "
+    "template/boilerplate-dominated or synthetic-spam sources before "
+    "training (natural language tracks freq(r) ≈ f1/r; machine-generated "
+    "and template text deviates hard): for the top {_ZIPF_RANKS} token "
+    "ranks, the normalized L1 deviation from the ideal harmonic curve, "
+    "Σ|f_r − f1∕r| / Σf_r in milli. ALL-INTEGER by construction — the "
+    "ideal frequency is the truncating division f1//r, so no log-log "
+    "regression (engine log() differs in the last ulp and is unhashable "
+    "— the lm_score/pmi lesson) and the oracle replays every rank and "
+    "deviation exactly. Execution: the one corpus-scale stage is the "
+    "(source, token) frequency aggregate (map-side combining); ranking "
+    "windows run per source over vocabulary-sized frames, and the final "
+    "reduce is {_ZIPF_RANKS} rows per source.",
+)
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("t"))
+    freq = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("f"))
+    wr = W.partitionBy("source").orderBy(F.col("f").desc(), F.col("t"))
+    ranked = freq.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= _ZIPF_RANKS
+    )
+    wf = W.partitionBy("source").orderBy("rn")
+    top = ranked.withColumn("f1", F.first("f").over(wf))
+    dev = F.abs(F.col("f") - F.call_function("div", F.col("f1"), F.col("rn")))
+    return top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.max("f1").cast("long").alias("top1_freq"),
+        F.sum("f").cast("long").alias("top_mass"),
+        F.call_function(
+            "div", F.lit(1000) * F.sum(dev), F.sum("f")
+        ).cast("long").alias("zipf_dev_milli"),
+    )

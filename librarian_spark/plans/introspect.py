@@ -114,6 +114,8 @@ TINY_DOMAIN_SINGLE_PARTITION = {
     "q88_benford": "window over the 9-digit expected table",
     "q91_share_of_total": "global-total window over the ~25-row nation "
     "aggregate (facts reduce first)",
+    "graph_assortativity": "1-row final reduce of per-partition "
+    "moment-sum partials (M, Sjk, Sj, Sj2 as decimal(38,0))",
 }
 
 

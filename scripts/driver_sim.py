@@ -32,6 +32,12 @@ def main() -> int:
     )
     print("entry rows:", ent.entry(spark).count())
     q, o = ent.queries(), ent.oracle_sql()
+    # DRIVER_SIM_ONLY: comma-separated name-prefix filter (family sweeps at
+    # big scale, e.g. "q,text_,cdc_" for the sf1 parity run)
+    only = __import__("os").environ.get("DRIVER_SIM_ONLY")
+    if only:
+        prefixes = tuple(p.strip() for p in only.split(",") if p.strip())
+        q = {n: f for n, f in q.items() if n.startswith(prefixes)}
     failed, rows_only, secs = [], 0, {}
     for name in sorted(q):
         t0 = time.perf_counter()

@@ -1327,3 +1327,83 @@ def test_bitemporal_flags_late_arrivals(spark, sf_dir):
     assert any(r.revised_later for r in rows)
     assert any(not r.revised_later for r in rows)
     assert all(r.last_event_id % _BT_BATCHES <= _BT_ASOF_BATCH for r in rows)
+
+
+# --------------------------------------------------------------------------
+# round-9 operators: property pins beyond the oracle harness
+# --------------------------------------------------------------------------
+
+
+def test_assortativity_reference_graphs(spark):
+    """Formula pin independent of the oracle (both engines could be wrong
+    identically): a star is perfectly disassortative (r = −1 → −1000
+    milli), a clique is degree-regular (zero variance → NULL), and a
+    two-triangle barbell is negative but > −1."""
+    from librarian_spark.operators.relational import assortativity_of
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "u long, v long")
+    r = assortativity_of(star).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.r_milli) == (6, 5, -1000)
+
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "u long, v long"
+    )
+    r = assortativity_of(clique).collect()[0]
+    assert r.r_milli is None
+
+    barbell = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)],
+        "u long, v long",
+    )
+    r = assortativity_of(barbell).collect()[0]
+    assert r.r_milli is not None and -1000 < r.r_milli < 0
+
+
+def test_cdc_chunking_insertion_locality(spark):
+    """THE content-defined-chunking property (why it beats fixed-size
+    blocks): prepending bytes to a payload re-chunks only the prefix
+    neighborhood — the majority of chunk hashes survive, where fixed
+    blocks would shift every boundary and lose them all."""
+    import hashlib
+
+    from librarian_spark.operators.multimodal import cdc_chunk_hashes
+
+    # NON-periodic deterministic payload (a repeated sentence makes every
+    # chunk identical — correct CDC behavior, but vacuous for this test)
+    text = b"".join(
+        hashlib.md5(f"cdc-{i}".encode()).digest() for i in range(200)
+    )
+    base = spark.createDataFrame([(1, bytearray(text))], "doc_id long, payload binary")
+    shifted = spark.createDataFrame(
+        [(2, bytearray(b"INSERTED-PREFIX-BYTES " + text))],
+        "doc_id long, payload binary",
+    )
+    h1 = {r.chash for r in cdc_chunk_hashes(base).collect()}
+    h2 = {r.chash for r in cdc_chunk_hashes(shifted).collect()}
+    assert len(h1) >= 5, "payload should produce several distinct chunks"
+    survived = len(h1 & h2)
+    assert survived >= len(h1) - 2, (
+        f"only {survived}/{len(h1)} distinct chunks survived a prefix insertion"
+    )
+
+
+def test_kmv_set_ops_estimates_track_exact(spark, sf_dir):
+    """Sketch-derived union/intersection estimates must stay inside the
+    KMV error envelope of the exact counts they estimate (k=64 → ~1/8
+    relative error; assert a generous 3-sigma-ish band), and be EXACT when
+    the union fits under k hashes."""
+    from librarian_spark.operators.registry import load_all
+
+    rows = load_all()["q111_kmv_set_ops"].spark_fn(spark, sf_dir).collect()
+    assert rows, "events should have at least two event types"
+    for r in rows:
+        if r.n_exact_union <= 64:
+            assert r.union_est == r.n_exact_union
+            assert r.inter_est == r.n_exact_inter
+        else:
+            assert abs(r.union_est - r.n_exact_union) <= max(
+                8, r.n_exact_union * 0.45
+            )
+            assert abs(r.inter_est - r.n_exact_inter) <= max(
+                8, r.n_exact_union * 0.45
+            )
