@@ -3651,3 +3651,121 @@ def pipeline_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dead-letter queue (malformed/invalid envelope routing + audit)
+# --------------------------------------------------------------------------
+
+_DLQ_MOD = 7  # event_id % 7 == 3 rows are corrupted into invalid JSON
+
+
+@query(
+    "pipeline_dlq",
+    oracle=f"""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % {_DLQ_MOD} != 3 AND user_id IS NOT NULL
+    """,
+    doc="Streaming DEAD-LETTER QUEUE — the ingestion-hardening pattern "
+    "every production CDC/event pipeline needs and naive pipelines crash "
+    "on: a JSON event stream where a deterministic slice "
+    f"(event_id % {_DLQ_MOD} == 3) is corrupted into invalid JSON, driven "
+    "through a checkpointed foreachBatch that routes rows three ways — "
+    "unparseable payloads to the DLQ with reason 'malformed', parsed rows "
+    "failing the contract (NULL key) to the DLQ with reason 'missing_key', "
+    "clean rows to the good table. The DLQ row keeps the RAW payload + "
+    "reason + batch id, so operators can replay it after a fix (the "
+    "quarantine table's streaming twin; pipeline_quarantine is the batch "
+    "half). The oracle is the batch equivalent of the good path — "
+    "convergence proof that streaming triage drops EXACTLY the bad slice "
+    "and nothing else; DLQ reason totals are pinned by "
+    "test_dlq_routes_raw_payloads. Per-batch cost is one parse + one "
+    "filter split (both sinks append parquet); nothing buffers beyond the "
+    "batch, so state is O(1) and the shape holds at any rate.",
+)
+def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("dlq", sf, "events", salt=f"v1:{_DLQ_MOD}")
+    _sweep_run_dirs("/tmp", ("librarian_dlq_",))
+    _sweep_run_dirs(base, ("out_", "dlq_", "ckpt_"))
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_READY")):
+        ev = load_table(spark, sf, "events").select(
+            "event_id", "user_id", "value"
+        )
+        payload = F.to_json(F.struct("event_id", "user_id", "value"))
+        # corrupt the slice AFTER serialization: truncated JSON (drop the
+        # closing brace and splice garbage) is what real producers emit
+        # on crash-mid-write
+        corrupted = F.when(
+            F.col("event_id") % _DLQ_MOD == 3,
+            F.concat(F.substring(payload, 1, 10), F.lit("%%TRUNCATED")),
+        ).otherwise(payload)
+        ev.select(corrupted.alias("value")).coalesce(4).write.mode(
+            "overwrite"
+        ).text(in_dir)
+        with open(os.path.join(in_dir, "_READY"), "w") as fh:
+            fh.write("")
+
+    run_id = uuid.uuid4().hex[:8]
+    out, dlq, ckpt = (
+        f"{base}/out_{run_id}",
+        f"{base}/dlq_{run_id}",
+        f"{base}/ckpt_{run_id}",
+    )
+    schema = "event_id long, user_id long, value double"
+    stream = spark.readStream.schema("value string").text(in_dir)
+
+    def route(batch, batch_id):
+        parsed = batch.withColumn(
+            "row", F.from_json(F.col("value"), schema)
+        ).persist()
+        try:
+            bad_parse = parsed.filter(F.col("row").isNull())
+            bad_key = parsed.filter(
+                F.col("row").isNotNull() & F.col("row.user_id").isNull()
+            )
+            good = parsed.filter(
+                F.col("row").isNotNull() & F.col("row.user_id").isNotNull()
+            )
+            (
+                bad_parse.select(
+                    F.col("value").alias("raw"),
+                    F.lit("malformed").alias("reason"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                .unionByName(
+                    bad_key.select(
+                        F.col("value").alias("raw"),
+                        F.lit("missing_key").alias("reason"),
+                        F.lit(batch_id).alias("batch_id"),
+                    )
+                )
+                .write.mode("append")
+                .parquet(dlq)
+            )
+            good.select("row.*").write.mode("append").parquet(out)
+        finally:
+            parsed.unpersist()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
