@@ -3719,20 +3719,29 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
         f"{base}/dlq_{run_id}",
         f"{base}/ckpt_{run_id}",
     )
-    schema = "event_id long, user_id long, value double"
+    # PERMISSIVE from_json yields an all-NULL struct (not a NULL struct) on
+    # invalid JSON — the corrupt-record column is the idiomatic malformed
+    # detector: non-null exactly when the payload failed to parse
+    schema = "event_id long, user_id long, value double, _corrupt string"
     stream = spark.readStream.schema("value string").text(in_dir)
 
     def route(batch, batch_id):
         parsed = batch.withColumn(
-            "row", F.from_json(F.col("value"), schema)
+            "row",
+            F.from_json(
+                F.col("value"),
+                schema,
+                {"columnNameOfCorruptRecord": "_corrupt"},
+            ),
         ).persist()
         try:
-            bad_parse = parsed.filter(F.col("row").isNull())
+            bad_parse = parsed.filter(F.col("row._corrupt").isNotNull())
             bad_key = parsed.filter(
-                F.col("row").isNotNull() & F.col("row.user_id").isNull()
+                F.col("row._corrupt").isNull() & F.col("row.user_id").isNull()
             )
             good = parsed.filter(
-                F.col("row").isNotNull() & F.col("row.user_id").isNotNull()
+                F.col("row._corrupt").isNull()
+                & F.col("row.user_id").isNotNull()
             )
             (
                 bad_parse.select(
@@ -3750,7 +3759,9 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
                 .write.mode("append")
                 .parquet(dlq)
             )
-            good.select("row.*").write.mode("append").parquet(out)
+            good.select("row.event_id", "row.user_id", "row.value").write.mode(
+                "append"
+            ).parquet(out)
         finally:
             parsed.unpersist()
 
