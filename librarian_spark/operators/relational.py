@@ -7497,8 +7497,8 @@ _RANGE_BAND_US = 60_000_000  # ±60 s, inclusive
     oracle=f"""
     SELECT e.event_id,
            CAST(COUNT(v.event_id) AS BIGINT) AS n_views_nearby,
-           CAST(COALESCE(SUM(CAST(v.value AS DOUBLE)), 0.0) AS DOUBLE)
-             AS sum_view_value
+           CAST(COALESCE(SUM(CAST(ROUND(v.value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS sum_view_centi
     FROM events e
     LEFT JOIN events v
       ON v.event_type = 'view' AND v.ts IS NOT NULL AND v.value IS NOT NULL
@@ -7536,7 +7536,9 @@ def q110_band_range_join(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("value").isNotNull()
     ).select(
         F.unix_micros("ts").alias("vus"),
-        F.col("value").cast("double").alias("vval"),
+        # centi-grid value as exact int (the q33 discipline): a double SUM
+        # is summation-order-dependent and unhashable across engines
+        F.round(F.col("value") * 100).cast("long").alias("vval"),
         F.call_function("div", F.unix_micros("ts"), F.lit(band)).alias("b"),
     )
     probes = errors.select(
@@ -7556,15 +7558,17 @@ def q110_band_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     hits = joined.groupBy("event_id").agg(
         F.count(F.lit(1)).alias("n_views_nearby"),
-        F.sum("vval").alias("sum_view_value"),
+        F.sum("vval").alias("sum_view_centi"),
     )
-    # LEFT semantics: errors with an empty band still report 0 / 0.0
+    # LEFT semantics: errors with an empty band still report 0 / 0
     return errors.select("event_id").join(hits, "event_id", "left").select(
         "event_id",
         F.coalesce("n_views_nearby", F.lit(0)).cast("long").alias(
             "n_views_nearby"
         ),
-        F.coalesce("sum_view_value", F.lit(0.0)).alias("sum_view_value"),
+        F.coalesce("sum_view_centi", F.lit(0)).cast("long").alias(
+            "sum_view_centi"
+        ),
     )
 
 
