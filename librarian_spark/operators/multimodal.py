@@ -1392,8 +1392,10 @@ _CDC_D = 101  # boundary divisor -> expected chunk ~101 bytes
 # 2-cycle and put boundaries on a degenerate stripe)
 _CDC_POW = [1, 4099, 16801801, 16887835, 442449, 1659123, 22749913, 4126859, 4561313, 7003363, 17745577, 26665979, 17062897, 13378515, 10591097, 27026027]
 
-_CDC_ORACLE = f"""
-WITH hx AS (
+# chunk-derivation CTEs shared by mm_cdc_chunking and mm_chunk_index —
+# one copy, so the chunk mechanism can never drift between the two oracles
+_CDC_CHUNK_CTES = f"""
+hx AS (
   SELECT doc_id, HEX(ENCODE(text)) AS h, OCTET_LENGTH(ENCODE(text)) AS n
   FROM documents),
 codes AS (
@@ -1421,7 +1423,11 @@ ks AS (
 ch AS (
   SELECT doc_id,
          MD5(SUBSTR(h, 2 * b[k] + 1, 2 * (b[k + 1] - b[k]))) AS chash
-  FROM ks),
+  FROM ks)
+"""
+
+_CDC_ORACLE = f"""
+WITH {_CDC_CHUNK_CTES},
 dup AS (SELECT chash, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
 per AS (
   SELECT c.doc_id,
@@ -1537,4 +1543,120 @@ def mm_cdc_chunking(spark: SparkSession, sf: str) -> DataFrame:
             ),
             F.lit(0),
         ).cast("long").alias("dup_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted content-addressable chunk index (the CAS / incremental-dedup shape)
+# --------------------------------------------------------------------------
+
+_CIDX_BUCKETS = 64  # hash-prefix partition dirs
+_CIDX_QUERY_MOD = 4  # doc_id % 4 == 0 plays the incoming batch
+
+_CHUNK_INDEX_ORACLE = f"""
+WITH {_CDC_CHUNK_CTES},
+chd AS (SELECT DISTINCT doc_id, chash FROM ch),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_shared
+  FROM chd a JOIN chd b ON a.chash = b.chash AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {_CIDX_QUERY_MOD} = 0 OR b.doc_id % {_CIDX_QUERY_MOD} = 0
+  GROUP BY 1, 2)
+SELECT doc_id_1, doc_id_2, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs
+"""
+
+
+def ensure_chunk_index(spark: SparkSession, sf: str) -> str:
+    """Build-once accessor for the persisted chunk-hash index of a corpus:
+    distinct (doc_id, chash) rows partitioned on disk by a 64-way hash
+    prefix bucket — the content-addressable-store layout, where a probe
+    opens only its own buckets' files. Tag versions the layout constants
+    (the ensure_minhash_index discipline)."""
+    import hashlib as _hl
+    import os
+
+    src = os.path.join(sf, "documents.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    layout = f"{_CIDX_BUCKETS}:{_CDC_W}:{_CDC_D}:v1"
+    tag = _hl.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/librarian_ckidx_{tag}"
+    if os.path.isdir(index_dir):
+        try:
+            with open(os.path.join(index_dir, "_keepalive"), "w") as fh:
+                fh.write("")
+        except OSError:
+            pass
+    from librarian_spark.operators.pipeline import _sweep_run_dirs
+
+    _sweep_run_dirs("/tmp", ("librarian_ckidx_",))
+    if not os.path.exists(index_dir + "/chunks/_SUCCESS"):
+        ch = cdc_chunk_hashes(
+            ingest_binary(spark, sf).select("doc_id", "payload")
+        ).distinct()
+        ch.withColumn("bucket", _chunk_bucket()).repartition(
+            "bucket"
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            index_dir + "/chunks"
+        )
+    return index_dir
+
+
+def _chunk_bucket():
+    """Bucket = first 8 hex chars of the chunk md5 mod _CIDX_BUCKETS —
+    derived from the hash itself so index writers and probers can never
+    disagree."""
+    return F.pmod(
+        F.conv(F.substring("chash", 1, 8), 16, 10).cast("long"),
+        F.lit(_CIDX_BUCKETS),
+    )
+
+
+@query(
+    "mm_chunk_index",
+    oracle=_CHUNK_INDEX_ORACLE,
+    doc=f"PERSISTED content-addressable chunk index + incoming-batch probe "
+    "— the incremental chunk-dedup shape of a dedupe store: the corpus's "
+    "content-defined chunk hashes (mm_cdc_chunking's mechanism) live on "
+    f"disk partitioned by a {_CIDX_BUCKETS}-way hash-prefix bucket; an "
+    f"incoming batch (doc_id % {_CIDX_QUERY_MOD} == 0 plays it) chunks "
+    "map-only, probes ONLY its buckets' partition dirs (static partition "
+    "filter -> file skipping at rest), and reports (query, corpus doc, "
+    "shared distinct chunks) overlap pairs. Pairs with BOTH sides in the "
+    "batch are counted once via a distinct-chunk count (each side also "
+    "probes from the other direction). Oracle = the exact all-pairs "
+    "shared-chunk SQL restricted to pairs touching the batch, so the "
+    "match certifies index completeness across the "
+    "build->persist->probe round trip — nothing is lost at rest. At "
+    "100 TB this is dedupe-store ingest: new data never re-scans the "
+    "corpus, it opens bytes/(chunk x buckets) of index per probe bucket.",
+)
+def mm_chunk_index(spark: SparkSession, sf: str) -> DataFrame:
+    index_dir = ensure_chunk_index(spark, sf)
+    queries = ingest_binary(spark, sf).filter(
+        F.col("doc_id") % _CIDX_QUERY_MOD == 0
+    )
+    # localCheckpoint: two actions over the Python chunking pass (bucket
+    # collect + the final aggregation) — the minhash_index_probe lesson
+    qch = (
+        cdc_chunk_hashes(queries.select("doc_id", "payload"))
+        .distinct()
+        .withColumn("bucket", _chunk_bucket())
+        .localCheckpoint()
+    )
+    probes = [r.bucket for r in qch.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(index_dir + "/chunks").filter(
+        F.col("bucket").isin(probes)  # static partition filter -> file skip
+    )
+    pairs = (
+        qch.select(F.col("doc_id").alias("q_id"), "chash")
+        .join(idx.select("doc_id", "chash"), "chash")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select(
+            F.least("q_id", "doc_id").alias("doc_id_1"),
+            F.greatest("q_id", "doc_id").alias("doc_id_2"),
+            "chash",
+        )
+    )
+    return pairs.groupBy("doc_id_1", "doc_id_2").agg(
+        F.count_distinct("chash").cast("long").alias("n_shared")
     )
