@@ -3743,6 +3743,10 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("row._corrupt").isNull()
                 & F.col("row.user_id").isNotNull()
             )
+            # idempotent on batch REPLAY (foreachBatch is at-least-once):
+            # each sink partitions by batch_id and dynamically overwrites
+            # only its own batch's partition — a retried batch replaces
+            # itself instead of double-appending
             (
                 bad_parse.select(
                     F.col("value").alias("raw"),
@@ -3756,11 +3760,17 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
                         F.lit(batch_id).alias("batch_id"),
                     )
                 )
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(dlq)
             )
-            good.select("row.event_id", "row.user_id", "row.value").write.mode(
-                "append"
+            good.select(
+                "row.event_id", "row.user_id", "row.value"
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "batch_id"
             ).parquet(out)
         finally:
             parsed.unpersist()
@@ -3779,4 +3789,4 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out).select(
         "event_id", "user_id", F.col("value").cast("double").alias("value")
-    )
+    )  # batch_id partition col dropped by the projection
