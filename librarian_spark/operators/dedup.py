@@ -508,7 +508,11 @@ def _simhash_map(d: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             tok_lists = [
-                ("" if t is None else t).strip().lower().split(" ")
+                # strip SPACES only: DuckDB TRIM strips ' ' while Python's
+                # bare .strip() eats all whitespace — divergent token sets
+                # on tab/newline-wrapped text now that the oracle replays
+                # tokenization (load-bearing since the md5 switch)
+                ("" if t is None else t).strip(" ").lower().split(" ")
                 for t in pdf["text"]
             ]
             lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64)

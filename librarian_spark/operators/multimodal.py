@@ -1499,9 +1499,9 @@ def cdc_chunk_hashes(payloads: DataFrame) -> DataFrame:
     oracle=_CDC_ORACLE,
     doc=f"Content-defined chunking over binary payloads (the FastCDC/"
     "rsync primitive behind dedupe storage, delta sync, and chunk-level "
-    "corpus dedup — the BINARY analog of dedup_paragraph): a {_CDC_W}-"
+    f"corpus dedup — the BINARY analog of dedup_paragraph): a {_CDC_W}-"
     "byte rolling polynomial hash marks a chunk boundary wherever it "
-    "divides {_CDC_D} (expected chunk ~{_CDC_D} bytes; boundaries "
+    f"divides {_CDC_D} (expected chunk ~{_CDC_D} bytes; boundaries "
     "depend only on LOCAL content, so an insertion re-chunks one "
     "neighborhood instead of shifting every fixed-size block — the whole "
     "point vs offset-based chunking), then chunks dedup ACROSS the corpus "
@@ -1513,7 +1513,7 @@ def cdc_chunk_hashes(payloads: DataFrame) -> DataFrame:
     "unparallelizable over byte ranges); the prime divisor already bounds "
     "expected density. Scale shape: hashing is one Arrow-batched pass, "
     "payload bytes never visit the driver, and the only corpus-scale "
-    "shuffle is the chunk-hash groupBy — O(bytes/{_CDC_D}) rows of "
+    f"shuffle is the chunk-hash groupBy — O(bytes/{_CDC_D}) rows of "
     "32-char keys, the same shape content-addressable stores run at PB "
     "scale.",
 )

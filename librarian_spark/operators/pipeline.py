@@ -3665,7 +3665,8 @@ _DLQ_MOD = 7  # event_id % 7 == 3 rows are corrupted into invalid JSON
     oracle=f"""
     SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
     FROM events
-    WHERE event_id % {_DLQ_MOD} != 3 AND user_id IS NOT NULL
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      AND event_id % {_DLQ_MOD} != 3
     """,
     doc="Streaming DEAD-LETTER QUEUE — the ingestion-hardening pattern "
     "every production CDC/event pipeline needs and naive pipelines crash "
@@ -3736,13 +3737,17 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
         ).persist()
         try:
             bad_parse = parsed.filter(F.col("row._corrupt").isNotNull())
+            # contract: BOTH keys required — a NULL event_id would also
+            # slip the corruption WHEN (NULL % 7 == 3 is NULL -> otherwise)
+            # and diverge from the oracle's NULL-filtering modulo predicate
+            has_keys = (
+                F.col("row.user_id").isNotNull()
+                & F.col("row.event_id").isNotNull()
+            )
             bad_key = parsed.filter(
-                F.col("row._corrupt").isNull() & F.col("row.user_id").isNull()
+                F.col("row._corrupt").isNull() & ~has_keys
             )
-            good = parsed.filter(
-                F.col("row._corrupt").isNull()
-                & F.col("row.user_id").isNotNull()
-            )
+            good = parsed.filter(F.col("row._corrupt").isNull() & has_keys)
             # idempotent on batch REPLAY (foreachBatch is at-least-once):
             # each sink partitions by batch_id and dynamically overwrites
             # only its own batch's partition — a retried batch replaces

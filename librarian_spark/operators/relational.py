@@ -7502,6 +7502,7 @@ _RANGE_BAND_US = 60_000_000  # ±60 s, inclusive
     FROM events e
     LEFT JOIN events v
       ON v.event_type = 'view' AND v.ts IS NOT NULL AND v.value IS NOT NULL
+     AND v.event_id IS NOT NULL
      AND ABS(epoch_us(e.ts) - epoch_us(v.ts)) <= {_RANGE_BAND_US}
     WHERE e.event_type = 'error' AND e.ts IS NOT NULL
     GROUP BY e.event_id
@@ -7534,6 +7535,8 @@ def q110_band_range_join(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_type") == "view")
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
+        # NULL event_id guard: the oracle's COUNT(v.event_id) skips them
+        & F.col("event_id").isNotNull()
     ).select(
         F.unix_micros("ts").alias("vus"),
         # centi-grid value as exact int (the q33 discipline): a double SUM
@@ -7789,7 +7792,6 @@ def assortativity_of(edges: DataFrame) -> DataFrame:
         )
     )
     n_nodes = deg.count()
-    n_edges = edges.count()
     num = (F.lit(1000).cast(d38) * (F.col("m") * F.col("a") - F.col("sj") * F.col("sj"))).cast(d38)
     den = (F.col("m") * F.col("b") - F.col("sj") * F.col("sj")).cast(d38)
     r_milli = F.when(
@@ -7797,7 +7799,10 @@ def assortativity_of(edges: DataFrame) -> DataFrame:
     ).otherwise(F.call_function("div", num, den).cast("long"))
     return sums.select(
         F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+        # |E| = half-edge count / 2 — no second action over the edge list
+        F.call_function("div", F.col("m"), F.lit(2).cast(d38))
+        .cast("long")
+        .alias("n_edges"),
         r_milli.alias("r_milli"),
     )
 
@@ -7831,9 +7836,15 @@ def assortativity_of(edges: DataFrame) -> DataFrame:
     )
     SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST((SELECT COUNT(*) FROM eo) AS BIGINT) AS n_edges,
+           -- HUGEINT // HUGEINT truncates toward zero (pairs with Spark
+           -- div); DECIMAL // DECIMAL is DOUBLE division in DuckDB 1.0 and
+           -- the BIGINT cast ROUNDS — it diverges on any quotient with
+           -- fraction >= 0.5 (confirmed empirically; sf0.01 passed at .243
+           -- by luck)
            CAST(CASE WHEN m * b - sj * sj = 0 THEN NULL
-                ELSE CAST(1000 * (m * a - sj * sj) AS DECIMAL(38, 0))
-                     // (m * b - sj * sj) END AS BIGINT) AS r_milli
+                ELSE CAST(1000 * (m * a - sj * sj) AS HUGEINT)
+                     // CAST(m * b - sj * sj AS HUGEINT) END AS BIGINT)
+             AS r_milli
     FROM s
     """,
     doc="Degree ASSORTATIVITY of the part co-purchase graph (Pearson "

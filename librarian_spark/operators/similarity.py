@@ -983,7 +983,8 @@ def _km_trunc_div(a: int, n: int) -> int:
 
 
 def _km_assign(cents_bc, final: bool):
-    """Arrow-batched Lloyd's step against broadcast centroids (k x d int64).
+    """Arrow-batched Lloyd's step against broadcast (cid labels, k x d int64
+    centroids).
     ``final=False``: emit per-batch PARTIALS — (cluster, n, component-sum
     array) per non-empty cluster, i.e. manual map-side combine; the driver
     merges k x partitions tiny rows. ``final=True``: emit the assignment
@@ -998,7 +999,9 @@ def _km_assign(cents_bc, final: bool):
         import numpy as np
         import pandas as pd
 
-        C = np.asarray(cents_bc.value, dtype=np.int64)  # k x d
+        cids, cents = cents_bc.value
+        C = np.asarray(cents, dtype=np.int64)  # k x d
+        labels = np.asarray(cids, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1010,7 +1013,10 @@ def _km_assign(cents_bc, final: bool):
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].astype("int64"),
-                        "cluster": cl.astype("int64"),
+                        # emitted label = the init vector's vec_id (oracle
+                        # cid); positional index only matches when vec_ids
+                        # 0..k-1 are dense
+                        "cluster": labels[cl],
                         "dist_micro": dist.astype("int64"),
                     }
                 )
@@ -1074,18 +1080,23 @@ def sim_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     if not init:
         return spark.createDataFrame([], schema)
     cents = [list(r.vi) for r in init]
+    # cluster LABELS are the init vectors' vec_ids (the oracle's cid), not
+    # positional indices — identical only when vec_ids 0..k-1 are dense;
+    # k_eff = len(init) guards corpora with fewer than _KM_K vectors
+    cids = [int(r.vec_id) for r in init]
+    k_eff = len(cents)
     # fan_out: single-row-group testdata parquet can't split; localCheckpoint:
     # ITERS+1 passes reuse the scaled frame without re-planning
     e = fan_out(e).localCheckpoint()
     sc = spark.sparkContext
     for _ in range(_KM_ITERS):
-        bc = sc.broadcast(cents)
+        bc = sc.broadcast((cids, cents))
         partials = e.mapInPandas(
             _km_assign(bc, final=False),
             schema="cluster long, n long, s array<long>",
         ).collect()
-        sums = {c: [0] * _KM_DIM for c in range(_KM_K)}
-        counts = {c: 0 for c in range(_KM_K)}
+        sums = {c: [0] * _KM_DIM for c in range(k_eff)}
+        counts = {c: 0 for c in range(k_eff)}
         for r in partials:
             counts[r.cluster] += r.n
             row = sums[r.cluster]
@@ -1095,9 +1106,11 @@ def sim_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
             [_km_trunc_div(sums[c][i], counts[c]) for i in range(_KM_DIM)]
             if counts[c]
             else cents[c]
-            for c in range(_KM_K)
+            for c in range(k_eff)
         ]
-    return e.mapInPandas(_km_assign(sc.broadcast(cents), final=True), schema)
+    return e.mapInPandas(
+        _km_assign(sc.broadcast((cids, cents)), final=True), schema
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2797,10 +2810,10 @@ FROM r GROUP BY qid
     "sim_jl_projection",
     oracle=_JL_ORACLE,
     doc=f"Johnson-Lindenstrauss SIGN projection (Achlioptas-style +-1 "
-    "matrix, 64 -> {_JL_D} dims = 4x less memory/bandwidth per vector) "
-    "with an in-query quality eval: for each of the {_N_QUERIES} query "
-    "vectors, the top-{_JL_K} by exact L2 in the PROJECTED space vs the "
-    "full space, scored as recall@{_JL_K} — the measurement you run "
+    f"matrix, 64 -> {_JL_D} dims = 4x less memory/bandwidth per vector) "
+    f"with an in-query quality eval: for each of the {_N_QUERIES} query "
+    f"vectors, the top-{_JL_K} by exact L2 in the PROJECTED space vs the "
+    f"full space, scored as recall@{_JL_K} — the measurement you run "
     "before swapping a pipeline's ANN pre-filter onto compressed vectors "
     "(the dimensionality twin of sim_quantize_int8's precision cut). "
     "Deterministic end to end: coordinates truncate to integer micro-"

@@ -2915,7 +2915,7 @@ _ZIPF_RANKS = 100
     doc=f"Zipf CONFORMANCE per source — the corpus-health check that flags "
     "template/boilerplate-dominated or synthetic-spam sources before "
     "training (natural language tracks freq(r) ≈ f1/r; machine-generated "
-    "and template text deviates hard): for the top {_ZIPF_RANKS} token "
+    f"and template text deviates hard): for the top {_ZIPF_RANKS} token "
     "ranks, the normalized L1 deviation from the ideal harmonic curve, "
     "Σ|f_r − f1∕r| / Σf_r in milli. ALL-INTEGER by construction — the "
     "ideal frequency is the truncating division f1//r, so no log-log "
@@ -2924,7 +2924,7 @@ _ZIPF_RANKS = 100
     "deviation exactly. Execution: the one corpus-scale stage is the "
     "(source, token) frequency aggregate (map-side combining); ranking "
     "windows run per source over vocabulary-sized frames, and the final "
-    "reduce is {_ZIPF_RANKS} rows per source.",
+    f"reduce is {_ZIPF_RANKS} rows per source.",
 )
 def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")

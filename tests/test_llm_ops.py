@@ -1106,6 +1106,17 @@ def test_dedup_embedding_candidate_recall(spark):
     assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
     recall = len(exact & got) / len(exact)
     assert recall >= 0.95, f"candidate recall too low: {recall:.2f}"
+    # the nprobe knob is the documented recall/cost lever — pin that the
+    # curve actually bends (fewer probed lists => strictly less recall on
+    # this noise-floor corpus), so the override path can't silently rot
+    low = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in _emb_candidate_pairs(spark, e, nprobe=2).collect()
+    }
+    assert low <= exact
+    assert len(low) < len(got), (
+        f"nprobe=2 should recall strictly less: {len(low)} vs {len(got)}"
+    )
 
 
 # --------------------------------------------------------------------------
