@@ -505,6 +505,10 @@ def _simhash_map(d: DataFrame) -> DataFrame:
 
         shifts = np.arange(nbits, dtype=np.uint64)
         for pdf in batches:
+            # NULL text drops out entirely (UNNEST over a NULL STR_SPLIT
+            # yields no rows in the oracle); empty text stays — it tokenizes
+            # to [''] on both engines
+            pdf = pdf[pdf["text"].notna()]
             if not len(pdf):
                 continue
             tok_lists = [
@@ -512,7 +516,7 @@ def _simhash_map(d: DataFrame) -> DataFrame:
                 # bare .strip() eats all whitespace — divergent token sets
                 # on tab/newline-wrapped text now that the oracle replays
                 # tokenization (load-bearing since the md5 switch)
-                ("" if t is None else t).strip(" ").lower().split(" ")
+                t.strip(" ").lower().split(" ")
                 for t in pdf["text"]
             ]
             lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64)

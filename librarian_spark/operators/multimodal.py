@@ -1570,24 +1570,17 @@ def ensure_chunk_index(spark: SparkSession, sf: str) -> str:
     """Build-once accessor for the persisted chunk-hash index of a corpus:
     distinct (doc_id, chash) rows partitioned on disk by a 64-way hash
     prefix bucket — the content-addressable-store layout, where a probe
-    opens only its own buckets' files. Tag versions the layout constants
-    (the ensure_minhash_index discipline)."""
-    import hashlib as _hl
+    opens only its own buckets' files. Cache identity (mtime+layout tag,
+    keepalive, TTL-sweep safety) delegates to the one _cache_base
+    implementation so the protocol can never fork."""
     import os
 
-    src = os.path.join(sf, "documents.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    layout = f"{_CIDX_BUCKETS}:{_CDC_W}:{_CDC_D}:v1"
-    tag = _hl.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
-    index_dir = f"/tmp/librarian_ckidx_{tag}"
-    if os.path.isdir(index_dir):
-        try:
-            with open(os.path.join(index_dir, "_keepalive"), "w") as fh:
-                fh.write("")
-        except OSError:
-            pass
-    from librarian_spark.operators.pipeline import _sweep_run_dirs
+    from librarian_spark.operators.pipeline import _cache_base, _sweep_run_dirs
 
+    index_dir = _cache_base(
+        "ckidx", sf, "documents",
+        salt=f"{_CIDX_BUCKETS}:{_CDC_W}:{_CDC_D}:v1",
+    )
     _sweep_run_dirs("/tmp", ("librarian_ckidx_",))
     if not os.path.exists(index_dir + "/chunks/_SUCCESS"):
         ch = cdc_chunk_hashes(

@@ -7505,6 +7505,7 @@ _RANGE_BAND_US = 60_000_000  # ±60 s, inclusive
      AND v.event_id IS NOT NULL
      AND ABS(epoch_us(e.ts) - epoch_us(v.ts)) <= {_RANGE_BAND_US}
     WHERE e.event_type = 'error' AND e.ts IS NOT NULL
+      AND e.event_id IS NOT NULL
     GROUP BY e.event_id
     """,
     doc="PURE range join — no equi-key at all: every 'error' event counts "
@@ -7529,7 +7530,11 @@ def q110_band_range_join(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     band = _RANGE_BAND_US
     errors = e.filter(
-        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+        (F.col("event_type") == "error")
+        & F.col("ts").isNotNull()
+        # NULL error ids: Spark's left equi-join never matches NULL keys
+        # while DuckDB's GROUP BY merges NULLs into one group
+        & F.col("event_id").isNotNull()
     ).select("event_id", F.unix_micros("ts").alias("eus"))
     views = e.filter(
         (F.col("event_type") == "view")

@@ -43,20 +43,17 @@ def pytest_configure(config):
 def pytest_collection_modifyitems(config, items):
     from librarian_spark.sources.dial import live_dsn
 
-    pg_provisioned = False
     for item in items:
         marker = item.get_closest_marker("live")
         if marker is None:
             continue
         service = marker.kwargs.get("service") or (marker.args[0] if marker.args else None)
-        if service == "pg" and live_dsn("pg") is None and not pg_provisioned:
-            # the sandbox ships postgres 15 binaries: provision a throwaway
-            # logical-replication cluster so the live tests actually RUN
-            # (tests/live_pg.py; degrades back to skip on any failure)
-            from tests import live_pg
-
-            live_pg.ensure_running()
-            pg_provisioned = True
+        if service == "pg":
+            # pg tests self-provision AT RUN TIME (the live_pg_server
+            # fixture): provisioning here would initdb+start a server at
+            # COLLECTION time, before -m deselection — `pytest -m "not
+            # live"` would boot a cluster no test uses
+            continue
         if service and live_dsn(service) is None:
             item.add_marker(
                 pytest.mark.skip(
@@ -64,3 +61,18 @@ def pytest_collection_modifyitems(config, items):
                     f"{service.upper()}_DSN=host:port to run"
                 )
             )
+
+
+@pytest.fixture()
+def live_pg_server():
+    """Run-time provisioning for the live pg tests: start (or reuse) the
+    throwaway logical-replication cluster, or skip — the sandbox ships
+    postgres 15 binaries, so in practice these tests RUN in the plain
+    suite (tests/live_pg.py; degrades to skip when binaries are missing
+    or provisioning fails)."""
+    from tests import live_pg
+
+    dsn = live_pg.ensure_running()
+    if dsn is None:
+        pytest.skip("no live pg: binaries missing or provisioning failed")
+    return dsn

@@ -46,7 +46,7 @@ def test_live_kafka_metadata_and_produce():
 
 
 @pytest.mark.live("pg")
-def test_live_pg_startup_and_scram():
+def test_live_pg_startup_and_scram(live_pg_server):
     from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
 
     user = os.environ.get("LIBRARIAN_LIVE_PG_USER", "postgres")
@@ -67,7 +67,7 @@ def test_live_pg_startup_and_scram():
 
 
 @pytest.mark.live("pg")
-def test_live_pg_replication_end_to_end(tmp_path):
+def test_live_pg_replication_end_to_end(tmp_path, live_pg_server):
     """The FULL replication path against a real server: startup + SCRAM,
     wire-level CREATE_REPLICATION_SLOT (temporary, fresh per run),
     INSERT/UPDATE/DELETE issued as simple queries over the SAME walsender
@@ -108,11 +108,18 @@ def test_live_pg_replication_end_to_end(tmp_path):
         )
         c.simple_query(f"UPDATE live_test SET name = 'upd-{run}' WHERE id = {k1}")
         c.simple_query(f"DELETE FROM live_test WHERE id = {k2}")
-        c.start(parse_lsn(info["consistent_point"]))
+        start_lsn = parse_lsn(info["consistent_point"])
+        c.start(start_lsn)
         rows = []
         for row in c.stream():
             op, ts_ms, rdb, ns, table, lsn, before, after, _seq = row
-            if f"-{run}" not in (before or "") + (after or "") and op != "d":
+            # run-specific filter: values carry -{run}; the delete's pk-only
+            # image is matched by ITS key (a blanket op=='d' exemption would
+            # admit a concurrent run's deletes on the shared cluster)
+            mine = f"-{run}" in (before or "") + (after or "") or (
+                op == "d" and f'"id":{k2}' in (before or "")
+            )
+            if not mine:
                 continue  # concurrent activity from other sessions
             rows.append((op, table, before, after))
             if len(rows) >= 4:
@@ -124,14 +131,18 @@ def test_live_pg_replication_end_to_end(tmp_path):
         assert f'"name":"upd-{run}"' in rows[2][3]
         # delete carries the key image (REPLICA IDENTITY DEFAULT -> pk only)
         assert f'"id":{k2}' in (rows[3][2] or "")
-        # commit-granular ack persisted a real LSN checkpoint
-        assert c.flushed_lsn >= 0
+        # commit-granular ack ADVANCED the flushed LSN past the slot's
+        # consistent point and persisted it (start() alone sets it TO the
+        # start LSN, so >= start would be vacuous)
+        assert c.flushed_lsn > start_lsn
+        with open(tmp_path / "ckpt.lsn", encoding="utf-8") as fh:
+            assert parse_lsn(fh.read().strip()) == c.flushed_lsn
     finally:
         c.sock.close()
 
 
 @pytest.mark.live("pg")
-def test_live_pg_wal_to_spark_materialization(tmp_path, spark):
+def test_live_pg_wal_to_spark_materialization(tmp_path, spark, live_pg_server):
     """Real WAL through the WHOLE Spark pipeline: live walsender ->
     ReplicationSlotClient -> PgWalRecorder segments (durable-before-ack) ->
     pgoutput DataSource executor-parallel decode -> keyed max_by

@@ -1268,7 +1268,9 @@ def test_dlq_routes_raw_payloads(spark):
     ev = load_table(spark, sf, "events")
     n_all = ev.count()
     n_bad = ev.filter(
-        (F.col("event_id") % _DLQ_MOD == 3) | F.col("user_id").isNull()
+        (F.col("event_id") % _DLQ_MOD == 3)
+        | F.col("user_id").isNull()
+        | F.col("event_id").isNull()  # both keys required by the contract
     ).count()
     assert n_good == n_all - n_bad
     # the run-private dlq dir of the invocation above is the newest one
