@@ -431,11 +431,16 @@ slices AS (
          SUM(bit * (CAST(1 AS BIGINT) << (b % {_SIMHASH_BPS}))) AS sl
   FROM bits GROUP BY doc_id, b // {_SIMHASH_BPS}),
 sz AS (SELECT p, sl, COUNT(*) AS nb FROM slices GROUP BY 1, 2),
+-- cap N = HASHED docs (docs that produced a fingerprint), matching the
+-- Spark side's window SUM over bucket counts — COUNT(*) FROM documents
+-- would include NULL-text docs the fingerprint map drops, silently
+-- shifting the cap on corpora with NULL texts
 tgt AS (
   SELECT s.doc_id, s.p, s.sl FROM slices s
   JOIN sz ON s.p = sz.p AND s.sl = sz.sl
   WHERE sz.nb <= GREATEST({_SIMHASH_CAP_MIN},
-                          (SELECT COUNT(*) FROM documents) // {_SIMHASH_CAP_DIV})),
+                          (SELECT COUNT(DISTINCT doc_id) FROM slices)
+                            // {_SIMHASH_CAP_DIV})),
 masks AS (
   SELECT 0 AS msk
   UNION ALL

@@ -3614,6 +3614,13 @@ def pipeline_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
             if not parts:
                 continue
             dst = f"{in_dir}/slice-{i:03d}.txt"
+            # one-file-per-slice is load-bearing (see above): a silent
+            # parts[1:] drop would erase events from the replay, so fail
+            # loudly if the repartition-by-_slice invariant ever breaks
+            assert len(parts) == 1, (
+                f"slice {i}: expected exactly one staged part file "
+                f"(hash repartition on _slice), got {len(parts)}: {parts}"
+            )
             os.rename(parts[0], dst)
             # explicit strictly-increasing mtimes: FileStreamSource orders
             # the initial listing by modification time only, and a

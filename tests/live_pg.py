@@ -58,13 +58,39 @@ def _listening() -> bool:
         return False
 
 
+def _probe_schema() -> bool:
+    """Verify a listener on PORT is OUR provisioned cluster (not a stale or
+    foreign process) by running the idempotent schema SQL over TCP — it
+    re-creates live_test/librarian_pub if missing and fails cleanly on
+    anything that is not a postgres superuser accepting our credentials."""
+    if not os.path.exists(f"{PGBIN}/psql"):
+        return False
+    try:
+        r = subprocess.run(
+            [f"{PGBIN}/psql", "-h", "127.0.0.1", "-p", str(PORT),
+             "-U", "postgres", "-v", "ON_ERROR_STOP=1", "-f", "-"],
+            input=_SCHEMA_SQL,
+            capture_output=True,
+            text=True,
+            timeout=60,
+            env={**os.environ, "PGPASSWORD": "postgres"},
+        )
+        return r.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
 def ensure_running() -> str | None:
     """Return a live pg DSN, provisioning a local server if needed."""
     if os.environ.get("LIBRARIAN_LIVE_PG_DSN"):
         return os.environ["LIBRARIAN_LIVE_PG_DSN"]
-    if _listening():  # a previous run's (or operator's) server — reuse
-        os.environ["LIBRARIAN_LIVE_PG_DSN"] = DSN
-        return DSN
+    if _listening():  # a previous run's server — reuse ONLY if it answers
+        # as ours (schema probe); a foreign listener would otherwise turn
+        # every live test into a confusing auth/catalog failure
+        if _probe_schema():
+            os.environ["LIBRARIAN_LIVE_PG_DSN"] = DSN
+            return DSN
+        return None
     if not os.path.exists(f"{PGBIN}/pg_ctl") or os.geteuid() != 0:
         return None
     try:

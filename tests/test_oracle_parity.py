@@ -164,6 +164,54 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
 
 
+def test_simhash_cap_null_text_parity(spark, tmp_path):
+    """The simhash hot-bucket cap must derive N from HASHED docs on both
+    engines. Committed testdata has zero NULL texts, so this builds the one
+    corpus shape that exposes a cap divergence: >512 hashed docs (the
+    scale-relative N//32 term beats the floor of 16), 64 NULL-text docs
+    (dropped by the fingerprint map but counted by a naive
+    COUNT(*) FROM documents), and a 21-doc identical-text bucket whose size
+    falls BETWEEN the two caps — 621 hashed ⇒ cap 19 (bucket excluded, no
+    pairs) vs 685 total ⇒ cap 21 (bucket included, C(21,2)=210 pairs). An
+    oracle capping on the raw doc count hash-mismatches here."""
+    import glob
+    import os
+    import shutil
+
+    tmp = str(tmp_path / "simhash_cap")
+    os.makedirs(tmp)
+    rows = [
+        (100_000 + i, "twenty one identical documents sharing every bucket",
+         "en", "dup", 50)
+        for i in range(21)
+    ]
+    rows += [
+        (200_000 + i,
+         f"unique filler document {i} with tokens alpha{i % 97} "
+         f"beta{(i * 7) % 89} gamma{(i * 13) % 83} delta{(i * 31) % 79}",
+         "en", "fill", 90)
+        for i in range(600)
+    ]
+    rows += [(300_000 + i, None, "en", "nulls", 0) for i in range(64)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    staging = f"{tmp}/_staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(glob.glob(f"{staging}/part-*.parquet")[0], f"{tmp}/documents.parquet")
+    shutil.rmtree(staging)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
+    spec = SPECS["dedup_simhash"]
+    # the engineered bucket must actually sit between the caps, and the
+    # excluded-by-cap outcome must be observable: zero pairs among the dups
+    df_out = spec.spark_fn(spark, tmp)
+    dup_pairs = df_out.filter("doc_id_1 >= 100000 AND doc_id_2 < 200000").count()
+    assert dup_pairs == 0, "size-21 bucket must be cap-excluded at N=621"
+    assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, spec.name)
+
+
 def test_heterogeneous_json_schema_infer_matches_oracle(spark, tmp_path):
     """Adversarial props payloads for q103: the engines do NOT extract
     identical text for JSON numbers (DuckDB json_extract_string normalizes
