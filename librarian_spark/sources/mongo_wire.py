@@ -316,11 +316,15 @@ class MongoChangeStreamClient:
         self.cursor_id = cur["id"]
         self._batch = cur.get("firstBatch", [])
 
-    def batches(self, max_batches: int | None = None):
+    def batches(self, max_batches: int | None = None,
+                stop_on_empty: bool = False):
         """Yield raw change-document batches; the resume-token checkpoint
         advances AFTER the consumer returns from each yield (so a recorder
         persists the batch before the token moves). Ends when the server
-        closes the cursor (id 0) or after ``max_batches``."""
+        closes the cursor (id 0) or after ``max_batches``.
+        ``stop_on_empty`` bounds a drain against a LIVE tailing cursor
+        (which never closes): an empty getMore — the server waited the
+        full maxAwaitTime with nothing new — ends the sweep."""
         batches = 0
         batch = getattr(self, "_batch", [])
         self._batch = []  # consume: a later batches() call must not replay
@@ -358,6 +362,8 @@ class MongoChangeStreamClient:
             cur = reply["cursor"]
             self.cursor_id = cur["id"]
             batch = cur.get("nextBatch", [])
+            if stop_on_empty and not batch:
+                return
 
     def events(self, max_batches: int | None = None):
         """Yield CDC rows (decoded batch by batch — the Watch consumer)."""

@@ -413,6 +413,22 @@ class ReplicationSlotClient:
                     raise ConnectionError(f"query failed: {err!r}")
                 return rows
 
+    def identify_system(self) -> dict:
+        """IDENTIFY_SYSTEM — the walsender command behind
+        pglogrepl.IdentifySystem (the reference reads the current flush
+        position from it before deciding where to start,
+        `pkg/postgres/source.go:597-621`). Returns {"systemid", "timeline",
+        "xlogpos" (int LSN), "dbname"}. Must run BEFORE :meth:`start` —
+        the connection is in CopyBoth mode afterwards."""
+        rows = self.simple_query("IDENTIFY_SYSTEM")
+        systemid, timeline, xlogpos, dbname = rows[0]
+        return {
+            "systemid": systemid,
+            "timeline": int(timeline),
+            "xlogpos": parse_lsn(xlogpos),
+            "dbname": dbname,
+        }
+
     def create_slot(self, temporary: bool = False) -> dict | None:
         """CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput — the wire
         command behind the reference's pglogrepl.CreateReplicationSlot
@@ -482,32 +498,74 @@ class ReplicationSlotClient:
         self.save_checkpoint()
         self.ack()
 
-    def frames(self):
+    def frames(self, until_lsn: int | None = None,
+               idle_timeout: float | None = None):
         """Yield raw pgoutput message payloads (the bytes inside XLogData)
         until the server ends the copy stream. Keepalives are answered
         inline at the CURRENT flushed LSN; advancing it is the consumer's
-        job via :meth:`commit_ack` once the data is safe."""
-        while True:
-            tag, body = read_backend_message(self.sock)
-            if tag == b"E":
-                raise ConnectionError(f"server error: {body!r}")
-            if tag in (b"c", b"C", b"Z"):  # CopyDone / complete / ready
-                self.save_checkpoint()
-                return
-            if tag != b"d":
-                continue  # NoticeResponse etc — ignore like the reference
-            kind = body[:1]
-            if kind == b"k":
-                wal_end, _ts, reply = struct.unpack(">Qq?", body[1:18])
+        job via :meth:`commit_ack` once the data is safe.
+
+        Bounded drain (the CLI's ``--once``): with ``until_lsn`` set, the
+        generator returns once the received LSN reaches it AND no
+        transaction is open (never splits a txn across the boundary —
+        a Begin-less Commit would decode with no LSN ordering). A live
+        walsender goes quiet after the backlog (its unsolicited keepalives
+        arrive on the wal_sender_timeout/2 cadence, ~30 s), so
+        ``idle_timeout`` arms a socket timeout whose expiry sends a
+        StandbyStatusUpdate with replyRequested — the server answers with
+        an immediate keepalive carrying its current send position, which
+        either proves the target is reached or confirms more data is
+        coming. Expiry with no target set just returns (drained)."""
+        import socket as _socket
+
+        prev_timeout = self.sock.gettimeout() if idle_timeout else None
+        if idle_timeout:
+            self.sock.settimeout(idle_timeout)
+        in_txn = False
+        try:
+            while True:
+                if (
+                    until_lsn is not None
+                    and not in_txn
+                    and self.received_lsn >= until_lsn
+                ):
+                    self.save_checkpoint()
+                    return
+                try:
+                    tag, body = read_backend_message(self.sock)
+                except (TimeoutError, _socket.timeout):
+                    if until_lsn is None or self.received_lsn >= until_lsn:
+                        self.save_checkpoint()
+                        return
+                    self.ack(reply_requested=True)
+                    continue
+                if tag == b"E":
+                    raise ConnectionError(f"server error: {body!r}")
+                if tag in (b"c", b"C", b"Z"):  # CopyDone / complete / ready
+                    self.save_checkpoint()
+                    return
+                if tag != b"d":
+                    continue  # NoticeResponse etc — ignore like the reference
+                kind = body[:1]
+                if kind == b"k":
+                    wal_end, _ts, reply = struct.unpack(">Qq?", body[1:18])
+                    self.received_lsn = max(self.received_lsn, wal_end)
+                    if reply:
+                        self.ack()
+                    continue
+                if kind != b"w":
+                    continue
+                wal_start, wal_end, _ts = struct.unpack(">QQq", body[1:25])
                 self.received_lsn = max(self.received_lsn, wal_end)
-                if reply:
-                    self.ack()
-                continue
-            if kind != b"w":
-                continue
-            wal_start, wal_end, _ts = struct.unpack(">QQq", body[1:25])
-            self.received_lsn = max(self.received_lsn, wal_end)
-            yield body[25:]
+                mtag = body[25:26]
+                if mtag == b"B":
+                    in_txn = True
+                elif mtag == b"C":
+                    in_txn = False
+                yield body[25:]
+        finally:
+            if idle_timeout:
+                self.sock.settimeout(prev_timeout)
 
     def stream(self, max_rows: int | None = None):
         """Yield decoded CDC rows (``max_rows`` is the bounded-drain hook);

@@ -90,16 +90,25 @@ class PgWalRecorder:
         self._buf = []
         self._txns = 0
 
-    def record(self, client, max_txns: int | None = None) -> int:
+    def record(
+        self,
+        client,
+        max_txns: int | None = None,
+        until_lsn: int | None = None,
+        idle_timeout: float | None = None,
+    ) -> int:
         """Consume ``client.frames()`` until the stream ends (or
-        ``max_txns`` transactions landed); returns transactions recorded.
-        Durable-before-ack: ``client.commit_ack`` fires only AFTER the
-        segment holding that commit is flushed — a crash in between
-        replays the un-acked tail into a fresh segment, and the LSN-keyed
-        positions keep the replay idempotent downstream."""
+        ``max_txns`` transactions landed, or — the CLI's bounded live
+        drain — ``until_lsn`` is reached at a transaction boundary);
+        returns transactions recorded. Durable-before-ack:
+        ``client.commit_ack`` fires only AFTER the segment holding that
+        commit is flushed — a crash in between replays the un-acked tail
+        into a fresh segment, and the LSN-keyed positions keep the replay
+        idempotent downstream."""
         recorded = 0
         pending_commit: bytes | None = None
-        for payload in client.frames():
+        for payload in client.frames(until_lsn=until_lsn,
+                                     idle_timeout=idle_timeout):
             tag = payload[:1]
             if tag == b"R":
                 rel = _pg.parse_message(payload)["relation"]
@@ -149,12 +158,14 @@ class ChangeStreamRecorder:
             (int(f.split("-")[1].split(".")[0]) for f in existing), default=-1
         )
 
-    def record(self, client, max_batches: int | None = None) -> int:
+    def record(self, client, max_batches: int | None = None,
+               stop_on_empty: bool = False) -> int:
         """Consume ``client.batches()``; returns documents recorded. The
         segment is durable before the yield returns, so the resume-token
-        checkpoint (which advances after the yield) never outruns disk."""
+        checkpoint (which advances after the yield) never outruns disk.
+        ``stop_on_empty`` bounds a drain against a live tailing cursor."""
         docs = 0
-        for batch in client.batches(max_batches):
+        for batch in client.batches(max_batches, stop_on_empty=stop_on_empty):
             name = os.path.join(
                 self.out_dir, f"seg-{self._next_seg:08d}.cstream"
             )
