@@ -583,12 +583,12 @@ def simhash_candidates(hashed: DataFrame, distinct: bool = True) -> DataFrame:
         F.lit(_SIMHASH_CAP_MIN),
         (total / F.lit(_SIMHASH_CAP_DIV)).cast("long"),
     )
-    tgt = sl.join(
+    capped = (
         sz.withColumn("cap", cap)
         .filter(F.col("nb") <= F.col("cap"))
-        .select("p", "sl"),
-        ["p", "sl"],
+        .select("p", "sl")
     )
+    tgt = sl.join(capped, ["p", "sl"])
     masks = [0]
     masks += [1 << i for i in range(_SIMHASH_BPS)]
     masks += [
@@ -596,13 +596,25 @@ def simhash_candidates(hashed: DataFrame, distinct: bool = True) -> DataFrame:
         for i in range(_SIMHASH_BPS)
         for j in range(i + 1, _SIMHASH_BPS)
     ]
+    # probe generation as a HOF over a mask-array LITERAL: one 137-element
+    # constant + one codegen'd lambda, measured 3x faster than exploding an
+    # array() of 137 per-mask XOR expressions (0.21 s vs 0.68 s for the
+    # probe stage at sf0.1 — the wide CreateArray bloats the generated
+    # class the same way the kmeans centroid literals did). MEASURED dead
+    # ends at this scale (round 10, interleaved best-of-6, do not redo
+    # without re-measuring): a broadcast LEFT SEMI of the probes against
+    # the capped-bucket keys (bounded at 2^16 x 4 rows) pays more in
+    # broadcast build than the pruned shuffle saves; salting the target
+    # side 8x for hot-bucket output skew is a wash here (per-key output
+    # is sub-second) — revisit salting only if a real corpus shows a
+    # single (p, bucket) key dominating the join output.
     probes = sl.select(
         "doc_id",
         "fp_lo",
         "fp_hi",
         "p",
         F.explode(
-            F.array(*[F.col("sl").bitwiseXOR(F.lit(m)) for m in masks])
+            F.transform(F.lit(masks), lambda m: F.col("sl").bitwiseXOR(m))
         ).alias("pv"),
     )
     # shuffle_hash, build side = the capped targets: the probe side is 137x
