@@ -1666,7 +1666,11 @@ def q41_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     "persistable, and merge associatively, so rollups over arbitrary "
     "dimensions never rescan the fact data, while exact count-distinct "
     "must re-shuffle the full key set every time. Rows-only driver check; "
-    "estimate-vs-exact error is asserted in tests/test_llm_ops.py.",
+    "estimate-vs-exact error is asserted in tests/test_llm_ops.py. The "
+    "SAME use case with an exactly-replayable mechanism (and a hash-green "
+    "oracle) is q42_kmv_rollup — this HLL variant stays as the "
+    "engine-specific extra (Datasketches register layouts are not "
+    "ANSI-replayable).",
 )
 def q42_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
@@ -7764,6 +7768,169 @@ def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("ni"), F.lit(0)).cast("long").alias("n_exact_inter"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q42 twin: KMV rollup — the re-aggregable distinct-count rollup with an
+# exactly-replayable mechanism (closes the q42_hll_sketch rows-only gap)
+# --------------------------------------------------------------------------
+
+_KMV_O_H_SPARK = (
+    "conv(substring(md5(cast(cast(o_custkey as string) as binary)), 1, 8), 16, 10)"
+)
+_KMV_O_H_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT"
+    " AS BIGINT)"
+)
+
+_KMV_EST_SQL = (
+    f"CASE WHEN {{a}}.ck < {_KMV_K} THEN {{a}}.ck "
+    f"ELSE FLOOR({_KMV_K - 1} * 4294967296.0 / {{a}}.hk) END"
+)
+
+
+@query(
+    "q42_kmv_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority, {_KMV_O_H_SQL} AS hv FROM orders
+      WHERE o_custkey IS NOT NULL
+    ),
+    r AS (
+      SELECT o_orderpriority, hv,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT o_orderpriority, hv FROM r WHERE rn <= {_KMV_K}),
+    g AS (
+      SELECT o_orderpriority, COUNT(*) AS ck, MAX(hv) AS hk
+      FROM sk GROUP BY 1
+    ),
+    -- the ALL row is computed FROM THE SKETCHES ALONE: KMV merge = distinct
+    -- union of the kept hashes, re-truncated to bottom-k
+    mr AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM sk)
+    ),
+    mg AS (SELECT COUNT(*) AS ck, MAX(hv) AS hk FROM mr WHERE rn <= {_KMV_K}),
+    exg AS (
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS nd FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    exa AS (
+      SELECT COUNT(DISTINCT o_custkey) AS nd FROM orders
+      WHERE o_custkey IS NOT NULL
+    )
+    SELECT g.o_orderpriority,
+           CAST(exg.nd AS BIGINT) AS n_exact,
+           CAST({_KMV_EST_SQL.format(a='g')} AS BIGINT) AS kmv_est,
+           CAST(FLOOR(ABS({_KMV_EST_SQL.format(a='g')} - exg.nd) * 1000.0
+                / exg.nd) AS BIGINT) AS err_milli
+    FROM g JOIN exg USING (o_orderpriority)
+    UNION ALL
+    SELECT 'ALL' AS o_orderpriority,
+           CAST(exa.nd AS BIGINT) AS n_exact,
+           CAST({_KMV_EST_SQL.format(a='mg')} AS BIGINT) AS kmv_est,
+           CAST(FLOOR(ABS({_KMV_EST_SQL.format(a='mg')} - exa.nd) * 1000.0
+                / exa.nd) AS BIGINT) AS err_milli
+    FROM mg, exa
+    """,
+    doc=f"The q42_hll_sketch use case — per-group mergeable distinct-count "
+    "sketches plus their UNION-merged global estimate in one pass — rebuilt "
+    f"on bottom-{_KMV_K} KMV sketches whose mechanism the oracle replays "
+    "EXACTLY (q107's md5-prefix hash): per-o_orderpriority sketch contents, "
+    "the ALL row merged FROM THE SKETCHES ALONE (KMV union = distinct union "
+    "of kept hashes re-truncated to bottom-k — the associativity that makes "
+    "per-partition sketches roll up over arbitrary dimensions without "
+    "rescanning the fact data at 100 TB), estimates, and per-group error vs "
+    "the exact count, all hash-green. Retires the registry's last "
+    "rows-only pair: q07_approx_distinct/q42_hll_sketch stay as documented "
+    "engine-specific extras (Datasketches HLL register layouts are not "
+    "ANSI-replayable; their error envelopes are pinned in unit tests). "
+    "Scale shape: corpus-side work is one distinct (group, hash) dedup + "
+    f"the {_KMV_SALTS}-salt two-level bottom-k; every sketch-side frame is "
+    "<= |priorities|*k longs, and the single-partition merge window runs "
+    "over that bounded sketch-content set, never the corpus.",
+)
+def q42_kmv_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey").isNotNull())
+    h = o.select(
+        "o_orderpriority", F.expr(_KMV_O_H_SPARK).cast("long").alias("hv")
+    ).distinct()
+    w1 = W.partitionBy(
+        "o_orderpriority", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))
+    ).orderBy("hv")
+    pruned = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("o_orderpriority").orderBy("hv")
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+        .localCheckpoint()  # k x |priorities| longs; feeds both rollup levels
+    )
+    g = sk.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("ck"), F.max("hv").alias("hk")
+    )
+    # KMV MERGE from sketch contents only: distinct union, bottom-k again.
+    # The global window's input is bounded at |priorities|*k rows by
+    # construction (TINY_DOMAIN_SINGLE_PARTITION).
+    mg = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("hv")))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(F.count(F.lit(1)).alias("ck"), F.max("hv").alias("hk"))
+    )
+    exg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("nd")
+    )
+    exa = o.agg(F.countDistinct("o_custkey").alias("nd"))
+
+    def est():
+        return F.when(F.col("ck") < _KMV_K, F.col("ck")).otherwise(
+            F.floor(F.lit((_KMV_K - 1) * 4294967296.0) / F.col("hk"))
+        )
+
+    per = g.join(exg, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("nd").cast("long").alias("n_exact"),
+        est().cast("long").alias("kmv_est"),
+        F.floor(F.abs(est() - F.col("nd")) * 1000.0 / F.col("nd"))
+        .cast("long")
+        .alias("err_milli"),
+    )
+    # 1-row x 1-row combine WITHOUT a join: a crossJoin (or an equi-join on
+    # a literal key, which constant-folds to one) plans
+    # BroadcastNestedLoopJoin, the global gate's forbidden class — union the
+    # two 1-row aggregates and max-collapse instead
+    allr = (
+        mg.select("ck", "hk", F.lit(None).cast("long").alias("nd"))
+        .unionByName(
+            exa.select(
+                F.lit(None).cast("long").alias("ck"),
+                F.lit(None).cast("long").alias("hk"),
+                F.col("nd").cast("long").alias("nd"),
+            )
+        )
+        .agg(
+            F.max("ck").alias("ck"),
+            F.max("hk").alias("hk"),
+            F.max("nd").alias("nd"),
+        )
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            F.col("nd").cast("long").alias("n_exact"),
+            est().cast("long").alias("kmv_est"),
+            F.floor(F.abs(est() - F.col("nd")) * 1000.0 / F.col("nd"))
+            .cast("long")
+            .alias("err_milli"),
+        )
+    )
+    return per.unionByName(allr)
 
 
 # --------------------------------------------------------------------------

@@ -102,6 +102,9 @@ TINY_DOMAIN_SINGLE_PARTITION = {
     "q07_count_distinct": "final reduce of distinct-agg partials",
     "q15_subquery_scalar": "scalar subquery's 1-row aggregate",
     "q42_hll_sketch": "final merge of mergeable sketch partials",
+    "q42_kmv_rollup": "KMV merge window over the <= |priorities|*k "
+    "sketch-content rows (sketch union, never the corpus), plus the 1-row "
+    "global exact-distinct reduce",
     "q68_period_over_period": "window over calendar weeks (tiny domain)",
     "q69_not_in_null_semantics": "1-row NULL-existence aggregate",
     "q70_equi_depth_histogram": "window over distinct-value prefix table",
