@@ -228,11 +228,21 @@ def _cmd_replicate(args) -> int:
         if args.once:
             rep.process_available()
             rep.stop()
-        else:
+            if tailer is not None:
+                tailer.raise_if_failed()
+        elif tailer is None:
             q.awaitTermination()
-        if tailer is not None:
-            tailer.raise_if_failed()
+        else:
+            # watchdog: a file-segment streaming query never terminates on
+            # its own, so a dead tailer thread (walsender dropped, auth
+            # revoked) would otherwise leave a healthy-looking process
+            # whose replication silently stopped — while the unacked slot
+            # retains WAL on the server unboundedly. Poll the tailer and
+            # tear the query down loudly on failure.
+            while not q.awaitTermination(5):
+                tailer.raise_if_failed()
     finally:
+        rep.stop()  # no-op when already stopped/never started
         if tailer is not None:
             tailer.stop()
         if server is not None:

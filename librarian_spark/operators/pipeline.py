@@ -3617,10 +3617,13 @@ def pipeline_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
             # one-file-per-slice is load-bearing (see above): a silent
             # parts[1:] drop would erase events from the replay, so fail
             # loudly if the repartition-by-_slice invariant ever breaks
-            assert len(parts) == 1, (
-                f"slice {i}: expected exactly one staged part file "
-                f"(hash repartition on _slice), got {len(parts)}: {parts}"
-            )
+            # (a raise, not an assert — python -O strips asserts, which
+            # would silently revert to the parts[0]-rename data loss)
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"slice {i}: expected exactly one staged part file "
+                    f"(hash repartition on _slice), got {len(parts)}: {parts}"
+                )
             os.rename(parts[0], dst)
             # explicit strictly-increasing mtimes: FileStreamSource orders
             # the initial listing by modification time only, and a

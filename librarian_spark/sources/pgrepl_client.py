@@ -42,6 +42,7 @@ import base64
 import hashlib
 import hmac
 import os
+import socket
 import struct
 import time
 
@@ -97,6 +98,35 @@ def read_backend_message(sock) -> tuple[bytes, bytes]:
     tag = _recv_exact(sock, 1)
     (ln,) = struct.unpack(">I", _recv_exact(sock, 4))
     return tag, _recv_exact(sock, ln - 4)
+
+
+def read_backend_message_idle(sock, idle_timeout: float):
+    """Like :func:`read_backend_message` but returns None when NO message
+    starts within ``idle_timeout``. The timeout is armed ONLY for the
+    1-byte tag read (atomic: it either arrives or nothing was sent) — a
+    naive timeout around the whole read would discard _recv_exact's
+    partial buffer when it fired mid-message and resume parsing at a
+    garbage offset, desynchronizing the stream. Once a tag byte arrives
+    we are mid-message: a stall there is a dead peer, not idleness, so it
+    raises ConnectionError (loud) instead of returning-as-idle (desync).
+    Restores the socket's previous timeout before returning."""
+    prev = sock.gettimeout()
+    sock.settimeout(idle_timeout)
+    try:
+        try:
+            tag = _recv_exact(sock, 1)
+        except (TimeoutError, socket.timeout):
+            return None
+        sock.settimeout(max(60.0, idle_timeout))
+        try:
+            (ln,) = struct.unpack(">I", _recv_exact(sock, 4))
+            return tag, _recv_exact(sock, ln - 4)
+        except (TimeoutError, socket.timeout) as e:
+            raise ConnectionError(
+                "peer stalled mid-message; cannot resume parsing safely"
+            ) from e
+    finally:
+        sock.settimeout(prev)
 
 
 def send_frontend_message(sock, tag: bytes, body: bytes) -> None:
@@ -508,64 +538,78 @@ class ReplicationSlotClient:
         Bounded drain (the CLI's ``--once``): with ``until_lsn`` set, the
         generator returns once the received LSN reaches it AND no
         transaction is open (never splits a txn across the boundary —
-        a Begin-less Commit would decode with no LSN ordering). A live
-        walsender goes quiet after the backlog (its unsolicited keepalives
-        arrive on the wal_sender_timeout/2 cadence, ~30 s), so
-        ``idle_timeout`` arms a socket timeout whose expiry sends a
-        StandbyStatusUpdate with replyRequested — the server answers with
-        an immediate keepalive carrying its current send position, which
-        either proves the target is reached or confirms more data is
-        coming. Expiry with no target set just returns (drained)."""
-        import socket as _socket
-
-        prev_timeout = self.sock.gettimeout() if idle_timeout else None
-        if idle_timeout:
-            self.sock.settimeout(idle_timeout)
+        a Begin-less Commit would decode with no LSN ordering, and an
+        unsplit fragment would replay in full next run as duplicates).
+        A live walsender goes quiet after the backlog (its unsolicited
+        keepalives arrive on the wal_sender_timeout/2 cadence, ~30 s), so
+        ``idle_timeout`` arms an idle-only read timeout
+        (:func:`read_backend_message_idle` — armed for the tag byte only,
+        so it can never fire mid-message and desynchronize the stream)
+        whose expiry sends a StandbyStatusUpdate with replyRequested —
+        the server answers with an immediate keepalive carrying its
+        current send position, which either proves the target is reached
+        or confirms more data is coming. Expiry with no target set just
+        returns (drained). Commit messages fold their transaction
+        ``end_lsn`` into the received LSN, so a drain whose last
+        transaction reaches the target exits AT the commit boundary
+        instead of waiting out an idle period for a keepalive."""
         in_txn = False
-        try:
-            while True:
-                if (
-                    until_lsn is not None
-                    and not in_txn
-                    and self.received_lsn >= until_lsn
-                ):
-                    self.save_checkpoint()
-                    return
-                try:
-                    tag, body = read_backend_message(self.sock)
-                except (TimeoutError, _socket.timeout):
-                    if until_lsn is None or self.received_lsn >= until_lsn:
+        while True:
+            if (
+                until_lsn is not None
+                and not in_txn
+                and self.received_lsn >= until_lsn
+            ):
+                self.save_checkpoint()
+                return
+            if idle_timeout:
+                msg = read_backend_message_idle(self.sock, idle_timeout)
+                if msg is None:  # idle — nothing mid-flight
+                    if until_lsn is None or (
+                        not in_txn and self.received_lsn >= until_lsn
+                    ):
                         self.save_checkpoint()
                         return
+                    # target not yet proven reached (or a txn is open):
+                    # provoke an immediate keepalive and keep reading
                     self.ack(reply_requested=True)
                     continue
-                if tag == b"E":
-                    raise ConnectionError(f"server error: {body!r}")
-                if tag in (b"c", b"C", b"Z"):  # CopyDone / complete / ready
-                    self.save_checkpoint()
-                    return
-                if tag != b"d":
-                    continue  # NoticeResponse etc — ignore like the reference
-                kind = body[:1]
-                if kind == b"k":
-                    wal_end, _ts, reply = struct.unpack(">Qq?", body[1:18])
-                    self.received_lsn = max(self.received_lsn, wal_end)
-                    if reply:
-                        self.ack()
-                    continue
-                if kind != b"w":
-                    continue
-                wal_start, wal_end, _ts = struct.unpack(">QQq", body[1:25])
+                tag, body = msg
+            else:
+                tag, body = read_backend_message(self.sock)
+            if tag == b"E":
+                raise ConnectionError(f"server error: {body!r}")
+            if tag in (b"c", b"C", b"Z"):  # CopyDone / complete / ready
+                self.save_checkpoint()
+                return
+            if tag != b"d":
+                continue  # NoticeResponse etc — ignore like the reference
+            kind = body[:1]
+            if kind == b"k":
+                wal_end, _ts, reply = struct.unpack(">Qq?", body[1:18])
                 self.received_lsn = max(self.received_lsn, wal_end)
-                mtag = body[25:26]
-                if mtag == b"B":
-                    in_txn = True
-                elif mtag == b"C":
-                    in_txn = False
-                yield body[25:]
-        finally:
-            if idle_timeout:
-                self.sock.settimeout(prev_timeout)
+                if reply:
+                    self.ack()
+                continue
+            if kind != b"w":
+                continue
+            wal_start, wal_end, _ts = struct.unpack(">QQq", body[1:25])
+            self.received_lsn = max(self.received_lsn, wal_end)
+            mtag = body[25:26]
+            if mtag == b"B":
+                in_txn = True
+            elif mtag == b"C":
+                in_txn = False
+                # the Commit record carries the txn END lsn — ahead of the
+                # XLogData wal_end (a record-start position), and exactly
+                # what IDENTIFY_SYSTEM's xlogpos points at after the final
+                # commit; folding it in lets a bounded drain exit at the
+                # commit boundary with no idle-timeout stall
+                (_flags, _clsn, end_lsn) = struct.unpack_from(
+                    ">BQQ", body[25:], 1
+                )
+                self.received_lsn = max(self.received_lsn, end_lsn)
+            yield body[25:]
 
     def stream(self, max_rows: int | None = None):
         """Yield decoded CDC rows (``max_rows`` is the bounded-drain hook);

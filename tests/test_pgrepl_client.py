@@ -8,6 +8,7 @@ checkpoint resume — the reference's connection loop
 from __future__ import annotations
 
 import socket
+import struct
 import threading
 
 from librarian_spark.sources.pgoutput import (
@@ -265,3 +266,126 @@ def test_large_session_outgrowing_socket_buffers_does_not_deadlock(tmp_path):
     assert client.load_checkpoint() == 100 * n + 8
     # every commit was acked and the LAST ack carries the final LSN
     assert srv.acks[-1]["flushed"] == 100 * n + 8
+
+
+# -- bounded drain (the CLI's --once): until_lsn / idle_timeout ---------------
+
+
+class _HoldOpenSender:
+    """A walsender that NEVER ends the copy stream (a live server's shape):
+    sends its scripted frames, then sits on the connection answering
+    reply-requested standby statuses with a keepalive at ``wal_end`` —
+    exactly what frames(until_lsn=...) must terminate against. Script
+    entries: ("send", pgoutput_msg_bytes, start, end) | ("sleep", secs)."""
+
+    def __init__(self, script, wal_end):
+        self.script = script
+        self.wal_end = wal_end
+        self.acks = []
+
+    def serve(self, sock) -> None:
+        import time as _time
+
+        from librarian_spark.sources.pgrepl_client import (
+            encode_keepalive,
+            encode_xlogdata,
+            parse_standby_status,
+            read_backend_message,
+            send_frontend_message,
+        )
+
+        try:
+            tag, _ = read_backend_message(sock)  # Q START_REPLICATION
+            assert tag == b"Q"
+            send_frontend_message(sock, b"W", struct.pack(">BH", 0, 0))
+            for step in self.script:
+                if step[0] == "sleep":
+                    _time.sleep(step[1])
+                else:
+                    _, msg, s_lsn, e_lsn = step
+                    send_frontend_message(
+                        sock, b"d", encode_xlogdata(s_lsn, e_lsn, msg)
+                    )
+            # hold open: answer reply-requested acks with a keepalive
+            while True:
+                tag, body = read_backend_message(sock)
+                if tag != b"d" or body[:1] != b"r":
+                    continue
+                st = parse_standby_status(body)
+                self.acks.append(st)
+                if st["reply_requested"]:
+                    send_frontend_message(
+                        sock, b"d", encode_keepalive(self.wal_end, False)
+                    )
+        except (ConnectionError, OSError):
+            return  # client closed — session over
+
+
+def _hold_session(srv):
+    c, s = socket.socketpair()
+    t = threading.Thread(target=srv.serve, args=(s,), daemon=True)
+    t.start()
+    client = ReplicationSlotClient(c, slot="librarian", publication="pub", db="appdb")
+    return client, (c, s)
+
+
+def _txn_frames(lsn, rows):
+    end, msgs = _txn(lsn, rows)
+    return [("send", m, end - 8, end) for m in ([REL] + msgs)]
+
+
+def test_bounded_drain_exits_at_commit_boundary_without_idle_stall():
+    """frames(until_lsn) must fold the Commit record's end_lsn into the
+    received LSN and exit AT the commit boundary — not wait out an idle
+    period for a keepalive (the guaranteed ~idle_timeout stall every
+    --once drain with data would otherwise pay)."""
+    import time as _time
+
+    script = _txn_frames(100, [["1", "alice"]]) + _txn_frames(
+        200, [["2", "bob"]]
+    )[1:]  # REL only once
+    srv = _HoldOpenSender(script, wal_end=208)
+    client, socks = _hold_session(srv)
+    client.start(0)
+    t0 = _time.monotonic()
+    payloads = list(client.frames(until_lsn=208, idle_timeout=2.0))
+    elapsed = _time.monotonic() - t0
+    for s in socks:
+        s.close()
+    # both txns drained (B/I/C each), and the exit came from the commit
+    # boundary, not from the 2 s idle timeout
+    assert sum(1 for p in payloads if p[:1] == b"C") == 2
+    assert elapsed < 1.5, f"drain stalled {elapsed:.2f}s — keepalive path taken"
+    assert client.received_lsn >= 208
+
+
+def test_bounded_drain_never_returns_mid_transaction():
+    """An idle timeout while a transaction is OPEN must keep waiting even
+    when the received LSN already covers the target — returning there
+    would flush a Begin-without-Commit fragment whose (never-acked)
+    transaction replays in full next run."""
+    end1, msgs1 = _txn(100, [["1", "alice"]])
+    end2, msgs2 = _txn(300, [["2", "bob"], ["3", "carol"]])
+    script = (
+        [("send", REL, 92, 100)]
+        + [("send", m, 92, end1) for m in msgs1]
+        # txn2 stalls after Begin+first insert; meanwhile the server's
+        # keepalive (answering the idle-timeout ack) reports wal_end PAST
+        # the target — received >= until with in_txn=True
+        + [("send", m, 292, end2) for m in msgs2[:2]]
+        + [("sleep", 1.2)]
+        + [("send", m, 292, end2) for m in msgs2[2:]]
+    )
+    srv = _HoldOpenSender(script, wal_end=500)
+    client, socks = _hold_session(srv)
+    client.start(0)
+    payloads = list(client.frames(until_lsn=308, idle_timeout=0.3))
+    for s in socks:
+        s.close()
+    # ALL of txn2 arrived — including the commit after the stall — so the
+    # drain ended at a transaction boundary, not mid-fragment
+    tags = [p[:1] for p in payloads]
+    assert tags.count(b"C") == 2, f"txn2 split across the drain: {tags}"
+    assert tags[-1] == b"C"
+    # the stall provoked at least one reply-requested status
+    assert any(a["reply_requested"] for a in srv.acks)
