@@ -17,9 +17,11 @@ client from mock to live is a constructor call, not a refactor:
 
     ReplicationSlotClient.dial("pg:5432", slot="s", publication="p", ...)
 
-TLS is intentionally NOT implemented here yet — the residue documented in
-SURVEY: dial, TLS, and real-server quirks are exactly what needs a live
-environment to build honestly.
+TLS: postgres connections upgrade via the protocol-level SSLRequest dance
+(:func:`..pgrepl_client.start_tls` — sslmode require / verify-full),
+proven live against the auto-provisioned ssl=on cluster. Kafka/Mongo TLS
+remains unimplemented (those services have no live instance to build it
+against honestly; their cleartext wire clients are mock-verified).
 """
 
 from __future__ import annotations

@@ -63,6 +63,7 @@ __all__ = [
     "scram_salted_password",
     "scram_client_proof",
     "scram_server_signature",
+    "start_tls",
     "ReplicationSlotClient",
 ]
 
@@ -131,6 +132,39 @@ def read_backend_message_idle(sock, idle_timeout: float):
 
 def send_frontend_message(sock, tag: bytes, body: bytes) -> None:
     sock.sendall(tag + struct.pack(">I", len(body) + 4) + body)
+
+
+SSL_REQUEST_CODE = 80877103  # pg protocol 1234.5679 — SSLRequest
+
+
+def start_tls(sock, server_hostname: str | None = None,
+              verify: bool = False):
+    """Upgrade a fresh PG connection to TLS — the SSLRequest dance libpq
+    runs for sslmode != disable (PostgreSQL protocol docs, "SSL Session
+    Encryption"; the reference gets this from pgconn via the conninfo
+    sslmode): send the 8-byte SSLRequest BEFORE any startup message, read
+    the server's one-byte verdict — ``S`` (proceed with TLS) wraps the
+    socket, ``N`` (SSL not supported) raises, since the caller asked for
+    encryption and silently continuing in cleartext is the downgrade
+    attack sslmode=require exists to prevent. ``verify=False`` matches
+    sslmode=require (encrypt, trust any cert — self-signed servers);
+    ``verify=True`` is verify-full (CA chain + hostname)."""
+    import ssl
+
+    sock.sendall(struct.pack(">II", 8, SSL_REQUEST_CODE))
+    verdict = _recv_exact(sock, 1)
+    if verdict != b"S":
+        raise ConnectionError(
+            f"server refused SSL (answered {verdict!r}); "
+            "connect with sslmode=disable to use cleartext"
+        )
+    if verify:
+        ctx = ssl.create_default_context()
+    else:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    return ctx.wrap_socket(sock, server_hostname=server_hostname)
 
 
 def start_replication_query(slot: str, lsn: int, publication: str) -> str:
@@ -278,12 +312,25 @@ class ReplicationSlotClient:
         self.received_lsn = 0
 
     @classmethod
-    def dial(cls, dsn: str, **kw) -> "ReplicationSlotClient":
+    def dial(cls, dsn: str, sslmode: str = "disable",
+             **kw) -> "ReplicationSlotClient":
         """Live-socket construction (``host:port`` -> TCP): the mock-to-live
-        switch is this one call — every protocol byte is identical."""
+        switch is this one call — every protocol byte is identical.
+        ``sslmode`` is the libpq subset that matters for a replication
+        client: ``disable`` (cleartext), ``require`` (TLS, any cert —
+        :func:`start_tls` with verify off), ``verify-full`` (CA chain +
+        hostname)."""
         from librarian_spark.sources.dial import dial as _dial
 
-        return cls(_dial(dsn), **kw)
+        sock = _dial(dsn)
+        if sslmode != "disable":
+            host = dsn.rsplit(":", 1)[0].strip("[]")
+            sock = start_tls(
+                sock,
+                server_hostname=host,
+                verify=(sslmode == "verify-full"),
+            )
+        return cls(sock, **kw)
 
     # -- checkpoint (atomic tmp+rename, checkpoint.go:103-117 parity) ------
     def load_checkpoint(self) -> int:

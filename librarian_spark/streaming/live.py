@@ -64,6 +64,7 @@ class PgSourceUrl:
     dbname: str
     slot: str
     publication: str
+    sslmode: str = "disable"
 
     @property
     def dsn(self) -> str:
@@ -91,6 +92,9 @@ def parse_pg_url(url: str) -> PgSourceUrl:
         raise ValueError(f"not a postgres URL: {url!r}")
     db = (u.path or "/").lstrip("/") or "postgres"
     q = parse_qs(u.query)
+    sslmode = q.get("sslmode", ["disable"])[0]
+    if sslmode not in ("disable", "require", "verify-full"):
+        raise ValueError(f"unsupported sslmode: {sslmode!r}")
     return PgSourceUrl(
         host=u.hostname or "127.0.0.1",
         port=u.port or 5432,
@@ -99,6 +103,7 @@ def parse_pg_url(url: str) -> PgSourceUrl:
         dbname=db,
         slot=q.get("slot", [f"librarian_{db}"])[0],
         publication=q.get("publication", [f"librarian_pub_{db}"])[0],
+        sslmode=sslmode,
     )
 
 
@@ -189,6 +194,7 @@ class PgCdcTailer(_TailerBase):
         u = self.url
         c = ReplicationSlotClient.dial(
             u.dsn,
+            sslmode=u.sslmode,
             slot=u.slot,
             publication=u.publication,
             db=u.dbname,

@@ -58,6 +58,48 @@ def _listening() -> bool:
         return False
 
 
+def _psql_tcp(sql: str) -> subprocess.CompletedProcess | None:
+    """Run SQL over TCP as the postgres superuser (scram credentials)."""
+    if not os.path.exists(f"{PGBIN}/psql"):
+        return None
+    try:
+        return subprocess.run(
+            [f"{PGBIN}/psql", "-h", "127.0.0.1", "-p", str(PORT),
+             "-U", "postgres", "-v", "ON_ERROR_STOP=1", "-f", "-"],
+            input=sql,
+            capture_output=True,
+            text=True,
+            timeout=60,
+            env={**os.environ, "PGPASSWORD": "postgres"},
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+
+
+def _ensure_ssl() -> None:
+    """Best-effort: turn ssl=on with a self-signed cert. ``ssl`` is a
+    sighup-context GUC since PG 10, so a reload (no restart) suffices —
+    the running cluster gains TLS in place. The TLS live test skips when
+    this fails (server answers 'N' to SSLRequest)."""
+    crt, key = f"{PGDATA}/server.crt", f"{PGDATA}/server.key"
+    try:
+        if not os.path.exists(crt):
+            r = subprocess.run(
+                ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+                 "-keyout", key, "-out", crt, "-days", "2",
+                 "-subj", "/CN=127.0.0.1"],
+                capture_output=True, text=True, timeout=60,
+            )
+            if r.returncode != 0:
+                return
+            shutil.chown(crt, "postgres", "postgres")
+            shutil.chown(key, "postgres", "postgres")
+            os.chmod(key, 0o600)
+        _psql_tcp("ALTER SYSTEM SET ssl = on;\nSELECT pg_reload_conf();")
+    except Exception:  # noqa: BLE001 — ssl is additive; its test skips
+        return
+
+
 def _probe_schema() -> bool:
     """Verify a listener on PORT is OUR provisioned cluster (not a stale or
     foreign process) by running the idempotent schema SQL over TCP — it
@@ -88,6 +130,7 @@ def ensure_running() -> str | None:
         # as ours (schema probe); a foreign listener would otherwise turn
         # every live test into a confusing auth/catalog failure
         if _probe_schema():
+            _ensure_ssl()
             os.environ["LIBRARIAN_LIVE_PG_DSN"] = DSN
             return DSN
         return None
@@ -131,6 +174,7 @@ def ensure_running() -> str | None:
         )
         if r.returncode != 0:
             return None
+        _ensure_ssl()
         os.environ["LIBRARIAN_LIVE_PG_DSN"] = DSN
         return DSN
     except Exception:  # noqa: BLE001 — provisioning is best-effort; skip beats error

@@ -251,3 +251,56 @@ def test_live_mongo_hello_and_ping():
         c.connect()
     finally:
         c.sock.close()
+
+
+@pytest.mark.live("pg")
+def test_live_pg_tls_replication_end_to_end(tmp_path, live_pg_server):
+    """sslmode=require against the real server: SSLRequest → 'S' → TLS
+    wrap → SCRAM over the encrypted channel → temporary slot → real WAL
+    decoded over TLS. The provisioner enables ssl=on via a reload with a
+    self-signed cert; a server still answering 'N' (reload failed) skips
+    rather than fails — TLS is additive to the cleartext e2e above."""
+    import uuid
+
+    from librarian_spark.sources.pgrepl_client import (
+        ReplicationSlotClient,
+        parse_lsn,
+    )
+
+    user = os.environ.get("LIBRARIAN_LIVE_PG_USER", "postgres")
+    password = os.environ.get("LIBRARIAN_LIVE_PG_PASSWORD", "postgres")
+    db = os.environ.get("LIBRARIAN_LIVE_PG_DB", "postgres")
+    run = uuid.uuid4().hex[:8]
+    try:
+        c = ReplicationSlotClient.dial(
+            live_dsn("pg"),
+            sslmode="require",
+            slot=f"librarian_tls_{run}",
+            publication=os.environ.get("LIBRARIAN_LIVE_PG_PUB", "librarian_pub"),
+            db=db,
+        )
+    except ConnectionError as e:
+        if "refused SSL" in str(e):
+            pytest.skip("live server has ssl off (reload-enable failed)")
+        raise
+    try:
+        import ssl as _ssl
+
+        assert isinstance(c.sock, _ssl.SSLSocket)  # actually encrypted
+        c.startup(user=user, database=db, password=password)  # SCRAM in TLS
+        info = c.create_slot(temporary=True)
+        assert info and info["output_plugin"] == "pgoutput"
+        k = 30_000 + int.from_bytes(os.urandom(3), "big")  # collision-free id
+        c.simple_query(
+            f"INSERT INTO live_test(id, name) VALUES ({k}, 'tls-{run}')"
+        )
+        # no queries after this point: START_REPLICATION puts the
+        # connection in CopyBoth mode where simple queries are invalid
+        c.start(parse_lsn(info["consistent_point"]))
+        for row in c.stream():
+            op, _ts, _db, _ns, table, _lsn, _before, after, _seq = row
+            if f"tls-{run}" in (after or ""):
+                assert op == "c" and table == "live_test"
+                break
+    finally:
+        c.sock.close()
