@@ -41,6 +41,8 @@ __all__ = [
     "parse_envelope",
     "kafka_key",
     "snapshot_as_events",
+    "CDC_ROW_COLUMNS",
+    "cdc_rows_as_events",
 ]
 
 OP_CREATE, OP_UPDATE, OP_DELETE, OP_READ = "c", "u", "d", "r"
@@ -268,5 +270,52 @@ def snapshot_as_events(
     )
     return df.select(
         kafka_key(F.lit(db), F.lit(schema), F.lit(table)).alias("key"),
+        value.alias("value"),
+    )
+
+
+#: the typed columns every custom CDC DataSource emits (CDC_ROW_SCHEMA) —
+#: the contract cdc_rows_as_events converts from
+CDC_ROW_COLUMNS = (
+    "op", "ts_ms", "db", "schema_name", "table", "lsn", "before", "after",
+)
+
+
+def cdc_rows_as_events(
+    df: DataFrame,
+    *,
+    connector: str = "postgresql",
+    name: str | None = None,
+    version: str = "1.0.0",
+) -> DataFrame:
+    """Typed CDC rows (the custom sources' ``CDC_ROW_SCHEMA``) → Debezium
+    envelope ``(key, value)`` — the reference replicator's event → Kafka
+    message construction (`pkg/replicator/replicator.go:243-275` via the
+    envelope shape in `pkg/debezium`): key ``{db}.{schema}.{table}``,
+    value the byte-shape envelope :func:`build_envelope_json` pins. This
+    is what makes ``replicate -s postgres://… -t kafka:…`` — the
+    reference's headline pipeline — compose: pgoutput/mongo sources
+    decode to typed rows; a Kafka target needs envelope text."""
+    value = build_envelope_json(
+        before_json=F.col("before"),
+        after_json=F.col("after"),
+        version=F.lit(version),
+        connector=F.lit(connector),
+        name=F.coalesce(F.lit(name), F.col("db")),
+        source_ts_ms=F.col("ts_ms"),
+        snapshot=F.when(F.col("op") == "r", F.lit("true")).otherwise(
+            F.lit("false")
+        ),
+        db=F.col("db"),
+        schema=F.col("schema_name"),
+        table=F.col("table"),
+        op=F.col("op"),
+        ts_ms=F.col("ts_ms"),
+        lsn=F.col("lsn"),
+    )
+    return df.select(
+        kafka_key(F.col("db"), F.col("schema_name"), F.col("table")).alias(
+            "key"
+        ),
         value.alias("value"),
     )

@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from librarian_spark.streaming.envelope import kafka_key, parse_envelope
+from librarian_spark.streaming.envelope import (
+    CDC_ROW_COLUMNS,
+    cdc_rows_as_events,
+    kafka_key,
+    parse_envelope,
+)
 from librarian_spark.streaming.fsm import ReplicatorFSM
 
 __all__ = ["ReplicateConfig", "Replicator"]
@@ -173,6 +178,13 @@ class Replicator:
             df = self.transform(df)
 
         if cfg.target_format == "kafka":
+            if "value" not in df.columns and set(CDC_ROW_COLUMNS) <= set(
+                df.columns
+            ):
+                # custom CDC sources decode to TYPED rows; a Kafka target
+                # carries envelope text — construct it here, the reference
+                # replicator's event → message step (replicator.go:243-275)
+                df = cdc_rows_as_events(df)
             if "key" not in df.columns:
                 df = df.withColumn(
                     "key", kafka_key(F.col("db"), F.col("schema_name"), F.col("table"))

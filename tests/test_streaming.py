@@ -290,6 +290,42 @@ def envelope_json_dir(spark, sf_dir, tmp_path):
     return d
 
 
+def test_cdc_rows_as_events_roundtrip_and_kafka_branch(spark, tmp_path):
+    """Typed CDC rows (the custom sources' CDC_ROW_SCHEMA) → envelope
+    (key, value) → parse_envelope must recover op/db/schema/table/lsn and
+    the verbatim before/after text — the postgres://…→kafka:… composition
+    (the reference's headline pipeline) depends on this conversion, and
+    the Replicator's kafka branch applies it automatically when a custom
+    CDC source meets a kafka target."""
+    from librarian_spark.streaming.envelope import cdc_rows_as_events
+
+    rows = [
+        ("c", 1700000000123, "appdb", "public", "users", 108,
+         None, '{"id":1,"name":"alice"}', "108:1"),
+        ("u", 1700000000456, "appdb", "public", "users", 208,
+         '{"id":1,"name":"alice"}', '{"id":1,"name":"bob"}', "208:1"),
+        ("d", 1700000000789, "appdb", "public", "users", 308,
+         '{"id":1,"name":null}', None, "308:1"),
+    ]
+    cdc = spark.createDataFrame(
+        rows,
+        "op string, ts_ms long, db string, schema_name string, "
+        "table string, lsn long, before string, after string, "
+        "position string",
+    )
+    ev = cdc_rows_as_events(cdc)
+    got = {r.key for r in ev.select("key").collect()}
+    assert got == {"appdb.public.users"}
+    back = parse_envelope(ev, "value").orderBy("lsn").collect()
+    assert [(r.op, r.lsn) for r in back] == [("c", 108), ("u", 208), ("d", 308)]
+    assert back[0].after_json == '{"id":1,"name":"alice"}'
+    assert back[2].before_json == '{"id":1,"name":null}'  # verbatim nulls
+    assert back[2].after_json is None
+    env = json.loads(ev.orderBy(F.lit(1)).collect()[0].value)
+    assert env["payload"]["source"]["connector"] == "postgresql"
+    assert env["payload"]["source"]["snapshot"] == "false"
+
+
 def test_replicator_file_to_memory(spark, envelope_json_dir, tmp_path):
     listener = StatsListener()
     spark.streams.addListener(listener)
