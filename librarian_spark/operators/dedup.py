@@ -2191,9 +2191,21 @@ def dedup_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
 # Winnowing-overlap pairs (the MOSS pairwise detector)
 # --------------------------------------------------------------------------
 
-_WOV_CAP_MIN = 32  # stop-gram cutoff floor; actual cap = max(this, docs/100)
+_WOV_CAP_MIN = 32  # stop-gram cutoff floor
+_WOV_CAP_MAX = 256  # discriminativeness ceiling (see below)
+# actual cap = clamp(docs/100, CAP_MIN, CAP_MAX). The docs/100 term keeps
+# the cutoff from blanking the signal on small corpora (the r8 10x lesson);
+# the CEILING is the 100x lesson (round 10, measured): the pair join emits
+# up to cap rows per (doc, fp) row, so an UNbounded scale-relative cap
+# makes worst-case pair volume cap*F ~ N^2/100 — at 500k docs (cap 5000)
+# the 100x cliff run filled 70+ GB of shuffle spill and died on disk.
+# Semantically the ceiling IS MOSS practice: a fingerprint selected by
+# hundreds of documents identifies boilerplate, not plagiarism — dropping
+# it loses no discriminative signal, and bounds pair volume to 256*F
+# (linear in the corpus).
 _WOV_CAP_SQL = (
-    f"GREATEST({_WOV_CAP_MIN}, (SELECT COUNT(*) FROM documents) // 100)"
+    f"LEAST({_WOV_CAP_MAX}, "
+    f"GREATEST({_WOV_CAP_MIN}, (SELECT COUNT(*) FROM documents) // 100))"
 )
 _WOV_MIN_SHARED = 2  # pair evidence threshold
 
@@ -2228,13 +2240,18 @@ from librarian_spark.operators.text import WINNOW_SEL_CTES  # noqa: E402
     "shared fingerprint, so this catches LOCAL plagiarism/quotation "
     "overlap that whole-doc and shingle-set similarity dilute away. "
     "Stop-gram discipline: fingerprints selected by more than "
-    f"max({_WOV_CAP_MIN}, docs/100) documents are dropped before pairing "
-    "(the document-frequency cutoff, scale-relative so discriminativeness "
-    "tracks the corpus — a fixed cap silently blanks the signal at 10x; "
-    "standard MOSS practice) — that caps the inverted-list join at "
-    "O(docs x density x cap) pair rows, the same bound class as the LSH "
-    "families. Shuffles: distinct on (doc_id, fp), the capped count, the "
-    "fp-keyed pair join, one pair rollup — never a corpus self-join. "
+    f"clamp(docs/100, {_WOV_CAP_MIN}, {_WOV_CAP_MAX}) documents are "
+    "dropped before pairing (the document-frequency cutoff; the docs/100 "
+    "term keeps a small corpus from blanking the signal — the 10x lesson "
+    f"— and the {_WOV_CAP_MAX} CEILING is the 100x lesson: an unbounded "
+    "scale-relative cap makes worst-case pair volume cap*F ~ N^2/100 — "
+    "measured 70+ GB of shuffle spill and a disk-full abort at 500k docs "
+    "before the ceiling; a fingerprint in hundreds of documents is "
+    "boilerplate, not plagiarism, so the ceiling costs no signal and "
+    f"bounds pair volume to {_WOV_CAP_MAX}*F, linear in the corpus) — "
+    "standard MOSS practice. Shuffles: distinct on (doc_id, fp), the "
+    "capped count, the fp-keyed pair join, one pair rollup — never a "
+    "corpus self-join. "
     "NB on this synthetic 30-word corpus most 5-char grams are "
     "corpus-frequent, so the cutoff removes most of them and surviving "
     "pair counts are corpus-shaped; on real text near-dup segments are "
@@ -2268,7 +2285,7 @@ def dedup_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     # cap is a scale-relative DF cutoff (1-row count inlined as a literal,
     # replayed by the oracle's integer subquery)
     n_docs = _t(spark, sf, "documents").count()
-    cap = max(_WOV_CAP_MIN, n_docs // 100)
+    cap = min(_WOV_CAP_MAX, max(_WOV_CAP_MIN, n_docs // 100))
     ok = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("nd")).filter(
         F.col("nd") <= cap
     )
