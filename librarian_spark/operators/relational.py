@@ -7771,6 +7771,221 @@ def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q112: Theta-sketch A-NOT-B — completes the sketch set algebra
+# (q111 covers union/intersection; difference is the third Datasketches op)
+# --------------------------------------------------------------------------
+
+_KMV_ANOTB_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_KMV_H_SQL} AS hv FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT event_type, hv FROM r WHERE rn <= {_KMV_K}),
+types AS (SELECT DISTINCT event_type FROM h),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT ta, tb, hv,
+         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT p.ta, p.tb, s.hv
+        FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb))
+),
+uk AS (
+  SELECT ta, tb, COUNT(*) AS ck, MAX(hv) AS theta
+  FROM u WHERE rn <= {_KMV_K} GROUP BY ta, tb
+),
+sa AS (SELECT p.ta, p.tb, s.hv FROM pairs p JOIN sk s ON s.event_type = p.ta),
+sb AS (SELECT p.ta, p.tb, s.hv FROM pairs p JOIN sk s ON s.event_type = p.tb),
+am AS (
+  SELECT sa.ta, sa.tb, COUNT(*) AS na_all,
+         COUNT(CASE WHEN sa.hv < uk.theta THEN 1 END) AS na_strict
+  FROM sa JOIN uk ON uk.ta = sa.ta AND uk.tb = sa.tb GROUP BY sa.ta, sa.tb
+),
+bm AS (
+  SELECT sb.ta, sb.tb, COUNT(*) AS nb_all,
+         COUNT(CASE WHEN sb.hv < uk.theta THEN 1 END) AS nb_strict
+  FROM sb JOIN uk ON uk.ta = sb.ta AND uk.tb = sb.tb GROUP BY sb.ta, sb.tb
+),
+cm AS (
+  SELECT sa.ta, sa.tb, COUNT(*) AS nc_all,
+         COUNT(CASE WHEN sa.hv < uk.theta THEN 1 END) AS nc_strict
+  FROM sa
+  JOIN sb ON sb.ta = sa.ta AND sb.tb = sa.tb AND sb.hv = sa.hv
+  JOIN uk ON uk.ta = sa.ta AND uk.tb = sa.tb
+  GROUP BY sa.ta, sa.tb
+),
+du AS (SELECT event_type, user_id FROM events
+       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       GROUP BY 1, 2),
+ex_i AS (
+  SELECT p.ta, p.tb, COUNT(*) AS ni
+  FROM pairs p
+  JOIN du a ON a.event_type = p.ta
+  JOIN du b ON b.event_type = p.tb AND b.user_id = a.user_id
+  GROUP BY 1, 2
+),
+ex_n AS (SELECT event_type, COUNT(*) AS nd FROM du GROUP BY 1)
+SELECT uk.ta AS type_a, uk.tb AS type_b,
+       CAST(CASE WHEN uk.ck < {_KMV_K}
+            THEN am.na_all - COALESCE(cm.nc_all, 0)
+            ELSE (am.na_strict - COALESCE(cm.nc_strict, 0))
+                 * 4294967296 // uk.theta END AS BIGINT) AS anotb_est,
+       CAST(CASE WHEN uk.ck < {_KMV_K}
+            THEN bm.nb_all - COALESCE(cm.nc_all, 0)
+            ELSE (bm.nb_strict - COALESCE(cm.nc_strict, 0))
+                 * 4294967296 // uk.theta END AS BIGINT) AS bnota_est,
+       CAST(na.nd - COALESCE(ex_i.ni, 0) AS BIGINT) AS n_exact_anotb,
+       CAST(nb.nd - COALESCE(ex_i.ni, 0) AS BIGINT) AS n_exact_bnota
+FROM uk
+JOIN am ON am.ta = uk.ta AND am.tb = uk.tb
+JOIN bm ON bm.ta = uk.ta AND bm.tb = uk.tb
+LEFT JOIN cm ON cm.ta = uk.ta AND cm.tb = uk.tb
+JOIN ex_n na ON na.event_type = uk.ta
+JOIN ex_n nb ON nb.event_type = uk.tb
+LEFT JOIN ex_i ON ex_i.ta = uk.ta AND ex_i.tb = uk.tb
+"""
+
+
+@query(
+    "q112_theta_anotb",
+    oracle=_KMV_ANOTB_SQL,
+    doc=f"Theta-sketch A-NOT-B — the set-DIFFERENCE estimator that "
+    "completes the sketch algebra (q111 = union/intersection; Datasketches' "
+    "third set operation): for every event_type pair, |A∖B| and |B∖A| "
+    "audience estimates computed FROM THE SKETCHES ALONE — θ = k-th "
+    "smallest of the merged bottom-k sets, A∖B ≈ |A's hashes < θ not in "
+    "B's set|·2³²/θ, exact by construction when the union holds under k "
+    "hashes. The difference is what audience tooling actually asks "
+    "('viewers who never purchased') and composes with q111's union/"
+    "intersection on the SAME per-partition sketches, so exclusion "
+    "audiences at 100 TB evaluate on k·|types| longs without rescanning "
+    "the corpus. Same md5-prefix hash as q107/q111: the oracle replays "
+    "sketch contents, θ, both difference estimates, and both exact "
+    "set-difference counts bit-for-bit. All sketch-side frames are "
+    "k·|types| rows; the corpus-scale work is the (group, hash) dedup "
+    "q107 already pays plus the exact-side scoring joins.",
+)
+def q112_theta_anotb(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    h = e.select(
+        "event_type", F.expr(_KMV_H_SPARK).cast("long").alias("hv")
+    ).distinct()
+    w1 = W.partitionBy(
+        "event_type", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))
+    ).orderBy("hv")
+    pruned = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("event_type").orderBy("hv")
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+        .localCheckpoint()  # k x |types| longs; feeds five subplans
+    )
+    types = sorted(
+        r.event_type for r in sk.select("event_type").distinct().collect()
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]],
+        "ta string, tb string",
+    )
+    su = sk.withColumnRenamed("event_type", "t")
+    merged = (
+        pairs.select("ta", "tb", F.explode(F.array("ta", "tb")).alias("t"))
+        .join(su, "t")
+        .select("ta", "tb", "hv")
+        .distinct()
+    )
+    wu = W.partitionBy("ta", "tb").orderBy("hv")
+    uk = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ck"), F.max("hv").alias("theta"))
+    )
+    sa = pairs.join(sk.select(F.col("event_type").alias("ta"), "hv"), "ta")
+    sb = pairs.join(sk.select(F.col("event_type").alias("tb"), "hv"), "tb")
+
+    def _strict_counts(side, all_name, strict_name):
+        return (
+            side.join(uk, ["ta", "tb"])
+            .groupBy("ta", "tb")
+            .agg(
+                F.count(F.lit(1)).alias(all_name),
+                F.count(
+                    F.when(F.col("hv") < F.col("theta"), 1)
+                ).alias(strict_name),
+            )
+        )
+
+    am = _strict_counts(sa, "na_all", "na_strict")
+    bm = _strict_counts(sb, "nb_all", "nb_strict")
+    common = sa.join(sb, ["ta", "tb", "hv"]).select("ta", "tb", "hv")
+    cm = _strict_counts(common, "nc_all", "nc_strict")
+    du = e.select("event_type", "user_id").distinct().localCheckpoint()
+    ex_n = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    da = du.select(F.col("event_type").alias("ta"), "user_id")
+    db = du.select(F.col("event_type").alias("tb"), "user_id")
+    ex_i = (
+        da.join(db, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    k = _KMV_K
+    nc_all = F.coalesce(F.col("nc_all"), F.lit(0))
+    nc_strict = F.coalesce(F.col("nc_strict"), F.lit(0))
+    anotb = F.when(F.col("ck") < k, F.col("na_all") - nc_all).otherwise(
+        F.call_function(
+            "div",
+            (F.col("na_strict") - nc_strict) * F.lit(4294967296),
+            F.col("theta"),
+        )
+    )
+    bnota = F.when(F.col("ck") < k, F.col("nb_all") - nc_all).otherwise(
+        F.call_function(
+            "div",
+            (F.col("nb_strict") - nc_strict) * F.lit(4294967296),
+            F.col("theta"),
+        )
+    )
+    na = ex_n.select(F.col("event_type").alias("ta"), F.col("nd").alias("nda"))
+    nb = ex_n.select(F.col("event_type").alias("tb"), F.col("nd").alias("ndb"))
+    return (
+        uk.join(am, ["ta", "tb"])
+        .join(bm, ["ta", "tb"])
+        .join(cm, ["ta", "tb"], "left")
+        .join(na, "ta")
+        .join(nb, "tb")
+        .join(ex_i, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            anotb.cast("long").alias("anotb_est"),
+            bnota.cast("long").alias("bnota_est"),
+            (F.col("nda") - F.coalesce(F.col("ni"), F.lit(0)))
+            .cast("long")
+            .alias("n_exact_anotb"),
+            (F.col("ndb") - F.coalesce(F.col("ni"), F.lit(0)))
+            .cast("long")
+            .alias("n_exact_bnota"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q42 twin: KMV rollup — the re-aggregable distinct-count rollup with an
 # exactly-replayable mechanism (closes the q42_hll_sketch rows-only gap)
 # --------------------------------------------------------------------------
