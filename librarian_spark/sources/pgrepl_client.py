@@ -137,8 +137,14 @@ def send_frontend_message(sock, tag: bytes, body: bytes) -> None:
 SSL_REQUEST_CODE = 80877103  # pg protocol 1234.5679 — SSLRequest
 
 
+#: sslmode values the client implements (libpq's meaningful subset for a
+#: replication client; allow/prefer are negotiation conveniences, not
+#: security levels, and are intentionally absent)
+SSL_MODES = ("disable", "require", "verify-ca", "verify-full")
+
+
 def start_tls(sock, server_hostname: str | None = None,
-              verify: bool = False):
+              mode: str = "require"):
     """Upgrade a fresh PG connection to TLS — the SSLRequest dance libpq
     runs for sslmode != disable (PostgreSQL protocol docs, "SSL Session
     Encryption"; the reference gets this from pgconn via the conninfo
@@ -146,11 +152,15 @@ def start_tls(sock, server_hostname: str | None = None,
     the server's one-byte verdict — ``S`` (proceed with TLS) wraps the
     socket, ``N`` (SSL not supported) raises, since the caller asked for
     encryption and silently continuing in cleartext is the downgrade
-    attack sslmode=require exists to prevent. ``verify=False`` matches
-    sslmode=require (encrypt, trust any cert — self-signed servers);
-    ``verify=True`` is verify-full (CA chain + hostname)."""
+    attack sslmode=require exists to prevent. Modes (libpq semantics):
+    ``require`` encrypts and trusts any cert (self-signed servers),
+    ``verify-ca`` demands a trusted CA chain but not the hostname,
+    ``verify-full`` demands both. Anything else raises — an unknown mode
+    silently mapping to no-verification would be its own downgrade."""
     import ssl
 
+    if mode not in SSL_MODES or mode == "disable":
+        raise ValueError(f"unsupported sslmode for start_tls: {mode!r}")
     sock.sendall(struct.pack(">II", 8, SSL_REQUEST_CODE))
     verdict = _recv_exact(sock, 1)
     if verdict != b"S":
@@ -158,9 +168,12 @@ def start_tls(sock, server_hostname: str | None = None,
             f"server refused SSL (answered {verdict!r}); "
             "connect with sslmode=disable to use cleartext"
         )
-    if verify:
+    if mode == "verify-full":
         ctx = ssl.create_default_context()
-    else:
+    elif mode == "verify-ca":
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False  # CA chain yes, hostname no
+    else:  # require
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
         ctx.check_hostname = False
         ctx.verify_mode = ssl.CERT_NONE
@@ -317,19 +330,25 @@ class ReplicationSlotClient:
         """Live-socket construction (``host:port`` -> TCP): the mock-to-live
         switch is this one call — every protocol byte is identical.
         ``sslmode`` is the libpq subset that matters for a replication
-        client: ``disable`` (cleartext), ``require`` (TLS, any cert —
-        :func:`start_tls` with verify off), ``verify-full`` (CA chain +
-        hostname)."""
+        client (:data:`SSL_MODES`): ``disable`` (cleartext), ``require``
+        (TLS, any cert), ``verify-ca`` (CA chain), ``verify-full``
+        (CA chain + hostname). Unknown modes raise — a typo silently
+        getting CERT_NONE would be the downgrade the modes exist to
+        prevent."""
         from librarian_spark.sources.dial import dial as _dial
 
+        if sslmode not in SSL_MODES:
+            raise ValueError(
+                f"unsupported sslmode {sslmode!r}; choose one of {SSL_MODES}"
+            )
         sock = _dial(dsn)
         if sslmode != "disable":
             host = dsn.rsplit(":", 1)[0].strip("[]")
-            sock = start_tls(
-                sock,
-                server_hostname=host,
-                verify=(sslmode == "verify-full"),
-            )
+            try:
+                sock = start_tls(sock, server_hostname=host, mode=sslmode)
+            except BaseException:
+                sock.close()  # don't leak the TCP socket on 'N'/handshake fail
+                raise
         return cls(sock, **kw)
 
     # -- checkpoint (atomic tmp+rename, checkpoint.go:103-117 parity) ------

@@ -92,8 +92,10 @@ def parse_pg_url(url: str) -> PgSourceUrl:
         raise ValueError(f"not a postgres URL: {url!r}")
     db = (u.path or "/").lstrip("/") or "postgres"
     q = parse_qs(u.query)
+    from librarian_spark.sources.pgrepl_client import SSL_MODES
+
     sslmode = q.get("sslmode", ["disable"])[0]
-    if sslmode not in ("disable", "require", "verify-full"):
+    if sslmode not in SSL_MODES:
         raise ValueError(f"unsupported sslmode: {sslmode!r}")
     return PgSourceUrl(
         host=u.hostname or "127.0.0.1",

@@ -45,7 +45,7 @@ from librarian_spark.streaming.envelope import (
 )
 from librarian_spark.streaming.fsm import ReplicatorFSM
 
-__all__ = ["ReplicateConfig", "Replicator"]
+__all__ = ["ReplicateConfig", "Replicator", "kafka_payload"]
 
 # custom segment-directory DataSources: format name → module under
 # librarian_spark.sources (all share the offset + true-pause protocol)
@@ -54,6 +54,33 @@ _CUSTOM_SOURCES = {
     "pgoutput": "pgoutput",
     "mongo_changestream": "mongo_changestream",
 }
+
+# Debezium connector label per source format (payload.source.connector —
+# consumers dispatch on it, so a Mongo event labeled "postgresql" misroutes)
+_CONNECTOR_LABEL = {
+    "mongo_changestream": "mongodb",
+    "pgoutput": "postgresql",
+    "cdc_jsonl": "postgresql",
+}
+
+
+def kafka_payload(df: DataFrame, source_format: str = "") -> DataFrame:
+    """(key, value) string frame for the Kafka sink. Typed CDC rows (a
+    custom source's output) get the Debezium envelope constructed here —
+    the reference replicator's event → message step
+    (`pkg/replicator/replicator.go:243-275`) — labeled with the source's
+    connector; frames already carrying ``value`` (kafka/files passthrough)
+    keep it. Module-level so the branch condition is unit-testable on
+    batch frames without a broker."""
+    if "value" not in df.columns and set(CDC_ROW_COLUMNS) <= set(df.columns):
+        df = cdc_rows_as_events(
+            df, connector=_CONNECTOR_LABEL.get(source_format, "postgresql")
+        )
+    if "key" not in df.columns:
+        df = df.withColumn(
+            "key", kafka_key(F.col("db"), F.col("schema_name"), F.col("table"))
+        )
+    return df.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
 
 
 @dataclass
@@ -178,18 +205,7 @@ class Replicator:
             df = self.transform(df)
 
         if cfg.target_format == "kafka":
-            if "value" not in df.columns and set(CDC_ROW_COLUMNS) <= set(
-                df.columns
-            ):
-                # custom CDC sources decode to TYPED rows; a Kafka target
-                # carries envelope text — construct it here, the reference
-                # replicator's event → message step (replicator.go:243-275)
-                df = cdc_rows_as_events(df)
-            if "key" not in df.columns:
-                df = df.withColumn(
-                    "key", kafka_key(F.col("db"), F.col("schema_name"), F.col("table"))
-                )
-            out = df.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+            out = kafka_payload(df, cfg.source_format)
             writer = out.writeStream.format("kafka")
             # reference producer tuning (acks=1, snappy, linger 5ms, batch 16384 —
             # `internal/integrations/kafka/repository.go:45-60`) passes through as

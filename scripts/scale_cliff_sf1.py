@@ -112,12 +112,12 @@ def main() -> None:
     queries = sys.argv[1].split(",") if len(sys.argv) > 1 else sorted(specs)
     if ORGANIC:
         scaled = f"/tmp/librarian_scale_organic_x{REPL}"
-        if not os.path.exists(f"{scaled}/lineitem.parquet/_SUCCESS"):
+        if not os.path.exists(f"{scaled}/region.parquet/_SUCCESS"):
             print(f"building organic {scaled} ...", file=sys.stderr)
             build_organic(spark, scaled)
     else:
         scaled = f"/tmp/librarian_scale_x{REPL}"
-        if not os.path.exists(f"{scaled}/lineitem.parquet/_SUCCESS"):
+        if not os.path.exists(f"{scaled}/region.parquet/_SUCCESS"):
             print(f"building {scaled} ...", file=sys.stderr)
             import scale_smoke
 

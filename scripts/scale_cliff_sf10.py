@@ -92,7 +92,10 @@ def main() -> None:
     specs = load_all()
     queries = sys.argv[1].split(",") if len(sys.argv) > 1 else QUERIES
     scaled = f"/tmp/librarian_scale_organic_x{REPL}"
-    if not os.path.exists(f"{scaled}/lineitem.parquet/_SUCCESS"):
+    # completeness check on the LAST table build_scaled writes (SHIFT dict
+    # order ends at region) — testing an earlier table would reuse a
+    # build interrupted midway as if complete
+    if not os.path.exists(f"{scaled}/region.parquet/_SUCCESS"):
         print(f"building organic {scaled} ...", file=sys.stderr)
         build_organic_100(spark, scaled)
     spark.read.parquet(f"{BASE_SF}/region.parquet").count()  # warm JVM
@@ -122,8 +125,12 @@ def main() -> None:
     merged = dict(doc.get("queries", {}))
     merged.update(out)
     doc["queries"] = merged
+    # an ERRORED query is the worst outlier there is (the disk-full /
+    # OOM class this script exists to catch) — it must never read as a
+    # clean gate just because it has no ratio
     doc["outliers"] = [
-        n for n, r in merged.items() if r.get("ratio", 0) > RATIO_BAR
+        n for n, r in merged.items()
+        if r.get("ratio", 0) > RATIO_BAR or "error" in r
     ]
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)

@@ -187,7 +187,7 @@ def time_query(spark, spec, sf_dir: str, runs: int = 2) -> float:
 def main() -> None:
     spark = get_spark("scale-smoke")
     scaled = f"/tmp/librarian_scale_x{REPL}"
-    if not os.path.exists(f"{scaled}/lineitem.parquet/_SUCCESS"):
+    if not os.path.exists(f"{scaled}/region.parquet/_SUCCESS"):
         print(f"building {scaled} ...", file=sys.stderr)
         build_scaled(spark, scaled)
     specs = load_all()

@@ -82,12 +82,16 @@ def _ensure_ssl() -> None:
     the running cluster gains TLS in place. The TLS live test skips when
     this fails (server answers 'N' to SSLRequest)."""
     crt, key = f"{PGDATA}/server.crt", f"{PGDATA}/server.key"
+    san_marker = f"{PGDATA}/.cert_has_san"  # v2: cert carries an IP SAN
     try:
-        if not os.path.exists(crt):
+        if not os.path.exists(crt) or not os.path.exists(san_marker):
+            # the IP subjectAltName is what lets sslmode=verify-full pass:
+            # Python's default context ignores CN for hostname matching
             r = subprocess.run(
                 ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
                  "-keyout", key, "-out", crt, "-days", "2",
-                 "-subj", "/CN=127.0.0.1"],
+                 "-subj", "/CN=127.0.0.1",
+                 "-addext", "subjectAltName=IP:127.0.0.1"],
                 capture_output=True, text=True, timeout=60,
             )
             if r.returncode != 0:
@@ -95,6 +99,8 @@ def _ensure_ssl() -> None:
             shutil.chown(crt, "postgres", "postgres")
             shutil.chown(key, "postgres", "postgres")
             os.chmod(key, 0o600)
+            with open(san_marker, "w", encoding="utf-8") as fh:
+                fh.write("")
         _psql_tcp("ALTER SYSTEM SET ssl = on;\nSELECT pg_reload_conf();")
     except Exception:  # noqa: BLE001 — ssl is additive; its test skips
         return
@@ -105,21 +111,8 @@ def _probe_schema() -> bool:
     foreign process) by running the idempotent schema SQL over TCP — it
     re-creates live_test/librarian_pub if missing and fails cleanly on
     anything that is not a postgres superuser accepting our credentials."""
-    if not os.path.exists(f"{PGBIN}/psql"):
-        return False
-    try:
-        r = subprocess.run(
-            [f"{PGBIN}/psql", "-h", "127.0.0.1", "-p", str(PORT),
-             "-U", "postgres", "-v", "ON_ERROR_STOP=1", "-f", "-"],
-            input=_SCHEMA_SQL,
-            capture_output=True,
-            text=True,
-            timeout=60,
-            env={**os.environ, "PGPASSWORD": "postgres"},
-        )
-        return r.returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
+    r = _psql_tcp(_SCHEMA_SQL)
+    return r is not None and r.returncode == 0
 
 
 def ensure_running() -> str | None:

@@ -294,10 +294,12 @@ def test_cdc_rows_as_events_roundtrip_and_kafka_branch(spark, tmp_path):
     """Typed CDC rows (the custom sources' CDC_ROW_SCHEMA) → envelope
     (key, value) → parse_envelope must recover op/db/schema/table/lsn and
     the verbatim before/after text — the postgres://…→kafka:… composition
-    (the reference's headline pipeline) depends on this conversion, and
-    the Replicator's kafka branch applies it automatically when a custom
-    CDC source meets a kafka target."""
+    (the reference's headline pipeline) depends on this conversion. The
+    kafka sink goes through kafka_payload (the ACTUAL branch function
+    _start_query calls), so its trigger condition, connector labeling by
+    source format, and envelope passthrough are all exercised here."""
     from librarian_spark.streaming.envelope import cdc_rows_as_events
+    from librarian_spark.streaming.replicate import kafka_payload
 
     rows = [
         ("c", 1700000000123, "appdb", "public", "users", 108,
@@ -324,6 +326,25 @@ def test_cdc_rows_as_events_roundtrip_and_kafka_branch(spark, tmp_path):
     env = json.loads(ev.orderBy(F.lit(1)).collect()[0].value)
     assert env["payload"]["source"]["connector"] == "postgresql"
     assert env["payload"]["source"]["snapshot"] == "false"
+    # the REAL kafka-branch function: typed rows trigger the conversion
+    # with the SOURCE's connector label (a Mongo event labeled postgresql
+    # would misroute consumers dispatching on payload.source.connector)
+    kp = kafka_payload(cdc, "mongo_changestream")
+    assert kp.columns == ["key", "value"]
+    envm = json.loads(kp.limit(1).collect()[0]["value"])
+    assert envm["payload"]["source"]["connector"] == "mongodb"
+    # a frame already carrying value (kafka/files passthrough) is NOT
+    # re-enveloped — parse_envelope keeps the original value column
+    passthrough = kafka_payload(parse_envelope(ev, "value"), "files")
+    vals = {r["value"] for r in passthrough.collect()}
+    assert vals == {r["value"] for r in ev.collect()}
+    # and the trigger condition is the CDC column contract: drop one
+    # required column and typed conversion must NOT fire (loud error
+    # beats a silently half-built envelope)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="value|UNRESOLVED"):
+        kafka_payload(cdc.drop("op"), "pgoutput").collect()
 
 
 def test_replicator_file_to_memory(spark, envelope_json_dir, tmp_path):
