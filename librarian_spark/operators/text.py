@@ -2945,3 +2945,99 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
             "div", F.lit(1000) * F.sum(dev), F.sum("f")
         ).cast("long").alias("zipf_dev_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus bigram language-model scoring (quality filtering by LM fit)
+# --------------------------------------------------------------------------
+
+_LM_SCALE = 1000  # per-bigram smoothed-probability ratio in milli-units
+
+
+@query(
+    "text_ngram_lm_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, STR_SPLIT(TRIM(LOWER(text)), ' ') AS w
+                FROM documents),
+    uni AS (SELECT t, COUNT(*) AS n
+            FROM (SELECT UNNEST(w) AS t FROM tk) GROUP BY t),
+    v AS (SELECT COUNT(*) AS nv FROM uni),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+           FROM (SELECT doc_id, w,
+                        UNNEST(RANGE(1, GREATEST(LEN(w), 1))) AS i
+                 FROM tk)),
+    c12 AS (SELECT gram, COUNT(*) AS n FROM bg GROUP BY gram)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((c12.n + 1) * {_LM_SCALE} // (c1.n + v.nv)) AS BIGINT)
+             AS lm_sum_milli,
+           CAST(SUM((c12.n + 1) * {_LM_SCALE} // (c1.n + v.nv))
+                // COUNT(*) AS BIGINT) AS lm_avg_milli
+    FROM bg b
+    JOIN c12 USING (gram)
+    JOIN uni c1 ON c1.t = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+    doc=f"Corpus bigram language-model score per document — the quality "
+    "signal pretraining pipelines use alongside the heuristic gates (CCNet/"
+    "Gopher style: documents whose word transitions are atypical for the "
+    "corpus score low — OCR noise, boilerplate, wrong-language residue). "
+    "Model = add-one-smoothed bigram counts trained on the corpus itself "
+    "(two map-side-combining aggregates); per-bigram fit = "
+    f"(c12+1)·{_LM_SCALE} div (c1+V) in EXACT integer milli-units — no "
+    "floating logs, so the oracle replays tokenization, both count tables, "
+    "V, and every per-bigram ratio bit-for-bit (floats here are the "
+    "classic cross-engine trap: ln() differs in the last ulp across libm "
+    "builds). Per doc: bigram count, the milli-ratio sum, and the integer "
+    "mean. Scale shape: the model tables are vocabulary-sized (grow "
+    "sub-linearly — Heaps' law), the doc-side gram stream joins them on "
+    "the gram keys (shuffle-hash on corpus-scale streams, the honest "
+    "plan; broadcast only if the vocab fits), and V is one scalar inlined "
+    "as a literal (bounded driver collect, the winnow n_docs pattern; the "
+    "1-row CROSS JOIN stays oracle-side only — a 1-row join in Spark "
+    "plans BroadcastNestedLoopJoin, the plan gate's forbidden class).",
+)
+def text_ngram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    toks = fan_out(d).select("doc_id", tokens("text").alias("_w"))
+    uni = toks.select(F.explode("_w").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    nv = uni.count()  # scalar V (vocabulary size), inlined as a literal
+    # bigram stream with w1 carried alongside (re-splitting the gram would
+    # be wrong only for pathological tokens, but carrying it is free);
+    # explicit >= 2 size guard — sequence() flips DESCENDING when the stop
+    # is below the start (the shingles_of_tokens phantom-window trap)
+    bg = (
+        toks.filter(F.size("_w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1), "
+                    "i -> struct(_w[i-1] AS w1, "
+                    "concat(_w[i-1], ' ', _w[i]) AS gram))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.gram")
+    )
+    c12 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
+    ratio = F.call_function(
+        "div",
+        (F.col("c12") + 1) * F.lit(_LM_SCALE),
+        F.col("c1") + F.lit(nv),
+    )
+    return (
+        bg.join(c12, "gram")
+        .join(uni.withColumnRenamed("t", "w1"), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(ratio).cast("long").alias("lm_sum_milli"),
+            F.call_function(
+                "div", F.sum(ratio), F.count(F.lit(1))
+            ).cast("long").alias("lm_avg_milli"),
+        )
+    )

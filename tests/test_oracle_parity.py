@@ -159,7 +159,11 @@ def test_degenerate_documents_match_oracle(spark, tmp_path):
                  # dedup_simhash's md5 token hash must agree on UTF-8 byte
                  # semantics (hashlib md5 of token.encode vs DuckDB MD5) and
                  # on empty/short docs (STR_SPLIT('') == [''] parity)
-                 "dedup_simhash"]:
+                 "dedup_simhash",
+                 # the LM scorer's <2-token guard (sequence() flips
+                 # descending below the start) and the 1-token/empty-text
+                 # exclusion must agree on both engines
+                 "text_ngram_lm_score"]:
         spec = SPECS[name]
         assert_query_matches(spark, spec.spark_fn, spec.oracle, tmp, name)
 
