@@ -191,3 +191,70 @@ def test_cli_replicate_live_postgres_once_with_resume(tmp_path, spark, live_pg_s
         except Exception:  # noqa: BLE001 — cleanup is best-effort
             pass
         ctl.sock.close()
+
+
+def test_tailer_background_failure_is_surfaced(tmp_path):
+    """start_background stores a worker exception; raise_if_failed must
+    re-raise it — the CLI watchdog loop polls exactly this, so a silent
+    swallow here means a dead walsender looks like healthy replication."""
+    from librarian_spark.streaming.live import _TailerBase
+
+    t = _TailerBase(checkpoint_dir=str(tmp_path / "ckpt"))
+
+    def _boom():
+        raise ConnectionError("walsender dropped")
+
+    th = t.start_background(_boom)
+    th.join(timeout=10)
+    with pytest.raises(RuntimeError, match="walsender dropped"):
+        t.raise_if_failed()
+
+
+@pytest.mark.live("pg")
+def test_pg_tailer_run_forever_live(tmp_path, live_pg_server):
+    """The CONTINUOUS tailing path (the CLI's non---once mode): a
+    background PgCdcTailer records live WAL into segments while DML
+    happens, and stop() tears the socket down without surfacing a
+    failure. (--once covers the bounded drain; this covers the thread +
+    recorder loop + clean shutdown.)"""
+    import glob
+    import time as _time
+    import uuid
+
+    from librarian_spark.streaming.live import PgCdcTailer
+
+    db = os.environ.get("LIBRARIAN_LIVE_PG_DB", "postgres")
+    run = uuid.uuid4().hex[:8]
+    table, pub, slot = f"rf_{run}", f"rf_pub_{run}", f"rf_slot_{run}"
+    ctl = _pg_control(db)
+    tailer = None
+    try:
+        ctl.simple_query(f"CREATE TABLE {table}(id int primary key, v text)")
+        ctl.simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {table}")
+        url = (
+            f"postgres://postgres:postgres@{live_pg_server}/{db}"
+            f"?slot={slot}&publication={pub}"
+        )
+        tailer = PgCdcTailer(url, checkpoint_dir=str(tmp_path / "ckpt"))
+        tailer.connect()
+        tailer.run_forever()
+        ctl.simple_query(f"INSERT INTO {table} VALUES (1,'a'),(2,'b')")
+        ctl.simple_query(f"UPDATE {table} SET v='a2' WHERE id=1")
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            segs = glob.glob(f"{tailer.segments_dir}/*.pgwal")
+            if len(segs) >= 2:  # both txns landed as segments
+                break
+            _time.sleep(0.2)
+        assert len(glob.glob(f"{tailer.segments_dir}/*.pgwal")) >= 2
+        tailer.raise_if_failed()  # the live thread must be healthy
+    finally:
+        if tailer is not None:
+            tailer.stop()
+        try:
+            ctl.simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+            ctl.simple_query(f"DROP TABLE IF EXISTS {table}")
+            ctl.simple_query(f"DROP_REPLICATION_SLOT {slot}")
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        ctl.sock.close()
