@@ -3041,3 +3041,68 @@ def text_ngram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("lm_avg_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle into training shards
+# --------------------------------------------------------------------------
+
+_SHUF_SHARDS = 8
+
+# 32-bit uniform doc hash both engines compute identically (the q107 idiom)
+_SHUF_H_SPARK = (
+    "conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10)"
+)
+_SHUF_H_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "text_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_SHUF_H_SQL} AS hv FROM documents
+    ),
+    s AS (
+      SELECT doc_id, hv,
+             hv * {_SHUF_SHARDS} // 4294967296 AS shard_id
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    doc=f"Deterministic global shuffle into {_SHUF_SHARDS} training shards — "
+    "the data-ordering step between curation and tokenize/pack: every doc "
+    "gets a content-independent pseudo-random position (md5 of its id) "
+    "that is REPRODUCIBLE across reruns and resumes, unlike rand() — a "
+    "re-executed task must shuffle identically or a resumed training run "
+    "sees a different data order than its checkpoint assumed. Design: "
+    "shard = equal slice of the 32-bit hash space (hash-RANGE sharding — "
+    "no global sort, no single-partition rank; shard sizes concentrate "
+    "at N/S by uniformity), position = per-shard window over (hash, id). "
+    "At 100 TB each shard's window is an independent range partition and "
+    "the whole op is one hash projection + one S-way partitioned sort — "
+    "the same shape distributed training loaders shard by. Oracle replays "
+    "hash, shard cut, and tie-broken position exactly (the q107 md5-prefix "
+    "idiom).",
+)
+def text_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    h = d.select("doc_id", F.expr(_SHUF_H_SPARK).cast("long").alias("hv"))
+    s = h.withColumn(
+        "shard_id",
+        F.call_function(
+            "div", F.col("hv") * F.lit(_SHUF_SHARDS), F.lit(4294967296)
+        ),
+    )
+    w = W.partitionBy("shard_id").orderBy("hv", "doc_id")
+    return s.select(
+        "doc_id",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
