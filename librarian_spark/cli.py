@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     rep.add_argument("--flush-interval", default="5 seconds", help="trigger processing time (reference FlushTimeout)")
     rep.add_argument("--serve", type=int, default=None, metavar="PORT", help="start the stats/control HTTP server")
     rep.add_argument("--once", action="store_true", help="drain available input then stop (batch-drain)")
+    rep.add_argument(
+        "--initial-snapshot", action="store_true",
+        help="postgres:// only: on FIRST run, load every publication table "
+             "as op='r' rows from the slot's exported snapshot, then stream "
+             "from the slot's consistent point (no gap, no overlap)",
+    )
 
     mat = sub.add_parser(
         "materialize",
@@ -188,6 +194,10 @@ def _cmd_replicate(args) -> int:
     else:
         print(f"unknown source kind: {src_kind}", file=sys.stderr)
         return 2
+    if args.initial_snapshot and src_kind not in ("postgres", "postgresql"):
+        print("--initial-snapshot requires a postgres:// source",
+              file=sys.stderr)
+        return 2
 
     if tgt_kind == "kafka":
         bootstrap, _, topic = tgt_rest.partition("/")
@@ -208,28 +218,37 @@ def _cmd_replicate(args) -> int:
     server = None
     if args.serve is not None:
         server = ReplicatorServer()
-        server.add(rep)
+        server.add(rep, source_stats=getattr(tailer, "source_stats", None))
         port = server.start(port=args.serve)
         print(json.dumps({"serving": f"http://127.0.0.1:{port}/api/v1/replicators"}))
 
     try:
         if tailer is not None:
-            tailer.connect()
+            if args.initial_snapshot:
+                tailer.connect(initial_snapshot=True)
+            else:
+                tailer.connect()
             if args.once:
                 # bounded drain to the connect-time server position; the
                 # per-commit checkpoint means the next --once run ships
                 # exactly the transactions committed since this one
                 drained = tailer.drain_once()
                 tailer.stop()
-                print(json.dumps({"source_drained": drained}))
+                summary = {"source_drained": drained}
+                skipped = getattr(tailer, "source_stats", lambda: {})()
+                if skipped.get("skipped_other"):
+                    # e.g. a TRUNCATE on a replicated table: no CDC row by
+                    # design, but the operator must be able to SEE it
+                    summary["skipped_other"] = skipped["skipped_other"]
+                print(json.dumps(summary))
             else:
                 tailer.run_forever()
         q = rep.start()
         if args.once:
+            # the --once drain ran synchronously above (any failure raised
+            # there already), so there is no background tailer to poll here
             rep.process_available()
             rep.stop()
-            if tailer is not None:
-                tailer.raise_if_failed()
         elif tailer is None:
             q.awaitTermination()
         else:

@@ -29,19 +29,34 @@ from __future__ import annotations
 import os
 import socket
 
-__all__ = ["dial", "live_dsn"]
+__all__ = ["dial", "host_of", "live_dsn"]
 
 _ENV_PREFIX = "LIBRARIAN_LIVE_"
 
 
-def dial(dsn: str, timeout: float = 10.0) -> socket.socket:
-    """``host:port`` -> connected TCP socket (TCP_NODELAY, blocking with the
-    given timeout). IPv6 literals use ``[::1]:9092`` bracket form."""
+def _split_host_port(dsn: str) -> tuple[str, str]:
+    """``host:port`` / ``[v6-literal]:port`` -> (host, port-string). The
+    single bracket-aware parse both :func:`dial` and TLS SNI derivation
+    use — a naive ``rsplit(':', 1)`` turns a bare ``::1`` into host ``:``."""
     if dsn.startswith("["):  # [v6-literal]:port
         host, _, port = dsn.rpartition(":")
         host = host.strip("[]")
     else:
         host, _, port = dsn.rpartition(":")
+    return host, port
+
+
+def host_of(dsn: str) -> str:
+    """The hostname part of a DSN, bracket-aware — what TLS SNI /
+    verify-full hostname checks must use."""
+    host, _ = _split_host_port(dsn)
+    return host
+
+
+def dial(dsn: str, timeout: float = 10.0) -> socket.socket:
+    """``host:port`` -> connected TCP socket (TCP_NODELAY, blocking with the
+    given timeout). IPv6 literals use ``[::1]:9092`` bracket form."""
+    host, port = _split_host_port(dsn)
     if not host or not port.isdigit():
         raise ValueError(f"DSN must be host:port, got {dsn!r}")
     sock = socket.create_connection((host, int(port)), timeout=timeout)

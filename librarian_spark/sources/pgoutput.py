@@ -153,6 +153,28 @@ def encode_delete(
     return b"D" + struct.pack(">I", rel_id) + old_kind + _tuple_data(old_values)
 
 
+def encode_snapshot_marker() -> bytes:
+    """Container-level frame (NOT a pgoutput wire message — no real
+    walsender ever sends it): written by the initial-snapshot exporter at
+    the head of a snapshot segment's transaction, it switches the decoder
+    so the Inserts that follow decode as op=``r`` (snapshot read, the
+    Debezium ``r`` op the envelope already supports — S8) instead of
+    ``c``. The tag byte ``S`` is unused by the pgoutput protocol
+    (B C O R Y I U D T M), so a segment replaying REAL wal can never
+    trip it."""
+    return b"S"
+
+
+def encode_truncate(rel_ids: list[int], options: int = 0) -> bytes:
+    """Truncate message (pgoutput protocol): option bits 1 = CASCADE,
+    2 = RESTART IDENTITY; one message may truncate several relations."""
+    return (
+        b"T"
+        + struct.pack(">IB", len(rel_ids), options)
+        + struct.pack(f">{len(rel_ids)}I", *rel_ids)
+    )
+
+
 def write_segment(path: str, messages: list[bytes]) -> None:
     """One ``.pgwal`` segment: length-prefixed CopyData frames, written
     atomically (tmp + rename) so a concurrently-polling stream reader never
@@ -277,6 +299,19 @@ def parse_message(buf: bytes) -> dict:
         (rel_id,) = struct.unpack_from(">I", buf, 1)
         old, _ = _parse_tuple(buf, 6)
         return {"type": "delete", "rel_id": rel_id, "old": old}
+    if tag == b"S":
+        # snapshot marker — our container extension (encode_snapshot_marker)
+        return {"type": "snapshot_mode"}
+    if tag == b"T":
+        # Truncate (pgoutput protocol): Int32 nrelids, Int8 option bits
+        # (1 = CASCADE, 2 = RESTART IDENTITY), Int32[] relation OIDs.
+        # Decoded so the skip can be COUNTED per relation — the reference's
+        # switch has no Truncate case and silently drops it
+        # (`pkg/postgres/source.go` default branch); see
+        # :meth:`PgOutputDecoder.feed` for the documented skip decision.
+        nrels, opt = struct.unpack_from(">IB", buf, 1)
+        rel_ids = list(struct.unpack_from(f">{nrels}I", buf, 6))
+        return {"type": "truncate", "rel_ids": rel_ids, "options": opt}
     return {"type": "other", "tag": tag.decode("latin1")}
 
 
@@ -296,6 +331,12 @@ class PgOutputDecoder:
         self.txn_lsn: int | None = None
         self.txn_ts_ms: int | None = None
         self.seq = 0
+        # skip-with-counter (see feed): {"T": n, "M": n, ...} per raw tag,
+        # plus per-table truncate counts under "truncate:<ns>.<table>"
+        self.skipped_other: dict[str, int] = {}
+        # snapshot-read mode: set by the container's 'S' marker frame;
+        # Inserts decode as op='r' until the enclosing Commit
+        self.snapshot_op = False
 
     def _tuple_to_map(self, rel: RelationInfo, vals: list[str | None]) -> dict:
         out: dict = {}
@@ -342,6 +383,35 @@ class PgOutputDecoder:
             self.txn_ts_ms = msg["commit_ts_ms"]
             return
         if t == "commit":
+            self.snapshot_op = False  # 'r' mode is per snapshot transaction
+            return
+        if t == "snapshot_mode":
+            self.snapshot_op = True
+            return
+        if t == "truncate":
+            # DECISION — skip-with-counter. The reference's message switch
+            # has no Truncate arm, so a TRUNCATE on a replicated table
+            # vanishes from its stream too (`pkg/postgres/source.go`
+            # default case); matching that keeps oracle/envelope parity
+            # (the Debezium-min envelope has no truncate op either). But a
+            # SILENT vanish is a data-loss footgun for consumers that
+            # assume row-level completeness, so every skip is counted here
+            # and surfaced through the tailer/CLI stats. Emitting a typed
+            # ``t`` event is the documented extension path if a downstream
+            # materializer ever needs to clear state on truncate.
+            self.skipped_other["T"] = self.skipped_other.get("T", 0) + 1
+            for rid in msg["rel_ids"]:
+                rel = self.relations.get(rid)
+                key = (
+                    f"truncate:{rel.namespace}.{rel.name}"
+                    if rel is not None
+                    else f"truncate:oid={rid}"
+                )
+                self.skipped_other[key] = self.skipped_other.get(key, 0) + 1
+            return
+        if t == "other":
+            tag = msg["tag"]
+            self.skipped_other[tag] = self.skipped_other.get(tag, 0) + 1
             return
         if t in ("insert", "update", "delete"):
             rel = self.relations.get(msg["rel_id"])
@@ -351,7 +421,8 @@ class PgOutputDecoder:
                     "self-contained (Relation message missing)"
                 )
             if t == "insert":
-                yield self._row(rel, "c", None, self._tuple_to_map(rel, msg["new"]))
+                op = "r" if self.snapshot_op else "c"
+                yield self._row(rel, op, None, self._tuple_to_map(rel, msg["new"]))
             elif t == "update":
                 before = (
                     self._tuple_to_map(rel, msg["old"])

@@ -144,7 +144,7 @@ SSL_MODES = ("disable", "require", "verify-ca", "verify-full")
 
 
 def start_tls(sock, server_hostname: str | None = None,
-              mode: str = "require"):
+              mode: str = "require", sslrootcert: str | None = None):
     """Upgrade a fresh PG connection to TLS — the SSLRequest dance libpq
     runs for sslmode != disable (PostgreSQL protocol docs, "SSL Session
     Encryption"; the reference gets this from pgconn via the conninfo
@@ -156,7 +156,12 @@ def start_tls(sock, server_hostname: str | None = None,
     ``require`` encrypts and trusts any cert (self-signed servers),
     ``verify-ca`` demands a trusted CA chain but not the hostname,
     ``verify-full`` demands both. Anything else raises — an unknown mode
-    silently mapping to no-verification would be its own downgrade."""
+    silently mapping to no-verification would be its own downgrade.
+    ``sslrootcert`` is libpq's parameter of the same name: a PEM CA file
+    to trust INSTEAD of the system store, which is how verify-ca /
+    verify-full work against a self-signed or private-CA server (without
+    it the only workable mode there is ``require``, which encrypts but
+    authenticates nothing)."""
     import ssl
 
     if mode not in SSL_MODES or mode == "disable":
@@ -169,9 +174,9 @@ def start_tls(sock, server_hostname: str | None = None,
             "connect with sslmode=disable to use cleartext"
         )
     if mode == "verify-full":
-        ctx = ssl.create_default_context()
+        ctx = ssl.create_default_context(cafile=sslrootcert)
     elif mode == "verify-ca":
-        ctx = ssl.create_default_context()
+        ctx = ssl.create_default_context(cafile=sslrootcert)
         ctx.check_hostname = False  # CA chain yes, hostname no
     else:  # require
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
@@ -326,7 +331,7 @@ class ReplicationSlotClient:
 
     @classmethod
     def dial(cls, dsn: str, sslmode: str = "disable",
-             **kw) -> "ReplicationSlotClient":
+             sslrootcert: str | None = None, **kw) -> "ReplicationSlotClient":
         """Live-socket construction (``host:port`` -> TCP): the mock-to-live
         switch is this one call — every protocol byte is identical.
         ``sslmode`` is the libpq subset that matters for a replication
@@ -335,7 +340,7 @@ class ReplicationSlotClient:
         (CA chain + hostname). Unknown modes raise — a typo silently
         getting CERT_NONE would be the downgrade the modes exist to
         prevent."""
-        from librarian_spark.sources.dial import dial as _dial
+        from librarian_spark.sources.dial import dial as _dial, host_of
 
         if sslmode not in SSL_MODES:
             raise ValueError(
@@ -343,9 +348,10 @@ class ReplicationSlotClient:
             )
         sock = _dial(dsn)
         if sslmode != "disable":
-            host = dsn.rsplit(":", 1)[0].strip("[]")
+            host = host_of(dsn)  # bracket-aware: correct SNI for [::1] too
             try:
-                sock = start_tls(sock, server_hostname=host, mode=sslmode)
+                sock = start_tls(sock, server_hostname=host, mode=sslmode,
+                                 sslrootcert=sslrootcert)
             except BaseException:
                 sock.close()  # don't leak the TCP socket on 'N'/handshake fail
                 raise
@@ -375,6 +381,7 @@ class ReplicationSlotClient:
         password: str | None = None,
         database: str | None = None,
         client_nonce: str | None = None,
+        replication: str | None = "database",
     ) -> dict:
         """The connection-establishment half the reference gets from pgconn
         (`pkg/postgres/source.go:447-470`): StartupMessage with
@@ -386,7 +393,7 @@ class ReplicationSlotClient:
         {"parameters": {...}, "backend_pid": int|None}. After this the
         socket is ready for :meth:`start` (START_REPLICATION)."""
         db = database or self.decoder.db
-        self.sock.sendall(encode_startup_message(user, db))
+        self.sock.sendall(encode_startup_message(user, db, replication))
         nonce = client_nonce or base64.b64encode(os.urandom(18)).decode()
         params: dict[str, str] = {}
         backend_pid: int | None = None
@@ -508,6 +515,50 @@ class ReplicationSlotClient:
                 if err is not None:
                     raise ConnectionError(f"query failed: {err!r}")
                 return rows
+
+    def query_with_cols(
+        self, sql: str
+    ) -> tuple[list[tuple[str, int]], list[tuple]]:
+        """Like :meth:`simple_query` but also parse RowDescription ('T'):
+        returns ([(column_name, type_oid), …], rows). The initial-snapshot
+        exporter needs the type OIDs to build Relation frames whose typing
+        matches what pgoutput would send for the same table — the decoder
+        then applies the SAME int4/int8 rule to snapshot and streamed rows."""
+        send_frontend_message(self.sock, b"Q", sql.encode() + b"\x00")
+        cols: list[tuple[str, int]] = []
+        rows: list[tuple] = []
+        err: bytes | None = None
+        while True:
+            tag, body = read_backend_message(self.sock)
+            if tag == b"E":
+                err = body
+            elif tag == b"T":
+                (nf,) = struct.unpack_from(">H", body, 0)
+                off = 2
+                for _ in range(nf):
+                    end = body.index(b"\x00", off)
+                    name = body[off:end].decode()
+                    off = end + 1
+                    # tableoid(4) attnum(2) typoid(4) typlen(2) typmod(4) fmt(2)
+                    (typoid,) = struct.unpack_from(">I", body, off + 6)
+                    off += 18
+                    cols.append((name, typoid))
+            elif tag == b"D":
+                (n,) = struct.unpack_from(">H", body, 0)
+                off, vals = 2, []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from(">i", body, off)
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(body[off : off + ln].decode())
+                        off += ln
+                rows.append(tuple(vals))
+            elif tag == b"Z":
+                if err is not None:
+                    raise ConnectionError(f"query failed: {err!r}")
+                return cols, rows
 
     def identify_system(self) -> dict:
         """IDENTIFY_SYSTEM — the walsender command behind

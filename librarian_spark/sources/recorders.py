@@ -66,6 +66,12 @@ class PgWalRecorder:
         self.txns_per_segment = txns_per_segment
         os.makedirs(out_dir, exist_ok=True)
         self.relations: dict[int, bytes] = {}  # rel_id → latest 'R' bytes
+        # driver-side skip-with-counter mirror of PgOutputDecoder: message
+        # tags the decoders will NOT turn into CDC rows (Truncate 'T',
+        # Origin 'O', logical Message 'M', Type 'Y', …). The payloads still
+        # land in segments verbatim — the stream is recorded raw — but the
+        # live tailer can surface "N truncates skipped" without decoding.
+        self.skipped_other: dict[str, int] = {}
         self._buf: list[bytes] = []
         self._prefix: list[bytes] = []  # registry snapshot at buffer start
         self._txns = 0
@@ -124,6 +130,9 @@ class PgWalRecorder:
                     # decoding with txn_lsn=None and losing LSN ordering).
                     self._buf.append(payload)
                 continue
+            if tag not in (b"B", b"C", b"I", b"U", b"D"):
+                t = tag.decode("latin1")
+                self.skipped_other[t] = self.skipped_other.get(t, 0) + 1
             if not self._buf:
                 self._prefix = list(self.relations.values())
             self._buf.append(payload)

@@ -65,6 +65,7 @@ class PgSourceUrl:
     slot: str
     publication: str
     sslmode: str = "disable"
+    sslrootcert: str | None = None  # libpq param: PEM CA for verify-ca/full
 
     @property
     def dsn(self) -> str:
@@ -106,6 +107,7 @@ def parse_pg_url(url: str) -> PgSourceUrl:
         slot=q.get("slot", [f"librarian_{db}"])[0],
         publication=q.get("publication", [f"librarian_pub_{db}"])[0],
         sslmode=sslmode,
+        sslrootcert=unquote(q["sslrootcert"][0]) if "sslrootcert" in q else None,
     )
 
 
@@ -128,6 +130,110 @@ def parse_mongo_url(url: str) -> MongoSourceUrl:
 
 
 # --------------------------------------------------------------------------
+# Initial snapshot — the consistent snapshot→stream handoff
+# --------------------------------------------------------------------------
+
+
+def snapshot_publication_to_segments(
+    sql_client,
+    publication: str,
+    segments_dir: str,
+    consistent_lsn: int,
+    snapshot_name: str,
+    rows_per_segment: int = 50_000,
+) -> int:
+    """Export every table of ``publication`` AS OF the slot's exported
+    snapshot into op=``r`` segments — the exactly-once handoff the
+    reference's two disjoint verbs cannot express (`internal/archiver/
+    archiver.go:57-130` snapshots with no LSN anchor; `pkg/replicator/
+    replicator.go:154-285` streams with no initial load).
+
+    Mechanism: ``BEGIN ISOLATION LEVEL REPEATABLE READ`` + ``SET
+    TRANSACTION SNAPSHOT '<name>'`` pins this connection's visibility to
+    the walsender transaction that created the slot, so the rows read
+    here are EXACTLY the database state at the slot's consistent point —
+    every later change appears in the stream (no gap), no change visible
+    here is re-shipped by the stream (no overlap).
+
+    The rows are written as ordinary ``.pgwal`` segments whose Inserts sit
+    behind an ``S`` marker frame (container extension — see
+    :func:`..sources.pgoutput.encode_snapshot_marker`), so they flow
+    through the SAME DataSource → envelope → sink pipeline as streamed
+    changes, decode with the same int4/int8 typing rule, and carry op
+    ``r`` (Debezium's snapshot-read op, which the envelope/materializers
+    already handle — S8). All snapshot rows are stamped with the
+    consistent-point LSN: every streamed transaction commits strictly
+    after it, so (ts_ms, lsn) ordering in the materializers puts the
+    snapshot before the stream for every key.
+
+    Scale path: this single-connection reader is the reference
+    implementation; at cluster scale each Spark JDBC partition imports
+    the SAME exported snapshot via ``sessionInitStatement = "SET
+    TRANSACTION SNAPSHOT '<name>'"`` and the partitioned scan in
+    :mod:`..sources.batch` does the reading. The segment format and
+    decode path are identical either way.
+
+    Returns the number of rows snapshotted.
+    """
+    import time as _time
+
+    from librarian_spark.sources import pgoutput as _pg
+
+    pub_sql = publication.replace("'", "''")
+    snap_sql = snapshot_name.replace("'", "''")
+    sql_client.simple_query("BEGIN ISOLATION LEVEL REPEATABLE READ READ ONLY")
+    total = 0
+    try:
+        sql_client.simple_query(f"SET TRANSACTION SNAPSHOT '{snap_sql}'")
+        tables = sql_client.simple_query(
+            "SELECT schemaname, tablename FROM pg_publication_tables "
+            f"WHERE pubname = '{pub_sql}' ORDER BY schemaname, tablename"
+        )
+        existing = [
+            f for f in os.listdir(segments_dir) if f.endswith(".pgwal")
+        ]
+        next_seg = 1 + max(
+            (int(f.split("-")[1].split(".")[0]) for f in existing), default=-1
+        )
+        ts_ms = int(_time.time() * 1000)
+        for i, (ns, name) in enumerate(tables):
+            qn = (
+                '"' + ns.replace('"', '""') + '"."'
+                + name.replace('"', '""') + '"'
+            )
+            cols, rows = sql_client.query_with_cols(f"SELECT * FROM {qn}")
+            rel_id = 1_000_000 + i  # synthetic; segments decode standalone
+            rel = _pg.encode_relation(rel_id, ns, name, cols)
+            for chunk_start in range(0, max(len(rows), 1), rows_per_segment):
+                chunk = rows[chunk_start : chunk_start + rows_per_segment]
+                if not chunk and chunk_start > 0:
+                    break
+                frames = [
+                    rel,
+                    _pg.encode_snapshot_marker(),
+                    _pg.encode_begin(consistent_lsn, ts_ms, 0),
+                    *(_pg.encode_insert(rel_id, list(r)) for r in chunk),
+                    _pg.encode_commit(
+                        consistent_lsn, consistent_lsn, ts_ms
+                    ),
+                ]
+                seg = os.path.join(
+                    segments_dir, f"seg-{next_seg:08d}.pgwal"
+                )
+                _pg.write_segment(seg, frames)
+                from librarian_spark.sources.recorders import (
+                    fsync_file_and_dir,
+                )
+
+                fsync_file_and_dir(seg)
+                next_seg += 1
+                total += len(chunk)
+    finally:
+        sql_client.simple_query("COMMIT")
+    return total
+
+
+# --------------------------------------------------------------------------
 # Tailers
 # --------------------------------------------------------------------------
 
@@ -140,6 +246,8 @@ class _TailerBase:
     segments_dir: str = ""
     _thread: threading.Thread | None = field(default=None, repr=False)
     _error: BaseException | None = field(default=None, repr=False)
+    _done: bool = field(default=False, repr=False)
+    _stopping: bool = field(default=False, repr=False)
 
     def __post_init__(self):
         if not self.segments_dir:
@@ -147,8 +255,22 @@ class _TailerBase:
         os.makedirs(self.segments_dir, exist_ok=True)
 
     def raise_if_failed(self) -> None:
+        """Surface a dead background tailer. Two ways a run_forever thread
+        dies: an exception (``_error`` set), or a CLEAN return — the
+        walsender sent CopyDone/command-complete or Mongo closed the cursor
+        with id 0. Both mean replication has stopped while the process
+        would otherwise look healthy, so both raise — unless :meth:`stop`
+        initiated the teardown (closing the socket ends ``record()``
+        normally or with a socket error; neither is a failure then)."""
+        if self._stopping:
+            return
         if self._error is not None:
             raise RuntimeError(f"live tailer failed: {self._error}") from self._error
+        if self._done:
+            raise RuntimeError(
+                "live tailer exited cleanly (server ended the stream); "
+                "replication has stopped"
+            )
 
     def start_background(self, run) -> threading.Thread:
         def _run():
@@ -156,6 +278,8 @@ class _TailerBase:
                 run()
             except BaseException as e:  # noqa: BLE001 — surfaced via raise_if_failed
                 self._error = e
+            finally:
+                self._done = True
 
         t = threading.Thread(target=_run, name="librarian-cdc-tailer", daemon=True)
         t.start()
@@ -180,13 +304,41 @@ class PgCdcTailer(_TailerBase):
         self.url = parse_pg_url(url) if isinstance(url, str) else url
         self.txns_per_segment = txns_per_segment
         self.client = None
+        self.recorder = None  # set by drain_once/run_forever
         self.target_lsn: int | None = None
+
+    def source_stats(self) -> dict:
+        """Observability the stream itself can't carry: counts of wire
+        messages the decoders skip by design (Truncate/Origin/Message/…) —
+        a TRUNCATE on a replicated table yields no CDC row (documented
+        decision in :meth:`..sources.pgoutput.PgOutputDecoder.feed`), and
+        this is where a consumer sees that it happened at all."""
+        rec = self.recorder
+        return {
+            "skipped_other": dict(rec.skipped_other) if rec is not None else {}
+        }
 
     @property
     def lsn_checkpoint_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "source_lsn.ckpt")
 
-    def connect(self) -> None:
+    @property
+    def snapshot_done_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "initial_snapshot.done")
+
+    def connect(self, initial_snapshot: bool = False) -> None:
+        """Dial + slot + (optionally) consistent initial snapshot + start.
+
+        With ``initial_snapshot``, a FRESH slot's exported snapshot is read
+        on a second plain-SQL connection into op=``r`` segments BEFORE any
+        further command runs on the replication connection (PostgreSQL
+        invalidates the exported snapshot at the walsender's next command),
+        then streaming starts from the slot's consistent point — no gap, no
+        overlap. Completion is recorded in ``initial_snapshot.done``;
+        resuming with an existing slot requires that marker, because an
+        interrupted snapshot cannot be re-exported (the operator must drop
+        the slot and restart — failing loudly beats silently missing
+        tables)."""
         from librarian_spark.sources.pgrepl_client import (
             ReplicationSlotClient,
             parse_lsn,
@@ -197,6 +349,7 @@ class PgCdcTailer(_TailerBase):
         c = ReplicationSlotClient.dial(
             u.dsn,
             sslmode=u.sslmode,
+            sslrootcert=u.sslrootcert,
             slot=u.slot,
             publication=u.publication,
             db=u.dbname,
@@ -205,6 +358,22 @@ class PgCdcTailer(_TailerBase):
         try:
             c.startup(user=u.user, database=u.dbname, password=u.password)
             info = c.create_slot()  # None → slot exists (resume)
+            if initial_snapshot:
+                if info is not None:
+                    # fresh slot: snapshot NOW, before identify_system —
+                    # the exported snapshot dies with the next walsender
+                    # command on this connection
+                    self._run_initial_snapshot(
+                        info["snapshot_name"],
+                        parse_lsn(info["consistent_point"]),
+                    )
+                elif not os.path.exists(self.snapshot_done_path):
+                    raise RuntimeError(
+                        f"slot {u.slot!r} already exists but the initial "
+                        "snapshot never completed (no "
+                        f"{self.snapshot_done_path}); an exported snapshot "
+                        "cannot be recreated — drop the slot and restart"
+                    )
             ident = c.identify_system()
             self.target_lsn = ident["xlogpos"]
             start_lsn = c.load_checkpoint()
@@ -216,6 +385,34 @@ class PgCdcTailer(_TailerBase):
             raise
         self.client = c
 
+    def _run_initial_snapshot(self, snapshot_name: str,
+                              consistent_lsn: int) -> None:
+        """Second-connection snapshot read (plain SQL, replication=None),
+        then the durable done-marker — segments first, marker last, so a
+        crash in between fails loudly on resume instead of half-loading."""
+        from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
+        from librarian_spark.sources.recorders import fsync_file_and_dir
+
+        u = self.url
+        sql = ReplicationSlotClient.dial(
+            u.dsn, sslmode=u.sslmode, sslrootcert=u.sslrootcert,
+            slot=u.slot, publication=u.publication, db=u.dbname,
+        )
+        try:
+            sql.startup(user=u.user, database=u.dbname,
+                        password=u.password, replication=None)
+            rows = snapshot_publication_to_segments(
+                sql, u.publication, self.segments_dir,
+                consistent_lsn, snapshot_name,
+            )
+        finally:
+            sql.sock.close()
+        with open(self.snapshot_done_path, "w", encoding="utf-8") as fh:
+            fh.write(f"{rows}\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        fsync_file_and_dir(self.snapshot_done_path)
+
     def drain_once(self, idle_timeout: float = 2.0) -> int:
         """Record transactions up to the connect-time server position, then
         return their count. Exactly the new-since-checkpoint backlog: the
@@ -225,6 +422,7 @@ class PgCdcTailer(_TailerBase):
         assert self.client is not None, "connect() first"
         rec = PgWalRecorder(self.segments_dir,
                             txns_per_segment=self.txns_per_segment)
+        self.recorder = rec
         return rec.record(self.client, until_lsn=self.target_lsn,
                           idle_timeout=idle_timeout)
 
@@ -236,9 +434,11 @@ class PgCdcTailer(_TailerBase):
         assert self.client is not None, "connect() first"
         rec = PgWalRecorder(self.segments_dir,
                             txns_per_segment=self.txns_per_segment)
+        self.recorder = rec
         return self.start_background(lambda: rec.record(self.client))
 
     def stop(self) -> None:
+        self._stopping = True
         if self.client is not None:
             try:
                 self.client.sock.close()
@@ -301,6 +501,7 @@ class MongoCdcTailer(_TailerBase):
         return self.start_background(lambda: rec.record(self.client))
 
     def stop(self) -> None:
+        self._stopping = True
         if self.client is not None:
             try:
                 self.client.sock.close()

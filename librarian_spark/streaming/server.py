@@ -43,13 +43,20 @@ class ReplicatorServer:
 
     def __init__(self) -> None:
         self._replicators: dict[str, Replicator] = {}
+        self._source_stats: dict[str, object] = {}  # id → callable → dict
         self._lock = threading.RLock()
         self._httpd: ThreadingHTTPServer | None = None
 
     # -- registry ------------------------------------------------------------
-    def add(self, rep: Replicator) -> None:
+    def add(self, rep: Replicator, source_stats=None) -> None:
+        """Register a replicator; ``source_stats`` is an optional callable
+        returning extra source-side observability (the live tailer's
+        skipped-message counters — e.g. TRUNCATEs that by design produce
+        no CDC row) merged into this replicator's stats payload."""
         with self._lock:
             self._replicators[rep.cfg.replicator_id] = rep
+            if source_stats is not None:
+                self._source_stats[rep.cfg.replicator_id] = source_stats
 
     def get(self, rep_id: str) -> Replicator | None:
         with self._lock:
@@ -64,7 +71,7 @@ class ReplicatorServer:
             except Exception:
                 progress = None
         state = rep.state  # one read: reconciles error/stopped exactly once
-        return {
+        info = {
             "id": rep.cfg.replicator_id,
             "state": state,
             "stats": {
@@ -76,6 +83,13 @@ class ReplicatorServer:
                 "progress": progress,
             },
         }
+        src = self._source_stats.get(rep.cfg.replicator_id)
+        if src is not None:
+            try:
+                info["stats"]["source"] = src()
+            except Exception as e:  # noqa: BLE001 — stats must never 500
+                info["stats"]["source"] = {"error": str(e)}
+        return info
 
     # -- signals (reference: signalHandler, `server.go:81-107`) --------------
     def signal(self, rep: Replicator, sig: str) -> None:

@@ -210,6 +210,65 @@ def test_tailer_background_failure_is_surfaced(tmp_path):
         t.raise_if_failed()
 
 
+def test_tailer_clean_exit_is_surfaced(tmp_path):
+    """A run_forever worker that returns NORMALLY (walsender sent
+    CopyDone, Mongo closed the cursor with id 0) also means replication
+    stopped — raise_if_failed must raise on the dead-with-no-error thread
+    too, or the CLI watchdog spins forever looking healthy. After stop()
+    initiated the teardown, the same dead thread is expected and must NOT
+    raise."""
+    from librarian_spark.streaming.live import _TailerBase
+
+    t = _TailerBase(checkpoint_dir=str(tmp_path / "ckpt"))
+    th = t.start_background(lambda: None)  # clean return, no exception
+    th.join(timeout=10)
+    with pytest.raises(RuntimeError, match="exited cleanly"):
+        t.raise_if_failed()
+    t._stopping = True  # what PgCdcTailer.stop()/MongoCdcTailer.stop() set
+    t.raise_if_failed()  # no raise: teardown-initiated exit is expected
+
+
+def test_tailer_stop_marks_stopping(tmp_path):
+    """Both tailers' stop() must set the _stopping flag BEFORE closing the
+    socket, so the watchdog's next poll doesn't race the dying thread into
+    a spurious 'exited cleanly' failure."""
+    from librarian_spark.streaming.live import MongoCdcTailer, PgCdcTailer
+
+    pg = PgCdcTailer("postgres://u@h:5/db", checkpoint_dir=str(tmp_path / "a"))
+    pg.stop()
+    assert pg._stopping
+    mg = MongoCdcTailer("mongodb://h:5/db?collection=c",
+                        checkpoint_dir=str(tmp_path / "b"))
+    mg.stop()
+    assert mg._stopping
+
+
+def test_parse_pg_url_sslrootcert():
+    """libpq's sslrootcert parameter rides the query string and reaches
+    the TLS context as the trusted CA file — without it, verify-ca /
+    verify-full can never pass against a private-CA server."""
+    u = parse_pg_url(
+        "postgres://u@h/db?sslmode=verify-full&sslrootcert=/etc/ca/root.pem"
+    )
+    assert u.sslmode == "verify-full"
+    assert u.sslrootcert == "/etc/ca/root.pem"
+    assert parse_pg_url("postgres://u@h/db").sslrootcert is None
+
+
+def test_host_of_is_bracket_aware():
+    """TLS SNI / verify-full hostname derivation must parse the DSN the
+    same bracket-aware way dial() does — rsplit(':') on an IPv6 literal
+    yields garbage hostnames."""
+    from librarian_spark.sources.dial import host_of
+
+    assert host_of("127.0.0.1:5432") == "127.0.0.1"
+    assert host_of("[::1]:5432") == "::1"
+    assert host_of("db.example.com:55432") == "db.example.com"
+    # unbracketed v6-with-port (what PgSourceUrl.dsn produces: urlparse
+    # strips the brackets) — the port split must still find the last colon
+    assert host_of("::1:5432") == "::1"
+
+
 @pytest.mark.live("pg")
 def test_pg_tailer_run_forever_live(tmp_path, live_pg_server):
     """The CONTINUOUS tailing path (the CLI's non---once mode): a
@@ -251,6 +310,232 @@ def test_pg_tailer_run_forever_live(tmp_path, live_pg_server):
     finally:
         if tailer is not None:
             tailer.stop()
+        try:
+            ctl.simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+            ctl.simple_query(f"DROP TABLE IF EXISTS {table}")
+            ctl.simple_query(f"DROP_REPLICATION_SLOT {slot}")
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        ctl.sock.close()
+
+
+@pytest.mark.live("pg")
+def test_cli_replicate_live_multitable_and_schema_evolution(
+    tmp_path, spark, live_pg_server
+):
+    """A publication spanning TWO tables, driven live through the CLI
+    replicate path — the scenario the relation cache exists for
+    (`/root/reference/pkg/postgres/source.go:193-199`;
+    `librarian_spark/sources/pgoutput.py` relation registry): interleaved
+    DML across both relations inside one transaction decodes to
+    correctly-typed per-table rows, and a mid-stream ``ALTER TABLE ADD
+    COLUMN`` makes the walsender resend the Relation message, after which
+    rows carry the new column — across a checkpoint-resumed second
+    invocation (fresh session → fresh Relation replay)."""
+    db = os.environ.get("LIBRARIAN_LIVE_PG_DB", "postgres")
+    run = uuid.uuid4().hex[:8]
+    ta, tb = f"mt_a_{run}", f"mt_b_{run}"
+    pub, slot = f"mt_pub_{run}", f"mt_slot_{run}"
+    url = (
+        f"postgres://postgres:postgres@{live_pg_server}/{db}"
+        f"?slot={slot}&publication={pub}"
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    argv = [
+        "replicate", "--id", f"mt_{run}", "-s", url,
+        "-t", f"parquet:{out}", "--checkpoint-dir", ckpt,
+        "--flush-interval", "0 seconds", "--once",
+    ]
+    ctl = _pg_control(db)
+    try:
+        ctl.simple_query(f"CREATE TABLE {ta}(id int primary key, v text)")
+        ctl.simple_query(
+            f"CREATE TABLE {tb}(k bigint primary key, n int, note text)"
+        )
+        ctl.simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {ta}, {tb}")
+        assert cli.main(argv) == 0  # slot created, empty backlog
+
+        # one multi-statement simple query = ONE implicit transaction →
+        # pgoutput interleaves Relation(a)/Insert/Relation(b)/Insert/… in
+        # a single Begin..Commit, exercising the per-txn relation cache
+        ctl.simple_query(
+            f"INSERT INTO {ta} VALUES (1,'a1');"
+            f"INSERT INTO {tb} VALUES (10, 100, 'b1');"
+            f"INSERT INTO {ta} VALUES (2,'a2');"
+            f"INSERT INTO {tb} VALUES (20, 200, 'b2')"
+        )
+        assert cli.main(argv) == 0
+        rows = [
+            (r["table"], r["op"], r["after"],
+             (r["lsn"], int(r["position"].rsplit(":", 1)[1])))
+            for r in spark.read.parquet(out).collect()
+        ]
+        rows.sort(key=lambda r: r[3])
+        assert [(t, o) for t, o, _, _ in rows] == [
+            (ta, "c"), (tb, "c"), (ta, "c"), (tb, "c")
+        ], f"interleaved decode broke: {rows}"
+        # typed per-table: int4/int8 parse to JSON numbers, text to strings
+        assert json.loads(rows[0][2]) == {"id": 1, "v": "a1"}
+        assert json.loads(rows[1][2]) == {"k": 10, "n": 100, "note": "b1"}
+        assert json.loads(rows[3][2]) == {"k": 20, "n": 200, "note": "b2"}
+
+        # mid-stream schema evolution: the resent Relation message must
+        # re-register before the first post-ALTER row (same CLI session
+        # would see it inline; the resumed session gets a fresh replay)
+        ctl.simple_query(f"ALTER TABLE {ta} ADD COLUMN extra text")
+        ctl.simple_query(f"INSERT INTO {ta} VALUES (3,'a3','wide')")
+        ctl.simple_query(f"UPDATE {tb} SET n = 201 WHERE k = 20")
+        assert cli.main(argv) == 0  # resume from LSN checkpoint
+        rows2 = [
+            (r["table"], r["op"], r["after"], r["position"])
+            for r in spark.read.parquet(out).collect()
+        ]
+        assert len(rows2) == 6, "resume must ship exactly the 2 new txns"
+        new = sorted(
+            (t, o, a) for t, o, a, _ in rows2
+            if a and ('"id":3' in a or '"n":201' in a)
+        )
+        assert (ta, "c", '{"extra":"wide","id":3,"v":"a3"}') in new
+        assert (tb, "u", '{"k":20,"n":201,"note":"b2"}') in new
+        # pre-ALTER rows must NOT have been re-decoded with the new schema
+        pre = [a for t, _, a, _ in rows2 if t == ta and a and '"id":1' in a]
+        assert pre == ['{"id":1,"v":"a1"}']
+    finally:
+        try:
+            ctl.simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+            ctl.simple_query(f"DROP TABLE IF EXISTS {ta}")
+            ctl.simple_query(f"DROP TABLE IF EXISTS {tb}")
+            ctl.simple_query(f"DROP_REPLICATION_SLOT {slot}")
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        ctl.sock.close()
+
+
+@pytest.mark.live("pg")
+def test_cli_replicate_live_truncate_is_skipped_but_counted(
+    tmp_path, spark, live_pg_server, capsys
+):
+    """Live TRUNCATE on a replicated table (publications publish truncate
+    by default): the walsender ships a 'T' message, the decoder emits NO
+    CDC row for it (documented skip decision — the reference's switch has
+    no Truncate arm either), and the CLI surfaces the skip count in its
+    --once summary so the vanish is observable."""
+    db = os.environ.get("LIBRARIAN_LIVE_PG_DB", "postgres")
+    run = uuid.uuid4().hex[:8]
+    table, pub, slot = f"tr_{run}", f"tr_pub_{run}", f"tr_slot_{run}"
+    url = (
+        f"postgres://postgres:postgres@{live_pg_server}/{db}"
+        f"?slot={slot}&publication={pub}"
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    argv = [
+        "replicate", "--id", f"tr_{run}", "-s", url,
+        "-t", f"parquet:{out}", "--checkpoint-dir", ckpt,
+        "--flush-interval", "0 seconds", "--once",
+    ]
+    ctl = _pg_control(db)
+    try:
+        ctl.simple_query(f"CREATE TABLE {table}(id int primary key, v text)")
+        ctl.simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {table}")
+        assert cli.main(argv) == 0
+        capsys.readouterr()  # drop run-1 output
+        ctl.simple_query(f"INSERT INTO {table} VALUES (1,'a')")
+        ctl.simple_query(f"TRUNCATE {table}")
+        ctl.simple_query(f"INSERT INTO {table} VALUES (2,'b')")
+        assert cli.main(argv) == 0
+        summaries = [
+            json.loads(line) for line in capsys.readouterr().out.splitlines()
+            if line.startswith("{") and "source_drained" in line
+        ]
+        assert summaries, "CLI --once must print a drain summary"
+        skipped = summaries[-1].get("skipped_other", {})
+        assert skipped.get("T") == 1, f"truncate not counted: {summaries}"
+        rows = [
+            (r["op"], r["after"]) for r in spark.read.parquet(out).collect()
+        ]
+        # exactly the two inserts; the TRUNCATE produced no CDC row
+        assert sorted(rows) == [
+            ("c", '{"id":1,"v":"a"}'), ("c", '{"id":2,"v":"b"}')
+        ]
+    finally:
+        try:
+            ctl.simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+            ctl.simple_query(f"DROP TABLE IF EXISTS {table}")
+            ctl.simple_query(f"DROP_REPLICATION_SLOT {slot}")
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        ctl.sock.close()
+
+
+def test_cli_initial_snapshot_requires_postgres(tmp_path, capsys):
+    rc = cli.main([
+        "replicate", "--id", "x",
+        "-s", "mongodb://h:1/db?collection=c", "-t", "memory",
+        "--checkpoint-dir", str(tmp_path / "ckpt"), "--initial-snapshot",
+    ])
+    assert rc == 2
+    assert "initial-snapshot requires a postgres" in capsys.readouterr().err
+
+
+@pytest.mark.live("pg")
+def test_cli_replicate_initial_snapshot_handoff(tmp_path, spark, live_pg_server):
+    """The consistent snapshot→stream handoff the reference's two disjoint
+    verbs cannot express (`internal/archiver/archiver.go:57-130` vs
+    `pkg/replicator/replicator.go:154-285`): rows existing BEFORE the slot
+    arrive exactly once as op='r' (read from the slot's exported snapshot),
+    rows committed AFTER arrive exactly once as streamed ops, with no gap
+    and no overlap between the two sets — across resumed invocations."""
+    db = os.environ.get("LIBRARIAN_LIVE_PG_DB", "postgres")
+    run = uuid.uuid4().hex[:8]
+    table, pub, slot = f"is_{run}", f"is_pub_{run}", f"is_slot_{run}"
+    url = (
+        f"postgres://postgres:postgres@{live_pg_server}/{db}"
+        f"?slot={slot}&publication={pub}"
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    argv = [
+        "replicate", "--id", f"is_{run}", "-s", url,
+        "-t", f"parquet:{out}", "--checkpoint-dir", ckpt,
+        "--flush-interval", "0 seconds", "--once", "--initial-snapshot",
+    ]
+    ctl = _pg_control(db)
+    try:
+        ctl.simple_query(f"CREATE TABLE {table}(id int primary key, v text)")
+        ctl.simple_query(f"CREATE PUBLICATION {pub} FOR TABLE {table}")
+        # pre-slot state: what the snapshot must capture
+        ctl.simple_query(f"INSERT INTO {table} VALUES (1,'a'),(2,'b'),(3,'c')")
+        assert cli.main(argv) == 0
+        assert os.path.exists(f"{ckpt}/initial_snapshot.done")
+        rows = [
+            (r["op"], r["table"], r["after"])
+            for r in spark.read.parquet(out).collect()
+        ]
+        assert sorted(rows) == [
+            ("r", table, '{"id":1,"v":"a"}'),
+            ("r", table, '{"id":2,"v":"b"}'),
+            ("r", table, '{"id":3,"v":"c"}'),
+        ], f"snapshot must be exactly the pre-slot rows: {rows}"
+        # post-slot changes: what the STREAM must ship (and the snapshot
+        # must NOT re-ship on resume)
+        ctl.simple_query(f"INSERT INTO {table} VALUES (4,'d')")
+        ctl.simple_query(f"UPDATE {table} SET v='a2' WHERE id=1")
+        assert cli.main(argv) == 0  # resume: slot + done-marker exist
+        rows2 = sorted(
+            (r["op"], r["after"]) for r in spark.read.parquet(out).collect()
+        )
+        assert rows2 == [
+            ("c", '{"id":4,"v":"d"}'),
+            ("r", '{"id":1,"v":"a"}'),
+            ("r", '{"id":2,"v":"b"}'),
+            ("r", '{"id":3,"v":"c"}'),
+            ("u", '{"id":1,"v":"a2"}'),
+        ], f"no gap, no overlap: {rows2}"
+        # a lost done-marker with a live slot must fail LOUDLY, not
+        # silently skip the half-finished snapshot
+        os.unlink(f"{ckpt}/initial_snapshot.done")
+        with pytest.raises(RuntimeError, match="snapshot never completed"):
+            cli.main(argv)
+    finally:
         try:
             ctl.simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
             ctl.simple_query(f"DROP TABLE IF EXISTS {table}")

@@ -304,3 +304,54 @@ def test_live_pg_tls_replication_end_to_end(tmp_path, live_pg_server):
                 break
     finally:
         c.sock.close()
+
+
+@pytest.mark.live("pg")
+def test_live_pg_tls_verify_full_with_sslrootcert(live_pg_server):
+    """sslmode=verify-full + sslrootcert against the real server: the
+    provisioner's self-signed cert (IP subjectAltName 127.0.0.1) is its
+    own CA, so trusting exactly that file must let full verification pass
+    — and the SAME mode WITHOUT the CA file must fail certificate
+    verification against the system store, proving the check is real and
+    not silently CERT_NONE."""
+    import ssl as _ssl
+    import uuid
+
+    from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
+
+    crt = "/tmp/librarian_live_pgdata/server.crt"
+    if not os.path.exists(crt) or not os.access(crt, os.R_OK):
+        pytest.skip("provisioner cert not readable (external live server?)")
+
+    user = os.environ.get("LIBRARIAN_LIVE_PG_USER", "postgres")
+    password = os.environ.get("LIBRARIAN_LIVE_PG_PASSWORD", "postgres")
+    db = os.environ.get("LIBRARIAN_LIVE_PG_DB", "postgres")
+    run = uuid.uuid4().hex[:8]
+
+    # negative first: verify-full with only the system CA store must
+    # REJECT the self-signed server cert
+    with pytest.raises(_ssl.SSLCertVerificationError):
+        ReplicationSlotClient.dial(
+            live_dsn("pg"), sslmode="verify-full",
+            slot=f"vf_neg_{run}", publication="librarian_pub", db=db,
+        )
+
+    # positive: trust the server's own cert as the root
+    try:
+        c = ReplicationSlotClient.dial(
+            live_dsn("pg"), sslmode="verify-full", sslrootcert=crt,
+            slot=f"vf_{run}", publication="librarian_pub", db=db,
+        )
+    except ConnectionError as e:
+        if "refused SSL" in str(e):
+            pytest.skip("live server has ssl off (reload-enable failed)")
+        raise
+    try:
+        assert isinstance(c.sock, _ssl.SSLSocket)
+        peer = c.sock.getpeercert()
+        assert ("IP Address", "127.0.0.1") in peer.get("subjectAltName", ())
+        c.startup(user=user, database=db, password=password)
+        info = c.create_slot(temporary=True)  # full auth'd round-trip works
+        assert info and info["output_plugin"] == "pgoutput"
+    finally:
+        c.sock.close()

@@ -105,6 +105,70 @@ def test_decoder_semantics():
     assert rows[0][8] == "500:1" and rows[2][8] == "500:3"
 
 
+def test_truncate_skip_with_counter():
+    """TRUNCATE on a replicated table produces NO CDC row — matching the
+    reference's message switch, which has no Truncate arm
+    (`pkg/postgres/source.go` default case) — but the skip is COUNTED
+    per-tag and per-table so it is observable, not a silent vanish.
+    Unknown tags ('M' logical Message, 'O' Origin, …) count the same way."""
+    from librarian_spark.sources.pgoutput import encode_truncate
+
+    raw = encode_truncate([9, 14], options=2)
+    msg = parse_message(raw)
+    assert msg == {"type": "truncate", "rel_ids": [9, 14], "options": 2}
+
+    dec = PgOutputDecoder("appdb")
+    rows = []
+    msgs = [
+        encode_relation(9, "public", "users", USERS_COLS),
+        encode_begin(500, 1_700_000_111_000, 31),
+        encode_insert(9, ["1", "a", None]),
+        encode_truncate([9]),
+        b"M" + b"\x00" * 8,  # logical decoding Message — unknown tag
+        encode_insert(9, ["2", "b", None]),
+        encode_commit(500, 508, 1_700_000_111_000),
+    ]
+    for m in msgs:
+        rows.extend(dec.feed(m))
+    assert [r[0] for r in rows] == ["c", "c"]  # truncate yielded nothing
+    assert dec.skipped_other["T"] == 1
+    assert dec.skipped_other["truncate:public.users"] == 1
+    assert dec.skipped_other["M"] == 1
+    # unregistered relation OID still counts, labeled by oid
+    list(dec.feed(encode_truncate([777])))
+    assert dec.skipped_other["truncate:oid=777"] == 1
+
+
+def test_snapshot_marker_decodes_inserts_as_r():
+    """The container's 'S' frame (initial-snapshot segments) flips Inserts
+    to op='r' for the enclosing transaction only — the next real streamed
+    transaction in the same decode session is back to 'c'. The snapshot
+    rows carry the consistent-point LSN so (ts_ms, lsn) ordering puts them
+    before every streamed change."""
+    from librarian_spark.sources.pgoutput import encode_snapshot_marker
+
+    dec = PgOutputDecoder("appdb")
+    rows = []
+    msgs = [
+        encode_relation(9, "public", "users", USERS_COLS),
+        encode_snapshot_marker(),
+        encode_begin(400, 1_700_000_000_000, 0),
+        encode_insert(9, ["1", "a", None]),
+        encode_insert(9, ["2", "b", None]),
+        encode_commit(400, 400, 1_700_000_000_000),
+        # a later REAL transaction: ordinary ops again
+        encode_begin(500, 1_700_000_111_000, 31),
+        encode_insert(9, ["3", "c", None]),
+        encode_commit(500, 508, 1_700_000_111_000),
+    ]
+    for m in msgs:
+        rows.extend(dec.feed(m))
+    assert [(r[0], r[5]) for r in rows] == [
+        ("r", 400), ("r", 400), ("c", 500)
+    ]
+    assert rows[0][7] == '{"id":1,"name":"a","score":null}'  # typed same rule
+
+
 def test_decoder_unknown_relation_raises():
     dec = PgOutputDecoder("appdb")
     list(dec.feed(encode_begin(1, 1000, 1)))
