@@ -153,7 +153,7 @@ def encode_delete(
     return b"D" + struct.pack(">I", rel_id) + old_kind + _tuple_data(old_values)
 
 
-def encode_snapshot_marker() -> bytes:
+def encode_snapshot_marker(seq_base: int = 0) -> bytes:
     """Container-level frame (NOT a pgoutput wire message — no real
     walsender ever sends it): written by the initial-snapshot exporter at
     the head of a snapshot segment's transaction, it switches the decoder
@@ -161,8 +161,15 @@ def encode_snapshot_marker() -> bytes:
     Debezium ``r`` op the envelope already supports — S8) instead of
     ``c``. The tag byte ``S`` is unused by the pgoutput protocol
     (B C O R Y I U D T M), so a segment replaying REAL wal can never
-    trip it."""
-    return b"S"
+    trip it.
+
+    ``seq_base`` seeds the decoder's per-row sequence: snapshot segments
+    all share the consistent-point LSN and each segment decodes with a
+    FRESH decoder, so without a base every chunk would restart positions
+    at ``lsn:1`` — colliding across chunks/tables and breaking consumers
+    that dedup or order on position. The exporter threads a global row
+    counter through, making every snapshot row's position unique."""
+    return b"S" + struct.pack(">Q", seq_base)
 
 
 def encode_truncate(rel_ids: list[int], options: int = 0) -> bytes:
@@ -301,7 +308,8 @@ def parse_message(buf: bytes) -> dict:
         return {"type": "delete", "rel_id": rel_id, "old": old}
     if tag == b"S":
         # snapshot marker — our container extension (encode_snapshot_marker)
-        return {"type": "snapshot_mode"}
+        (base,) = struct.unpack_from(">Q", buf, 1) if len(buf) >= 9 else (0,)
+        return {"type": "snapshot_mode", "seq_base": base}
     if tag == b"T":
         # Truncate (pgoutput protocol): Int32 nrelids, Int8 option bits
         # (1 = CASCADE, 2 = RESTART IDENTITY), Int32[] relation OIDs.
@@ -387,6 +395,7 @@ class PgOutputDecoder:
             return
         if t == "snapshot_mode":
             self.snapshot_op = True
+            self.seq = msg["seq_base"]  # unique positions across chunks
             return
         if t == "truncate":
             # DECISION — skip-with-counter. The reference's message switch

@@ -520,45 +520,73 @@ class ReplicationSlotClient:
         self, sql: str
     ) -> tuple[list[tuple[str, int]], list[tuple]]:
         """Like :meth:`simple_query` but also parse RowDescription ('T'):
-        returns ([(column_name, type_oid), …], rows). The initial-snapshot
-        exporter needs the type OIDs to build Relation frames whose typing
-        matches what pgoutput would send for the same table — the decoder
-        then applies the SAME int4/int8 rule to snapshot and streamed rows."""
+        returns ([(column_name, type_oid), …], rows) with the whole result
+        buffered. For unbounded results use :meth:`query_stream`."""
+        cols, rows = self.query_stream(sql)
+        return cols, list(rows)
+
+    def query_stream(self, sql: str):
+        """Streaming variant of :meth:`query_with_cols` for results that
+        must not be buffered whole in driver memory (the initial-snapshot
+        exporter's ``SELECT *`` over arbitrarily large tables): returns
+        ``(cols, row_iter)`` where ``cols`` is ``[(name, type_oid), …]``
+        and ``row_iter`` yields one text tuple per DataRow. The iterator
+        MUST be consumed to completion (or the connection abandoned) —
+        it owns the protocol state until ReadyForQuery."""
         send_frontend_message(self.sock, b"Q", sql.encode() + b"\x00")
         cols: list[tuple[str, int]] = []
-        rows: list[tuple] = []
-        err: bytes | None = None
+        first_row: tuple | None = None
+        # read until RowDescription (absorbing notices), grabbing an early
+        # error before we hand out the iterator
         while True:
             tag, body = read_backend_message(self.sock)
             if tag == b"E":
+                # drain to ReadyForQuery so the connection stays usable
                 err = body
-            elif tag == b"T":
+                while tag != b"Z":
+                    tag, _ = read_backend_message(self.sock)
+                raise ConnectionError(f"query failed: {err!r}")
+            if tag == b"T":
                 (nf,) = struct.unpack_from(">H", body, 0)
                 off = 2
                 for _ in range(nf):
                     end = body.index(b"\x00", off)
                     name = body[off:end].decode()
                     off = end + 1
-                    # tableoid(4) attnum(2) typoid(4) typlen(2) typmod(4) fmt(2)
                     (typoid,) = struct.unpack_from(">I", body, off + 6)
                     off += 18
                     cols.append((name, typoid))
-            elif tag == b"D":
-                (n,) = struct.unpack_from(">H", body, 0)
-                off, vals = 2, []
-                for _ in range(n):
-                    (ln,) = struct.unpack_from(">i", body, off)
-                    off += 4
-                    if ln == -1:
-                        vals.append(None)
-                    else:
-                        vals.append(body[off : off + ln].decode())
-                        off += ln
-                rows.append(tuple(vals))
-            elif tag == b"Z":
-                if err is not None:
-                    raise ConnectionError(f"query failed: {err!r}")
-                return cols, rows
+                break
+            if tag == b"Z":  # statement with no result set
+                return cols, iter(())
+
+        def _parse_datarow(body: bytes) -> tuple:
+            (n,) = struct.unpack_from(">H", body, 0)
+            off, vals = 2, []
+            for _ in range(n):
+                (ln,) = struct.unpack_from(">i", body, off)
+                off += 4
+                if ln == -1:
+                    vals.append(None)
+                else:
+                    vals.append(body[off : off + ln].decode())
+                    off += ln
+            return tuple(vals)
+
+        def _rows():
+            err: bytes | None = None
+            while True:
+                tag, body = read_backend_message(self.sock)
+                if tag == b"D":
+                    yield _parse_datarow(body)
+                elif tag == b"E":
+                    err = body
+                elif tag == b"Z":
+                    if err is not None:
+                        raise ConnectionError(f"query failed: {err!r}")
+                    return
+
+        return cols, _rows()
 
     def identify_system(self) -> dict:
         """IDENTIFY_SYSTEM — the walsender command behind

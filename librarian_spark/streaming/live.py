@@ -107,7 +107,9 @@ def parse_pg_url(url: str) -> PgSourceUrl:
         slot=q.get("slot", [f"librarian_{db}"])[0],
         publication=q.get("publication", [f"librarian_pub_{db}"])[0],
         sslmode=sslmode,
-        sslrootcert=unquote(q["sslrootcert"][0]) if "sslrootcert" in q else None,
+        # parse_qs already percent-decodes values — a second unquote would
+        # corrupt paths containing literal %XX
+        sslrootcert=q["sslrootcert"][0] if "sslrootcert" in q else None,
     )
 
 
@@ -140,6 +142,7 @@ def snapshot_publication_to_segments(
     segments_dir: str,
     consistent_lsn: int,
     snapshot_name: str,
+    ts_ms: int = 0,
     rows_per_segment: int = 50_000,
 ) -> int:
     """Export every table of ``publication`` AS OF the slot's exported
@@ -161,10 +164,18 @@ def snapshot_publication_to_segments(
     through the SAME DataSource → envelope → sink pipeline as streamed
     changes, decode with the same int4/int8 typing rule, and carry op
     ``r`` (Debezium's snapshot-read op, which the envelope/materializers
-    already handle — S8). All snapshot rows are stamped with the
-    consistent-point LSN: every streamed transaction commits strictly
-    after it, so (ts_ms, lsn) ordering in the materializers puts the
-    snapshot before the stream for every key.
+    already handle — S8). Snapshot rows are stamped with the
+    consistent-point LSN and with ``ts_ms`` — which the CALLER must bind
+    to a server-clock time at or before slot creation (the tailer reads
+    ``now()`` on the replication connection just before
+    CREATE_REPLICATION_SLOT): every streamed transaction COMMITS after
+    slot creation, so its server commit_ts is >= that bound and the
+    materializers' (ts_ms, lsn) max_by puts the snapshot row before every
+    streamed change of the same key. Export-time wall clock would invert
+    that for changes committed while the export runs (a snapshot r-row
+    stamped later would silently revert a concurrent streamed update);
+    each snapshot chunk also carries a seq base so positions stay unique
+    across chunks and tables (consumers dedup/order on position).
 
     Scale path: this single-connection reader is the reference
     implementation; at cluster scale each Spark JDBC partition imports
@@ -175,9 +186,8 @@ def snapshot_publication_to_segments(
 
     Returns the number of rows snapshotted.
     """
-    import time as _time
-
     from librarian_spark.sources import pgoutput as _pg
+    from librarian_spark.sources.recorders import fsync_file_and_dir
 
     pub_sql = publication.replace("'", "''")
     snap_sql = snapshot_name.replace("'", "''")
@@ -195,41 +205,49 @@ def snapshot_publication_to_segments(
         next_seg = 1 + max(
             (int(f.split("-")[1].split(".")[0]) for f in existing), default=-1
         )
-        ts_ms = int(_time.time() * 1000)
+
+        def flush_chunk(rel, rel_id, chunk):
+            nonlocal next_seg, total
+            frames = [
+                rel,
+                _pg.encode_snapshot_marker(seq_base=total),
+                _pg.encode_begin(consistent_lsn, ts_ms, 0),
+                *(_pg.encode_insert(rel_id, list(r)) for r in chunk),
+                _pg.encode_commit(consistent_lsn, consistent_lsn, ts_ms),
+            ]
+            seg = os.path.join(segments_dir, f"seg-{next_seg:08d}.pgwal")
+            _pg.write_segment(seg, frames)
+            fsync_file_and_dir(seg)
+            next_seg += 1
+            total += len(chunk)
+
         for i, (ns, name) in enumerate(tables):
             qn = (
                 '"' + ns.replace('"', '""') + '"."'
                 + name.replace('"', '""') + '"'
             )
-            cols, rows = sql_client.query_with_cols(f"SELECT * FROM {qn}")
+            # streamed, not buffered: rows_per_segment bounds BOTH segment
+            # size and driver memory — the initial load is exactly the
+            # workload where the table doesn't fit on the driver
+            cols, row_iter = sql_client.query_stream(f"SELECT * FROM {qn}")
             rel_id = 1_000_000 + i  # synthetic; segments decode standalone
             rel = _pg.encode_relation(rel_id, ns, name, cols)
-            for chunk_start in range(0, max(len(rows), 1), rows_per_segment):
-                chunk = rows[chunk_start : chunk_start + rows_per_segment]
-                if not chunk and chunk_start > 0:
-                    break
-                frames = [
-                    rel,
-                    _pg.encode_snapshot_marker(),
-                    _pg.encode_begin(consistent_lsn, ts_ms, 0),
-                    *(_pg.encode_insert(rel_id, list(r)) for r in chunk),
-                    _pg.encode_commit(
-                        consistent_lsn, consistent_lsn, ts_ms
-                    ),
-                ]
-                seg = os.path.join(
-                    segments_dir, f"seg-{next_seg:08d}.pgwal"
-                )
-                _pg.write_segment(seg, frames)
-                from librarian_spark.sources.recorders import (
-                    fsync_file_and_dir,
-                )
-
-                fsync_file_and_dir(seg)
-                next_seg += 1
-                total += len(chunk)
+            chunk: list[tuple] = []
+            wrote_any = False
+            for row in row_iter:
+                chunk.append(row)
+                if len(chunk) >= rows_per_segment:
+                    flush_chunk(rel, rel_id, chunk)
+                    wrote_any = True
+                    chunk = []
+            if chunk or not wrote_any:  # tail, or an empty table's schema
+                flush_chunk(rel, rel_id, chunk)
     finally:
-        sql_client.simple_query("COMMIT")
+        try:
+            sql_client.simple_query("COMMIT")
+        except Exception:  # noqa: BLE001 — a dead/desynced connection must
+            # not mask the original error (the caller closes the socket)
+            pass
     return total
 
 
@@ -377,6 +395,19 @@ class PgCdcTailer(_TailerBase):
         try:
             c.startup(user=u.user, database=u.dbname, password=u.password)
             self._check_snapshot_integrity()
+            pre_slot_ts_ms = 0
+            if initial_snapshot:
+                # server-clock bound BEFORE slot creation: every streamed
+                # txn commits after the slot exists, so stamping snapshot
+                # rows with this ts keeps them strictly older than any
+                # streamed change under (ts_ms, lsn) ordering — export
+                # wall-clock would race concurrent commits (and client
+                # clocks skew). Safe here: only commands AFTER
+                # CREATE_REPLICATION_SLOT invalidate the exported snapshot.
+                (row,) = c.simple_query(
+                    "SELECT (extract(epoch from now()) * 1000)::bigint"
+                )
+                pre_slot_ts_ms = int(row[0])
             info = c.create_slot()  # None → slot exists (resume)
             if initial_snapshot:
                 if info is not None:
@@ -386,6 +417,7 @@ class PgCdcTailer(_TailerBase):
                     self._run_initial_snapshot(
                         info["snapshot_name"],
                         parse_lsn(info["consistent_point"]),
+                        pre_slot_ts_ms,
                     )
                 elif not os.path.exists(self.snapshot_done_path):
                     raise RuntimeError(
@@ -406,17 +438,18 @@ class PgCdcTailer(_TailerBase):
         self.client = c
 
     def _run_initial_snapshot(self, snapshot_name: str,
-                              consistent_lsn: int) -> None:
+                              consistent_lsn: int, ts_ms: int) -> None:
         """Second-connection snapshot read (plain SQL, replication=None),
-        then the durable done-marker — segments first, marker last, so a
-        crash in between fails loudly on resume instead of half-loading."""
+        then the durable done-marker — started-marker first (durable incl.
+        its directory entry: segments surviving a crash that lost the
+        marker would sneak a partial load past the integrity check),
+        segments, done-marker last."""
         from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
         from librarian_spark.sources.recorders import fsync_file_and_dir
 
         with open(self.snapshot_started_path, "w", encoding="utf-8") as fh:
             fh.write(snapshot_name + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+        fsync_file_and_dir(self.snapshot_started_path)
         u = self.url
         sql = ReplicationSlotClient.dial(
             u.dsn, sslmode=u.sslmode, sslrootcert=u.sslrootcert,
@@ -427,14 +460,12 @@ class PgCdcTailer(_TailerBase):
                         password=u.password, replication=None)
             rows = snapshot_publication_to_segments(
                 sql, u.publication, self.segments_dir,
-                consistent_lsn, snapshot_name,
+                consistent_lsn, snapshot_name, ts_ms=ts_ms,
             )
         finally:
             sql.sock.close()
         with open(self.snapshot_done_path, "w", encoding="utf-8") as fh:
             fh.write(f"{rows}\n")
-            fh.flush()
-            os.fsync(fh.fileno())
         fsync_file_and_dir(self.snapshot_done_path)
 
     def drain_once(self, idle_timeout: float = 2.0) -> int:

@@ -520,9 +520,8 @@ def test_cli_replicate_initial_snapshot_handoff(tmp_path, spark, live_pg_server)
         ctl.simple_query(f"INSERT INTO {table} VALUES (4,'d')")
         ctl.simple_query(f"UPDATE {table} SET v='a2' WHERE id=1")
         assert cli.main(argv) == 0  # resume: slot + done-marker exist
-        rows2 = sorted(
-            (r["op"], r["after"]) for r in spark.read.parquet(out).collect()
-        )
+        full = spark.read.parquet(out).collect()
+        rows2 = sorted((r["op"], r["after"]) for r in full)
         assert rows2 == [
             ("c", '{"id":4,"v":"d"}'),
             ("r", '{"id":1,"v":"a"}'),
@@ -530,6 +529,16 @@ def test_cli_replicate_initial_snapshot_handoff(tmp_path, spark, live_pg_server)
             ("r", '{"id":3,"v":"c"}'),
             ("u", '{"id":1,"v":"a2"}'),
         ], f"no gap, no overlap: {rows2}"
+        # ordering invariant the materializers rely on: every snapshot row
+        # is stamped (ts_ms, lsn)-BEFORE every streamed change — snapshot
+        # ts is the server clock before slot creation, never export time
+        # (export wall-clock would let an r-row beat a concurrent update)
+        snap_keys = {(r["ts_ms"], r["lsn"]) for r in full if r["op"] == "r"}
+        stream_keys = {(r["ts_ms"], r["lsn"]) for r in full if r["op"] != "r"}
+        assert max(snap_keys) < min(stream_keys), (snap_keys, stream_keys)
+        # positions unique across snapshot chunks AND the stream —
+        # downstream dedup/ordering keys on position
+        assert len({r["position"] for r in full}) == len(full)
         # a lost done-marker with a live slot must fail LOUDLY, not
         # silently skip the half-finished snapshot — in BOTH modes (a
         # plain resume past a half-snapshot ships partial op='r' data)

@@ -168,6 +168,23 @@ def test_snapshot_marker_decodes_inserts_as_r():
     ]
     assert rows[0][7] == '{"id":1,"name":"a","score":null}'  # typed same rule
 
+    # chunked snapshots: every chunk decodes with a FRESH decoder (one
+    # Spark input partition per segment) but shares the consistent-point
+    # LSN — the marker's seq_base is what keeps positions globally unique
+    chunk2 = PgOutputDecoder("appdb")
+    rows2 = []
+    for m in [
+        encode_relation(9, "public", "users", USERS_COLS),
+        encode_snapshot_marker(seq_base=2),
+        encode_begin(400, 1_700_000_000_000, 0),
+        encode_insert(9, ["3", "cc", None]),
+        encode_commit(400, 400, 1_700_000_000_000),
+    ]:
+        rows2.extend(chunk2.feed(m))
+    positions = [r[8] for r in rows] + [r[8] for r in rows2]
+    assert positions[:2] == ["400:1", "400:2"] and rows2[0][8] == "400:3"
+    assert len(set(positions)) == len(positions)
+
 
 def test_decoder_unknown_relation_raises():
     dec = PgOutputDecoder("appdb")
