@@ -177,12 +177,15 @@ def snapshot_publication_to_segments(
     each snapshot chunk also carries a seq base so positions stay unique
     across chunks and tables (consumers dedup/order on position).
 
-    Scale path: this single-connection reader is the reference
-    implementation; at cluster scale each Spark JDBC partition imports
-    the SAME exported snapshot via ``sessionInitStatement = "SET
-    TRANSACTION SNAPSHOT '<name>'"`` and the partitioned scan in
-    :mod:`..sources.batch` does the reading. The segment format and
-    decode path are identical either way.
+    Scale path (IMPLEMENTED): this single-connection reader is the
+    CLI-sized implementation; at cluster scale
+    ``spark.read.format("pgsnapshot")`` (:mod:`..sources.pg_snapshot`)
+    reads the same exported snapshot with executor-parallel wire
+    connections over disjoint ctid page ranges — live-tested for
+    cross-connection consistency. Route its DataFrame straight to the
+    target with op='r' columns, or keep this segment path when the
+    target must be fed through the identical DataSource → envelope
+    pipeline.
 
     Returns the number of rows snapshotted.
     """

@@ -355,3 +355,93 @@ def test_live_pg_tls_verify_full_with_sslrootcert(live_pg_server):
         assert info and info["output_plugin"] == "pgoutput"
     finally:
         c.sock.close()
+
+
+@pytest.mark.live("pg")
+def test_pgsnapshot_datasource_parallel_consistent_read(
+    tmp_path, spark, live_pg_server
+):
+    """The cluster half of the initial-snapshot handoff: N input
+    partitions, each a SEPARATE wire connection opened executor-side,
+    import the SAME exported snapshot and scan disjoint ctid page ranges.
+    Rows committed AFTER slot creation must be invisible to every
+    partition (consistency across independent connections — PostgreSQL's
+    cross-connection snapshot sharing), while a plain read without the
+    snapshot sees them."""
+    import uuid
+
+    from librarian_spark.sources.pg_snapshot import register
+    from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
+
+    user = os.environ.get("LIBRARIAN_LIVE_PG_USER", "postgres")
+    password = os.environ.get("LIBRARIAN_LIVE_PG_PASSWORD", "postgres")
+    db = os.environ.get("LIBRARIAN_LIVE_PG_DB", "postgres")
+    run = uuid.uuid4().hex[:8]
+    table, slot = f"ps_{run}", f"ps_slot_{run}"
+    url = f"postgres://{user}:{password}@{live_pg_server}/{db}"
+
+    ctl = ReplicationSlotClient.dial(live_dsn("pg"), slot="x",
+                                     publication="x", db=db)
+    ctl.startup(user=user, database=db, password=password)
+    slot_conn = None
+    try:
+        ctl.simple_query(
+            f"CREATE TABLE {table}(id int primary key, v text)"
+        )
+        ctl.simple_query(
+            f"INSERT INTO {table} "
+            "SELECT g, repeat('x', 40) FROM generate_series(1, 1000) g"
+        )
+        ctl.simple_query(f"ANALYZE {table}")  # populate relpages stats
+
+        # the slot-creating walsender connection exports the snapshot and
+        # must stay IDLE until the read job finishes (validity contract)
+        slot_conn = ReplicationSlotClient.dial(
+            live_dsn("pg"), slot=slot, publication="x", db=db
+        )
+        slot_conn.startup(user=user, database=db, password=password)
+        info = slot_conn.create_slot()
+        assert info and info["snapshot_name"]
+
+        # post-slot rows: the stream's territory, not the snapshot's
+        ctl.simple_query(
+            f"INSERT INTO {table} "
+            "SELECT g, 'late' FROM generate_series(1001, 1100) g"
+        )
+
+        register(spark)
+        snap_df = (
+            spark.read.format("pgsnapshot")
+            .option("url", url)
+            .option("table", f"public.{table}")
+            .option("snapshot", info["snapshot_name"])
+            .option("partitions", "4")
+            .load()
+        )
+        assert snap_df.rdd.getNumPartitions() == 4  # truly parallel
+        got = sorted(r["id"] for r in snap_df.collect())
+        assert got == list(range(1, 1001)), (
+            f"snapshot visibility broke: {len(got)} rows, "
+            f"tail {got[-5:] if got else []}"
+        )
+        assert [f.dataType.simpleString() for f in snap_df.schema.fields] \
+            == ["int", "string"]  # decoder's int4/text typing rule
+
+        # same source WITHOUT the snapshot: current state, late rows seen
+        cur_df = (
+            spark.read.format("pgsnapshot")
+            .option("url", url)
+            .option("table", f"public.{table}")
+            .option("partitions", "4")
+            .load()
+        )
+        assert cur_df.count() == 1100
+    finally:
+        if slot_conn is not None:
+            slot_conn.sock.close()  # non-temporary slot: drop explicitly
+        try:
+            ctl.simple_query(f"DROP TABLE IF EXISTS {table}")
+            ctl.simple_query(f"DROP_REPLICATION_SLOT {slot}")
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        ctl.sock.close()
