@@ -257,3 +257,38 @@ def register(spark) -> None:
     cloudpickle.register_pickle_by_value(_prc)
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(PgSnapshotDataSource)
+
+
+def snapshot_rows_as_cdc(df, db: str, schema_name: str, table: str,
+                         lsn: int, ts_ms: int):
+    """Bridge a ``pgsnapshot`` DataFrame into ``CDC_ROW_SCHEMA`` op='r'
+    rows — the cluster-parallel equivalent of the segment exporter's
+    output, so the parallel read can feed the SAME targets/materializers
+    as the streamed changes. JSON parity with the decoder: keys sorted,
+    compact separators, nulls kept (``ignoreNullFields=false`` — the
+    decoder emits ``"v":null``, and dropping the key would make snapshot
+    and streamed images of the same row differ). ``lsn``/``ts_ms`` must
+    be the slot's consistent point and the pre-slot server clock — the
+    same ordering contract as ``snapshot_publication_to_segments``.
+    Positions are unique (lsn:rowid), not dense."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    after = F.to_json(
+        F.struct(*[F.col(c) for c in cols]),
+        {"ignoreNullFields": "false"},
+    )
+    return df.select(
+        F.lit("r").alias("op"),
+        F.lit(ts_ms).cast("long").alias("ts_ms"),
+        F.lit(db).alias("db"),
+        F.lit(schema_name).alias("schema_name"),
+        F.lit(table).alias("table"),
+        F.lit(lsn).cast("long").alias("lsn"),
+        F.lit(None).cast("string").alias("before"),
+        after.alias("after"),
+        F.concat(
+            F.lit(f"{lsn}:"),
+            (F.monotonically_increasing_id() + 1).cast("string"),
+        ).alias("position"),
+    )

@@ -141,3 +141,49 @@ def test_replicator_cdc_source_end_to_end(spark, segments, tmp_path):
     finally:
         r.stop()
     assert r.state == "stopped"
+
+
+def test_snapshot_rows_as_cdc_matches_decoder_json(spark):
+    """The parallel-snapshot bridge must produce byte-identical after
+    images to the segment exporter's decode path (sorted keys, compact,
+    nulls KEPT) — otherwise a key loaded via the cluster path and then
+    updated via the stream would show a spurious image diff."""
+    from librarian_spark.sources.pg_snapshot import snapshot_rows_as_cdc
+    from librarian_spark.sources.pgoutput import (
+        PgOutputDecoder,
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+        encode_snapshot_marker,
+    )
+
+    df = spark.createDataFrame(
+        [(2, None), (1, "a")], "id int, v string"
+    )
+    out = snapshot_rows_as_cdc(
+        df, db="appdb", schema_name="public", table="users",
+        lsn=400, ts_ms=1_700_000_000_000,
+    )
+    rows = {r["after"]: r for r in out.collect()}
+    assert set(rows) == {'{"id":2,"v":null}', '{"id":1,"v":"a"}'}
+    r = rows['{"id":2,"v":null}']
+    assert (r["op"], r["ts_ms"], r["lsn"], r["before"]) == (
+        "r", 1_700_000_000_000, 400, None
+    )
+    assert r["position"].startswith("400:")
+    assert len({x["position"] for x in rows.values()}) == 2
+
+    # the decoder path, same logical rows: identical after-image bytes
+    dec = PgOutputDecoder("appdb")
+    decoded = []
+    for m in [
+        encode_relation(7, "public", "users", [("id", 23), ("v", 25)]),
+        encode_snapshot_marker(),
+        encode_begin(400, 1_700_000_000_000, 0),
+        encode_insert(7, ["2", None]),
+        encode_insert(7, ["1", "a"]),
+        encode_commit(400, 400, 1_700_000_000_000),
+    ]:
+        decoded.extend(dec.feed(m))
+    assert {d[7] for d in decoded} == set(rows)
