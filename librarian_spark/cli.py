@@ -49,9 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     rep.add_argument("--once", action="store_true", help="drain available input then stop (batch-drain)")
     rep.add_argument(
         "--initial-snapshot", action="store_true",
-        help="postgres:// only: on FIRST run, load every publication table "
-             "as op='r' rows from the slot's exported snapshot, then stream "
-             "from the slot's consistent point (no gap, no overlap)",
+        help="on FIRST run, load existing data as op='r' rows, then stream. "
+             "postgres://: publication tables read from the slot's exported "
+             "snapshot — exactly-once handoff (no gap, no overlap). "
+             "mongodb://: collection copied after the change stream opens, "
+             "streaming from the stream's start token — at-least-once with "
+             "last-writer-wins (Mongo has no cross-connection snapshots)",
     )
 
     mat = sub.add_parser(
@@ -194,9 +197,11 @@ def _cmd_replicate(args) -> int:
     else:
         print(f"unknown source kind: {src_kind}", file=sys.stderr)
         return 2
-    if args.initial_snapshot and src_kind not in ("postgres", "postgresql"):
-        print("--initial-snapshot requires a postgres:// source",
-              file=sys.stderr)
+    if args.initial_snapshot and src_kind not in (
+        "postgres", "postgresql", "mongodb"
+    ):
+        print("--initial-snapshot requires a postgres:// or mongodb:// "
+              "source", file=sys.stderr)
         return 2
 
     if tgt_kind == "kafka":

@@ -210,6 +210,8 @@ class MongoChangeStreamClient:
         self.max_await_ms = max_await_ms  # SetMaxAwaitTime(5s) default
         self.cursor_id = 0
         self.resume_token: dict | None = None
+        self.start_token: dict | None = None  # stream position at open
+        self.operation_time = None  # server $timestamp at open
         self._req = 0
         self._seq = 0
 
@@ -298,7 +300,14 @@ class MongoChangeStreamClient:
 
     def watch(self) -> None:
         """Open the change-stream cursor, resuming from the checkpointed
-        token when one exists (`coll.Watch` + SetResumeAfter)."""
+        token when one exists (`coll.Watch` + SetResumeAfter). On a FRESH
+        stream, the open reply's ``postBatchResumeToken`` (the stream's
+        start position) and ``operationTime`` are captured — the initial
+        sync anchors on them: copy the collection AFTER opening the
+        stream, then resume from this token, and every change that raced
+        the copy is re-applied (at-least-once, last-writer-wins — the
+        Debezium/mongo initial-sync contract; exactly-once needs the
+        snapshot-export semantics only PostgreSQL offers)."""
         stage: dict = {"$changeStream": {}}
         token = self.load_checkpoint()
         if token is not None:
@@ -315,6 +324,40 @@ class MongoChangeStreamClient:
         cur = reply["cursor"]
         self.cursor_id = cur["id"]
         self._batch = cur.get("firstBatch", [])
+        self.start_token = cur.get("postBatchResumeToken")
+        self.operation_time = reply.get("operationTime")  # $timestamp or None
+
+    def find_batches(self, batch_size: int = 1000):
+        """Collection scan (``find`` + ``getMore``) yielding document
+        batches — the initial-sync copy. Runs its OWN cursor (local id),
+        so the open change-stream cursor is untouched; call between
+        :meth:`watch` and the first :meth:`batches` sweep."""
+        reply = self._command(
+            {
+                "find": self.collection,
+                "batchSize": batch_size,
+                "$db": self.db,
+            }
+        )
+        cur = reply["cursor"]
+        cursor_id = cur["id"]
+        batch = cur.get("firstBatch", [])
+        while True:
+            if batch:
+                yield batch
+            if cursor_id == 0:
+                return
+            reply = self._command(
+                {
+                    "getMore": cursor_id,
+                    "collection": self.collection,
+                    "$db": self.db,
+                    "batchSize": batch_size,
+                }
+            )
+            cur = reply["cursor"]
+            cursor_id = cur["id"]
+            batch = cur.get("nextBatch", [])
 
     def batches(self, max_batches: int | None = None,
                 stop_on_empty: bool = False):

@@ -167,14 +167,12 @@ class ChangeStreamRecorder:
             (int(f.split("-")[1].split(".")[0]) for f in existing), default=-1
         )
 
-    def record(self, client, max_batches: int | None = None,
-               stop_on_empty: bool = False) -> int:
-        """Consume ``client.batches()``; returns documents recorded. The
-        segment is durable before the yield returns, so the resume-token
-        checkpoint (which advances after the yield) never outruns disk.
-        ``stop_on_empty`` bounds a drain against a live tailing cursor."""
+    def record_batches(self, batches) -> int:
+        """Write each document batch as one durable segment; returns
+        documents written. Shared by the live drain (:meth:`record`) and
+        the initial-sync copy (synthesized snapshot docs)."""
         docs = 0
-        for batch in client.batches(max_batches, stop_on_empty=stop_on_empty):
+        for batch in batches:
             name = os.path.join(
                 self.out_dir, f"seg-{self._next_seg:08d}.cstream"
             )
@@ -189,3 +187,13 @@ class ChangeStreamRecorder:
             self._next_seg += 1
             docs += len(batch)
         return docs
+
+    def record(self, client, max_batches: int | None = None,
+               stop_on_empty: bool = False) -> int:
+        """Consume ``client.batches()``; returns documents recorded. The
+        segment is durable before the yield returns, so the resume-token
+        checkpoint (which advances after the yield) never outruns disk.
+        ``stop_on_empty`` bounds a drain against a live tailing cursor."""
+        return self.record_batches(
+            client.batches(max_batches, stop_on_empty=stop_on_empty)
+        )

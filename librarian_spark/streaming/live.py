@@ -293,6 +293,45 @@ class _TailerBase:
                 "replication has stopped"
             )
 
+    # -- initial-snapshot bookkeeping (shared: PG exported-snapshot copy,
+    # Mongo stream-anchored collection copy) --------------------------------
+    @property
+    def snapshot_done_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "initial_snapshot.done")
+
+    @property
+    def snapshot_started_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "initial_snapshot.started")
+
+    def _check_snapshot_integrity(self) -> None:
+        """A crashed initial snapshot leaves op='r' segments for SOME of
+        the data; resuming past it — with or without --initial-snapshot —
+        would ship a silent partial load. started-without-done is that
+        state, and every connect refuses it."""
+        if os.path.exists(self.snapshot_started_path) and not os.path.exists(
+            self.snapshot_done_path
+        ):
+            raise RuntimeError(
+                "a previous initial snapshot started but never completed "
+                f"({self.snapshot_started_path} without .done); its partial "
+                "op='r' segments cannot be trusted — drop the "
+                "slot/checkpoint dir and restart"
+            )
+
+    def _mark_snapshot_started(self, note: str) -> None:
+        from librarian_spark.sources.recorders import fsync_file_and_dir
+
+        with open(self.snapshot_started_path, "w", encoding="utf-8") as fh:
+            fh.write(note + "\n")
+        fsync_file_and_dir(self.snapshot_started_path)
+
+    def _mark_snapshot_done(self, note: str) -> None:
+        from librarian_spark.sources.recorders import fsync_file_and_dir
+
+        with open(self.snapshot_done_path, "w", encoding="utf-8") as fh:
+            fh.write(note + "\n")
+        fsync_file_and_dir(self.snapshot_done_path)
+
     def start_background(self, run) -> threading.Thread:
         def _run():
             try:
@@ -342,29 +381,6 @@ class PgCdcTailer(_TailerBase):
     @property
     def lsn_checkpoint_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "source_lsn.ckpt")
-
-    @property
-    def snapshot_done_path(self) -> str:
-        return os.path.join(self.checkpoint_dir, "initial_snapshot.done")
-
-    @property
-    def snapshot_started_path(self) -> str:
-        return os.path.join(self.checkpoint_dir, "initial_snapshot.started")
-
-    def _check_snapshot_integrity(self) -> None:
-        """A crashed initial snapshot leaves op='r' segments for SOME
-        tables; resuming past it — with or without --initial-snapshot —
-        would ship a silent partial load. started-without-done is that
-        state, and every connect refuses it."""
-        if os.path.exists(self.snapshot_started_path) and not os.path.exists(
-            self.snapshot_done_path
-        ):
-            raise RuntimeError(
-                "a previous initial snapshot started but never completed "
-                f"({self.snapshot_started_path} without .done); its partial "
-                "op='r' segments cannot be trusted — drop the slot, clear "
-                "the checkpoint dir, and restart"
-            )
 
     def connect(self, initial_snapshot: bool = False) -> None:
         """Dial + slot + (optionally) consistent initial snapshot + start.
@@ -448,11 +464,8 @@ class PgCdcTailer(_TailerBase):
         marker would sneak a partial load past the integrity check),
         segments, done-marker last."""
         from librarian_spark.sources.pgrepl_client import ReplicationSlotClient
-        from librarian_spark.sources.recorders import fsync_file_and_dir
 
-        with open(self.snapshot_started_path, "w", encoding="utf-8") as fh:
-            fh.write(snapshot_name + "\n")
-        fsync_file_and_dir(self.snapshot_started_path)
+        self._mark_snapshot_started(snapshot_name)
         u = self.url
         sql = ReplicationSlotClient.dial(
             u.dsn, sslmode=u.sslmode, sslrootcert=u.sslrootcert,
@@ -467,9 +480,7 @@ class PgCdcTailer(_TailerBase):
             )
         finally:
             sql.sock.close()
-        with open(self.snapshot_done_path, "w", encoding="utf-8") as fh:
-            fh.write(f"{rows}\n")
-        fsync_file_and_dir(self.snapshot_done_path)
+        self._mark_snapshot_done(str(rows))
 
     def drain_once(self, idle_timeout: float = 2.0) -> int:
         """Record transactions up to the connect-time server position, then
@@ -523,10 +534,23 @@ class MongoCdcTailer(_TailerBase):
     def token_checkpoint_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "resume_token.ckpt")
 
-    def connect(self) -> None:
+    def connect(self, initial_snapshot: bool = False) -> None:
+        """hello → ping → watch (+ optionally the initial collection copy).
+
+        Mongo's initial-sync contract differs from PostgreSQL's: there is
+        no exported snapshot to import, so the anchor is STREAM-FIRST —
+        open the change stream, capture its start position, THEN copy the
+        collection, then consume the stream from that position. Changes
+        racing the copy are seen twice (in the copy and in the stream) and
+        re-apply idempotently: at-least-once with last-writer-wins, the
+        same semantics Debezium's MongoDB connector and mongo's own
+        initial sync provide. The copy lands as op='r' docs
+        (operationType ``snapshot`` → the decoder's default-to-``r``
+        branch) in ordinary ``.cstream`` segments."""
         from librarian_spark.sources.mongo_wire import MongoChangeStreamClient
 
         os.makedirs(self.checkpoint_dir, exist_ok=True)
+        self._check_snapshot_integrity()
         u = self.url
         c = MongoChangeStreamClient.dial(
             u.dsn,
@@ -535,11 +559,64 @@ class MongoCdcTailer(_TailerBase):
             checkpoint_path=self.token_checkpoint_path,
         )
         try:
+            fresh = c.load_checkpoint() is None
             c.connect()  # hello → ping → watch
+            if initial_snapshot:
+                if fresh:
+                    self._run_initial_sync(c)
+                elif not os.path.exists(self.snapshot_done_path):
+                    raise RuntimeError(
+                        "resume token exists but the initial sync never "
+                        f"completed (no {self.snapshot_done_path}); clear "
+                        "the checkpoint dir and restart"
+                    )
         except BaseException:
             c.sock.close()
             raise
         self.client = c
+
+    def _run_initial_sync(self, c) -> None:
+        """Collection copy anchored on the just-opened stream: persist the
+        stream's start token FIRST (a crash between copy and first drain
+        must resume from pre-copy, not skip ahead), then find-scan the
+        collection into snapshot segments, then the done marker."""
+        from librarian_spark.sources.recorders import ChangeStreamRecorder
+
+        self._mark_snapshot_started(self.url.collection)
+        if c.start_token is not None:
+            # make the pre-copy stream position the durable checkpoint now
+            c.resume_token = c.start_token
+            c.save_checkpoint()
+        # snapshot rows must order BEFORE every streamed change: stamp with
+        # the server operationTime at stream open (i=0 — real events in the
+        # same second carry i >= 1), falling back to t=0 (sorts first)
+        ot = c.operation_time
+        if isinstance(ot, dict) and "$timestamp" in ot:
+            stamp = {"$timestamp": {"t": int(ot["$timestamp"]["t"]), "i": 0}}
+        else:
+            stamp = {"$timestamp": {"t": 0, "i": 0}}
+        u = self.url
+        n = 0
+
+        def synth(batches):
+            nonlocal n
+            for batch in batches:
+                out = []
+                for doc in batch:
+                    n += 1
+                    out.append({
+                        "_id": {"_data": f"snapshot-{n:012d}"},
+                        "operationType": "snapshot",
+                        "clusterTime": stamp,
+                        "ns": {"db": u.db, "coll": u.collection},
+                        "documentKey": {"_id": doc.get("_id")},
+                        "fullDocument": doc,
+                    })
+                yield out
+
+        rec = ChangeStreamRecorder(self.segments_dir)
+        rec.record_batches(synth(c.find_batches()))
+        self._mark_snapshot_done(str(n))
 
     def drain_once(self) -> int:
         """One cursor sweep: page through everything the open cursor returns

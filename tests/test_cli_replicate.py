@@ -467,14 +467,14 @@ def test_cli_replicate_live_truncate_is_skipped_but_counted(
         ctl.sock.close()
 
 
-def test_cli_initial_snapshot_requires_postgres(tmp_path, capsys):
+def test_cli_initial_snapshot_requires_cdc_source(tmp_path, capsys):
     rc = cli.main([
         "replicate", "--id", "x",
-        "-s", "mongodb://h:1/db?collection=c", "-t", "memory",
+        "-s", f"files:{tmp_path}/in", "-t", "memory",
         "--checkpoint-dir", str(tmp_path / "ckpt"), "--initial-snapshot",
     ])
     assert rc == 2
-    assert "initial-snapshot requires a postgres" in capsys.readouterr().err
+    assert "initial-snapshot requires" in capsys.readouterr().err
 
 
 @pytest.mark.live("pg")
@@ -556,3 +556,74 @@ def test_cli_replicate_initial_snapshot_handoff(tmp_path, spark, live_pg_server)
         except Exception:  # noqa: BLE001 — cleanup is best-effort
             pass
         ctl.sock.close()
+
+
+def test_cli_replicate_mongodb_initial_sync(tmp_path, spark):
+    """Mongo's --initial-snapshot: the change stream opens FIRST (its
+    start token becomes the durable checkpoint), then the collection is
+    find-scanned into op='r' segments stamped with the stream-open
+    operationTime (i=0, so every real change of the same second orders
+    after), then the stream drains from the pre-copy position —
+    at-least-once with last-writer-wins. The resumed second run must
+    NOT re-copy (done-marker) and must ship only newer events."""
+    from tests.test_mongo_wire import EVENTS, MockMongod, _ev
+
+    docs = [
+        {"_id": 1, "name": "alice"},
+        {"_id": 2, "name": "bob"},
+        {"_id": 4, "name": "dave"},
+    ]
+    srv = MockMongod(EVENTS, docs=docs)
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(4)
+    port = lsock.getsockname()[1]
+
+    def _accept_loop():
+        while True:
+            try:
+                conn, _ = lsock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=srv.serve, args=(conn,), daemon=True
+            ).start()
+
+    threading.Thread(target=_accept_loop, daemon=True).start()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    argv = [
+        "replicate", "--id", f"ms{uuid.uuid4().hex[:6]}",
+        "-s", f"mongodb://127.0.0.1:{port}/appdb?collection=users",
+        "-t", f"parquet:{out}", "--checkpoint-dir", ckpt,
+        "--flush-interval", "0 seconds", "--once", "--initial-snapshot",
+    ]
+    try:
+        assert cli.main(argv) == 0
+        rows = [
+            (r["op"], r["after"], r["ts_ms"], r["position"])
+            for r in spark.read.parquet(out).collect()
+        ]
+        r_rows = sorted(r for r in rows if r[0] == "r")
+        assert [x[1] for x in r_rows] == [
+            '{"_id":1,"name":"alice"}',
+            '{"_id":2,"name":"bob"}',
+            '{"_id":4,"name":"dave"}',
+        ]
+        # snapshot stamp: stream-open operationTime second with i=0 —
+        # orders BEFORE every real change in or after that second
+        assert all(x[2] == 1_700_000_500_000 for x in r_rows)
+        assert len({x[3] for x in rows}) == len(rows)  # unique positions
+        # the stream half: all 5 change events shipped alongside the copy
+        assert sum(1 for r in rows if r[0] != "r") == len(EVENTS)
+        assert os.path.exists(f"{ckpt}/initial_snapshot.done")
+
+        # resume: new event only, NO second copy
+        srv.events = EVENTS + [
+            _ev(6, 1_700_000_600, "insert", 9, {"_id": 9, "name": "zed"})
+        ]
+        assert cli.main(argv) == 0
+        rows2 = spark.read.parquet(out).collect()
+        assert len(rows2) == len(rows) + 1
+        assert sum(1 for r in rows2 if r["op"] == "r") == 3  # still one copy
+    finally:
+        lsock.close()

@@ -79,14 +79,18 @@ class MockMongod:
     over the events AFTER any resumeAfter token, getMore pages through in
     batches of 2, the final page closes the cursor (id 0)."""
 
-    def __init__(self, events, batch=2, max_wire_version=17):
+    def __init__(self, events, batch=2, max_wire_version=17, docs=None,
+                 operation_time_t=1_700_000_500):
         self.events = events
         self.batch = batch
         self.max_wire_version = max_wire_version
+        self.docs = docs or []  # collection contents, served by `find`
+        self.operation_time_t = operation_time_t
         self.commands: list[dict] = []
 
     def serve(self, sock) -> None:
         pending: list[dict] = []
+        find_pending: list[dict] = []
         try:
             while True:
                 req, _resp, cmd = read_op_msg(sock)
@@ -99,11 +103,50 @@ class MockMongod:
                         if after is None or e["_id"]["_data"] > after
                     ]
                     first, pending = pending[: self.batch], pending[self.batch:]
+                    # postBatchResumeToken = the stream position at open
+                    # (before any pending event when resuming fresh);
+                    # operationTime = the server clock — what real
+                    # mongod >= 4.0.7 returns and the initial sync anchors on
+                    start = after if after is not None else "000000"
                     reply = {
                         "cursor": {
                             "firstBatch": first,
                             "id": 77 if pending else 0,
                             "ns": f"{cmd['$db']}.{cmd['aggregate']}",
+                            "postBatchResumeToken": {
+                                "_data": (
+                                    first[-1]["_id"]["_data"]
+                                    if first else start
+                                )
+                            },
+                        },
+                        "operationTime": {
+                            "$timestamp": {"t": self.operation_time_t, "i": 3}
+                        },
+                        "ok": 1.0,
+                    }
+                elif "find" in cmd:
+                    find_pending = list(self.docs)
+                    first, find_pending = (
+                        find_pending[: self.batch], find_pending[self.batch:]
+                    )
+                    reply = {
+                        "cursor": {
+                            "firstBatch": first,
+                            "id": 88 if find_pending else 0,
+                            "ns": f"{cmd['$db']}.{cmd['find']}",
+                        },
+                        "ok": 1.0,
+                    }
+                elif "getMore" in cmd and cmd["getMore"] == 88:
+                    nxt, find_pending = (
+                        find_pending[: self.batch], find_pending[self.batch:]
+                    )
+                    reply = {
+                        "cursor": {
+                            "nextBatch": nxt,
+                            "id": 88 if find_pending else 0,
+                            "ns": f"{cmd['$db']}.{cmd['collection']}",
                         },
                         "ok": 1.0,
                     }
