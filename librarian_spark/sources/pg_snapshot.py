@@ -47,6 +47,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 # pickle time — a lazy `from librarian_spark...` inside read() would
 # execute ON the worker, which does not have this repo on its path
 from librarian_spark.sources.dial import dial as _tcp_dial, host_of
+from librarian_spark.sources.pgoutput import OID_INT4, OID_INT8
 from librarian_spark.sources.pgrepl_client import (
     SSL_MODES,
     ReplicationSlotClient,
@@ -54,9 +55,6 @@ from librarian_spark.sources.pgrepl_client import (
 )
 
 FORMAT_NAME = "pgsnapshot"
-
-OID_INT8 = 20
-OID_INT4 = 23
 
 
 def _quote_ident(ns: str, name: str) -> str:
@@ -270,7 +268,16 @@ def snapshot_rows_as_cdc(df, db: str, schema_name: str, table: str,
     and streamed images of the same row differ). ``lsn``/``ts_ms`` must
     be the slot's consistent point and the pre-slot server clock — the
     same ordering contract as ``snapshot_publication_to_segments``.
-    Positions are unique (lsn:rowid), not dense."""
+
+    Positions are ``lsn:<schema.table>:<rowid>`` — the table component
+    keeps them unique ACROSS tables snapshotted at the same consistent
+    point (two tables' row 0 must not collide the way a bare lsn:rowid
+    would), and the rowid (partition-prefixed counter) is deterministic
+    for ``pgsnapshot`` inputs: partitions are fixed ctid ranges and a
+    frozen snapshot's heap scan returns rows in ctid order, so a task
+    retry re-emits identical positions. Inputs whose partitioning or
+    row order can vary between evaluations would break that determinism
+    — bridge only snapshot-stable frames."""
     from pyspark.sql import functions as F
 
     cols = sorted(df.columns)
@@ -288,7 +295,7 @@ def snapshot_rows_as_cdc(df, db: str, schema_name: str, table: str,
         F.lit(None).cast("string").alias("before"),
         after.alias("after"),
         F.concat(
-            F.lit(f"{lsn}:"),
+            F.lit(f"{lsn}:{schema_name}.{table}:"),
             (F.monotonically_increasing_id() + 1).cast("string"),
         ).alias("position"),
     )

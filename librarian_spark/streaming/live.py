@@ -562,9 +562,22 @@ class MongoCdcTailer(_TailerBase):
             fresh = c.load_checkpoint() is None
             c.connect()  # hello → ping → watch
             if initial_snapshot:
+                done = os.path.exists(self.snapshot_done_path)
+                if fresh and done:
+                    # a prior sync completed but no stream token survived —
+                    # only possible on servers without postBatchResumeToken
+                    # (mongod < 4.0.7). Re-copying would duplicate r-row
+                    # positions; streaming from NOW would silently lose the
+                    # window between runs. Neither is acceptable quietly.
+                    raise RuntimeError(
+                        "initial sync completed earlier but no resume "
+                        "token was persisted (server sent no "
+                        "postBatchResumeToken); cannot resume without a "
+                        "gap — clear the checkpoint dir and restart"
+                    )
                 if fresh:
                     self._run_initial_sync(c)
-                elif not os.path.exists(self.snapshot_done_path):
+                elif not done:
                     raise RuntimeError(
                         "resume token exists but the initial sync never "
                         f"completed (no {self.snapshot_done_path}); clear "
@@ -575,11 +588,23 @@ class MongoCdcTailer(_TailerBase):
             raise
         self.client = c
 
-    def _run_initial_sync(self, c) -> None:
+    def _run_initial_sync(self, c, keepalive_every: float = 60.0) -> None:
         """Collection copy anchored on the just-opened stream: persist the
         stream's start token FIRST (a crash between copy and first drain
         must resume from pre-copy, not skip ahead), then find-scan the
-        collection into snapshot segments, then the done marker."""
+        collection into snapshot segments, then the done marker.
+
+        The open change-stream cursor is kept ALIVE during the copy: every
+        ``keepalive_every`` seconds one stream getMore runs and its events
+        (changes racing the copy) are recorded as ordinary segments —
+        without it, mongod's 10-minute idle-cursor reaper kills the
+        stream cursor under any copy longer than that (exactly the
+        collections --initial-snapshot exists for), and the post-copy
+        drain dies with CursorNotFound. Interleaved change segments are
+        fine: ordering downstream is by (ts_ms, position), and every real
+        change stamps after the snapshot rows."""
+        import time as _time
+
         from librarian_spark.sources.recorders import ChangeStreamRecorder
 
         self._mark_snapshot_started(self.url.collection)
@@ -597,9 +622,11 @@ class MongoCdcTailer(_TailerBase):
             stamp = {"$timestamp": {"t": 0, "i": 0}}
         u = self.url
         n = 0
+        rec = ChangeStreamRecorder(self.segments_dir)
+        last_keepalive = _time.monotonic()
 
         def synth(batches):
-            nonlocal n
+            nonlocal n, last_keepalive
             for batch in batches:
                 out = []
                 for doc in batch:
@@ -613,8 +640,12 @@ class MongoCdcTailer(_TailerBase):
                         "fullDocument": doc,
                     })
                 yield out
+                if _time.monotonic() - last_keepalive >= keepalive_every:
+                    # one stream getMore: keeps the cursor off the idle
+                    # reaper and records any copy-racing changes now
+                    rec.record(c, max_batches=2)
+                    last_keepalive = _time.monotonic()
 
-        rec = ChangeStreamRecorder(self.segments_dir)
         rec.record_batches(synth(c.find_batches()))
         self._mark_snapshot_done(str(n))
 

@@ -627,3 +627,60 @@ def test_cli_replicate_mongodb_initial_sync(tmp_path, spark):
         assert sum(1 for r in rows2 if r["op"] == "r") == 3  # still one copy
     finally:
         lsock.close()
+
+
+def test_mongo_initial_sync_keepalive_interleaves_stream(tmp_path):
+    """During a long collection copy the open change-stream cursor must
+    not idle into mongod's 10-minute cursor reaper: with keepalive_every
+    forced to 0, every find batch triggers one stream getMore whose
+    events are recorded as ordinary segments interleaved with the
+    snapshot segments — the copy makes stream progress instead of
+    starving it."""
+    import glob
+
+    from librarian_spark.sources.mongo_wire import MongoChangeStreamClient
+    from librarian_spark.streaming.live import MongoCdcTailer
+    from tests.test_mongo_wire import EVENTS, MockMongod
+
+    docs = [{"_id": i, "name": f"d{i}"} for i in range(6)]  # 3 find batches
+    srv = MockMongod(EVENTS, docs=docs)
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def _serve_one():
+        conn, _ = lsock.accept()
+        srv.serve(conn)
+
+    threading.Thread(target=_serve_one, daemon=True).start()
+    tailer = MongoCdcTailer(
+        f"mongodb://127.0.0.1:{port}/appdb?collection=users",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    c = MongoChangeStreamClient.dial(
+        f"127.0.0.1:{port}", db="appdb", collection="users",
+        checkpoint_path=tailer.token_checkpoint_path,
+    )
+    try:
+        c.connect()
+        tailer._run_initial_sync(c, keepalive_every=0.0)
+    finally:
+        c.sock.close()
+        lsock.close()
+
+    segs = sorted(glob.glob(f"{tailer.segments_dir}/*.cstream"))
+    lines = []
+    for s in segs:
+        with open(s, encoding="utf-8") as fh:
+            lines.extend(json.loads(ln) for ln in fh)
+    ops = [ln["operationType"] for ln in lines]
+    assert ops.count("snapshot") == len(docs)
+    # stream events were recorded DURING the copy (interleaved), not
+    # starved until after it
+    assert any(op != "snapshot" for op in ops)
+    first_stream = next(i for i, op in enumerate(ops) if op != "snapshot")
+    assert first_stream < len(ops) - 1  # not merely appended at the end
+    assert os.path.exists(tailer.snapshot_done_path)
+    # checkpoint advanced past the recorded stream events
+    assert c.load_checkpoint() is not None
