@@ -3805,3 +3805,278 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "user_id", F.col("value").cast("double").alias("value")
     )  # batch_id partition col dropped by the projection
+
+
+# --------------------------------------------------------------------------
+# Streaming NEAR-dup gate: MinHash-band dedup-at-ingest
+# --------------------------------------------------------------------------
+
+_NDG_BANDS = 8  # LSH bands
+_NDG_RPB = 4  # minhash rows per band -> catches jaccard >~ 0.5 per band
+_NDG_K = _NDG_BANDS * _NDG_RPB
+_NDG_P = (1 << 31) - 1  # Mersenne prime of the affine family
+_NDG_FILES = 4  # arrival micro-batches (doc_id-ordered ranges)
+
+
+def _ndg_family() -> list[tuple[int, int]]:
+    # same deterministic LCG-seeded affine family as the batch MinHash path
+    # (dedup.py) at K=32; imported lazily to keep module import cheap
+    from librarian_spark.operators.dedup import _hash_family
+
+    return _hash_family(_NDG_K)
+
+
+def _ndg_oracle() -> str:
+    fam = _ndg_family()
+    band_sel = []
+    for b in range(_NDG_BANDS):
+        mins = []
+        for r in range(_NDG_RPB):
+            a, bb = fam[b * _NDG_RPB + r]
+            mins.append(
+                f"CAST(LIST_MIN(LIST_TRANSFORM(hs, x -> (x * {a} + {bb}) "
+                f"% {_NDG_P})) AS VARCHAR)"
+            )
+        band_sel.append(
+            f"SELECT doc_id, {b} AS band, CONCAT_WS('|', {', '.join(mins)}) "
+            "AS sig FROM h WHERE ns > 0"
+        )
+    band_sel.append(
+        "SELECT doc_id, -1 AS band, CAST(doc_id AS VARCHAR) AS sig "
+        "FROM h WHERE ns = 0"
+    )
+    bands_cte = "\n      UNION ALL\n      ".join(band_sel)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, STR_SPLIT(TRIM(LOWER(COALESCE(text, ''))), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1)),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               AS shingles
+      FROM w
+    ),
+    h AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(shingles,
+               s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 8))::UBIGINT AS BIGINT)
+                    % {_NDG_P}) AS hs,
+             LEN(shingles) AS ns
+      FROM sh
+    ),
+    ab AS (
+      {bands_cte}
+    ),
+    win AS (SELECT band, sig, MIN(doc_id) AS winner FROM ab GROUP BY 1, 2),
+    keep AS (
+      SELECT ab.doc_id FROM ab JOIN win USING (band, sig)
+      GROUP BY ab.doc_id HAVING BOOL_AND(win.winner = ab.doc_id)
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d JOIN keep USING (doc_id)
+    """
+
+
+def neardup_gate_stream(
+    spark: SparkSession, in_dir: str, out: str, ckpt: str
+) -> None:
+    """Run the streaming MinHash-band near-dup gate over a doc_id-ordered
+    parquet file sequence: signatures per micro-batch (Arrow-batched
+    ``mapInPandas``), band-bucket state via ``applyInPandasWithState`` keyed
+    on (band, sig) holding the minimum doc_id ever seen in the bucket, and a
+    per-batch verdict (kept iff the doc wins EVERY one of its bands) appended
+    to the parquet sink. Factored out so tests can drive synthetic corpora
+    through the same machinery."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fam = _ndg_family()
+    a_vals = [a for a, _ in fam]
+    b_vals = [b for _, b in fam]
+    n_bands, rpb, prime = _NDG_BANDS, _NDG_RPB, _NDG_P
+
+    def sig_rows(batches):
+        # self-contained: executor workers don't have the repo on their path
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(a_vals, dtype=np.int64)
+        B = np.array(b_vals, dtype=np.int64)
+        for pdf in batches:
+            doc_ids, langs, srcs, bands, sigs = [], [], [], [], []
+            for doc_id, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                toks = ("" if text is None else text).strip(" ").lower().split(" ")
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                    )
+                )
+                if not sh:
+                    doc_ids.append(doc_id)
+                    langs.append(lang)
+                    srcs.append(source)
+                    bands.append(-1)
+                    sigs.append(str(doc_id))
+                    continue
+                hs = np.array(
+                    [
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                        % prime
+                        for s in sh
+                    ],
+                    dtype=np.int64,
+                )
+                # (shingles x K) affine family; h,a < 2^31 so a*h+b < 2^62
+                mins = ((hs[:, None] * A[None, :] + B[None, :]) % prime).min(
+                    axis=0
+                )
+                for b in range(n_bands):
+                    doc_ids.append(doc_id)
+                    langs.append(lang)
+                    srcs.append(source)
+                    bands.append(b)
+                    sigs.append(
+                        "|".join(
+                            str(int(mins[b * rpb + r])) for r in range(rpb)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "lang": langs,
+                    "source": srcs,
+                    "band": pd.Series(bands, dtype="int32"),
+                    "sig": sigs,
+                }
+            )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        frames = list(pdfs)
+        allp = pd.concat(frames) if len(frames) > 1 else frames[0]
+        m = int(allp["doc_id"].min())
+        if state.exists:
+            m = min(m, int(state.get[0]))
+        state.update((m,))
+        out_pdf = allp[["doc_id", "lang", "source"]].copy()
+        out_pdf["winner"] = m
+        yield out_pdf
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    banded = stream.mapInPandas(
+        sig_rows,
+        schema="doc_id long, lang string, source string, band int, sig string",
+    )
+    verdicts = banded.groupBy("band", "sig").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, lang string, source string, winner long",
+        stateStructType="min_id long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def emit(bdf, _bid):
+        (
+            bdf.groupBy("doc_id")
+            .agg(
+                F.first("lang").alias("lang"),
+                F.first("source").alias("source"),
+                F.min((F.col("winner") == F.col("doc_id")).cast("int")).alias(
+                    "ok"
+                ),
+            )
+            .filter(F.col("ok") == 1)
+            .select("doc_id", "lang", "source")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # per-BATCH volume
+    try:
+        q = (
+            verdicts.writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "pipeline_stream_neardup_gate",
+    oracle=_ndg_oracle(),
+    doc=f"Streaming NEAR-dup gate — MinHash({_NDG_K})+LSH({_NDG_BANDS}x"
+    f"{_NDG_RPB}) dedup-at-ingest: documents arrive as doc_id-ordered "
+    "micro-batches (first-ingested wins, the training-pipeline contract); "
+    "each batch computes band signatures Arrow-batched in mapInPandas "
+    "(md5-based shingle hash so the oracle can replay it), "
+    "applyInPandasWithState keyed on (band, sig) tracks the minimum doc_id "
+    "ever seen per band bucket, and a document survives iff it WINS every "
+    "one of its bands — candidate-level dedup with no verify pass, the "
+    "aggressive gate production ingest uses (compose with the batch "
+    "exact-verify operators for the precision-critical tiers). Because "
+    "arrival order is aligned with doc_id, the winner of every bucket is "
+    "its global min id and the oracle replays the whole mechanism in SQL: "
+    "shingles, md5 minhash family, band signatures, bucket winners, "
+    "all-bands verdict. Shingle-less docs pass through a per-doc sentinel "
+    "bucket (vacuously kept). Per batch: one map-only signature pass + one "
+    "shuffle of (band, sig, id) keys sized by BATCH volume — never the "
+    "corpus; state is one long per distinct band bucket (~bands x kept "
+    "docs), the same footprint FineWeb-scale minhash dedup carries, "
+    "evictable by TTL when the dedup horizon is bounded (the documented "
+    "trade; exactness here needs the full horizon, like the exact gate's "
+    "365-day watermark). Returns the sink READ-BACK: the oracle match "
+    "proves no false drop and no false keep through "
+    "stream->state->verdict->sink.",
+)
+def pipeline_stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("ndgate", sf, "documents", salt=f"{_NDG_K}:{_NDG_FILES}")
+    _sweep_run_dirs("/tmp", ("librarian_ndgate_",))
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_marker")):
+        d = load_table(spark, sf, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        lo, hi = d.agg(
+            F.min("doc_id"), F.max("doc_id")
+        ).first()
+        # doc_id-ordered ranges -> arrival order aligned with dedup priority
+        # (smaller ids never arrive after larger ones); written sequentially
+        # so FileStreamSource's mtime order matches
+        span = max(int(hi) - int(lo) + 1, 1)
+        for i in range(_NDG_FILES):
+            r_lo = int(lo) + span * i // _NDG_FILES
+            r_hi = int(lo) + span * (i + 1) // _NDG_FILES
+            d.filter(
+                (F.col("doc_id") >= r_lo) & (F.col("doc_id") < r_hi)
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+        with open(os.path.join(in_dir, "_marker"), "w") as fh:
+            fh.write("ok")
+
+    run_id = uuid.uuid4().hex[:8]
+    out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
+    neardup_gate_stream(spark, in_dir, out, ckpt)
+    return spark.read.parquet(out).select("doc_id", "lang", "source")

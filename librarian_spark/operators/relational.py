@@ -8253,3 +8253,237 @@ def assortativity_of(edges: DataFrame) -> DataFrame:
 def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     edges, _ = _copurchase_graph(spark, sf)
     return assortativity_of(edges)
+
+
+# --------------------------------------------------------------------------
+# q113: mergeable bottom-k-sample quantile rollup — the percentile analogue
+# of q42_kmv_rollup (re-aggregable quantiles without rescanning fact data)
+# --------------------------------------------------------------------------
+
+_SQR_K = 64  # sample size per group; the mergeable-sample budget
+_SQR_SALTS = 256  # first-level prune fan, same two-level bottom-k as KMV
+
+_SQR_H_SPARK = (
+    "conv(substring(md5(cast(cast(o_orderkey as string) as binary)), 1, 8), 16, 10)"
+)
+_SQR_H_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT"
+    " AS BIGINT)"
+)
+
+# binary-exact fractions ONLY (0.5 = 2^-1, 0.75 = 3*2^-2): CEIL(p*n) must be
+# the same integer in both engines, and p*n is FP-exact for these p at any n
+_SQR_PCTS = ((50, "0.5"), (75, "0.75"))
+
+
+def _sqr_est_sql(src: str) -> str:
+    picks = ", ".join(
+        f"MAX(CASE WHEN vr = CEIL({p} * ns) THEN vc END) AS p{tag}_est"
+        for tag, p in _SQR_PCTS
+    )
+    return f"SELECT MAX(ns) AS n_sample, {picks} FROM {src}"
+
+
+@query(
+    "q113_sample_quantile_rollup",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderpriority, o_orderkey, {_SQR_H_SQL} AS hv,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS vc
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    r AS (
+      SELECT o_orderpriority, o_orderkey, hv, vc,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY hv, o_orderkey) AS rn
+      FROM b
+    ),
+    sk AS (SELECT o_orderpriority, o_orderkey, hv, vc FROM r
+           WHERE rn <= {_SQR_K}),
+    skr AS (
+      SELECT o_orderpriority, vc,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY vc, o_orderkey) AS vr,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS ns
+      FROM sk
+    ),
+    estg AS ({_sqr_est_sql('skr').replace('SELECT ', 'SELECT o_orderpriority, ', 1)}
+             GROUP BY o_orderpriority),
+    -- the ALL row merges FROM THE SKETCHES ALONE: union of kept rows,
+    -- re-truncated to bottom-k by the same (hv, key) order
+    mr AS (
+      SELECT o_orderkey, vc,
+             ROW_NUMBER() OVER (ORDER BY hv, o_orderkey) AS rn
+      FROM sk
+    ),
+    mskr AS (
+      SELECT vc, ROW_NUMBER() OVER (ORDER BY vc, o_orderkey) AS vr,
+             COUNT(*) OVER () AS ns
+      FROM mr WHERE rn <= {_SQR_K}
+    ),
+    esta AS ({_sqr_est_sql('mskr')}),
+    xr AS (
+      SELECT o_orderpriority, vc,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY vc, o_orderkey) AS vr,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS ns
+      FROM b
+    ),
+    exg AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN vr = CEIL(0.5 * ns) THEN vc END) AS p50_ex,
+             MAX(CASE WHEN vr = CEIL(0.75 * ns) THEN vc END) AS p75_ex
+      FROM xr GROUP BY 1
+    ),
+    xa AS (
+      SELECT vc, ROW_NUMBER() OVER (ORDER BY vc, o_orderkey) AS vr,
+             COUNT(*) OVER () AS ns
+      FROM b
+    ),
+    exa AS (
+      SELECT MAX(CASE WHEN vr = CEIL(0.5 * ns) THEN vc END) AS p50_ex,
+             MAX(CASE WHEN vr = CEIL(0.75 * ns) THEN vc END) AS p75_ex
+      FROM xa
+    )
+    SELECT e.o_orderpriority,
+           CAST(e.n_sample AS BIGINT) AS n_sample,
+           CAST(x.p50_ex AS BIGINT) AS p50_exact_cents,
+           CAST(e.p50_est AS BIGINT) AS p50_est_cents,
+           CAST(ABS(e.p50_est - x.p50_ex) * 1000 // x.p50_ex AS BIGINT)
+             AS err50_milli,
+           CAST(x.p75_ex AS BIGINT) AS p75_exact_cents,
+           CAST(e.p75_est AS BIGINT) AS p75_est_cents,
+           CAST(ABS(e.p75_est - x.p75_ex) * 1000 // x.p75_ex AS BIGINT)
+             AS err75_milli
+    FROM estg e JOIN exg x USING (o_orderpriority)
+    UNION ALL
+    SELECT 'ALL' AS o_orderpriority,
+           CAST(a.n_sample AS BIGINT) AS n_sample,
+           CAST(y.p50_ex AS BIGINT) AS p50_exact_cents,
+           CAST(a.p50_est AS BIGINT) AS p50_est_cents,
+           CAST(ABS(a.p50_est - y.p50_ex) * 1000 // y.p50_ex AS BIGINT)
+             AS err50_milli,
+           CAST(y.p75_ex AS BIGINT) AS p75_exact_cents,
+           CAST(a.p75_est AS BIGINT) AS p75_est_cents,
+           CAST(ABS(a.p75_est - y.p75_ex) * 1000 // y.p75_ex AS BIGINT)
+             AS err75_milli
+    FROM esta a, exa y
+    """,
+    doc=f"Mergeable QUANTILE rollup — the percentile analogue of "
+    "q42_kmv_rollup: per-o_orderpriority bottom-{k}-by-stable-hash samples "
+    "(a bottom-k sample over a uniform key hash IS a uniform sample, and "
+    "union-then-retruncate makes it MERGEABLE — the associativity that lets "
+    "per-partition/per-day samples roll up over arbitrary dimensions "
+    "without rescanning 100 TB of fact data), discrete p50/p75 estimated "
+    "by rank-pick on the sample, the ALL row computed FROM THE SKETCH "
+    "CONTENTS ALONE, and per-group error vs the EXACT percentile_disc in "
+    "integer milli-units — every step replayed exactly by the oracle (md5 "
+    "hash, ceil(p*n) rank-pick on binary-exact fractions, integer-cents "
+    "values, integer-division error). Scale shape: corpus-side work is the "
+    f"{_SQR_SALTS}-salt two-level bottom-k (hot groups never funnel one "
+    "reducer) plus one percentile_disc aggregate for the exact baseline "
+    "(the verification harness — production keeps only the sketch path); "
+    f"every sketch-side frame is <= |priorities|*{_SQR_K} rows and the "
+    "single-partition merge/rank windows run over that bounded set, never "
+    "the corpus.".replace("{k}", str(_SQR_K)),
+)
+def q113_sample_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice").isNotNull())
+    b = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.expr(_SQR_H_SPARK).cast("long").alias("hv"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    w1 = W.partitionBy(
+        "o_orderpriority", F.pmod(F.col("hv"), F.lit(_SQR_SALTS))
+    ).orderBy("hv", "o_orderkey")
+    pruned = (
+        b.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _SQR_K)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("o_orderpriority").orderBy("hv", "o_orderkey")
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _SQR_K)
+        .drop("rn")
+        .localCheckpoint()  # <= |priorities| x k rows; feeds both rollup levels
+    )
+
+    def rank_pick(df, part_cols):
+        wv = (
+            W.partitionBy(*part_cols) if part_cols else W.partitionBy(F.lit(1))
+        ).orderBy("vc", "o_orderkey")
+        wc = W.partitionBy(*part_cols) if part_cols else W.partitionBy(F.lit(1))
+        r = df.select(
+            *part_cols,
+            "vc",
+            F.row_number().over(wv).alias("vr"),
+            F.count(F.lit(1)).over(wc).alias("ns"),
+        )
+        aggs = [F.max("ns").alias("n_sample")] + [
+            F.max(
+                F.when(
+                    F.col("vr") == F.ceil(F.lit(float(p)) * F.col("ns")), F.col("vc")
+                )
+            ).alias(f"p{tag}_est")
+            for tag, p in _SQR_PCTS
+        ]
+        return r.groupBy(*part_cols).agg(*aggs)
+
+    est_g = rank_pick(sk, ["o_orderpriority"])
+    # merge = union of sketch rows re-truncated to bottom-k (sketch-only input,
+    # bounded at |priorities|*k rows: TINY_DOMAIN_SINGLE_PARTITION)
+    msk = (
+        sk.withColumn("rn", F.row_number().over(W.orderBy("hv", "o_orderkey")))
+        .filter(F.col("rn") <= _SQR_K)
+        .drop("rn")
+    )
+    est_a = rank_pick(msk, [])
+    pd50 = "percentile_disc(0.5) WITHIN GROUP (ORDER BY vc)"
+    pd75 = "percentile_disc(0.75) WITHIN GROUP (ORDER BY vc)"
+    ex_g = b.groupBy("o_orderpriority").agg(
+        F.expr(pd50).cast("long").alias("p50_ex"),
+        F.expr(pd75).cast("long").alias("p75_ex"),
+    )
+    ex_a = b.agg(
+        F.expr(pd50).cast("long").alias("p50_ex"),
+        F.expr(pd75).cast("long").alias("p75_ex"),
+    )
+
+    def out(est, ex, on):
+        j = est.join(ex, on) if on else est.unionByName(
+            ex.select(
+                F.lit(None).cast("long").alias("n_sample"),
+                F.lit(None).cast("long").alias("p50_est"),
+                F.lit(None).cast("long").alias("p75_est"),
+                "p50_ex",
+                "p75_ex",
+            ),
+            allowMissingColumns=True,
+        ).agg(
+            F.max("n_sample").alias("n_sample"),
+            F.max("p50_est").alias("p50_est"),
+            F.max("p75_est").alias("p75_est"),
+            F.max("p50_ex").alias("p50_ex"),
+            F.max("p75_ex").alias("p75_ex"),
+        ).withColumn("o_orderpriority", F.lit("ALL"))
+        return j.select(
+            "o_orderpriority",
+            F.col("n_sample").cast("long").alias("n_sample"),
+            F.col("p50_ex").cast("long").alias("p50_exact_cents"),
+            F.col("p50_est").cast("long").alias("p50_est_cents"),
+            F.call_function(
+                "div", F.abs(F.col("p50_est") - F.col("p50_ex")) * 1000, F.col("p50_ex")
+            ).cast("long").alias("err50_milli"),
+            F.col("p75_ex").cast("long").alias("p75_exact_cents"),
+            F.col("p75_est").cast("long").alias("p75_est_cents"),
+            F.call_function(
+                "div", F.abs(F.col("p75_est") - F.col("p75_ex")) * 1000, F.col("p75_ex")
+            ).cast("long").alias("err75_milli"),
+        )
+
+    return out(est_g, ex_g, ["o_orderpriority"]).unionByName(
+        out(est_a, ex_a, None)
+    )

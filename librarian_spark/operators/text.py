@@ -3106,3 +3106,64 @@ def text_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
         F.col("shard_id").cast("long").alias("shard_id"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-domain document cap (FineWeb-style source balancing)
+# --------------------------------------------------------------------------
+
+_CAP_N = 12  # absolute keep-budget per source domain
+_CAP_SALTS = 64  # first-level prune fan; bounds the per-source final window
+
+
+@query(
+    "text_domain_cap",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, lang, {_SHUF_H_SQL} AS hv FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, lang, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= {_CAP_N}
+    """,
+    doc=f"Per-domain document cap: keep at most {_CAP_N} documents per source, "
+    "chosen as the bottom-N by a deterministic md5 doc-hash — the absolute "
+    "per-domain budget of CommonCrawl-style curation (cap any one domain "
+    "so no single site dominates the mixture), where "
+    "text_stratified_sample is its RATE-based sibling. Bottom-N-by-stable-"
+    "hash makes the kept set a uniform sample of the domain that is "
+    "reproducible across runs, engines, partitionings and re-ingestions — "
+    "and MONOTONE under corpus growth (new docs evict only hash-larger "
+    "docs, never reshuffle the whole selection). Scale shape: the same "
+    f"two-level bottom-k as the KMV sketches — a {_CAP_SALTS}-salt partial "
+    "top-N per (source, salt) prunes the corpus to <= salts*N rows per "
+    "source BEFORE the per-source final window, so a hot domain with 10^9 "
+    "docs never funnels through one reducer; both windows are "
+    "key-partitioned (never single-partition) and the final window's input "
+    "is bounded at salts*N rows per source by construction.",
+)
+def text_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    h = d.select(
+        "doc_id", "source", "lang", F.expr(_SHUF_H_SPARK).cast("long").alias("hv")
+    )
+    w1 = W.partitionBy(
+        "source", F.pmod(F.col("hv"), F.lit(_CAP_SALTS))
+    ).orderBy("hv", "doc_id")
+    pruned = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _CAP_N)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _CAP_N)
+        .select(
+            "doc_id", "source", "lang", F.col("rn").cast("long").alias("rank")
+        )
+    )

@@ -143,6 +143,11 @@ TINY_DOMAIN_SINGLE_PARTITION = {
     "graph_assortativity": "1-row final reduce of per-partition "
     "moment-sum partials (M, Sjk, Sj, Sj2 as decimal(38,0)) — ceiling: "
     "PARTITIONS in, 1 row out",
+    "q113_sample_quantile_rollup": "sample-merge + rank-pick windows over "
+    "the <= |priorities|*k sketch-content rows (sample union, never the "
+    "corpus) plus the 1-row global percentile_disc reduce — ceiling: "
+    "|priorities| (enum, <=5) x k(64); exact-side reduce ceiling: "
+    "PARTITIONS x per-partition value buffer",
 }
 
 
