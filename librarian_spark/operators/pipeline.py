@@ -4080,3 +4080,199 @@ def pipeline_stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
     neardup_gate_stream(spark, in_dir, out, ckpt)
     return spark.read.parquet(out).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Streaming mergeable sample-quantile sketch (the q113 mechanism at ingest)
+# --------------------------------------------------------------------------
+
+_SQS_K = 64  # per-group bottom-k sample budget
+_SQS_FILES = 4  # arrival micro-batches
+
+_SQS_H_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT"
+    " AS BIGINT)"
+)
+
+
+def stream_quantile_sketch(
+    spark: SparkSession, in_dir: str, out: str, ckpt: str
+) -> None:
+    """Run the streaming bottom-k-sample quantile sketch over an events file
+    stream: applyInPandasWithState keyed by event_type holds each group's
+    bottom-k-by-md5-hash (hv, id, value-cents) sample plus a seen-counter;
+    every batch folds its rows into the sample (merge = union + re-truncate,
+    the same associative op the batch rollup uses) and emits the group's
+    current discrete p50/p75 rank-picked from the sample. Factored out so
+    tests can drive synthetic streams through the same machinery."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = _SQS_K
+
+    def update(key, pdfs, state):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            hvs, ids, vcs, n = state.get
+            triples = list(zip(list(hvs), list(ids), list(vcs)))
+            n = int(n)
+        else:
+            triples, n = [], 0
+        for pdf in pdfs:
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                eid = int(eid)
+                hv = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
+                triples.append((hv, eid, int(round(float(val) * 100))))
+                n += 1
+        triples.sort()
+        triples = triples[:k]
+        state.update(
+            (
+                [t[0] for t in triples],
+                [t[1] for t in triples],
+                [t[2] for t in triples],
+                n,
+            )
+        )
+        sample = sorted((vc, eid) for _hv, eid, vc in triples)
+        ns = len(sample)
+        p50 = sample[math.ceil(0.5 * ns) - 1][0]
+        p75 = sample[math.ceil(0.75 * ns) - 1][0]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "n_sample": [ns],
+                "p50_est_cents": [p50],
+                "p75_est_cents": [p75],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    sketches = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_seen long, n_sample long, "
+        "p50_est_cents long, p75_est_cents long",
+        stateStructType="hvs array<long>, ids array<long>, vcs array<long>, "
+        "n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def emit(bdf, _bid):
+        bdf.write.mode("append").parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # per-BATCH volume
+    try:
+        q = (
+            sketches.writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "pipeline_stream_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, event_id, {_SQS_H_SQL} AS hv,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, event_id, hv, vc,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hv, event_id) AS rn
+      FROM b
+    ),
+    sk AS (SELECT event_type, event_id, vc FROM r WHERE rn <= {_SQS_K}),
+    skr AS (
+      SELECT event_type, vc,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY vc, event_id) AS vr,
+             COUNT(*) OVER (PARTITION BY event_type) AS ns
+      FROM sk
+    ),
+    estg AS (
+      SELECT event_type, MAX(ns) AS n_sample,
+             MAX(CASE WHEN vr = CEIL(0.5 * ns) THEN vc END) AS p50_est_cents,
+             MAX(CASE WHEN vr = CEIL(0.75 * ns) THEN vc END) AS p75_est_cents
+      FROM skr GROUP BY 1
+    ),
+    cnt AS (SELECT event_type, COUNT(*) AS n_seen FROM b GROUP BY 1)
+    SELECT e.event_type, CAST(c.n_seen AS BIGINT) AS n_seen,
+           CAST(e.n_sample AS BIGINT) AS n_sample,
+           CAST(e.p50_est_cents AS BIGINT) AS p50_est_cents,
+           CAST(e.p75_est_cents AS BIGINT) AS p75_est_cents
+    FROM estg e JOIN cnt c USING (event_type)
+    """,
+    doc=f"Streaming mergeable QUANTILE sketch — q113's bottom-{_SQS_K}-by-"
+    "stable-hash sample maintained AT INGEST: applyInPandasWithState keyed "
+    "by event_type folds each micro-batch into the group's bottom-k sample "
+    "(merge = union + re-truncate, associative and ORDER-INDEPENDENT — the "
+    "final state is identical for any arrival order/partitioning, which is "
+    "what makes the oracle a pure batch replay: md5 hash, bottom-k, "
+    "ceil(p*n) rank-pick on binary-exact fractions, integer cents) and "
+    "emits the group's current discrete p50/p75 plus a seen-counter every "
+    "batch — the live percentile monitor every ingest dashboard needs "
+    "without a corpus rescan. The read-back takes each group's LAST "
+    "emission (max n_seen); the oracle match proves no event loss and an "
+    "exactly-replayable final sketch through stream->state->sink. State is "
+    f"{_SQS_K} (hv,id,cents) triples + one counter per group — constant "
+    "per group, unbounded-group domains get TTL eviction (documented "
+    "trade). Per batch: one shuffle of the batch keyed by group, sized by "
+    "BATCH volume, never the corpus.",
+)
+def pipeline_stream_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("sqsk", sf, "events", salt=f"{_SQS_K}:{_SQS_FILES}")
+    _sweep_run_dirs("/tmp", ("librarian_sqsk_",))
+    _sweep_run_dirs(base, ("out_", "ckpt_"))
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_marker")):
+        e = load_table(spark, sf, "events").filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        ).select("event_id", "event_type", "value")
+        lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+        span = max(int(hi) - int(lo) + 1, 1)
+        for i in range(_SQS_FILES):
+            r_lo = int(lo) + span * i // _SQS_FILES
+            r_hi = int(lo) + span * (i + 1) // _SQS_FILES
+            e.filter(
+                (F.col("event_id") >= r_lo) & (F.col("event_id") < r_hi)
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+        with open(os.path.join(in_dir, "_marker"), "w") as fh:
+            fh.write("ok")
+
+    run_id = uuid.uuid4().hex[:8]
+    out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
+    stream_quantile_sketch(spark, in_dir, out, ckpt)
+    final = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.max_by(
+                F.struct("n_seen", "n_sample", "p50_est_cents", "p75_est_cents"),
+                F.col("n_seen"),
+            ).alias("s")
+        )
+    )
+    return final.select("event_type", "s.*")

@@ -129,3 +129,42 @@ def test_sample_quantile_rollup_envelope(spark, sf_dir):
     p75 = sample[math.ceil(0.75 * n) - 1][0]
     assert rows["ALL"].p50_est_cents == p50
     assert rows["ALL"].p75_est_cents == p75
+
+
+def test_stream_quantile_sketch_order_independent(spark, tmp_path):
+    """The bottom-k sample state must be identical for ANY arrival order —
+    the mergeability property that makes the oracle a pure batch replay.
+    Drive the same rows in forward and reverse file order and require
+    identical final emissions."""
+    from librarian_spark.operators.pipeline import stream_quantile_sketch
+
+    rows = [(i, "a" if i % 2 else "b", float(i % 37)) for i in range(1, 201)]
+
+    def run(order, tag):
+        in_dir = str(tmp_path / f"in_{tag}")
+        for lo, hi in order:
+            spark.createDataFrame(
+                rows[lo:hi], "event_id long, event_type string, value double"
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+        out, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}")
+        stream_quantile_sketch(spark, in_dir, out, ckpt)
+        from pyspark.sql import functions as F
+
+        final = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "n_seen", "n_sample", "p50_est_cents", "p75_est_cents"
+                    ),
+                    F.col("n_seen"),
+                ).alias("s"),
+            )
+            .select("event_type", "s.*")
+        )
+        return {tuple(r) for r in final.collect()}
+
+    fwd = run([(0, 100), (100, 200)], "fwd")
+    rev = run([(100, 200), (0, 100)], "rev")
+    assert fwd == rev and len(fwd) == 2
