@@ -4057,22 +4057,30 @@ def pipeline_stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     _sweep_run_dirs(base, ("out_", "ckpt_"))
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_marker")):
+        # cache: the min/max agg + 4 range writes would otherwise re-scan the
+        # source 5 times; overwrite on range 0 wipes any half-staged leftovers
+        # from a crashed prior run (the marker only lands after all ranges)
         d = load_table(spark, sf, "documents").select(
             "doc_id", "text", "lang", "source"
-        )
-        lo, hi = d.agg(
-            F.min("doc_id"), F.max("doc_id")
-        ).first()
-        # doc_id-ordered ranges -> arrival order aligned with dedup priority
-        # (smaller ids never arrive after larger ones); written sequentially
-        # so FileStreamSource's mtime order matches
-        span = max(int(hi) - int(lo) + 1, 1)
-        for i in range(_NDG_FILES):
-            r_lo = int(lo) + span * i // _NDG_FILES
-            r_hi = int(lo) + span * (i + 1) // _NDG_FILES
-            d.filter(
-                (F.col("doc_id") >= r_lo) & (F.col("doc_id") < r_hi)
-            ).coalesce(1).write.mode("append").parquet(in_dir)
+        ).cache()
+        try:
+            lo, hi = d.agg(
+                F.min("doc_id"), F.max("doc_id")
+            ).first()
+            # doc_id-ordered ranges -> arrival order aligned with dedup
+            # priority (smaller ids never arrive after larger ones); written
+            # sequentially so FileStreamSource's mtime order matches
+            span = max(int(hi) - int(lo) + 1, 1)
+            for i in range(_NDG_FILES):
+                r_lo = int(lo) + span * i // _NDG_FILES
+                r_hi = int(lo) + span * (i + 1) // _NDG_FILES
+                d.filter(
+                    (F.col("doc_id") >= r_lo) & (F.col("doc_id") < r_hi)
+                ).coalesce(1).write.mode(
+                    "overwrite" if i == 0 else "append"
+                ).parquet(in_dir)
+        finally:
+            d.unpersist()
         with open(os.path.join(in_dir, "_marker"), "w") as fh:
             fh.write("ok")
 
@@ -4125,7 +4133,15 @@ def stream_quantile_sketch(
             for eid, val in zip(pdf["event_id"], pdf["value"]):
                 eid = int(eid)
                 hv = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
-                triples.append((hv, eid, int(round(float(val) * 100))))
+                # half-AWAY-FROM-ZERO like DuckDB ROUND / Spark F.round —
+                # python round() is banker's and diverges on exact halves
+                v100 = float(val) * 100
+                vc = (
+                    int(math.floor(v100 + 0.5))
+                    if v100 >= 0
+                    else -int(math.floor(-v100 + 0.5))
+                )
+                triples.append((hv, eid, vc))
                 n += 1
         triples.sort()
         triples = triples[:k]
@@ -4248,17 +4264,25 @@ def pipeline_stream_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     _sweep_run_dirs(base, ("out_", "ckpt_"))
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_marker")):
+        # cache: the min/max agg + 4 range writes would otherwise re-scan the
+        # source 5 times; overwrite on range 0 wipes any half-staged leftovers
+        # from a crashed prior run (the marker only lands after all ranges)
         e = load_table(spark, sf, "events").filter(
             F.col("event_type").isNotNull() & F.col("value").isNotNull()
-        ).select("event_id", "event_type", "value")
-        lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
-        span = max(int(hi) - int(lo) + 1, 1)
-        for i in range(_SQS_FILES):
-            r_lo = int(lo) + span * i // _SQS_FILES
-            r_hi = int(lo) + span * (i + 1) // _SQS_FILES
-            e.filter(
-                (F.col("event_id") >= r_lo) & (F.col("event_id") < r_hi)
-            ).coalesce(1).write.mode("append").parquet(in_dir)
+        ).select("event_id", "event_type", "value").cache()
+        try:
+            lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+            span = max(int(hi) - int(lo) + 1, 1)
+            for i in range(_SQS_FILES):
+                r_lo = int(lo) + span * i // _SQS_FILES
+                r_hi = int(lo) + span * (i + 1) // _SQS_FILES
+                e.filter(
+                    (F.col("event_id") >= r_lo) & (F.col("event_id") < r_hi)
+                ).coalesce(1).write.mode(
+                    "overwrite" if i == 0 else "append"
+                ).parquet(in_dir)
+        finally:
+            e.unpersist()
         with open(os.path.join(in_dir, "_marker"), "w") as fh:
             fh.write("ok")
 

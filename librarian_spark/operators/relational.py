@@ -7124,6 +7124,39 @@ _KMV_H_SQL = (
 )
 
 
+def two_level_bottom_k(
+    df: DataFrame,
+    keys: list[str],
+    k: int,
+    salts: int,
+    order_cols: tuple[str, ...] = ("hv",),
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Salted two-level bottom-k — THE shared mechanism of every
+    bottom-k-by-hash sketch/sample/cap operator (KMV distinct, theta set
+    ops, sample-quantile rollup, per-domain cap): a partial bottom-k per
+    (keys, hv % salts) prunes the corpus to <= salts*k rows per key group
+    BEFORE the per-key final window, so a hot key never funnels through one
+    reducer. ``order_cols[0]`` must be the hash column (it is also the salt
+    source); every call site's oracle must ORDER BY the same columns or the
+    kept set silently drifts. ``keep_rank`` retains the final row_number as
+    ``rn`` (the cap operator's output rank)."""
+    oc = [F.col(c) for c in order_cols]
+    w1 = W.partitionBy(
+        *keys, F.pmod(F.col(order_cols[0]), F.lit(salts))
+    ).orderBy(*oc)
+    pruned = (
+        df.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w2 = W.partitionBy(*keys).orderBy(*oc)
+    out = pruned.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )
+    return out if keep_rank else out.drop("rn")
+
+
 @query(
     "q107_kmv_distinct",
     oracle=f"""
@@ -7175,19 +7208,7 @@ def q107_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
     h = e.select("event_type", F.expr(_KMV_H_SPARK).cast("long").alias("hv"))
     h = h.distinct()
-    w1 = W.partitionBy("event_type", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))).orderBy(
-        "hv"
-    )
-    pruned = (
-        h.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= _KMV_K)
-        .drop("rn")
-    )
-    w2 = W.partitionBy("event_type").orderBy("hv")
-    topk = (
-        pruned.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= _KMV_K)
-    )
+    topk = two_level_bottom_k(h, ["event_type"], _KMV_K, _KMV_SALTS)
     k = topk.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("ck"), F.max("hv").alias("hk")
     )
@@ -7681,21 +7702,9 @@ def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     h = e.select(
         "event_type", F.expr(_KMV_H_SPARK).cast("long").alias("hv")
     ).distinct()
-    w1 = W.partitionBy(
-        "event_type", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))
-    ).orderBy("hv")
-    pruned = (
-        h.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= _KMV_K)
-        .drop("rn")
-    )
-    w2 = W.partitionBy("event_type").orderBy("hv")
-    sk = (
-        pruned.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= _KMV_K)
-        .drop("rn")
-        .localCheckpoint()  # k x |types| longs; feeds four subplans
-    )
+    sk = two_level_bottom_k(
+        h, ["event_type"], _KMV_K, _KMV_SALTS
+    ).localCheckpoint()  # k x |types| longs; feeds four subplans
     # the event_type domain is a bounded enum: collect it (a handful of
     # strings) and inline the pair list as a literal frame — a self cross
     # join would plan BroadcastNestedLoopJoin (the global plan gate's
@@ -7879,21 +7888,9 @@ def q112_theta_anotb(spark: SparkSession, sf: str) -> DataFrame:
     h = e.select(
         "event_type", F.expr(_KMV_H_SPARK).cast("long").alias("hv")
     ).distinct()
-    w1 = W.partitionBy(
-        "event_type", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))
-    ).orderBy("hv")
-    pruned = (
-        h.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= _KMV_K)
-        .drop("rn")
-    )
-    w2 = W.partitionBy("event_type").orderBy("hv")
-    sk = (
-        pruned.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= _KMV_K)
-        .drop("rn")
-        .localCheckpoint()  # k x |types| longs; feeds five subplans
-    )
+    sk = two_level_bottom_k(
+        h, ["event_type"], _KMV_K, _KMV_SALTS
+    ).localCheckpoint()  # k x |types| longs; feeds five subplans
     types = sorted(
         r.event_type for r in sk.select("event_type").distinct().collect()
     )
@@ -8072,21 +8069,9 @@ def q42_kmv_rollup(spark: SparkSession, sf: str) -> DataFrame:
     h = o.select(
         "o_orderpriority", F.expr(_KMV_O_H_SPARK).cast("long").alias("hv")
     ).distinct()
-    w1 = W.partitionBy(
-        "o_orderpriority", F.pmod(F.col("hv"), F.lit(_KMV_SALTS))
-    ).orderBy("hv")
-    pruned = (
-        h.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= _KMV_K)
-        .drop("rn")
-    )
-    w2 = W.partitionBy("o_orderpriority").orderBy("hv")
-    sk = (
-        pruned.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= _KMV_K)
-        .drop("rn")
-        .localCheckpoint()  # k x |priorities| longs; feeds both rollup levels
-    )
+    sk = two_level_bottom_k(
+        h, ["o_orderpriority"], _KMV_K, _KMV_SALTS
+    ).localCheckpoint()  # k x |priorities| longs; feeds both rollup levels
     g = sk.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("ck"), F.max("hv").alias("hk")
     )
@@ -8395,21 +8380,9 @@ def q113_sample_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_SQR_H_SPARK).cast("long").alias("hv"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
     )
-    w1 = W.partitionBy(
-        "o_orderpriority", F.pmod(F.col("hv"), F.lit(_SQR_SALTS))
-    ).orderBy("hv", "o_orderkey")
-    pruned = (
-        b.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= _SQR_K)
-        .drop("rn")
-    )
-    w2 = W.partitionBy("o_orderpriority").orderBy("hv", "o_orderkey")
-    sk = (
-        pruned.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= _SQR_K)
-        .drop("rn")
-        .localCheckpoint()  # <= |priorities| x k rows; feeds both rollup levels
-    )
+    sk = two_level_bottom_k(
+        b, ["o_orderpriority"], _SQR_K, _SQR_SALTS, ("hv", "o_orderkey")
+    ).localCheckpoint()  # <= |priorities| x k rows; feeds both rollup levels
 
     def rank_pick(df, part_cols):
         wv = (
@@ -8453,6 +8426,10 @@ def q113_sample_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def out(est, ex, on):
+        # 1-row x 1-row combine WITHOUT a join: a crossJoin (or an equi-join
+        # on a literal key, which constant-folds to one) would plan
+        # BroadcastNestedLoopJoin, the global plan gate's forbidden class —
+        # union the two 1-row aggregates and max-collapse instead (q42 idiom)
         j = est.join(ex, on) if on else est.unionByName(
             ex.select(
                 F.lit(None).cast("long").alias("n_sample"),

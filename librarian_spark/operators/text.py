@@ -3147,23 +3147,12 @@ _CAP_SALTS = 64  # first-level prune fan; bounds the per-source final window
     "is bounded at salts*N rows per source by construction.",
 )
 def text_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    from librarian_spark.operators.relational import two_level_bottom_k
+
     d = _t(spark, sf, "documents")
     h = d.select(
         "doc_id", "source", "lang", F.expr(_SHUF_H_SPARK).cast("long").alias("hv")
     )
-    w1 = W.partitionBy(
-        "source", F.pmod(F.col("hv"), F.lit(_CAP_SALTS))
-    ).orderBy("hv", "doc_id")
-    pruned = (
-        h.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= _CAP_N)
-        .drop("rn")
-    )
-    w2 = W.partitionBy("source").orderBy("hv", "doc_id")
-    return (
-        pruned.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= _CAP_N)
-        .select(
-            "doc_id", "source", "lang", F.col("rn").cast("long").alias("rank")
-        )
-    )
+    return two_level_bottom_k(
+        h, ["source"], _CAP_N, _CAP_SALTS, ("hv", "doc_id"), keep_rank=True
+    ).select("doc_id", "source", "lang", F.col("rn").cast("long").alias("rank"))
