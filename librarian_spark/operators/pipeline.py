@@ -4107,56 +4107,86 @@ def stream_quantile_sketch(
     spark: SparkSession, in_dir: str, out: str, ckpt: str
 ) -> None:
     """Run the streaming bottom-k-sample quantile sketch over an events file
-    stream: applyInPandasWithState keyed by event_type holds each group's
-    bottom-k-by-md5-hash (hv, id, value-cents) sample plus a seen-counter;
-    every batch folds its rows into the sample (merge = union + re-truncate,
-    the same associative op the batch rollup uses) and emits the group's
-    current discrete p50/p75 rank-picked from the sample. Factored out so
-    tests can drive synthetic streams through the same machinery."""
+    stream, in the shape that survives 100x batches:
+
+    1. hv (md5-prefix) and value-cents are computed JVM-SIDE as codegen
+       expressions — no per-event Python, and bit-identical to the oracle's
+       md5/ROUND by construction.
+    2. a stateless ``mapInPandas`` pre-combine reduces each input partition
+       to ONE PARTIAL SKETCH ROW per (partition, group) — numpy lexsort
+       bottom-k plus a seen-count. This is the map-side combine of the
+       mergeable sample: the stateful shuffle then carries
+       partitions x groups x k longs, NEVER the batch's rows, so a
+       5-group/10M-event batch doesn't funnel 10M rows through 5 state keys.
+    3. ``applyInPandasWithState`` keyed by event_type merges partial
+       sketches into the group's state (union + re-truncate — associative,
+       order-independent) and emits the current discrete p50/p75 rank-picked
+       from the sample.
+
+    Factored out so tests can drive synthetic streams through the same
+    machinery."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     k = _SQS_K
 
+    def local_prune(batches):
+        # self-contained: executor workers don't have the repo on their path
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            types, hv_a, id_a, vc_a, n_a = [], [], [], [], []
+            if len(pdf):
+                for et, g in pdf.groupby("event_type", sort=False):
+                    hv = g["hv"].to_numpy(dtype="int64")
+                    eid = g["event_id"].to_numpy(dtype="int64")
+                    vc = g["vc"].to_numpy(dtype="int64")
+                    order = np.lexsort((eid, hv))[:k]
+                    types.append(et)
+                    hv_a.append(hv[order].tolist())
+                    id_a.append(eid[order].tolist())
+                    vc_a.append(vc[order].tolist())
+                    n_a.append(len(g))
+            yield pd.DataFrame(
+                {
+                    "event_type": types,
+                    "hvs": hv_a,
+                    "ids": id_a,
+                    "vcs": vc_a,
+                    "n": pd.Series(n_a, dtype="int64"),
+                }
+            )
+
     def update(key, pdfs, state):
-        import hashlib
         import math
 
+        import numpy as np
         import pandas as pd
 
         if state.exists:
-            hvs, ids, vcs, n = state.get
-            triples = list(zip(list(hvs), list(ids), list(vcs)))
+            s_hvs, s_ids, s_vcs, n = state.get
+            hvs, ids, vcs = list(s_hvs), list(s_ids), list(s_vcs)
             n = int(n)
         else:
-            triples, n = [], 0
+            hvs, ids, vcs, n = [], [], [], 0
         for pdf in pdfs:
-            for eid, val in zip(pdf["event_id"], pdf["value"]):
-                eid = int(eid)
-                hv = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
-                # half-AWAY-FROM-ZERO like DuckDB ROUND / Spark F.round —
-                # python round() is banker's and diverges on exact halves
-                v100 = float(val) * 100
-                vc = (
-                    int(math.floor(v100 + 0.5))
-                    if v100 >= 0
-                    else -int(math.floor(-v100 + 0.5))
-                )
-                triples.append((hv, eid, vc))
-                n += 1
-        triples.sort()
-        triples = triples[:k]
-        state.update(
-            (
-                [t[0] for t in triples],
-                [t[1] for t in triples],
-                [t[2] for t in triples],
-                n,
-            )
-        )
-        sample = sorted((vc, eid) for _hv, eid, vc in triples)
-        ns = len(sample)
-        p50 = sample[math.ceil(0.5 * ns) - 1][0]
-        p75 = sample[math.ceil(0.75 * ns) - 1][0]
+            for p_hvs, p_ids, p_vcs, p_n in zip(
+                pdf["hvs"], pdf["ids"], pdf["vcs"], pdf["n"]
+            ):
+                hvs.extend(int(x) for x in p_hvs)
+                ids.extend(int(x) for x in p_ids)
+                vcs.extend(int(x) for x in p_vcs)
+                n += int(p_n)
+        hv_np = np.array(hvs, dtype="int64")
+        id_np = np.array(ids, dtype="int64")
+        vc_np = np.array(vcs, dtype="int64")
+        order = np.lexsort((id_np, hv_np))[:k]
+        hv_np, id_np, vc_np = hv_np[order], id_np[order], vc_np[order]
+        state.update((hv_np.tolist(), id_np.tolist(), vc_np.tolist(), n))
+        pick = np.lexsort((id_np, vc_np))
+        ns = len(pick)
+        p50 = int(vc_np[pick[math.ceil(0.5 * ns) - 1]])
+        p75 = int(vc_np[pick[math.ceil(0.75 * ns) - 1]])
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
@@ -4172,7 +4202,19 @@ def stream_quantile_sketch(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    sketches = stream.groupBy("event_type").applyInPandasWithState(
+    ev = stream.selectExpr(
+        "event_type",
+        "event_id",
+        "cast(conv(substring(md5(cast(cast(event_id as string) as binary)),"
+        " 1, 8), 16, 10) as long) as hv",
+        "cast(round(value * 100) as long) as vc",
+    )
+    partials = ev.mapInPandas(
+        local_prune,
+        schema="event_type string, hvs array<long>, ids array<long>, "
+        "vcs array<long>, n long",
+    )
+    sketches = partials.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType="event_type string, n_seen long, n_sample long, "
         "p50_est_cents long, p75_est_cents long",
@@ -4249,8 +4291,12 @@ def stream_quantile_sketch(
     "exactly-replayable final sketch through stream->state->sink. State is "
     f"{_SQS_K} (hv,id,cents) triples + one counter per group — constant "
     "per group, unbounded-group domains get TTL eviction (documented "
-    "trade). Per batch: one shuffle of the batch keyed by group, sized by "
-    "BATCH volume, never the corpus.",
+    "trade). Per batch: hv/cents are JVM-side codegen expressions and a "
+    "stateless map-side combine reduces every input partition to one "
+    "partial sketch row per group BEFORE the stateful shuffle — the state "
+    "exchange carries partitions x groups x k longs, never the batch's "
+    "rows (a 5-group batch would otherwise funnel everything through 5 "
+    "state keys).",
 )
 def pipeline_stream_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     import uuid
