@@ -3882,19 +3882,40 @@ def neardup_gate_stream(
     spark: SparkSession, in_dir: str, out: str, ckpt: str
 ) -> None:
     """Run the streaming MinHash-band near-dup gate over a doc_id-ordered
-    parquet file sequence: signatures per micro-batch (Arrow-batched
-    ``mapInPandas``), band-bucket state via ``applyInPandasWithState`` keyed
-    on (band, sig) holding the minimum doc_id ever seen in the bucket, and a
-    per-batch verdict (kept iff the doc wins EVERY one of its bands) appended
-    to the parquet sink. Factored out so tests can drive synthetic corpora
-    through the same machinery."""
+    parquet file sequence, in the shape that survives 100x batches:
+
+    1. signatures per micro-batch via Arrow-batched ``mapInPandas`` over a
+       REPARTITIONED batch (the file source delivers one file = one
+       partition; without the repartition the whole batch's shingling runs
+       on one core).
+    2. band-bucket state lives in a VERSIONED PARQUET REGISTRY
+       (``{out}_registry/v=<batch_id>``), one (band, sig, min_id) row per
+       bucket — NOT in a per-key streaming state store: ~8 buckets/doc are
+       almost all singletons, and any per-key python state op pays its
+       per-group overhead ~4M times per 100x batch (measured: ~1250 s of
+       the 1346 s first-cut run; this registry design runs the same merge
+       as two JVM hash-aggregates + one join).
+    3. per batch inside ``foreachBatch``: bucket minima of the batch
+       (hash-aggregate), LEFT JOIN against the previous registry version,
+       ``least()`` merge -> winners; doc verdict = wins EVERY band
+       (hash-aggregate); kept docs land in the sink partitioned by
+       batch_id with dynamic partition overwrite, and the new registry
+       version is written whole, also keyed by batch_id — BOTH sinks are
+       therefore replay-idempotent (a re-run batch overwrites exactly
+       itself; ``min`` is idempotent under replay).
+
+    At 100 TB the registry rewrite per batch becomes an upsert into a
+    hash-prefix-partitioned registry (rewrite only touched prefixes); the
+    merge/verdict plan is already the scale shape. Factored out so tests
+    can drive synthetic corpora through the same machinery."""
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     fam = _ndg_family()
     a_vals = [a for a, _ in fam]
     b_vals = [b for _, b in fam]
     n_bands, rpb, prime = _NDG_BANDS, _NDG_RPB, _NDG_P
+    reg_root = f"{out}_registry"
+    par = max(spark.sparkContext.defaultParallelism, 4)
 
     def sig_rows(batches):
         # self-contained: executor workers don't have the repo on their path
@@ -3955,18 +3976,70 @@ def neardup_gate_stream(
                 }
             )
 
-    def update(key, pdfs, state):
-        import pandas as pd
+    def _latest_registry(before: int) -> str | None:
+        if not os.path.isdir(reg_root):
+            return None
+        best = None
+        for d in os.listdir(reg_root):
+            if not d.startswith("v="):
+                continue
+            v = int(d.split("=", 1)[1])
+            if v < before and os.path.exists(f"{reg_root}/{d}/_SUCCESS"):
+                best = v if best is None or v > best else best
+        return None if best is None else f"{reg_root}/v={best}"
 
-        frames = list(pdfs)
-        allp = pd.concat(frames) if len(frames) > 1 else frames[0]
-        m = int(allp["doc_id"].min())
-        if state.exists:
-            m = min(m, int(state.get[0]))
-        state.update((m,))
-        out_pdf = allp[["doc_id", "lang", "source"]].copy()
-        out_pdf["winner"] = m
-        yield out_pdf
+    def process(bdf, batch_id):
+        sigs = (
+            bdf.repartition(par)
+            .mapInPandas(
+                sig_rows,
+                schema="doc_id long, lang string, source string, "
+                "band int, sig string",
+            )
+            .localCheckpoint()  # feeds bucket minima AND the verdict join
+        )
+        batch_min = sigs.groupBy("band", "sig").agg(
+            F.min("doc_id").alias("bmin")
+        )
+        prev = _latest_registry(int(batch_id))
+        if prev is not None:
+            reg = spark.read.parquet(prev)
+            merged = batch_min.join(reg, ["band", "sig"], "left").select(
+                "band",
+                "sig",
+                F.least(F.col("bmin"), F.col("min_id")).alias("min_id"),
+            )
+            new_reg = reg.join(
+                batch_min.select("band", "sig"), ["band", "sig"], "left_anti"
+            ).unionByName(merged)
+        else:
+            merged = batch_min.select(
+                "band", "sig", F.col("bmin").alias("min_id")
+            )
+            new_reg = merged
+        # registry version for THIS batch: plain overwrite of v=<batch_id>
+        # (replay rewrites exactly itself; older versions are retained one
+        # deep for the next batch's read and swept with the run dir)
+        new_reg.write.mode("overwrite").parquet(f"{reg_root}/v={int(batch_id)}")
+        winners = spark.read.parquet(f"{reg_root}/v={int(batch_id)}")
+        (
+            sigs.join(winners, ["band", "sig"])
+            .groupBy("doc_id")
+            .agg(
+                F.first("lang").alias("lang"),
+                F.first("source").alias("source"),
+                F.min((F.col("min_id") == F.col("doc_id")).cast("int")).alias(
+                    "ok"
+                ),
+            )
+            .filter(F.col("ok") == 1)
+            .select("doc_id", "lang", "source")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
 
     stream = (
         spark.readStream.schema(
@@ -3975,47 +4048,18 @@ def neardup_gate_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    banded = stream.mapInPandas(
-        sig_rows,
-        schema="doc_id long, lang string, source string, band int, sig string",
-    )
-    verdicts = banded.groupBy("band", "sig").applyInPandasWithState(
-        update,
-        outputStructType="doc_id long, lang string, source string, winner long",
-        stateStructType="min_id long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-    def emit(bdf, _bid):
-        (
-            bdf.groupBy("doc_id")
-            .agg(
-                F.first("lang").alias("lang"),
-                F.first("source").alias("source"),
-                F.min((F.col("winner") == F.col("doc_id")).cast("int")).alias(
-                    "ok"
-                ),
-            )
-            .filter(F.col("ok") == 1)
-            .select("doc_id", "lang", "source")
-            .write.mode("append")
-            .parquet(out)
-        )
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # per-BATCH volume
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(par))  # per-BATCH volume
     try:
         q = (
-            verdicts.writeStream.foreachBatch(emit)
-            .outputMode("update")
+            stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", ckpt)
             .start()
         )
         q.processAllAvailable()
         q.stop()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @query(
@@ -4024,10 +4068,13 @@ def neardup_gate_stream(
     doc=f"Streaming NEAR-dup gate — MinHash({_NDG_K})+LSH({_NDG_BANDS}x"
     f"{_NDG_RPB}) dedup-at-ingest: documents arrive as doc_id-ordered "
     "micro-batches (first-ingested wins, the training-pipeline contract); "
-    "each batch computes band signatures Arrow-batched in mapInPandas "
-    "(md5-based shingle hash so the oracle can replay it), "
-    "applyInPandasWithState keyed on (band, sig) tracks the minimum doc_id "
-    "ever seen per band bucket, and a document survives iff it WINS every "
+    "each batch computes band signatures Arrow-batched in mapInPandas over "
+    "a repartitioned batch (md5-based shingle hash so the oracle can "
+    "replay it), a VERSIONED PARQUET REGISTRY tracks the minimum doc_id "
+    "ever seen per band bucket (merged per batch by JVM hash-aggregates + "
+    "one join — a per-key python state op would pay its per-group "
+    "overhead once per near-singleton bucket, measured ~4M times per 100x "
+    "batch), and a document survives iff it WINS every "
     "one of its bands — candidate-level dedup with no verify pass, the "
     "aggressive gate production ingest uses (compose with the batch "
     "exact-verify operators for the precision-critical tiers). Because "
@@ -4035,15 +4082,16 @@ def neardup_gate_stream(
     "its global min id and the oracle replays the whole mechanism in SQL: "
     "shingles, md5 minhash family, band signatures, bucket winners, "
     "all-bands verdict. Shingle-less docs pass through a per-doc sentinel "
-    "bucket (vacuously kept). Per batch: one map-only signature pass + one "
-    "shuffle of (band, sig, id) keys sized by BATCH volume — never the "
-    "corpus; state is one long per distinct band bucket (~bands x kept "
-    "docs), the same footprint FineWeb-scale minhash dedup carries, "
-    "evictable by TTL when the dedup horizon is bounded (the documented "
-    "trade; exactness here needs the full horizon, like the exact gate's "
-    "365-day watermark). Returns the sink READ-BACK: the oracle match "
-    "proves no false drop and no false keep through "
-    "stream->state->verdict->sink.",
+    "bucket (vacuously kept). Per batch: one parallel signature pass + two "
+    "hash-aggregates and one join on (band, sig) keys sized by BATCH "
+    "volume plus the registry — never the raw corpus; the registry is one "
+    "long per distinct band bucket (~bands x kept docs), the same "
+    "footprint FineWeb-scale minhash dedup carries, TTL-evictable when "
+    "the dedup horizon is bounded (the documented trade). Both sinks key "
+    "by batch_id (dynamic partition overwrite / versioned registry), so a "
+    "replayed batch overwrites exactly itself — replay-idempotent because "
+    "min is. Returns the sink READ-BACK: the oracle match proves no false "
+    "drop and no false keep through stream->registry->verdict->sink.",
 )
 def pipeline_stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     import uuid
