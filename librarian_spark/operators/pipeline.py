@@ -4394,3 +4394,159 @@ def pipeline_stream_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return final.select("event_type", "s.*")
+
+
+# --------------------------------------------------------------------------
+# Streaming per-domain cap (text_domain_cap enforced AT INGEST)
+# --------------------------------------------------------------------------
+
+_SDC_FILES = 4  # arrival micro-batches
+
+
+def stream_domain_cap(
+    spark: SparkSession, in_dir: str, out_reg: str, ckpt: str, n: int, salts: int
+) -> None:
+    """Run the per-domain cap at ingest: each micro-batch's docs fold into a
+    VERSIONED PARQUET REGISTRY holding the current bottom-N-by-hash sample
+    per source (union previous registry + batch, re-truncate via the shared
+    salted two-level bottom-k — associative and order-independent, so the
+    final registry equals the batch replay regardless of arrival order or
+    batching). A doc admitted in an early batch can be EVICTED by a later,
+    hash-smaller arrival — which is why the cap's contract is the registry
+    (the current kept set), not an append-only sink. Registry versions key
+    by batch_id: a replayed batch overwrites exactly itself."""
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.relational import two_level_bottom_k
+
+    def _latest(before: int) -> str | None:
+        if not os.path.isdir(out_reg):
+            return None
+        best = None
+        for d in os.listdir(out_reg):
+            if not d.startswith("v="):
+                continue
+            v = int(d.split("=", 1)[1])
+            if v < before and os.path.exists(f"{out_reg}/{d}/_SUCCESS"):
+                best = v if best is None or v > best else best
+        return None if best is None else f"{out_reg}/v={best}"
+
+    def process(bdf, batch_id):
+        batch = bdf.selectExpr(
+            "doc_id",
+            "source",
+            "lang",
+            "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)),"
+            " 1, 8), 16, 10) as long) as hv",
+        )
+        prev = _latest(int(batch_id))
+        if prev is not None:
+            batch = batch.unionByName(
+                spark.read.parquet(prev).select("doc_id", "source", "lang", "hv")
+            )
+        kept = two_level_bottom_k(
+            batch, ["source"], n, salts, ("hv", "doc_id"), keep_rank=True
+        )
+        kept.select("doc_id", "source", "lang", "hv", "rn").write.mode(
+            "overwrite"
+        ).parquet(f"{out_reg}/v={int(batch_id)}")
+
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _sdc_cap_oracle() -> str:
+    from librarian_spark.operators.text import _CAP_N, _SHUF_H_SQL
+
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source, lang, {_SHUF_H_SQL} AS hv FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, lang, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= {_CAP_N}
+    """
+
+
+@query(
+    "pipeline_stream_domain_cap",
+    oracle=_sdc_cap_oracle(),
+    doc="Per-domain document cap enforced AT INGEST — text_domain_cap's "
+    "streaming twin: each micro-batch folds into a versioned parquet "
+    "registry holding the current bottom-N-by-md5 sample per source "
+    "(union + re-truncate through the shared salted two_level_bottom_k — "
+    "associative and ORDER-INDEPENDENT, so the final registry is "
+    "bit-identical to the batch replay and the oracle is text_domain_cap's "
+    "SQL verbatim). Captures the cap's real streaming semantics: a doc "
+    "admitted early can be EVICTED by a later hash-smaller arrival, so the "
+    "contract is the registry version, not an append-only sink; replays "
+    "overwrite their own version (idempotent because bottom-N is). Per "
+    "batch: one JVM-side hash projection + the salted two-level windows "
+    "over batch+registry rows — registry input is bounded at "
+    "|sources| x N; state never exceeds the kept set. Returns the FINAL "
+    "registry version read back.",
+)
+def pipeline_stream_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from librarian_spark.operators.text import _CAP_N, _CAP_SALTS
+    from librarian_spark.sources.batch import load_table
+
+    base = _cache_base("sdcap", sf, "documents", salt=f"{_CAP_N}:{_SDC_FILES}")
+    _sweep_run_dirs("/tmp", ("librarian_sdcap_",))
+    _sweep_run_dirs(base, ("reg_", "ckpt_"))
+    in_dir = f"{base}/in"
+    if not os.path.exists(os.path.join(in_dir, "_marker")):
+        d = load_table(spark, sf, "documents").select(
+            "doc_id", "text", "lang", "source"
+        ).cache()
+        try:
+            lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+            span = max(int(hi) - int(lo) + 1, 1)
+            for i in range(_SDC_FILES):
+                r_lo = int(lo) + span * i // _SDC_FILES
+                r_hi = int(lo) + span * (i + 1) // _SDC_FILES
+                d.filter(
+                    (F.col("doc_id") >= r_lo) & (F.col("doc_id") < r_hi)
+                ).coalesce(1).write.mode(
+                    "overwrite" if i == 0 else "append"
+                ).parquet(in_dir)
+        finally:
+            d.unpersist()
+        with open(os.path.join(in_dir, "_marker"), "w") as fh:
+            fh.write("ok")
+
+    run_id = uuid.uuid4().hex[:8]
+    reg, ckpt = f"{base}/reg_{run_id}", f"{base}/ckpt_{run_id}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # per-BATCH volume
+    try:
+        stream_domain_cap(spark, in_dir, reg, ckpt, _CAP_N, _CAP_SALTS)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(reg)
+        if d.startswith("v=")
+        and os.path.exists(f"{reg}/{d}/_SUCCESS")
+    )
+    return (
+        spark.read.parquet(f"{reg}/v={versions[-1]}")
+        .select("doc_id", "source", "lang", F.col("rn").cast("long").alias("rank"))
+    )

@@ -168,3 +168,37 @@ def test_stream_quantile_sketch_order_independent(spark, tmp_path):
     fwd = run([(0, 100), (100, 200)], "fwd")
     rev = run([(100, 200), (0, 100)], "rev")
     assert fwd == rev and len(fwd) == 2
+
+
+def test_stream_domain_cap_evicts_on_late_smaller_hash(spark, tmp_path):
+    """A later-arriving doc with a smaller hash must EVICT an earlier
+    admission — the cap's contract is the current bottom-N registry, not
+    first-come-first-kept."""
+    from librarian_spark.operators.pipeline import stream_domain_cap
+
+    ids = list(range(1, 21))
+    by_hash = sorted(ids, key=lambda d: (_md5_32(d), d))
+    n = 2
+    winners = set(by_hash[:n])
+    # batch 1 = the docs that should ultimately LOSE, batch 2 = the winners:
+    # forces admissions in batch 1 that batch 2 must evict
+    losers = [d for d in ids if d not in winners]
+    rows1 = [(d, f"text {d}", "en", "s0") for d in losers]
+    rows2 = [(d, f"text {d}", "en", "s0") for d in sorted(winners)]
+    in_dir = str(tmp_path / "in")
+    for rows in (rows1, rows2):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+    reg, ckpt = str(tmp_path / "reg"), str(tmp_path / "ckpt")
+    stream_domain_cap(spark, in_dir, reg, ckpt, n, 4)
+    import os
+
+    vs = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(reg) if d.startswith("v=")
+    )
+    final = {r.doc_id for r in spark.read.parquet(f"{reg}/v={vs[-1]}").collect()}
+    assert final == winners, (final, winners)
+    # and the intermediate version shows the batch-1 admissions that lost
+    mid = {r.doc_id for r in spark.read.parquet(f"{reg}/v={vs[0]}").collect()}
+    assert mid == set(sorted(losers, key=lambda d: (_md5_32(d), d))[:n])
