@@ -822,8 +822,16 @@ def _klog_df(spark: SparkSession, klog: str) -> DataFrame:
     )
 
     from librarian_spark.sources import kafka_wire as _kw
+    from librarian_spark.sources import snappy_codec as _sc
 
+    # BOTH modules by value: kafka_wire's globals hold snappy_codec
+    # functions, and an unregistered dependency pickles as a by-reference
+    # `import librarian_spark.sources.snappy_codec` — which a worker
+    # without the repo on its path cannot resolve (this held a latent
+    # cwd-dependence: the decode only worked when the harness happened to
+    # run FROM the repo root so workers inherited an importable cwd)
     cloudpickle.register_pickle_by_value(_kw)
+    cloudpickle.register_pickle_by_value(_sc)
 
     files = spark.read.format("binaryFile").load(klog)
     out_schema = StructType(
