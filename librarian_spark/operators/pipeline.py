@@ -3818,6 +3818,54 @@ _NDG_P = (1 << 31) - 1  # Mersenne prime of the affine family
 _NDG_FILES = 4  # arrival micro-batches (doc_id-ordered ranges)
 
 
+def _latest_registry_version(root: str, before: int) -> str | None:
+    """Newest COMPLETE (``_SUCCESS``-gated) ``v=<batch_id>`` registry dir
+    strictly below ``before`` — the shared read side of every versioned
+    parquet registry (near-dup band registry, per-domain cap sample): a
+    replayed batch must read the version its ORIGINAL run read, never its
+    own half-written output."""
+    if not os.path.isdir(root):
+        return None
+    best = None
+    for d in os.listdir(root):
+        if not d.startswith("v="):
+            continue
+        v = int(d.split("=", 1)[1])
+        if v < before and os.path.exists(f"{root}/{d}/_SUCCESS"):
+            best = v if best is None or v > best else best
+    return None if best is None else f"{root}/v={best}"
+
+
+def _stage_id_ranges(spark, df, in_dir: str, id_col: str, n_files: int) -> None:
+    """Create-once (behind ``_marker``) file-stream staging: the projected
+    source split into ``n_files`` id-ordered range files written
+    SEQUENTIALLY (FileStreamSource orders by mtime, so arrival order tracks
+    the id order — the property the near-dup gate's first-wins contract
+    needs). The input is cached across the min/max agg + N range writes
+    (5 scans otherwise), and range 0 writes with overwrite so a crashed
+    prior staging can never leave doubled rows behind the marker."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(in_dir, "_marker")):
+        return
+    df = df.cache()
+    try:
+        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+        span = max(int(hi) - int(lo) + 1, 1)
+        for i in range(n_files):
+            r_lo = int(lo) + span * i // n_files
+            r_hi = int(lo) + span * (i + 1) // n_files
+            df.filter(
+                (F.col(id_col) >= r_lo) & (F.col(id_col) < r_hi)
+            ).coalesce(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(in_dir)
+    finally:
+        df.unpersist()
+    with open(os.path.join(in_dir, "_marker"), "w") as fh:
+        fh.write("ok")
+
+
 def _ndg_family() -> list[tuple[int, int]]:
     # same deterministic LCG-seeded affine family as the batch MinHash path
     # (dedup.py) at K=32; imported lazily to keep module import cheap
@@ -3976,18 +4024,6 @@ def neardup_gate_stream(
                 }
             )
 
-    def _latest_registry(before: int) -> str | None:
-        if not os.path.isdir(reg_root):
-            return None
-        best = None
-        for d in os.listdir(reg_root):
-            if not d.startswith("v="):
-                continue
-            v = int(d.split("=", 1)[1])
-            if v < before and os.path.exists(f"{reg_root}/{d}/_SUCCESS"):
-                best = v if best is None or v > best else best
-        return None if best is None else f"{reg_root}/v={best}"
-
     def process(bdf, batch_id):
         sigs = (
             bdf.repartition(par)
@@ -4001,7 +4037,7 @@ def neardup_gate_stream(
         batch_min = sigs.groupBy("band", "sig").agg(
             F.min("doc_id").alias("bmin")
         )
-        prev = _latest_registry(int(batch_id))
+        prev = _latest_registry_version(reg_root, int(batch_id))
         if prev is not None:
             reg = spark.read.parquet(prev)
             merged = batch_min.join(reg, ["band", "sig"], "left").select(
@@ -4096,41 +4132,21 @@ def neardup_gate_stream(
 def pipeline_stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     import uuid
 
-    from pyspark.sql import functions as F
-
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("ndgate", sf, "documents", salt=f"{_NDG_K}:{_NDG_FILES}")
     _sweep_run_dirs("/tmp", ("librarian_ndgate_",))
     _sweep_run_dirs(base, ("out_", "ckpt_"))
     in_dir = f"{base}/in"
-    if not os.path.exists(os.path.join(in_dir, "_marker")):
-        # cache: the min/max agg + 4 range writes would otherwise re-scan the
-        # source 5 times; overwrite on range 0 wipes any half-staged leftovers
-        # from a crashed prior run (the marker only lands after all ranges)
-        d = load_table(spark, sf, "documents").select(
+    _stage_id_ranges(
+        spark,
+        load_table(spark, sf, "documents").select(
             "doc_id", "text", "lang", "source"
-        ).cache()
-        try:
-            lo, hi = d.agg(
-                F.min("doc_id"), F.max("doc_id")
-            ).first()
-            # doc_id-ordered ranges -> arrival order aligned with dedup
-            # priority (smaller ids never arrive after larger ones); written
-            # sequentially so FileStreamSource's mtime order matches
-            span = max(int(hi) - int(lo) + 1, 1)
-            for i in range(_NDG_FILES):
-                r_lo = int(lo) + span * i // _NDG_FILES
-                r_hi = int(lo) + span * (i + 1) // _NDG_FILES
-                d.filter(
-                    (F.col("doc_id") >= r_lo) & (F.col("doc_id") < r_hi)
-                ).coalesce(1).write.mode(
-                    "overwrite" if i == 0 else "append"
-                ).parquet(in_dir)
-        finally:
-            d.unpersist()
-        with open(os.path.join(in_dir, "_marker"), "w") as fh:
-            fh.write("ok")
+        ),
+        in_dir,
+        "doc_id",
+        _NDG_FILES,
+    )
 
     run_id = uuid.uuid4().hex[:8]
     out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
@@ -4185,7 +4201,12 @@ def stream_quantile_sketch(
         for pdf in batches:
             types, hv_a, id_a, vc_a, n_a = [], [], [], [], []
             if len(pdf):
-                for et, g in pdf.groupby("event_type", sort=False):
+                # dropna=False: a null event_type is a legitimate group key
+                # for the Spark-keyed state op downstream — pandas' default
+                # dropna=True would silently lose those rows here
+                for et, g in pdf.groupby(
+                    "event_type", sort=False, dropna=False
+                ):
                     hv = g["hv"].to_numpy(dtype="int64")
                     eid = g["event_id"].to_numpy(dtype="int64")
                     vc = g["vc"].to_numpy(dtype="int64")
@@ -4357,28 +4378,15 @@ def pipeline_stream_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     _sweep_run_dirs("/tmp", ("librarian_sqsk_",))
     _sweep_run_dirs(base, ("out_", "ckpt_"))
     in_dir = f"{base}/in"
-    if not os.path.exists(os.path.join(in_dir, "_marker")):
-        # cache: the min/max agg + 4 range writes would otherwise re-scan the
-        # source 5 times; overwrite on range 0 wipes any half-staged leftovers
-        # from a crashed prior run (the marker only lands after all ranges)
-        e = load_table(spark, sf, "events").filter(
-            F.col("event_type").isNotNull() & F.col("value").isNotNull()
-        ).select("event_id", "event_type", "value").cache()
-        try:
-            lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
-            span = max(int(hi) - int(lo) + 1, 1)
-            for i in range(_SQS_FILES):
-                r_lo = int(lo) + span * i // _SQS_FILES
-                r_hi = int(lo) + span * (i + 1) // _SQS_FILES
-                e.filter(
-                    (F.col("event_id") >= r_lo) & (F.col("event_id") < r_hi)
-                ).coalesce(1).write.mode(
-                    "overwrite" if i == 0 else "append"
-                ).parquet(in_dir)
-        finally:
-            e.unpersist()
-        with open(os.path.join(in_dir, "_marker"), "w") as fh:
-            fh.write("ok")
+    _stage_id_ranges(
+        spark,
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "event_type", "value"),
+        in_dir,
+        "event_id",
+        _SQS_FILES,
+    )
 
     run_id = uuid.uuid4().hex[:8]
     out, ckpt = f"{base}/out_{run_id}", f"{base}/ckpt_{run_id}"
@@ -4415,21 +4423,7 @@ def stream_domain_cap(
     hash-smaller arrival — which is why the cap's contract is the registry
     (the current kept set), not an append-only sink. Registry versions key
     by batch_id: a replayed batch overwrites exactly itself."""
-    from pyspark.sql import functions as F
-
     from librarian_spark.operators.relational import two_level_bottom_k
-
-    def _latest(before: int) -> str | None:
-        if not os.path.isdir(out_reg):
-            return None
-        best = None
-        for d in os.listdir(out_reg):
-            if not d.startswith("v="):
-                continue
-            v = int(d.split("=", 1)[1])
-            if v < before and os.path.exists(f"{out_reg}/{d}/_SUCCESS"):
-                best = v if best is None or v > best else best
-        return None if best is None else f"{out_reg}/v={best}"
 
     def process(bdf, batch_id):
         batch = bdf.selectExpr(
@@ -4439,7 +4433,7 @@ def stream_domain_cap(
             "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)),"
             " 1, 8), 16, 10) as long) as hv",
         )
-        prev = _latest(int(batch_id))
+        prev = _latest_registry_version(out_reg, int(batch_id))
         if prev is not None:
             batch = batch.unionByName(
                 spark.read.parquet(prev).select("doc_id", "source", "lang", "hv")
@@ -4512,25 +4506,15 @@ def pipeline_stream_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     _sweep_run_dirs("/tmp", ("librarian_sdcap_",))
     _sweep_run_dirs(base, ("reg_", "ckpt_"))
     in_dir = f"{base}/in"
-    if not os.path.exists(os.path.join(in_dir, "_marker")):
-        d = load_table(spark, sf, "documents").select(
+    _stage_id_ranges(
+        spark,
+        load_table(spark, sf, "documents").select(
             "doc_id", "text", "lang", "source"
-        ).cache()
-        try:
-            lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
-            span = max(int(hi) - int(lo) + 1, 1)
-            for i in range(_SDC_FILES):
-                r_lo = int(lo) + span * i // _SDC_FILES
-                r_hi = int(lo) + span * (i + 1) // _SDC_FILES
-                d.filter(
-                    (F.col("doc_id") >= r_lo) & (F.col("doc_id") < r_hi)
-                ).coalesce(1).write.mode(
-                    "overwrite" if i == 0 else "append"
-                ).parquet(in_dir)
-        finally:
-            d.unpersist()
-        with open(os.path.join(in_dir, "_marker"), "w") as fh:
-            fh.write("ok")
+        ),
+        in_dir,
+        "doc_id",
+        _SDC_FILES,
+    )
 
     run_id = uuid.uuid4().hex[:8]
     reg, ckpt = f"{base}/reg_{run_id}", f"{base}/ckpt_{run_id}"

@@ -15,7 +15,8 @@ for name, t in cur.items():
         t = t.get("best", t.get("s"))
     if isinstance(p, dict):
         p = p.get("best", p.get("s"))
-    if p:
+    # skip malformed/unknown-shape entries instead of crashing the report
+    if isinstance(t, (int, float)) and isinstance(p, (int, float)) and p:
         rows.append((t / p, name, p, t))
 rows.sort(reverse=True)
 flagged = [r for r in rows if r[0] > 1.3]

@@ -19,6 +19,19 @@ def _md5_32(key) -> int:
     return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
 
 
+def _stamp_new_files(in_dir: str, seen: set, stamp: float) -> None:
+    """Pin mtimes per WRITE: FileStreamSource orders batches by mtime, and
+    two fast back-to-back writes can tie at ms granularity — making any
+    intermediate-version assertion order-flaky. Call after each write with
+    an increasing stamp; ``seen`` accumulates already-stamped files."""
+    import os
+
+    for f in os.listdir(in_dir):
+        if f.endswith(".parquet") and f not in seen:
+            os.utime(os.path.join(in_dir, f), (stamp, stamp))
+            seen.add(f)
+
+
 def test_neardup_gate_drops_cross_batch_near_duplicate(spark, tmp_path):
     """A near-identical copy arriving in a LATER micro-batch must be dropped
     by band-bucket state carried across batches — the property that
@@ -186,10 +199,14 @@ def test_stream_domain_cap_evicts_on_late_smaller_hash(spark, tmp_path):
     rows1 = [(d, f"text {d}", "en", "s0") for d in losers]
     rows2 = [(d, f"text {d}", "en", "s0") for d in sorted(winners)]
     in_dir = str(tmp_path / "in")
-    for rows in (rows1, rows2):
+    import time
+
+    seen: set = set()
+    for i, rows in enumerate((rows1, rows2)):
         spark.createDataFrame(
             rows, "doc_id long, text string, lang string, source string"
         ).coalesce(1).write.mode("append").parquet(in_dir)
+        _stamp_new_files(in_dir, seen, time.time() + i)
     reg, ckpt = str(tmp_path / "reg"), str(tmp_path / "ckpt")
     stream_domain_cap(spark, in_dir, reg, ckpt, n, 4)
     import os
