@@ -219,3 +219,65 @@ def test_stream_domain_cap_evicts_on_late_smaller_hash(spark, tmp_path):
     # and the intermediate version shows the batch-1 admissions that lost
     mid = {r.doc_id for r in spark.read.parquet(f"{reg}/v={vs[0]}").collect()}
     assert mid == set(sorted(losers, key=lambda d: (_md5_32(d), d))[:n])
+
+
+def test_neardup_gate_resumes_from_checkpoint_mid_drain(spark, tmp_path):
+    """Kill the gate after the first micro-batch, restart against the same
+    checkpoint + registry, and require the final kept set to equal an
+    uninterrupted run's — the registry read must resume from the durable
+    version, not recompute or double-apply batch 0."""
+    from librarian_spark.operators.pipeline import neardup_gate_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm windowsill and the rain taps softly on the glass"
+    )
+    rows = [
+        (1, base, "en", "s0"),
+        (2, "completely unrelated text about distributed query planning "
+            "and shuffle partitioning strategies at petabyte scale", "en", "s0"),
+        (900, base.replace("rain", "wind"), "en", "s1"),
+        (901, "a third document entirely about sourdough starters and "
+              "long slow fermentation schedules for the weekend baker", "en", "s1"),
+    ]
+    import time
+
+    def stage(tag):
+        in_dir = str(tmp_path / f"in_{tag}")
+        seen: set = set()
+        for i, (lo, hi) in enumerate(((0, 2), (2, 4))):
+            spark.createDataFrame(
+                rows[lo:hi],
+                "doc_id long, text string, lang string, source string",
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            _stamp_new_files(in_dir, seen, time.time() + i)
+        return in_dir
+
+    # uninterrupted reference run
+    in_ref = stage("ref")
+    out_ref, ck_ref = str(tmp_path / "out_ref"), str(tmp_path / "ck_ref")
+    neardup_gate_stream(spark, in_ref, out_ref, ck_ref)
+    ref = {r.doc_id for r in spark.read.parquet(out_ref).collect()}
+
+    # interrupted run: first invocation sees ONLY file 1 (stage the second
+    # file after), so the stream drains batch 0 and stops at a durable
+    # checkpoint; the second invocation must resume, not reprocess
+    in_dir = str(tmp_path / "in_cut")
+    seen: set = set()
+    spark.createDataFrame(
+        rows[0:2], "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _stamp_new_files(in_dir, seen, time.time())
+    out, ck = str(tmp_path / "out_cut"), str(tmp_path / "ck_cut")
+    neardup_gate_stream(spark, in_dir, out, ck)
+    mid_batches = set(spark.read.parquet(out).select("batch_id").distinct().toPandas()["batch_id"])
+    spark.createDataFrame(
+        rows[2:4], "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _stamp_new_files(in_dir, seen, time.time() + 5)
+    neardup_gate_stream(spark, in_dir, out, ck)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == ref, (got, ref)
+    # batch 0's partition was written once and not overwritten on resume
+    all_batches = set(spark.read.parquet(out).select("batch_id").distinct().toPandas()["batch_id"])
+    assert mid_batches < all_batches
