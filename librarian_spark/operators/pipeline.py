@@ -3836,6 +3836,35 @@ def _latest_registry_version(root: str, before: int) -> str | None:
     return None if best is None else f"{root}/v={best}"
 
 
+def _prune_registry_versions(root: str, keep: int = 2) -> None:
+    """Retention for the versioned registries: each batch writes a FULL new
+    version, so a long-running ingest would otherwise accumulate one whole
+    registry copy per batch. Keep the newest ``keep`` COMPLETE versions
+    (2 = the version just written plus the one a replay of the current
+    batch would need to re-read) and delete the rest; incomplete
+    (no-``_SUCCESS``) dirs older than the newest complete version are
+    crashed half-writes and go too."""
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    done = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and os.path.exists(f"{root}/{d}/_SUCCESS")
+    )
+    if not done:
+        return
+    cutoff = done[-keep] if len(done) >= keep else done[0]
+    for d in os.listdir(root):
+        if not d.startswith("v="):
+            continue
+        v = int(d.split("=", 1)[1])
+        complete = os.path.exists(f"{root}/{d}/_SUCCESS")
+        if (complete and v < cutoff) or (not complete and v < done[-1]):
+            shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+
+
 def _stage_id_ranges(spark, df, in_dir: str, id_col: str, n_files: int) -> None:
     """Create-once (behind ``_marker``) file-stream staging: the projected
     source split into ``n_files`` id-ordered range files written
@@ -4057,6 +4086,7 @@ def neardup_gate_stream(
         # (replay rewrites exactly itself; older versions are retained one
         # deep for the next batch's read and swept with the run dir)
         new_reg.write.mode("overwrite").parquet(f"{reg_root}/v={int(batch_id)}")
+        _prune_registry_versions(reg_root)
         winners = spark.read.parquet(f"{reg_root}/v={int(batch_id)}")
         (
             sigs.join(winners, ["band", "sig"])
@@ -4444,6 +4474,7 @@ def stream_domain_cap(
         kept.select("doc_id", "source", "lang", "hv", "rn").write.mode(
             "overwrite"
         ).parquet(f"{out_reg}/v={int(batch_id)}")
+        _prune_registry_versions(out_reg)
 
     q = (
         spark.readStream.schema(
