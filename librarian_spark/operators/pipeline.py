@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -4074,22 +4075,49 @@ def neardup_gate_stream(
                 "sig",
                 F.least(F.col("bmin"), F.col("min_id")).alias("min_id"),
             )
-            new_reg = reg.join(
-                batch_min.select("band", "sig"), ["band", "sig"], "left_anti"
-            ).unionByName(merged)
         else:
+            reg = None
             merged = batch_min.select(
                 "band", "sig", F.col("bmin").alias("min_id")
             )
-            new_reg = merged
+        # merged holds the post-merge winner for EXACTLY this batch's
+        # buckets — it is both the upsert slice of the new registry version
+        # and everything the verdict join needs (the batch's docs can only
+        # match their own buckets). Materializing it once (localCheckpoint,
+        # batch-sized) lets the registry write and the sink write run as
+        # two independent jobs, and removes the old full-registry read-back
+        # before the verdict — the one per-batch scan whose cost grew with
+        # the CORPUS rather than the batch.
+        merged = merged.localCheckpoint()
+        new_reg = (
+            reg.join(
+                merged.select("band", "sig"), ["band", "sig"], "left_anti"
+            ).unionByName(merged)
+            if reg is not None
+            else merged
+        )
+
         # registry version for THIS batch: plain overwrite of v=<batch_id>
         # (replay rewrites exactly itself; older versions are retained one
-        # deep for the next batch's read and swept with the run dir)
-        new_reg.write.mode("overwrite").parquet(f"{reg_root}/v={int(batch_id)}")
-        _prune_registry_versions(reg_root)
-        winners = spark.read.parquet(f"{reg_root}/v={int(batch_id)}")
+        # deep for the next batch's read and swept with the run dir).
+        # Registry write and verdict/sink write share no lineage beyond the
+        # already-materialized merged/sigs, so they overlap on two driver
+        # threads — the second job's tasks back-fill the first's tail.
+        reg_err: list[BaseException] = []
+
+        def write_registry() -> None:
+            try:
+                new_reg.write.mode("overwrite").parquet(
+                    f"{reg_root}/v={int(batch_id)}"
+                )
+                _prune_registry_versions(reg_root)
+            except BaseException as exc:  # noqa: BLE001 — re-raised on join
+                reg_err.append(exc)
+
+        reg_thread = threading.Thread(target=write_registry)
+        reg_thread.start()
         (
-            sigs.join(winners, ["band", "sig"])
+            sigs.join(merged, ["band", "sig"])
             .groupBy("doc_id")
             .agg(
                 F.first("lang").alias("lang"),
@@ -4106,6 +4134,11 @@ def neardup_gate_stream(
             .partitionBy("batch_id")
             .parquet(out)
         )
+        # the batch must not commit (checkpoint advance) unless the registry
+        # version it depends on is durably written
+        reg_thread.join()
+        if reg_err:
+            raise reg_err[0]
 
     stream = (
         spark.readStream.schema(
