@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from librarian_spark.operators.registry import query
+from librarian_spark.scratch import scratch_root
 from librarian_spark.sources.batch import load_table as _t
 
 __all__ = ["snapshot_diff", "cdc_snapshot_diff"]
@@ -386,7 +387,7 @@ def cdc_pgoutput_decode(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources import pgoutput as pg
 
     base = _cache_base("pgwal", sf, "orders", salt=f"txn{_PGWAL_TXN}-m20-u3-d7-v2")
-    _sweep_run_dirs("/tmp", ("librarian_pgwal_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_pgwal_",))
     wal = os.path.join(base, "wal")
     marker = os.path.join(wal, "_READY")
     if not os.path.exists(marker):
@@ -515,7 +516,7 @@ def cdc_mongo_changestream(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources import mongo_changestream as mcs
 
     base = _cache_base("mcs", sf, "customer", salt=f"m{_MCS_MOD}-u3-d7-v1")
-    _sweep_run_dirs("/tmp", ("librarian_mcs_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_mcs_",))
     seg_dir = os.path.join(base, "stream")
     marker = os.path.join(seg_dir, "_READY")
     if not os.path.exists(marker):
@@ -648,7 +649,7 @@ def cdc_wire_replication(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.recorders import PgWalRecorder
 
     base = _cache_base("pgwire", sf, "supplier", salt=_WIRE_SALT)
-    _sweep_run_dirs("/tmp", ("librarian_pgwire_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_pgwire_",))
     wal = os.path.join(base, "wal")
     if not os.path.exists(wal):
         # build wal + checkpoint in a RUN-PRIVATE staging dir and publish
@@ -911,7 +912,7 @@ def cdc_kafka_egress(spark: SparkSession, sf: str) -> DataFrame:
     # salt carries the compression knob: a cached klog written before the
     # snappy producer landed would silently bypass the compressed path
     base = _cache_base("kegress", sf, "supplier", salt="sup-nat-reg-p4-snappy-v2")
-    _sweep_run_dirs("/tmp", ("librarian_kegress_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_kegress_",))
     klog = os.path.join(base, "klog")
     if not os.path.exists(klog):
         evs = None
@@ -992,7 +993,7 @@ def cdc_replicate_e2e(spark: SparkSession, sf: str) -> DataFrame:
     base = _cache_base(
         "repl_e2e", sf, "supplier", salt=f"{_WIRE_SALT}-kafka-snappy-v2"
     )
-    _sweep_run_dirs("/tmp", ("librarian_repl_e2e_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_repl_e2e_",))
     klog = os.path.join(base, "klog")
     if not os.path.exists(klog):
         from librarian_spark.streaming.envelope import snapshot_as_events

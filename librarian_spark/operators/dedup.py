@@ -29,6 +29,7 @@ from pyspark.sql.window import Window as W
 
 from librarian_spark.functions.textfns import o_shingles, shingles_of_tokens, tokens
 from librarian_spark.operators.registry import query
+from librarian_spark.scratch import scratch_root
 from librarian_spark.operators.similarity import _o_dot, _o_normalize
 from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
@@ -1252,7 +1253,7 @@ def ensure_minhash_index(spark: SparkSession, sf: str) -> str:
     # v2 was one-file-per-bucket bands (repartition before partitionBy)
     layout = f"{_IDX_BUCKETS}:{_MINHASH_K}:{_LSH_BANDS}:{_JACCARD_THRESHOLD}:v3"
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
-    index_dir = f"/tmp/librarian_mhidx_{tag}"
+    index_dir = f"{scratch_root()}/librarian_mhidx_{tag}"
     # keepalive the live index (reads never refresh mtimes), then sweep
     # orphans — every mtime/layout change (e.g. the v2 bump) strands the
     # old tag's full band table + sidecar in /tmp otherwise
@@ -1264,7 +1265,7 @@ def ensure_minhash_index(spark: SparkSession, sf: str) -> str:
             pass
     from librarian_spark.operators.pipeline import _sweep_run_dirs
 
-    _sweep_run_dirs("/tmp", ("librarian_mhidx_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_mhidx_",))
     if not os.path.exists(index_dir + "/features/_SUCCESS"):
         build_minhash_index(spark, sf, index_dir)
     return index_dir
@@ -1376,7 +1377,7 @@ def dedup_index_add(spark: SparkSession, sf: str) -> DataFrame:
         f":add{_IDX_ADD_MOD}:v2"
     )
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
-    index_dir = f"/tmp/librarian_mhadd_{tag}"
+    index_dir = f"{scratch_root()}/librarian_mhadd_{tag}"
     if os.path.isdir(index_dir):
         try:
             with open(os.path.join(index_dir, "_keepalive"), "w") as fh:
@@ -1385,7 +1386,7 @@ def dedup_index_add(spark: SparkSession, sf: str) -> DataFrame:
             pass
     from librarian_spark.operators.pipeline import _sweep_run_dirs
 
-    _sweep_run_dirs("/tmp", ("librarian_mhadd_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_mhadd_",))
     if not os.path.isdir(index_dir):
         staging = f"{index_dir}.staging-{uuid.uuid4().hex[:8]}"
         d = _t(spark, sf, "documents")

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from librarian_spark.operators.registry import query
+from librarian_spark.scratch import scratch_root
 from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
 
@@ -1581,7 +1582,7 @@ def ensure_chunk_index(spark: SparkSession, sf: str) -> str:
         "ckidx", sf, "documents",
         salt=f"{_CIDX_BUCKETS}:{_CDC_W}:{_CDC_D}:v1",
     )
-    _sweep_run_dirs("/tmp", ("librarian_ckidx_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_ckidx_",))
     if not os.path.exists(index_dir + "/chunks/_SUCCESS"):
         ch = cdc_chunk_hashes(
             ingest_binary(spark, sf).select("doc_id", "payload")

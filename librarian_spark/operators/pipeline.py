@@ -15,6 +15,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 
 from librarian_spark.operators.registry import query
+from librarian_spark.scratch import scratch_root
 
 _SNAP_QUERY = "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM source"
 
@@ -123,7 +124,7 @@ def _cache_base(prefix: str, sf: str, table: str, salt: str = "") -> str:
     src = os.path.join(sf, f"{table}.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}:{salt}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_{prefix}_{tag}"
+    base = f"{scratch_root()}/librarian_{prefix}_{tag}"
     if os.path.isdir(base):
         try:
             with open(os.path.join(base, "_keepalive"), "w") as fh:
@@ -152,7 +153,7 @@ def pipeline_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "orders.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    out = f"/tmp/librarian_bench_snapshot_{tag}"
+    out = f"{scratch_root()}/librarian_bench_snapshot_{tag}"
     cfg = load_config_str(
         f"""
 name: bench-snapshot
@@ -200,7 +201,7 @@ def pipeline_replicate(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "orders.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_cdc_{tag}"
+    base = f"{scratch_root()}/librarian_bench_cdc_{tag}"
     in_dir = f"{base}/in"
     # completion marker, not bare existence: an interrupted first write
     # would otherwise poison every later run with partial input
@@ -289,7 +290,7 @@ def pipeline_scd2(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_scd2_{tag}"
+    base = f"{scratch_root()}/librarian_bench_scd2_{tag}"
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         ev = load_table(spark, sf, "events").select(
@@ -372,7 +373,7 @@ def pipeline_dedup_gate(spark: SparkSession, sf: str) -> DataFrame:
     # the cached input IS the mod-filtered query split, so the mod is part of
     # the cache identity (same rule as the index layout tags)
     tag = hashlib.md5(f"{sf}:{mtime}:{_IDX_QUERY_MOD}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_ddgate_{tag}"
+    base = f"{scratch_root()}/librarian_bench_ddgate_{tag}"
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         (
@@ -443,7 +444,7 @@ def pipeline_compact(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "orders.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_compact_{tag}"
+    base = f"{scratch_root()}/librarian_bench_compact_{tag}"
     _sweep_run_dirs(base, ("run_",))
 
     data = f"{base}/run_{uuid.uuid4().hex[:8]}"
@@ -488,7 +489,7 @@ def pipeline_csv_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "orders.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_csvsnap_{tag}"
+    base = f"{scratch_root()}/librarian_bench_csvsnap_{tag}"
     csv_dir = f"{base}/csv"
     if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
         (
@@ -545,7 +546,7 @@ def pipeline_jsonl_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_jsonlsnap_{tag}"
+    base = f"{scratch_root()}/librarian_bench_jsonlsnap_{tag}"
     jsonl_dir = f"{base}/jsonl"
     if not os.path.exists(os.path.join(jsonl_dir, "_SUCCESS")):
         (
@@ -629,7 +630,7 @@ def pipeline_session_agg(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}:v3".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_sessagg_{tag}"
+    base = f"{scratch_root()}/librarian_bench_sessagg_{tag}"
     in_dir = f"{base}/in"
     # completion marker OWNED BY THIS BUILD, written after the sentinel
     # append: the data write's own _SUCCESS appears before the sentinel
@@ -738,7 +739,7 @@ def pipeline_incremental_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "orders.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}:v1".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_incsnap_{tag}"
+    base = f"{scratch_root()}/librarian_bench_incsnap_{tag}"
     halves = [f"{base}/half1", f"{base}/half2"]
     if not all(os.path.exists(os.path.join(h, "_SUCCESS")) for h in halves):
         o = load_table(spark, sf, "orders").select(
@@ -835,7 +836,7 @@ def pipeline_zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "lineitem.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}:zv1".encode()).hexdigest()[:10]
-    zdir = f"/tmp/librarian_bench_zorder_{tag}/z"
+    zdir = f"{scratch_root()}/librarian_bench_zorder_{tag}/z"
     if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
         li = load_table(spark, sf, "lineitem").select(
             "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
@@ -926,7 +927,7 @@ def pipeline_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}:v3".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_sjoin_{tag}"
+    base = f"{scratch_root()}/librarian_bench_sjoin_{tag}"
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         (
@@ -1014,7 +1015,7 @@ def pipeline_partition_backfill(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}:v1".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_backfill_{tag}"
+    base = f"{scratch_root()}/librarian_bench_backfill_{tag}"
     _sweep_run_dirs(base, ("run_",))
     out = f"{base}/run_{uuid.uuid4().hex[:8]}"
 
@@ -1106,7 +1107,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str, str]
         for p in (os.path.join(sf, "orders.parquet"), os.path.join(sf, "lineitem.parquet"))
     )
     tag = hashlib.md5(f"{sf}:{mtimes}:{_BKT_N}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bucketed_{tag}"
+    base = f"{scratch_root()}/librarian_bucketed_{tag}"
     names = {}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         tname = f"lb_bkt_{tbl}_{tag}"
@@ -1223,7 +1224,7 @@ def pipeline_snapshot_stream(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "events.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     tag = hashlib.md5(f"{sf}:{mtime}:{_SNAPSTREAM_T0}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_snapstream_{tag}"
+    base = f"{scratch_root()}/librarian_bench_snapstream_{tag}"
     in_dir = f"{base}/in"
     # own marker written AFTER both writes: the first write's _SUCCESS must
     # not cache a stream-half-missing input dir (crash between the writes)
@@ -1347,7 +1348,7 @@ def pipeline_cdc_fanout(spark: SparkSession, sf: str) -> DataFrame:
         str(int(os.path.getmtime(p)) if os.path.exists(p) else 0) for p in paths
     )
     tag = hashlib.md5(f"{sf}:{mtimes}".encode()).hexdigest()[:10]
-    base = f"/tmp/librarian_bench_fanout_{tag}"
+    base = f"{scratch_root()}/librarian_bench_fanout_{tag}"
     in_dir = f"{base}/in"
     marker = os.path.join(base, "_INPUT_READY")
     if not os.path.exists(marker):
@@ -1445,7 +1446,7 @@ def pipeline_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("quarantine", sf, "events")
-    _sweep_run_dirs("/tmp", ("librarian_quarantine_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_quarantine_",))
     ev = load_table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     reason = F.when(F.col("value") > 400, F.lit("value_out_of_range")).when(
@@ -1500,7 +1501,7 @@ def pipeline_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("schevo", sf, "orders")
-    _sweep_run_dirs("/tmp", ("librarian_schevo_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_schevo_",))
     o = load_table(spark, sf, "orders")
     # create-once behind _SUCCESS (the sibling cached-dir pattern): an
     # unconditional rewrite would race a concurrent invocation's mergeSchema
@@ -1557,7 +1558,7 @@ def pipeline_manifest_prune(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("mprune", sf, "lineitem", salt="16")
-    _sweep_run_dirs("/tmp", ("librarian_mprune_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_mprune_",))
     if not os.path.exists(f"{base}/_SUCCESS"):
         load_table(spark, sf, "lineitem").select(
             "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
@@ -1616,7 +1617,7 @@ def pipeline_stream_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("sdedup", sf, "events", salt="replay2")
-    _sweep_run_dirs("/tmp", ("librarian_sdedup_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_sdedup_",))
     # the keepalive above keeps base's TTL warm forever, so per-run dirs
     # inside it must be swept here too (a full parquet copy + checkpoint
     # each) — same discipline as pipeline_checkpoint_restart
@@ -1904,7 +1905,7 @@ def pipeline_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("pevo", sf, "events")
-    _sweep_run_dirs("/tmp", ("librarian_pevo_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_pevo_",))
     ev = load_table(spark, sf, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -1970,7 +1971,7 @@ def pipeline_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("incmv", sf, "events", salt="mod4")
-    _sweep_run_dirs("/tmp", ("librarian_incmv_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_incmv_",))
     ev = load_table(spark, sf, "events").select(
         "event_id",
         "event_type",
@@ -2129,7 +2130,7 @@ def pipeline_row_level_delete(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("rld", sf, "orders", salt="cust16")
-    _sweep_run_dirs("/tmp", ("librarian_rld_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_rld_",))
     _sweep_run_dirs(base, ("run_",))
     # clean clustered SOURCE layout (read-only, shared, create-once) —
     # built in a run-private staging dir and published by ONE atomic
@@ -2279,7 +2280,7 @@ def pipeline_wap(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("wap", sf, "orders", salt="rollup1")
-    _sweep_run_dirs("/tmp", ("librarian_wap_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_wap_",))
     _sweep_run_dirs(base, ("run_",))
     run = f"{base}/run_{uuid.uuid4().hex[:8]}"
     os.makedirs(run)
@@ -2352,7 +2353,7 @@ def pipeline_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("statetot", sf, "events", salt="cents-v1")
-    _sweep_run_dirs("/tmp", ("librarian_statetot_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_statetot_",))
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         load_table(spark, sf, "events").select(
@@ -2465,7 +2466,7 @@ def pipeline_bloom_index(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("bloomidx", sf, "orders", salt=f"rr16-k{_BLOOM_K}-v2")
-    _sweep_run_dirs("/tmp", ("librarian_bloomidx_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_bloomidx_",))
     # layout + sidecar build in a PRIVATE staging dir, published by ONE
     # atomic rename: a concurrent first-run builds its own copy and
     # discards it on losing the race — a shared-dir overwrite would delete
@@ -2720,7 +2721,7 @@ def pipeline_late_data_metrics(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("latemetrics", sf, "events", salt="v2")
-    _sweep_run_dirs("/tmp", ("librarian_latemetrics_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_latemetrics_",))
     _sweep_run_dirs(base, ("out_", "ckpt_"))
     in_dir = f"{base}/in"
     ev = (
@@ -2842,7 +2843,7 @@ def pipeline_orc_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("orcsnap", sf, "orders")
-    _sweep_run_dirs("/tmp", ("librarian_orcsnap_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_orcsnap_",))
     _sweep_run_dirs(base, ("orc_stage_", "out_"))
     orc_dir = f"{base}/orc"
     if not os.path.isdir(orc_dir):
@@ -2925,7 +2926,7 @@ def pipeline_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     import json
 
     base = _cache_base("soutjoin", sf, "events", salt="v2")
-    _sweep_run_dirs("/tmp", ("librarian_soutjoin_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_soutjoin_",))
     _sweep_run_dirs(base, ("out_", "ckpt_", "in_", "slices_stage_"))
     ev = (
         load_table(spark, sf, "events")
@@ -3250,7 +3251,7 @@ def pipeline_stream_topk(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("streamtopk", sf, "events", salt=f"k{_STK_K}-v1")
-    _sweep_run_dirs("/tmp", ("librarian_streamtopk_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_streamtopk_",))
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         load_table(spark, sf, "events").select(
@@ -3369,7 +3370,7 @@ def pipeline_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("senrich", sf, "events", salt="v1")
-    _sweep_run_dirs("/tmp", ("librarian_senrich_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_senrich_",))
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         load_table(spark, sf, "events").select(
@@ -3468,7 +3469,7 @@ def pipeline_checksummed_copy(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("cksum", sf, "orders", salt="v1")
-    _sweep_run_dirs("/tmp", ("librarian_cksum_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_cksum_",))
     out = f"{base}/copy"
     src = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -3635,7 +3636,7 @@ def pipeline_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("")
 
-    _sweep_run_dirs("/tmp", ("librarian_scdcapply_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_scdcapply_",))
     _sweep_run_dirs(base, ("state_", "ckpt_"))
     run_id = uuid.uuid4().hex[:8]
     cfg = MaterializeConfig(
@@ -3704,7 +3705,7 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("dlq", sf, "events", salt=f"v1:{_DLQ_MOD}")
-    _sweep_run_dirs("/tmp", ("librarian_dlq_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_dlq_",))
     _sweep_run_dirs(base, ("out_", "dlq_", "ckpt_"))
     in_dir = f"{base}/in"
     if not os.path.exists(os.path.join(in_dir, "_READY")):
@@ -4198,7 +4199,7 @@ def pipeline_stream_neardup_gate(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("ndgate", sf, "documents", salt=f"{_NDG_K}:{_NDG_FILES}")
-    _sweep_run_dirs("/tmp", ("librarian_ndgate_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_ndgate_",))
     _sweep_run_dirs(base, ("out_", "ckpt_"))
     in_dir = f"{base}/in"
     _stage_id_ranges(
@@ -4438,7 +4439,7 @@ def pipeline_stream_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("sqsk", sf, "events", salt=f"{_SQS_K}:{_SQS_FILES}")
-    _sweep_run_dirs("/tmp", ("librarian_sqsk_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_sqsk_",))
     _sweep_run_dirs(base, ("out_", "ckpt_"))
     in_dir = f"{base}/in"
     _stage_id_ranges(
@@ -4567,7 +4568,7 @@ def pipeline_stream_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     from librarian_spark.sources.batch import load_table
 
     base = _cache_base("sdcap", sf, "documents", salt=f"{_CAP_N}:{_SDC_FILES}")
-    _sweep_run_dirs("/tmp", ("librarian_sdcap_",))
+    _sweep_run_dirs(scratch_root(), ("librarian_sdcap_",))
     _sweep_run_dirs(base, ("reg_", "ckpt_"))
     in_dir = f"{base}/in"
     _stage_id_ranges(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from librarian_spark.operators.registry import query
+from librarian_spark.scratch import scratch_root
 from librarian_spark.sources.batch import fan_out
 from librarian_spark.sources.batch import load_table as _t
 
@@ -848,7 +849,7 @@ def sim_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     layout = f"{_IVF_NLISTS}:{_N_QUERIES}"
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
-    index_dir = f"/tmp/librarian_ivf_{tag}"
+    index_dir = f"{scratch_root()}/librarian_ivf_{tag}"
     # completion = the writer's _SUCCESS commit marker, not bare existence —
     # a crash mid-build leaves a partial dir that must trigger a rebuild
     if not os.path.exists(index_dir + "/centroids/_SUCCESS"):
@@ -885,7 +886,7 @@ def sim_ivf_incremental_add(spark: SparkSession, sf: str) -> DataFrame:
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     layout = f"{_IVF_NLISTS}:{_N_QUERIES}:incr{_IVF_INCR_MOD}"
     tag = hashlib.md5(f"{sf}:{mtime}:{layout}".encode()).hexdigest()[:10]
-    index_dir = f"/tmp/librarian_ivf_incr_{tag}"
+    index_dir = f"{scratch_root()}/librarian_ivf_incr_{tag}"
     # crash- AND race-safety: append is not idempotent, so the whole
     # build+add happens in a private staging dir, published by ONE atomic
     # rename — a concurrent first-run builds its own staging copy, loses the

@@ -1331,7 +1331,11 @@ def test_dlq_routes_raw_payloads(spark):
     ).count()
     assert n_good == n_all - n_bad
     # the run-private dlq dir of the invocation above is the newest one
-    bases = sorted(glob.glob("/tmp/librarian_dlq_*/dlq_*"), key=os.path.getmtime)
+    from librarian_spark.scratch import scratch_root
+    bases = sorted(
+        glob.glob(f"{scratch_root()}/librarian_dlq_*/dlq_*"),
+        key=os.path.getmtime,
+    )
     dlq = spark.read.parquet(bases[-1])
     reasons = {r.reason: r.cnt for r in dlq.groupBy("reason").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}
