@@ -4515,12 +4515,19 @@ def q79_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     big = r * (q + 1)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def ntile_exact(df: DataFrame, order_cols, alias: str) -> DataFrame:
-        # range-shuffle on the UNIQUE (metric, custkey) composite, pin the
-        # partition layout (localCheckpoint: the per-partition count action
-        # and the ranking pass must see identical sampled boundaries)
+    def ntile_exact(metric: str, descending: bool, alias: str) -> DataFrame:
+        # (o_custkey, score) for ONE metric: range-shuffle the NARROW
+        # (metric, custkey) projection (guide §2.3 — the full row never
+        # rides the ranking shuffles), pin the partition layout
+        # (localCheckpoint: the per-partition count action and the ranking
+        # pass must see identical sampled boundaries)
+        order_cols = [
+            F.col(metric).desc() if descending else F.col(metric).asc(),
+            F.col("o_custkey").asc(),
+        ]
         ranged = (
-            df.repartitionByRange(n_parts, *order_cols)
+            m.select(metric, "o_custkey")
+            .repartitionByRange(n_parts, *order_cols)
             .withColumn("_pid", F.spark_partition_id())
             .localCheckpoint()
         )
@@ -4531,9 +4538,7 @@ def q79_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
         for row in counts:  # partition ids are emitted in range order
             offs.append((row._pid, acc))
             acc += row.c
-        offdf = df.sparkSession.createDataFrame(
-            offs, "_pid int, _off long"
-        )
+        offdf = m.sparkSession.createDataFrame(offs, "_pid int, _off long")
         w = W.partitionBy("_pid").orderBy(*order_cols)
         rk = F.col("_off") + F.row_number().over(w)
         # NTILE's bucket rule: buckets 1..r hold q+1 rows, the rest hold q
@@ -4547,20 +4552,24 @@ def q79_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
         )
         return (
             ranged.join(F.broadcast(offdf), "_pid")
-            .withColumn(alias, bucket.cast("long"))
-            .drop("_pid", "_off")
+            .select("o_custkey", bucket.cast("long").alias(alias))
         )
 
-    scored = ntile_exact(
-        m, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score"
-    )
-    scored = ntile_exact(
-        scored, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score"
-    )
-    scored = ntile_exact(
-        scored,
-        [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
-        "m_score",
+    # the three metric rankings are independent given m — run them as
+    # concurrent driver threads (guide §2.6) so their per-pass actions
+    # (checkpoint, boundary sampling, count collect) overlap instead of
+    # serializing, then join the three (custkey, score) maps back. Each
+    # pass's range sampling reads the pinned checkpointed m, so boundaries
+    # stay deterministic regardless of thread timing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fr = pool.submit(ntile_exact, "recency_days", False, "r_score")
+        ff = pool.submit(ntile_exact, "frequency", True, "f_score")
+        fm = pool.submit(ntile_exact, "monetary_cents", True, "m_score")
+        r_df, f_df, m_df = fr.result(), ff.result(), fm.result()
+    scored = m.join(r_df, "o_custkey").join(f_df, "o_custkey").join(
+        m_df, "o_custkey"
     )
     return scored.select(
         "o_custkey",
@@ -4620,7 +4629,16 @@ def q80_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n_orders = b.select("l_orderkey").distinct().count()
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a, c = b.alias("a"), b.alias("c")
+    # pin the wedge join's parallelism: its INPUT is small (distinct basket
+    # rows) so AQE's byte-based coalescing would funnel it into one or two
+    # partitions, but its OUTPUT explodes O(Σ basket²) — an explicit
+    # repartition on the basket key (which AQE never coalesces) keeps the
+    # pair expansion and partial aggregation spread over the cluster, and
+    # the one exchange is shared by both join sides (self-join on the same
+    # frame). Scale-adaptive: count comes from shuffle.partitions.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bw = b.repartition(n_parts, "l_orderkey")
+    a, c = bw.alias("a"), bw.alias("c")
     pair = (
         a.join(
             c,

@@ -2528,47 +2528,40 @@ _DRIFT_BAR_MICRO = 20_000  # |mean shift| > 0.02 flags the dimension
 )
 def sim_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    even = F.col("vec_id") % 2 == 0
-    aggs = []
-    for i in range(_DRIFT_DIM):
-        # TRUNCATION, not ROUND: both engines truncate the identical double
-        # exactly, while round-half semantics differ on boundary components
-        # (measured: one dimension off by 1 micro unit under ROUND)
-        # explicit DOUBLE on both engines: the column is array<float> and
-        # DuckDB would otherwise multiply in single precision while Spark
-        # widens to double (measured: per-dim sums off by a few micro)
-        micro = (
-            F.col("embedding").getItem(i).cast("double") * 1_000_000
-        ).cast("long")
-        # decimal(38,0) accumulators (the q56 overflow-headroom discipline):
-        # int64 sums of ~1e9-micro components wrap past ~9e9 rows per half,
-        # silently in non-ANSI Spark, while the oracle's HUGEINT stays exact.
-        # Per-dim MEANS always fit int64, so the post-sum div is safe.
-        wide = micro.cast("decimal(38,0)")
-        aggs.append(
-            F.sum(F.when(even, wide).otherwise(F.lit(0))).alias(f"sa{i}")
-        )
-        aggs.append(
-            F.sum(F.when(~even, wide).otherwise(F.lit(0))).alias(f"sb{i}")
-        )
-    aggs.append(F.sum(F.when(even, 1).otherwise(0)).alias("na"))
-    aggs.append(F.sum(F.when(~even, 1).otherwise(0)).alias("nb"))
-    row = e.agg(*aggs)
-    dims = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("dim"),
-                F.expr(f"cast(sa{i} div na as bigint)").alias(
-                    "mean_ref_micro"
-                ),
-                F.expr(f"cast(sb{i} div nb as bigint)").alias(
-                    "mean_cur_micro"
-                ),
-            )
-            for i in range(_DRIFT_DIM)
-        ]
+    # posexplode + ONE 4-expression aggregate keyed by dim, instead of the
+    # previous 130-expression single-row aggregate: the wide form spent its
+    # whole runtime in analysis/codegen of the 128 conditional decimal sums
+    # (2.8 s at sf0.1 for 2000 rows — pure plan fixed cost), and its scan
+    # did 64 separate getItem walks per row. Same numbers by construction:
+    # every embedding is a non-null 64-vector at every SF (asserted by the
+    # generator; min=max=64, 0 nulls), so per-dim conditional counts equal
+    # the oracle's whole-row counts, and the per-component expression
+    # (double-cast, x1e6, TRUNCATE to long, decimal(38,0) accumulate — the
+    # q56 overflow-headroom discipline) is unchanged. At 100 TB the explode
+    # is map-local and partial aggregation reduces each task to <=64 rows
+    # before the one 64-key exchange.
+    ex = e.select(
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode("embedding").alias("dim", "comp"),
     )
-    z = row.select(F.explode(dims).alias("d")).select("d.*")
+    # TRUNCATION, not ROUND: both engines truncate the identical double
+    # exactly, while round-half semantics differ on boundary components.
+    # Explicit DOUBLE: the column is array<float> and DuckDB would
+    # otherwise multiply in single precision while Spark widens to double.
+    micro = (F.col("comp").cast("double") * 1_000_000).cast("long")
+    wide = micro.cast("decimal(38,0)")
+    ev = F.col("even")
+    g = ex.groupBy("dim").agg(
+        F.sum(F.when(ev, wide).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(~ev, wide).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(ev, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~ev, 1).otherwise(0)).alias("nb"),
+    )
+    z = g.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.expr("cast(sa div na as bigint)").alias("mean_ref_micro"),
+        F.expr("cast(sb div nb as bigint)").alias("mean_cur_micro"),
+    )
     delta = F.col("mean_cur_micro") - F.col("mean_ref_micro")
     return z.select(
         "dim",

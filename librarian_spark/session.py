@@ -73,6 +73,12 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the advisory byte size, not to default parallelism:
+        # post-shuffle partitions are sized by data, so a small shuffle
+        # collapses to a few real tasks instead of fanning out empty ones
+        # (guide §2.2; operators whose OUTPUT explodes relative to input
+        # pin their own parallelism with an explicit repartition)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -133,6 +139,7 @@ def cluster_profile(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.files.openCostInBytes": "1048576",
