@@ -49,6 +49,11 @@ _CALLER_SESSION_CONF = {
     # same rationale and same setting as session.get_spark / cluster_profile
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # shuffled-hash join when the planner/AQE size gates pass — same setting
+    # and scale rationale as session.get_spark (guide §3.1/§9; measured
+    # 0.871x over the SMJ-heavy tier, no regressions)
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64MB",
 }
 
 

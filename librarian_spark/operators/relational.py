@@ -2828,10 +2828,13 @@ def q60_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("lvl"),
             )
         )
-        # materialize ONLY the composed pointer table: without this, p_2k's
+        # truncate ONLY the composed pointer table: without this, p_2k's
         # plan contains p_k twice and the composition tree re-derives
-        # exponentially; state's lineage stays linear and needs nothing
-        p = p2.localCheckpoint()
+        # exponentially; state's lineage stays linear and needs nothing.
+        # Lazy (round count is DERIVED above, no driver decision reads an
+        # intermediate): the per-round materialization jobs collapse into
+        # the final action while the plan stays truncated per round
+        p = p2.localCheckpoint(eager=False)
     return state.select(
         F.col("node").alias("o_orderkey"),
         F.lit(-1).cast("long").alias("root"),
@@ -3076,8 +3079,11 @@ def _copurchase_graph(spark: SparkSession, sf: str):
         # materialize ONCE: the edge list feeds five downstream subplans
         # (both degree sides, both wedge sides, the closure probe); without
         # this Spark re-derives the lineitem self-join for each of them
-        # (measured: 32 exchanges in the physical plan vs 8 after)
-        .localCheckpoint()
+        # (measured: 32 exchanges in the physical plan vs 8 after).
+        # Lazy: each consumer query runs ONE action, so the RDD persists on
+        # first compute inside that action instead of paying a separate
+        # up-front materialization job
+        .localCheckpoint(eager=False)
     )
     # degree per node over the undirected edge set
     deg = (
@@ -3096,7 +3102,7 @@ def _copurchase_graph(spark: SparkSession, sf: str):
     oriented = ranked.select(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).localCheckpoint()  # reused by e1, e2 and the closure probe
+    ).localCheckpoint(eager=False)  # reused by e1, e2 and the closure probe
     # wedges from each source's out-neighbors (out-degree <= O(sqrt m)),
     # closed by the oriented edge between the two endpoints (either way)
     e1 = oriented.select(F.col("s"), F.col("t").alias("b"))
@@ -3252,14 +3258,19 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()  # feeds degree + every iteration
+        # lazy: the round count is FIXED, so no driver decision ever reads an
+        # intermediate — lineage is still truncated per round (the plan stays
+        # linear) but the 1 + _PR_ITERS eager materialization jobs collapse
+        # into the single final action's DAG (each checkpointed RDD persists
+        # on first compute and is reused by later rounds within that job)
+        .localCheckpoint(eager=False)  # feeds degree + every iteration
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ranks = deg.select(
         F.col("u").alias("x"), F.lit(_PR_SCALE).cast("long").alias("r")
     )
     for _ in range(_PR_ITERS):
-        ranks = _pr_step(edges, ranks, deg).localCheckpoint()
+        ranks = _pr_step(edges, ranks, deg).localCheckpoint(eager=False)
     return ranks.select(
         F.col("x").alias("part"),
         F.col("r").cast("long").alias("rank_scaled"),
@@ -3337,7 +3348,8 @@ def graph_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()  # feeds every propagation round
+        # lazy (fixed round count, no driver reads — the pagerank rationale)
+        .localCheckpoint(eager=False)  # feeds every propagation round
     )
     labels = edges.select(F.col("u").alias("x")).distinct().select(
         "x", F.col("x").alias("lbl")
@@ -3351,7 +3363,7 @@ def graph_connected_components(spark: SparkSession, sf: str) -> DataFrame:
             labels.unionAll(fanned)
             .groupBy("x")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         F.col("x").alias("part"), F.col("lbl").cast("long").alias("component")
@@ -3681,7 +3693,8 @@ def graph_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()  # feeds every BFS round
+        # lazy (fixed round count, no driver reads — the pagerank rationale)
+        .localCheckpoint(eager=False)  # feeds every BFS round
     )
     dist = (
         edges.select(F.col("u").alias("x"))
@@ -3698,7 +3711,7 @@ def graph_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
             dist.unionAll(fanned)
             .groupBy("x")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist.select(F.col("x").alias("part"), F.col("dist").cast("long").alias("dist"))
 
@@ -5499,7 +5512,8 @@ def _lpa_labels(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()  # reused every round
+        # lazy (fixed round count, no driver reads — the pagerank rationale)
+        .localCheckpoint(eager=False)  # reused every round
     )
     labels = ed.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
@@ -5515,7 +5529,7 @@ def _lpa_labels(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
             nb.withColumn("rn", F.row_number().over(wn))
             .filter(F.col("rn") == 1)
             .select("node", "lab")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ed, labels
 
@@ -7722,7 +7736,9 @@ def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
     sk = two_level_bottom_k(
         h, ["event_type"], _KMV_K, _KMV_SALTS
-    ).localCheckpoint()  # k x |types| longs; feeds four subplans
+    ).localCheckpoint(eager=False)  # k x |types| longs; feeds four subplans
+    # (lazy: the types collect below is the first consumer and materializes
+    # it — no separate up-front job; the subplans then reuse the blocks)
     # the event_type domain is a bounded enum: collect it (a handful of
     # strings) and inline the pair list as a literal frame — a self cross
     # join would plan BroadcastNestedLoopJoin (the global plan gate's
@@ -7759,7 +7775,8 @@ def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.when(F.col("hv") < F.col("theta"), 1)).alias("nc_strict"),
         )
     )
-    du = e.select("event_type", "user_id").distinct().localCheckpoint()
+    # lazy: feeds only final-action subplans — no up-front job
+    du = e.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     ex_n = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
     da = du.select(F.col("event_type").alias("ta"), "user_id")
     db = du.select(F.col("event_type").alias("tb"), "user_id")
@@ -7908,7 +7925,8 @@ def q112_theta_anotb(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
     sk = two_level_bottom_k(
         h, ["event_type"], _KMV_K, _KMV_SALTS
-    ).localCheckpoint()  # k x |types| longs; feeds five subplans
+    ).localCheckpoint(eager=False)  # k x |types| longs; feeds five subplans
+    # (lazy: the types collect below materializes it — q111 rationale)
     types = sorted(
         r.event_type for r in sk.select("event_type").distinct().collect()
     )
@@ -7949,7 +7967,8 @@ def q112_theta_anotb(spark: SparkSession, sf: str) -> DataFrame:
     bm = _strict_counts(sb, "nb_all", "nb_strict")
     common = sa.join(sb, ["ta", "tb", "hv"]).select("ta", "tb", "hv")
     cm = _strict_counts(common, "nc_all", "nc_strict")
-    du = e.select("event_type", "user_id").distinct().localCheckpoint()
+    # lazy: feeds only final-action subplans — no up-front job
+    du = e.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     ex_n = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
     da = du.select(F.col("event_type").alias("ta"), "user_id")
     db = du.select(F.col("event_type").alias("tb"), "user_id")
@@ -8089,7 +8108,8 @@ def q42_kmv_rollup(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
     sk = two_level_bottom_k(
         h, ["o_orderpriority"], _KMV_K, _KMV_SALTS
-    ).localCheckpoint()  # k x |priorities| longs; feeds both rollup levels
+    ).localCheckpoint(eager=False)  # k x |priorities| longs; feeds both
+    # rollup levels (lazy: single final action — no up-front job)
     g = sk.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("ck"), F.max("hv").alias("hk")
     )
@@ -8400,7 +8420,8 @@ def q113_sample_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
     sk = two_level_bottom_k(
         b, ["o_orderpriority"], _SQR_K, _SQR_SALTS, ("hv", "o_orderkey")
-    ).localCheckpoint()  # <= |priorities| x k rows; feeds both rollup levels
+    ).localCheckpoint(eager=False)  # <= |priorities| x k rows; feeds both
+    # rollup levels (lazy: single final action — no up-front job)
 
     def rank_pick(df, part_cols):
         wv = (
