@@ -945,7 +945,8 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.doc_id_1", "e.doc_id_2")
-        .localCheckpoint()
+        # lazy: round 1's count is the materializing action
+        .localCheckpoint(eager=False)
     )
     # only edge-touched nodes can ever change label; everything else is a
     # singleton cluster and skips the iteration entirely. Per-round shuffles
@@ -963,7 +964,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         .select(F.col("doc_id_1").alias("doc_id"), "cluster_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(_CC_MAX_ITERS):
         own = labels.select("doc_id", "cluster_id", F.lit(True).alias("is_own"))
@@ -982,7 +983,8 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
                 F.min("cluster_id").alias("cluster_id"),
                 F.min(F.when(F.col("is_own"), F.col("cluster_id"))).alias("old_id"),
             )
-            .localCheckpoint()  # truncate lineage; iterative joins otherwise
+            .localCheckpoint(eager=False)  # truncate lineage (the changed-
+            # count below materializes it); iterative joins otherwise
             # stack an unbounded plan
         )
         changed = merged.filter(F.col("cluster_id") != F.col("old_id")).count()
@@ -1129,7 +1131,7 @@ def build_minhash_index(
     """
     # localCheckpoint: bands + sidecar are two write actions over this
     # lineage — one Python signature pass instead of two
-    feats = minhash_features(spark, sf, docs=docs).localCheckpoint()
+    feats = minhash_features(spark, sf, docs=docs).localCheckpoint(eager=False)
     bands = feats.select(
         "doc_id", F.posexplode("band_sigs").alias("band", "band_sig")
     ).withColumn(
@@ -1165,7 +1167,7 @@ def minhash_index_probe(
     # distinct-bucket collect below, then the caller's sink write) — without
     # materialization the Python minhash pass runs twice per batch
     # (MEASURED on pipeline_dedup_gate: ~4.5s → ~3.2s at sf0.1)
-    qf = minhash_features(spark, sf, docs=query_docs).localCheckpoint()
+    qf = minhash_features(spark, sf, docs=query_docs).localCheckpoint(eager=False)
     qbands = qf.select(
         F.col("doc_id").alias("q_id"),
         F.posexplode("band_sigs").alias("band", "band_sig"),
@@ -1283,7 +1285,7 @@ def minhash_index_add(
     content-identical to a one-shot build over the union. Append is NOT
     idempotent — callers own crash-safety (stage + atomic publish, as
     ``dedup_index_add`` does)."""
-    feats = minhash_features(spark, sf, docs=new_docs).localCheckpoint()
+    feats = minhash_features(spark, sf, docs=new_docs).localCheckpoint(eager=False)
     bands = feats.select(
         "doc_id", F.posexplode("band_sigs").alias("band", "band_sig")
     ).withColumn(
@@ -2270,7 +2272,7 @@ def dedup_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     # SAME plan text_winnow_fingerprint runs, once; the (doc_id, fp) set
     # is then consumed by three cheap plan branches (cap count + both
     # pair-join sides) over plain stored arrays.
-    sel = winnow_selections(spark, sf).localCheckpoint()
+    sel = winnow_selections(spark, sf).localCheckpoint(eager=False)
     fp = (
         sel.select(
             "doc_id",

@@ -746,7 +746,8 @@ def _assign_shards(df: DataFrame) -> DataFrame:
     ranged = (
         df.repartitionByRange(n_parts, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the subtotal collect materializes the blocks, pinning layout
+        .localCheckpoint(eager=False)
     )
     subtotals = sorted(
         ranged.groupBy("_pid").agg(F.sum("nb").alias("b")).collect()
@@ -1521,7 +1522,8 @@ def cdc_chunk_hashes(payloads: DataFrame) -> DataFrame:
 def mm_cdc_chunking(spark: SparkSession, sf: str) -> DataFrame:
     ch = cdc_chunk_hashes(
         ingest_binary(spark, sf).select("doc_id", "payload")
-    ).localCheckpoint()  # feeds both the dup aggregate and the per-doc join
+    ).localCheckpoint(eager=False)  # feeds both the dup aggregate and the
+    # per-doc join inside ONE final action — lazy skips the up-front job
     dup = ch.groupBy("chash").agg(
         F.count_distinct("doc_id").alias("nd")
     )
@@ -1635,7 +1637,8 @@ def mm_chunk_index(spark: SparkSession, sf: str) -> DataFrame:
         cdc_chunk_hashes(queries.select("doc_id", "payload"))
         .distinct()
         .withColumn("bucket", _chunk_bucket())
-        .localCheckpoint()
+        # lazy: the bucket collect below materializes it
+        .localCheckpoint(eager=False)
     )
     probes = [r.bucket for r in qch.select("bucket").distinct().collect()]
     idx = spark.read.parquet(index_dir + "/chunks").filter(

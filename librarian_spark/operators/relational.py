@@ -5729,7 +5729,9 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()
+        # lazy: the count below is the materializing action (one job per
+        # round instead of checkpoint-job + count-job)
+        .localCheckpoint(eager=False)
     )
     prev = edges.count()
     for _ in range(_KCORE_MAX_ROUNDS):
@@ -5739,8 +5741,8 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
             edges = edges.join(keep, "u", "left_semi").join(
                 keep.select(F.col("u").alias("v")), "v", "left_semi"
             )
-        edges = edges.localCheckpoint()
-        n = edges.count()
+        edges = edges.localCheckpoint(eager=False)
+        n = edges.count()  # materializes the lazy checkpoint
         if n == prev:  # no edge dropped in two peels => fixed point
             break
         prev = n

@@ -1088,7 +1088,7 @@ def sim_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     k_eff = len(cents)
     # fan_out: single-row-group testdata parquet can't split; localCheckpoint:
     # ITERS+1 passes reuse the scaled frame without re-planning
-    e = fan_out(e).localCheckpoint()
+    e = fan_out(e).localCheckpoint(eager=False)
     sc = spark.sparkContext
     for _ in range(_KM_ITERS):
         bc = sc.broadcast((cids, cents))
@@ -1416,7 +1416,7 @@ def sim_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     exact = (
         sim_cosine_topk(spark, sf)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     methods = [
         ("exact", exact),

@@ -2124,7 +2124,8 @@ def text_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     ranged = (
         nd.repartitionByRange(n_parts, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # pin layout: offset collect + window must agree
+        .localCheckpoint(eager=False)  # pin layout: the offset collect
+        # materializes the blocks; the window then reads the SAME layout
     )
     parts = sorted(
         ranged.groupBy("_pid").agg(F.sum("new_types").alias("s")).collect()
@@ -2303,7 +2304,7 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     w = d.select(F.explode(tokens("text")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    tc = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    tc = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
     total = tc.agg(F.sum("c")).collect()[0][0]
     head = (
         tc.orderBy(F.col("c").desc(), F.col("tok").asc())

@@ -125,7 +125,8 @@ def _apply_batch(
         F.sum(F.when(F.col("op") != cfg.delete_op, 1).otherwise(0))
         .over(w.rowsBetween(W.unboundedPreceding, 0))
         .alias("_vrank"),
-    ).localCheckpoint()  # one window pass serves new-rows and closes
+    ).localCheckpoint(eager=False)  # one window pass serves new-rows and
+    # closes (lazy: the merge write materializes it — no extra per-batch job)
 
     prev = read_history(spark, cfg)
     prev_cur = prev.filter(F.col("is_current"))
