@@ -1693,10 +1693,23 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     # re-substitutes the alias through the project, so a column alias cannot
     # force single evaluation) — the dominant |candidates|·len² term is paid
     # exactly once; survivor recompute is |output|·len², negligible.
-    return (
+    #
+    # Pin the DP stage's width: candidate rows are few and small, so AQE's
+    # byte-based coalescing funnels the join output into 1-2 partitions and
+    # serializes the Levenshtein pass. The explicit repartition is never
+    # coalesced, and the lazy localCheckpoint is the optimizer barrier that
+    # keeps the DP filter from being pushed back below the exchange (the
+    # checkpointed candidate texts are |candidates| rows — linear, tiny next
+    # to the DP itself). Isolated best-of-3: 2.33s -> 1.21s at sf0.1.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    joined = (
         cand.join(t1, "doc_id_1")
         .join(t2, "doc_id_2")
-        .withColumn("lev", F.levenshtein("t1", "t2"))
+        .repartition(n_parts, "doc_id_1", "doc_id_2")
+        .localCheckpoint(eager=False)
+    )
+    return (
+        joined.withColumn("lev", F.levenshtein("t1", "t2"))
         .withColumn("longest", longest)
         .filter(F.col("lev") * 100 <= int(_EDIT_REL_MAX * 100) * F.col("longest"))
         .select(

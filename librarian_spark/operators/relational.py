@@ -5347,11 +5347,18 @@ def q88_benford(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q89_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
+    # pin the window stage's width: the projected rows are tiny, so AQE's
+    # byte-based coalescing folds the window exchange into ONE partition and
+    # serializes the per-flag sorts (isolated 0.66s -> 1.40s). An explicit
+    # repartition on the window key is never coalesced and SATISFIES the
+    # window's required distribution, so this replaces the exchange rather
+    # than adding one. Scale-adaptive: count from shuffle.partitions.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     w0 = li.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("long").alias("wt"),
-    )
+    ).repartition(n_parts, "flag")
     cum_w = W.partitionBy("flag").orderBy("v").rangeBetween(
         W.unboundedPreceding, W.currentRow
     )
