@@ -945,8 +945,13 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.doc_id_1", "e.doc_id_2")
-        # lazy: round 1's count is the materializing action
-        .localCheckpoint(eager=False)
+        # EAGER on purpose: round 1's job consumes this frame in TWO
+        # concurrent subtrees (the labels-init aggregate and the nbr join);
+        # a lazy checkpoint materializes in a per-partition cache race there
+        # and the expensive pairs pipeline runs ~twice (observed: BlockManager
+        # "already exists" warnings + isolated 4.2s vs 3.0s). Eager pays one
+        # dedicated job but evaluates the pairs pipeline exactly once.
+        .localCheckpoint()
     )
     # only edge-touched nodes can ever change label; everything else is a
     # singleton cluster and skips the iteration entirely. Per-round shuffles

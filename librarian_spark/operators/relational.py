@@ -7784,8 +7784,11 @@ def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.when(F.col("hv") < F.col("theta"), 1)).alias("nc_strict"),
         )
     )
-    # lazy: feeds only final-action subplans — no up-front job
-    du = e.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    # EAGER on purpose: du feeds THREE concurrent subtrees of the final job
+    # (ex_n and both sides of the self-join) — lazy materializes in a
+    # per-partition cache race and the corpus-side distinct runs up to 3x
+    # (the dedup_clusters lesson). One dedicated job, computed exactly once.
+    du = e.select("event_type", "user_id").distinct().localCheckpoint()
     ex_n = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
     da = du.select(F.col("event_type").alias("ta"), "user_id")
     db = du.select(F.col("event_type").alias("tb"), "user_id")
@@ -7976,8 +7979,11 @@ def q112_theta_anotb(spark: SparkSession, sf: str) -> DataFrame:
     bm = _strict_counts(sb, "nb_all", "nb_strict")
     common = sa.join(sb, ["ta", "tb", "hv"]).select("ta", "tb", "hv")
     cm = _strict_counts(common, "nc_all", "nc_strict")
-    # lazy: feeds only final-action subplans — no up-front job
-    du = e.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    # EAGER on purpose: du feeds THREE concurrent subtrees of the final job
+    # (ex_n and both sides of the self-join) — lazy materializes in a
+    # per-partition cache race and the corpus-side distinct runs up to 3x
+    # (the dedup_clusters lesson). One dedicated job, computed exactly once.
+    du = e.select("event_type", "user_id").distinct().localCheckpoint()
     ex_n = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
     da = du.select(F.col("event_type").alias("ta"), "user_id")
     db = du.select(F.col("event_type").alias("tb"), "user_id")
@@ -8429,8 +8435,9 @@ def q113_sample_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
     sk = two_level_bottom_k(
         b, ["o_orderpriority"], _SQR_K, _SQR_SALTS, ("hv", "o_orderkey")
-    ).localCheckpoint(eager=False)  # <= |priorities| x k rows; feeds both
-    # rollup levels (lazy: single final action — no up-front job)
+    ).localCheckpoint()  # <= |priorities| x k rows; EAGER: it feeds both
+    # rollup levels as concurrent subtrees of the final job — lazy would
+    # materialize in a cache race and run the two-level bottom-k twice
 
     def rank_pick(df, part_cols):
         wv = (
