@@ -45,9 +45,9 @@ _CALLER_SESSION_CONF = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # size post-shuffle partitions by bytes (advisory), not parallelism —
-    # same rationale and same setting as session.get_spark / cluster_profile
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst stays at the Spark default (true) — same full-registry
+    # measurement and rationale as session.get_spark; byte-based coalescing
+    # is reserved for cluster_profile where exchanges carry real bytes
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # shuffled-hash join when the planner/AQE size gates pass — same setting
     # and scale rationale as session.get_spark (guide §3.1/§9; measured

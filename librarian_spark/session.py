@@ -73,12 +73,16 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce to the advisory byte size, not to default parallelism:
-        # post-shuffle partitions are sized by data, so a small shuffle
-        # collapses to a few real tasks instead of fanning out empty ones
-        # (guide §2.2; operators whose OUTPUT explodes relative to input
-        # pin their own parallelism with an explicit repartition)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at the Spark DEFAULT (true) here: this
+        # engine's post-shuffle stages are dominated by per-ROW compute
+        # (hash/DP/HOF expression work over small payloads), and coalescing
+        # them to the advisory byte size serializes that work. Measured over
+        # the FULL 292-query registry (interleaved same-session A/B,
+        # best-of-3 per arm): byte-based coalescing is 1.19x slower in
+        # total — 208 queries >10% worse, 9 better. The byte-based setting
+        # remains right where partitions carry real bytes per row; it is
+        # applied in cluster_profile (100 TB deployment) where the advisory
+        # size governs genuinely data-heavy exchanges.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # allow shuffled-hash join when the planner's size gate passes
         # (guide §3.1/§9): SHJ skips both sides' sorts; the planner only
@@ -149,6 +153,13 @@ def cluster_profile(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        # byte-based coalescing is a CLUSTER-profile setting only: with
+        # shuffle.partitions at 2x total cores and a 128 MB advisory size it
+        # folds only genuinely tiny exchanges, and compute-dense operators
+        # that byte-sizing would mis-size pin their own width with explicit
+        # repartitions (q80/q89/edit-distance pattern). On the local test
+        # profile the same setting serialized per-row-compute stages and is
+        # left at the Spark default there (full-registry A/B, 1.19x).
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # shuffled-hash join allowed when its size gate passes (same setting
