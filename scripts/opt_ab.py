@@ -9,7 +9,14 @@ Usage:
 
 Arm A = current session defaults (get_spark + tune_session).
 Arm B = A plus OPT_CONF_B overrides (runtime-settable confs only).
-Per round, each query runs A then B; best-of-N per arm is reported.
+
+Arm ORDER alternates per round (round 0: A,B; round 1: B,A; ...): the arm
+that runs SECOND for a query benefits ~20-25% from the first arm's
+identical-plan warm-up (page-cached parquet footers, hot JIT for exactly
+that codegen) — measured by an A/A control with both arms identical:
+fixed A-then-B order reported B/A = 0.777 where truth is 1.0. With
+alternation the same A/A control reads ~1.0. Use an EVEN OPT_RUNS so both
+arms get equal first-position runs.
 """
 
 from __future__ import annotations
@@ -67,10 +74,12 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    best: dict[str, dict[str, float]] = {n: {} for n in names}
-    for _ in range(n_runs):
+    samples: dict[str, dict[str, list[float]]] = {
+        n: {"A": [], "B": []} for n in names
+    }
+    for rnd in range(n_runs):
         for name in names:
-            for arm in ("A", "B"):
+            for arm in (("A", "B") if rnd % 2 == 0 else ("B", "A")):
                 set_arm(arm)
                 spark.catalog.clearCache()
                 try:
@@ -81,13 +90,16 @@ def main() -> None:
                 df = specs[name].spark_fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0
-                best[name][arm] = min(best[name].get(arm, float("inf")), dt)
+                samples[name][arm].append(dt)
     set_arm("A")
+    best = {n: {a: min(v) for a, v in s.items()} for n, s in samples.items()}
     out = {
         n: {
             "A": round(v["A"], 3),
             "B": round(v["B"], 3),
             "B/A": round(v["B"] / v["A"], 3),
+            "A_runs": [round(x, 2) for x in samples[n]["A"]],
+            "B_runs": [round(x, 2) for x in samples[n]["B"]],
         }
         for n, v in best.items()
     }
