@@ -23,7 +23,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from librarian_spark.operators.registry import load_all  # noqa: E402
+from librarian_spark.scratch import scratch_root  # noqa: E402
 from librarian_spark.session import get_spark  # noqa: E402
+
+
+def runtime_info(spark) -> dict:
+    """Effective-runtime echo for the printed JSON line: the bench contract
+    (master = local[$SPARK_GRAFT_CPUS]) must be verifiable FROM THE WIRE —
+    round 11's driver flagged `suspect_cpus_ignored` because ~1.0 scaling
+    ratios at sf0.1 (fixed-cost-bound queries) were indistinguishable from an
+    ignored env var. These three fields settle it per run."""
+    sc = spark.sparkContext
+    return {
+        "master": sc.master,
+        "cpus_effective": sc.defaultParallelism,
+        "scratch_root": scratch_root(),
+    }
 
 
 def main() -> None:
@@ -106,6 +121,7 @@ def main() -> None:
         # number is the per-query mean, not the total
         "sec_per_query_mean": round(total / max(1, len(timings)), 4),
         "runs_per_query": n_runs,
+        **runtime_info(spark),
     }
     if errors:
         payload["errors"] = errors

@@ -104,6 +104,23 @@ WHERE p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common)
 """
 
 
+# Round-12 G4b-style adjudication switch (flipped per arm by
+# scripts/opt_ab.py via OPT_PY_B): when True, the shared cached minhash
+# feature stage is materialized by ONE dedicated count job before any
+# consumer fans it into concurrent subtrees. Without it, the first job that
+# contains the cached frame in >=2 independent subtrees (self-join sides,
+# size broadcasts) computes the Python signature pass once per subtree in a
+# per-partition cache race — the same failure mode the round-11 G4b fix
+# measured on q111/q112's distinct.
+_PRIME_SHARED_FEATURES = False
+
+
+def _primed(df: DataFrame) -> DataFrame:
+    if _PRIME_SHARED_FEATURES:
+        df.count()
+    return df
+
+
 def shared_shingle_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate pairs from the shingle inverted index with per-pair common
     counts and both set sizes: (doc_id_1, doc_id_2, n_common, n1, n2).
@@ -114,7 +131,7 @@ def shared_shingle_pairs(spark: SparkSession, sf: str) -> DataFrame:
     100 TB-prep change (stop-shingle document-frequency cap, hash widening)
     lands here once and every downstream verify inherits it.
     """
-    sh = minhash_features(spark, sf).select("doc_id", "shingle_hashes")
+    sh = _primed(minhash_features(spark, sf)).select("doc_id", "shingle_hashes")
     sizes = sh.select("doc_id", F.size("shingle_hashes").alias("n_shingles"))
     ex = sh.select("doc_id", F.explode("shingle_hashes").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -298,7 +315,7 @@ def minhash_features(
 
 def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate pairs from banded LSH: docs sharing ≥1 identical band signature."""
-    bands = minhash_features(spark, sf).select(
+    bands = _primed(minhash_features(spark, sf)).select(
         "doc_id", F.posexplode("band_sigs").alias("band", "band_sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -1939,7 +1956,16 @@ def dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id_1", "doc_id_2", "jaccard"
     )
     cands = minhash_lsh_candidates(spark, sf).withColumn("hit", F.lit(1))
-    joined = truth.join(cands, ["doc_id_1", "doc_id_2"], "left")
+    # SHUFFLE_HASH on the candidate (build-right — legal for LEFT OUTER)
+    # side: the planner's static estimate for the post-aggregation candidate
+    # frame is far above reality, so it plans SortMergeJoin and sorts BOTH
+    # sides (plans/r12/dedup_minhash_recall_before.txt:8). Both sides here
+    # are near-dup pair sets — the same bounded volume, near-unique
+    # (id1, id2) keys, no hot build key — so a per-partition hash build is
+    # safe at any corpus scale and both Sorts disappear from the plan.
+    joined = truth.join(
+        cands.hint("shuffle_hash"), ["doc_id_1", "doc_id_2"], "left"
+    )
     decile = F.floor(F.col("jaccard") * 10).cast("long")
     return (
         joined.groupBy(decile.alias("jaccard_decile"))

@@ -7760,10 +7760,21 @@ def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
         "ta string, tb string",
     )
     su = sk.withColumnRenamed("event_type", "t")
+    # ONE explicit (ta, tb) exchange feeds the whole sketch-side DAG: hash
+    # partitioning on a SUBSET of the grouping keys satisfies the distinct
+    # ((ta, tb, hv)), the row_number window ((ta, tb)), and the uk groupBy,
+    # so the two ENSURE_REQUIREMENTS exchanges those operators would each
+    # plan collapse into this one (guide §2.4 — share one exchange between
+    # operations keyed the same way). Width = |pairs| (each pair its own
+    # partition at most): the sketch frames are k x |pairs| rows by
+    # construction at ANY corpus scale, so cluster-width shuffles here are
+    # pure scheduling overhead.
+    n_pairs = max(1, len(types) * (len(types) - 1) // 2)
     merged = (
         pairs.select("ta", "tb", F.explode(F.array("ta", "tb")).alias("t"))
         .join(su, "t")
         .select("ta", "tb", "hv")
+        .repartition(n_pairs, "ta", "tb")
         .distinct()
     )
     wu = W.partitionBy("ta", "tb").orderBy("hv")
@@ -7775,7 +7786,15 @@ def q111_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     )
     sa = sk.select(F.col("event_type").alias("ta"), "hv")
     sb = sk.select(F.col("event_type").alias("tb"), "hv")
-    common = pairs.join(sa, "ta").join(sb, ["tb", "hv"]).select("ta", "tb", "hv")
+    common = (
+        pairs.join(sa, "ta")
+        .join(sb, ["tb", "hv"])
+        .select("ta", "tb", "hv")
+        # co-partition with uk's explicit (ta, tb) width: without this the
+        # left join below re-exchanges uk back to cluster width (observed
+        # in the r12 plan pair) and the tiny sketch DAG fans out again
+        .repartition(n_pairs, "ta", "tb")
+    )
     cc = (
         uk.join(common, ["ta", "tb"], "left")
         .groupBy("ta", "tb", "ck", "theta")
@@ -7947,10 +7966,17 @@ def q112_theta_anotb(spark: SparkSession, sf: str) -> DataFrame:
         "ta string, tb string",
     )
     su = sk.withColumnRenamed("event_type", "t")
+    # one explicit (ta, tb) exchange for the whole sketch-side DAG — the
+    # q111 rationale (guide §2.4): subset-key hash partitioning satisfies
+    # the distinct, the window, and the uk groupBy, and the am/bm/cm joins
+    # downstream co-partition to uk's width instead of fanning every tiny
+    # k x |pairs| frame to cluster width.
+    n_pairs = max(1, len(types) * (len(types) - 1) // 2)
     merged = (
         pairs.select("ta", "tb", F.explode(F.array("ta", "tb")).alias("t"))
         .join(su, "t")
         .select("ta", "tb", "hv")
+        .repartition(n_pairs, "ta", "tb")
         .distinct()
     )
     wu = W.partitionBy("ta", "tb").orderBy("hv")
@@ -7960,6 +7986,9 @@ def q112_theta_anotb(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("ta", "tb")
         .agg(F.count(F.lit(1)).alias("ck"), F.max("hv").alias("theta"))
     )
+    # (measured and rejected: explicit (ta, tb) repartitions on sa/sb —
+    # isolated best-of-3 read 2.64-2.90 s vs 2.48 s without; the two added
+    # exchanges cost more than the narrower am/bm/cm joins saved)
     sa = pairs.join(sk.select(F.col("event_type").alias("ta"), "hv"), "ta")
     sb = pairs.join(sk.select(F.col("event_type").alias("tb"), "hv"), "tb")
 
@@ -8471,14 +8500,20 @@ def q113_sample_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     est_a = rank_pick(msk, [])
     pd50 = "percentile_disc(0.5) WITHIN GROUP (ORDER BY vc)"
     pd75 = "percentile_disc(0.75) WITHIN GROUP (ORDER BY vc)"
-    ex_g = b.groupBy("o_orderpriority").agg(
+    # ONE rollup pass computes both exact levels (per-priority + global)
+    # instead of two separate aggregations — one orders scan and one
+    # shuffle instead of two of each (guide §2.4: the exact side is the
+    # only corpus-scale work in this query; grouping-sets expansion
+    # doubles the narrow (priority, vc) shuffle rows, far cheaper than a
+    # second scan at any scale). F.grouping() splits the levels exactly;
+    # o_orderpriority is non-null so no level conflation is possible.
+    ex = b.rollup("o_orderpriority").agg(
         F.expr(pd50).cast("long").alias("p50_ex"),
         F.expr(pd75).cast("long").alias("p75_ex"),
+        F.grouping("o_orderpriority").cast("int").alias("_lvl"),
     )
-    ex_a = b.agg(
-        F.expr(pd50).cast("long").alias("p50_ex"),
-        F.expr(pd75).cast("long").alias("p75_ex"),
-    )
+    ex_g = ex.filter(F.col("_lvl") == 0).drop("_lvl")
+    ex_a = ex.filter(F.col("_lvl") == 1).drop("_lvl", "o_orderpriority")
 
     def out(est, ex, on):
         # 1-row x 1-row combine WITHOUT a join: a crossJoin (or an equi-join

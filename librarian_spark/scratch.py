@@ -20,6 +20,7 @@ tier buys nothing.
 from __future__ import annotations
 
 import os
+import warnings
 
 __all__ = ["scratch_root"]
 
@@ -34,6 +35,21 @@ def scratch_root() -> str:
         if env:
             _ROOT = env.rstrip("/") or "/"
         elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            # Loud one-time guard: this default puts STREAMING CHECKPOINTS
+            # (offset/commit logs, state versions) in volatile RAM. Right for
+            # a single test box (a reboot loses the run anyway), wrong for any
+            # deployment that needs a restarted driver to resume exactly-once
+            # state — there, SPARK_GRAFT_SCRATCH_DIR must point at durable
+            # shared storage, and it wins unconditionally.
+            warnings.warn(
+                "SPARK_GRAFT_SCRATCH_DIR is unset; scratch (incl. streaming "
+                "checkpoints and state) resolves to RAM-backed /dev/shm and "
+                "will NOT survive a reboot. Set SPARK_GRAFT_SCRATCH_DIR to "
+                "durable storage for any deployment that must resume "
+                "exactly-once streaming state.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             _ROOT = "/dev/shm"
         else:
             _ROOT = "/tmp"  # noqa: S108 — bounded, uuid-tagged, swept

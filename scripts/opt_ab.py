@@ -9,6 +9,13 @@ Usage:
 
 Arm A = current session defaults (get_spark + tune_session).
 Arm B = A plus OPT_CONF_B overrides (runtime-settable confs only).
+OPT_SCRATCH_B=<dir> additionally points arm B's scratch root (streaming
+checkpoints/state/staged inputs) at <dir> — for the RAM-vs-disk scratch
+adjudication, which is a filesystem choice, not a Spark conf.
+OPT_PY_B="pkg.mod.ATTR=True;pkg.mod2.ATTR2=False" flips python module
+globals per arm (arm B gets the listed values, arm A the originals) — for
+code-level adjudications (lazy-vs-eager checkpoints, cache priming) that
+have no conf surface. Values are ast.literal_eval'd.
 
 Arm ORDER alternates per round (round 0: A,B; round 1: B,A; ...): the arm
 that runs SECOND for a query benefits ~20-25% from the first arm's
@@ -50,6 +57,22 @@ def main() -> None:
     # reset between arms restores exactly what arm A ran with
     _reg.tune_session(spark)
     base_vals = {k: spark.conf.get(k, None) for k in conf_b}
+    scratch_b = os.environ.get("OPT_SCRATCH_B") or None
+    from librarian_spark import scratch as _scratch
+
+    scratch_a = _scratch.scratch_root()  # resolve arm A's root before any flip
+
+    import ast
+    import importlib
+
+    py_b: list[tuple[object, str, object, object]] = []  # (mod, attr, a_val, b_val)
+    for kv in os.environ.get("OPT_PY_B", "").split(";"):
+        if "=" not in kv:
+            continue
+        dotted, val = kv.split("=", 1)
+        mod_name, attr = dotted.strip().rsplit(".", 1)
+        mod = importlib.import_module(mod_name)
+        py_b.append((mod, attr, getattr(mod, attr), ast.literal_eval(val.strip())))
 
     def set_arm(arm: str) -> None:
         vals = conf_b if arm == "B" else base_vals
@@ -61,6 +84,10 @@ def main() -> None:
                     spark.conf.set(k, v)
             except Exception:  # noqa: BLE001
                 pass
+        if scratch_b:
+            _scratch._ROOT = scratch_b if arm == "B" else scratch_a
+        for mod, attr, a_val, b_val in py_b:
+            setattr(mod, attr, b_val if arm == "B" else a_val)
         # tune_session must not undo the arm's confs mid-query
         if arm == "B":
             _reg._CALLER_SESSION_CONF.update(conf_b)
@@ -106,6 +133,14 @@ def main() -> None:
     ta = sum(v["A"] for v in best.values())
     tb = sum(v["B"] for v in best.values())
     out["_total"] = {"A": round(ta, 3), "B": round(tb, 3), "B/A": round(tb / ta, 3)}
+    out["_meta"] = {
+        "runs_per_arm": n_runs,
+        "arm_order": "alternating per round (round 0: A,B; round 1: B,A; ...)",
+        "conf_b": conf_b,
+        "scratch_b": scratch_b,
+        "py_b": {f"{m.__name__}.{a}": bv for m, a, _av, bv in py_b},
+        "n_queries": len(names),
+    }
     print(json.dumps(out, indent=1))
 
 

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Round-11 optimization measurement: isolated per-query timing + plan capture.
+"""Optimization-round measurement: isolated per-query timing + plan capture.
 
 For each named query (or a comma list via OPT_QUERIES):
   - builds the DataFrame, captures .explain("formatted") to
-    plans/r11/<name>_<tag>.txt   (tag = before/after, argv[1])
+    plans/$OPT_PLANS_DIR/<name>_<tag>.txt   (tag = before/after, argv[1];
+    OPT_PLANS_DIR defaults to r12)
   - times construction + noop-sink execution best-of-N (OPT_RUNS, default 3),
     same methodology as bench.py (clearCache + StateStore.stop between runs)
   - prints one JSON line {name: best_sec, ...}
@@ -58,7 +59,7 @@ def main() -> None:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001
             pass
-    plans_dir = REPO / "plans" / "r11"
+    plans_dir = REPO / "plans" / os.environ.get("OPT_PLANS_DIR", "r12")
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     # same warm-up as bench.py
