@@ -113,6 +113,9 @@ WHERE p.n_common * 1.0 / (LEN(s1.shingles) + LEN(s2.shingles) - p.n_common)
 # per-partition cache race — the same failure mode the round-11 G4b fix
 # measured on q111/q112's distinct.
 _PRIME_SHARED_FEATURES = False
+# round-12 A/B switch: SHUFFLE_HASH hint on dedup_minhash_recall's
+# truth-side left join (see the in-op comment)
+_RECALL_SHJ_HINT = True
 
 
 def _primed(df: DataFrame) -> DataFrame:
@@ -1963,9 +1966,8 @@ def dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     # are near-dup pair sets — the same bounded volume, near-unique
     # (id1, id2) keys, no hot build key — so a per-partition hash build is
     # safe at any corpus scale and both Sorts disappear from the plan.
-    joined = truth.join(
-        cands.hint("shuffle_hash"), ["doc_id_1", "doc_id_2"], "left"
-    )
+    cside = cands.hint("shuffle_hash") if _RECALL_SHJ_HINT else cands
+    joined = truth.join(cside, ["doc_id_1", "doc_id_2"], "left")
     decile = F.floor(F.col("jaccard") * 10).cast("long")
     return (
         joined.groupBy(decile.alias("jaccard_decile"))

@@ -3816,6 +3816,9 @@ def pipeline_dlq(spark: SparkSession, sf: str) -> DataFrame:
 _NDG_BANDS = 8  # LSH bands
 _NDG_RPB = 4  # minhash rows per band -> catches jaccard >~ 0.5 per band
 _NDG_K = _NDG_BANDS * _NDG_RPB
+# merge-shuffle width for the neardup-gate drain (0 = full parallelism);
+# round-12 A/B switch — see the conf comment in neardup_gate_stream
+_NDG_MERGE_WIDTH = 8
 _NDG_P = (1 << 31) - 1  # Mersenne prime of the affine family
 _NDG_FILES = 4  # arrival micro-batches (doc_id-ordered ranges)
 
@@ -4149,7 +4152,16 @@ def neardup_gate_stream(
         .parquet(in_dir)
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(par))  # per-BATCH volume
+    # Two widths on purpose: the md5-shingle SIGNATURE pass is per-row
+    # Python compute and keeps the explicit repartition(par) at full
+    # parallelism, but the SHUFFLES behind it (bucket minima, registry
+    # merge, verdict join) carry only ~batch x bands rows — width 8 is the
+    # measured per-batch-volume setting every other drain here uses
+    # (32-wide merge shuffles burn ~2 x 32 task slots per micro-batch on
+    # few-thousand-row frames).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_NDG_MERGE_WIDTH or par)
+    )
     try:
         q = (
             stream.writeStream.foreachBatch(process)
